@@ -1,0 +1,51 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs ``local[N]`` single-JVM, but every setting here is
+chosen for the 1000-executor / 100 TB target: AQE handles runtime
+coalescing and skew-join splitting, broadcast threshold keeps dimension
+joins shuffle-free, and Arrow makes the unavoidable Python stages batched
+instead of row-at-a-time (the reference pays JVM<->Python socket serde per
+row — SURVEY.md §3.1).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app_name: str = "bigdata_imgprocessing_spark", cpus: int | None = None) -> SparkSession:
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(f"local[{cpus}]")
+        # AQE: runtime partition coalescing, skew-join splitting, plan re-opt.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Sized for local test SFs; a real cluster would set this to
+        # ~2-3x total cores (or rely on AQE initialPartitionNum).
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
+        # Arrow for pandas_udf / toPandas — the fast Python boundary.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Deterministic wall-clock semantics for timestamp queries: the
+        # DuckDB oracle treats naive parquet timestamps as tz-free, so we
+        # pin the session to UTC (container default, made explicit).
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    return builder.getOrCreate()
+
+
+def ensure_utc(spark: SparkSession) -> SparkSession:
+    """Pin session timezone to UTC (idempotent, runtime-mutable conf).
+
+    Called by time-bucketing queries so wall-clock extraction
+    (``date_format`` etc.) matches the tz-free DuckDB oracle even when the
+    caller-provided session was built with other defaults."""
+    if spark.conf.get("spark.sql.session.timeZone") != "UTC":
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+    return spark

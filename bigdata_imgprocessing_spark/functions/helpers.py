@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def zero_guard_div(num: Column, den: Column, scale: int = 4) -> Column:
+    """``num/den`` with the reference's ``ZeroDivisionError -> 0`` semantics
+    (``pyspark_stats.py:91-94``): an empty/zero denominator yields 0, not
+    null/NaN. Result rounded to ``scale`` for cross-engine determinism."""
+    return F.round(F.when(den == 0, F.lit(0.0)).otherwise(num / den), scale)
+
+
+def first_letter(col: Column) -> Column:
+    """First character of a name — the reference's alphabet grouping key
+    (``pyspark_stats.py:83-85``)."""
+    return F.substring(col, 1, 1)
+
+
+def length_bucket(col: Column, low: int, high: int) -> Column:
+    """Three-way name-length bucketing (``pyspark_stats.py:158-167``):
+    ``len < low`` / ``low <= len <= high`` / ``len > high``."""
+    n = F.length(col)
+    return (
+        F.when(n < low, F.lit(f"under_{low}"))
+        .when(n <= high, F.lit(f"between_{low}_and_{high}"))
+        .otherwise(F.lit(f"over_{high}"))
+    )

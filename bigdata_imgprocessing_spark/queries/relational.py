@@ -1,0 +1,549 @@
+"""Relational core — scans, joins, filters, aggregations (SURVEY.md §2).
+
+Each query is the idiomatic single-shuffle DataFrame form of a reference
+operator (citations in docstrings point into ``/root/reference``); the
+reference's driver-loop group-bys (156 jobs for stat 1,
+``pyspark_stats.py:82-94``) collapse into one ``groupBy`` each.
+
+Determinism rules for the DuckDB oracle hash-compare:
+* every computed column aliased identically on both sides,
+* double aggregates rounded (sum→2dp, ratios→4dp) on both sides,
+* top-k selections fully tie-broken by a unique key.
+
+Scale notes (100 TB target) are inline per query; the general posture:
+fixed tiny dims (region 5, nation 25) are broadcast explicitly; sf-scaled
+dims (part, customer) are left to AQE/autoBroadcastJoinThreshold so the
+plan degrades to shuffle joins gracefully when they outgrow broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..functions import first_letter, length_bucket, zero_guard_div
+
+# --------------------------------------------------------------------------
+# Flagship: single-pass grouped aggregation (TPC-H Q1 shape).
+# Reference analog: per-group sum/avg stats computed as ~170 driver-side
+# .sum() jobs (pyspark_stats.py:82-94,108-119) → ONE partial-agg shuffle.
+# Scale: map-side combine makes this ~#distinct-groups traffic per
+# partition; no join; whole-stage codegen end to end.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                        AS sum_qty,
+           round(sum(l_extendedprice), 2)                   AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(avg(l_quantity), 2)                        AS avg_qty,
+           round(avg(l_extendedprice), 2)                   AS avg_price,
+           round(avg(l_discount), 4)                        AS avg_disc,
+           count(*)                                         AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "sum_disc_price"
+        ),
+        F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Alphabet stats: reference stat 1 (pyspark_stats.py:73-99) — per
+# first-letter-of-name sum + file count + zero-guarded average (A1-A3, F1).
+# 26 letters x 6 actions there; one groupBy here.
+# Scale: part is sf-scaled → no forced broadcast; lineitem⋈part is a
+# shuffle hash/sort-merge join on l_partkey, AQE may still broadcast the
+# built side while it fits.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "alphabet_stats",
+    oracle="""
+    SELECT substr(p_name, 1, 1)                  AS letter,
+           round(sum(l_quantity), 2)             AS sum_qty,
+           count(DISTINCT l_orderkey)            AS order_cnt,
+           round(CASE WHEN count(DISTINCT l_orderkey) = 0 THEN 0
+                      ELSE round(sum(l_quantity), 2) / count(DISTINCT l_orderkey)
+                 END, 4)                         AS avg_qty_per_order
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY substr(p_name, 1, 1)
+    """,
+)
+def alphabet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select("p_partkey", first_letter(F.col("p_name")).alias("letter"))
+    joined = l.join(p, l.l_partkey == p.p_partkey)
+    agg = joined.groupBy("letter").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.count_distinct("l_orderkey").alias("order_cnt"),
+    )
+    return agg.select(
+        "letter",
+        "sum_qty",
+        "order_cnt",
+        zero_guard_div(F.col("sum_qty"), F.col("order_cnt")).alias("avg_qty_per_order"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Top-k after join+agg (TPC-H Q3 shape): filter → 3-way join → group →
+# fully tie-broken order → limit. Exercises predicate pushdown (both
+# filters reach the scans) and top-k.
+# Scale: TakeOrderedAndProject — per-partition heaps, no global sort.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "top_orders",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d')                 AS orderdate
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-01-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue")
+        )
+        .select(
+            "o_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Multi-join star query with broadcast dims (TPC-H Q5 shape). The
+# reference hand-broadcasts its dims (pyspark_stats.py:37,
+# pyspark_yolox.py:49-59) — here the fixed tiny dims (nation=25,
+# region=5 rows at EVERY sf) get an explicit broadcast() hint: J1.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "region_revenue",
+    oracle="""
+    SELECT n_name,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM region JOIN nation   ON n_regionkey = r_regionkey
+                JOIN customer ON c_nationkey = n_nationkey
+                JOIN orders   ON o_custkey = c_custkey
+                JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE r_name IN ('ASIA', 'EUROPE')
+    GROUP BY n_name
+    """,
+)
+def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
+    n = table(spark, sf_dir, "nation")
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    l = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice", "l_discount")
+    dim = F.broadcast(n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(dim, c.c_nationkey == dim.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Length-bucket stats: reference stat 4 (pyspark_stats.py:156-188, F4/A6)
+# — 3-way name-length buckets with zero-guarded averages. Boundaries
+# adapted to p_name's 7-12 char range so all buckets are populated.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "name_length_buckets",
+    oracle="""
+    SELECT CASE WHEN length(p_name) < 9 THEN 'under_9'
+                WHEN length(p_name) <= 10 THEN 'between_9_and_10'
+                ELSE 'over_10' END            AS bucket,
+           round(sum(l_quantity), 2)          AS sum_qty,
+           count(*)                           AS n_rows,
+           round(CASE WHEN count(*) = 0 THEN 0
+                      ELSE round(sum(l_quantity), 2) / count(*) END, 4) AS avg_qty
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY bucket
+    """,
+)
+def name_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
+    p = table(spark, sf_dir, "part").select(
+        "p_partkey", length_bucket(F.col("p_name"), 9, 10).alias("bucket")
+    )
+    agg = (
+        l.join(p, l.l_partkey == p.p_partkey)
+        .groupBy("bucket")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count("*").alias("n_rows"))
+    )
+    return agg.select(
+        "bucket", "sum_qty", "n_rows", zero_guard_div(F.col("sum_qty"), F.col("n_rows")).alias("avg_qty")
+    )
+
+
+# --------------------------------------------------------------------------
+# Semi / anti / outer joins (J3/F7 + the "free" Spark join types,
+# SURVEY.md §2.5). The reference's semi-join prune is
+# pyspark_yolox.py:146-148.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "semi_join_customers",
+    oracle="""
+    SELECT n_name, count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    GROUP BY n_name
+    """,
+)
+def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey")
+    n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderdate < TIMESTAMP '1996-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers with no order before 1996 (date-filtered so the anti side
+    is non-empty at every sf), counted per segment."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1996-01-01").select("o_custkey")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@query(
+    "outer_join_order_counts",
+    oracle="""
+    WITH per_cust AS (
+        SELECT c_custkey, count(o_orderkey) AS num_orders
+        FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        GROUP BY c_custkey
+    )
+    SELECT num_orders, count(*) AS num_customers
+    FROM per_cust GROUP BY num_orders
+    """,
+)
+def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-outer join preserving empty groups (customers with 0 orders),
+    then a distribution over the per-customer order count."""
+    c = table(spark, sf_dir, "customer").select("c_custkey")
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("num_orders"))
+    )
+    return per_cust.groupBy("num_orders").agg(F.count("*").alias("num_customers"))
+
+
+# --------------------------------------------------------------------------
+# Distinct aggregation (A12) + grouped conditional counts.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "distinct_counts",
+    oracle="""
+    SELECT o_orderstatus,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*)                  AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.count_distinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Histogram: group-by-count (A8/A9) — replaces the reference's
+# collect→np.unique→parallelize→per-value-count round-trip
+# (pyspark_dominant.py:74-92) and its 6 sequential filter(x==i).count()
+# jobs (pyspark_dominant.py:122-124).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "event_histogram",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(avg(value), 4) AS avg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value")
+    )
+
+
+# --------------------------------------------------------------------------
+# JSON-map measure extraction (P2, §2.9 JSON): the reference stores
+# {class: count} maps as JSON strings (pyspark_yolox.py:103-111) and
+# re-parses them per row (pyspark_stats.py:56-59). Real MapType via
+# from_json; lookup with the same .get(k, 0) default semantics.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "json_map_extract",
+    oracle="""
+    SELECT event_type,
+           sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k,
+           count(*) AS n_events
+    FROM events GROUP BY event_type
+    """,
+)
+def json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    kval = F.coalesce(
+        F.from_json(F.col("props"), "map<string,bigint>").getItem("k"), F.lit(0)
+    )
+    return e.groupBy("event_type").agg(
+        F.sum(kval).alias("sum_k"), F.count("*").alias("n_events")
+    )
+
+
+# --------------------------------------------------------------------------
+# Pivot / unpivot reshape (A13, plots.py:27-40): long → wide per-class
+# columns in one pass.
+# --------------------------------------------------------------------------
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS n_click,
+           count(*) FILTER (WHERE event_type = 'view')     AS n_view,
+           count(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS n_signup,
+           count(*) FILTER (WHERE event_type = 'error')    AS n_error
+    FROM events GROUP BY user_id
+    """,
+)
+def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    return wide.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+# --------------------------------------------------------------------------
+# Window functions: per-group top-k (§2.7 — absent in the reference; part
+# of the engine surface) and frame-based moving aggregate.
+# Scale: one shuffle on the partition key; rank pushdown via
+# WindowGroupLimit keeps per-key state at k.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_orders",
+    oracle="""
+    SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS totalprice, rn
+    FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders
+    ) WHERE rn <= 2
+    """,
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("o_custkey", "o_orderkey", F.round("o_totalprice", 2).alias("totalprice"), "rn")
+    )
+
+
+@query(
+    "moving_avg_orders",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus,
+           round(sum(o_totalprice) OVER w / count(*) OVER w, 4) AS mov_avg
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_orderkey
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+)
+def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sum/count divided explicitly (not avg()): money values have exactly
+    # 2 decimals, so a windowed avg's true value can sit on the .005
+    # rounding boundary where engine-specific summation order flips the
+    # rounded cent; sum/count keeps the quotient off boundaries.
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_orderkey").rowsBetween(-3, 0)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.sum("o_totalprice").over(w) / F.count("*").over(w), 4).alias("mov_avg"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Rollup / cube (SURVEY.md §2.6 closing note: A1+A2 at per-letter AND
+# global level is a natural ROLLUP). Grouping nulls are coalesced to
+# 'ALL' so the hash compare is unambiguous.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "rollup_revenue",
+    oracle="""
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           round(sum(c_acctbal), 2) AS sum_acctbal,
+           count(*) AS n_customers
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+                  JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
+    n = table(spark, sf_dir, "nation")
+    r = table(spark, sf_dir, "region")
+    dim = F.broadcast(
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select("n_nationkey", "n_name", "r_name")
+    )
+    return (
+        c.join(dim, c.c_nationkey == dim.n_nationkey)
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("c_acctbal"), 2).alias("sum_acctbal"), F.count("*").alias("n_customers"))
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "sum_acctbal",
+            "n_customers",
+        )
+    )
+
+
+@query(
+    "cube_order_stats",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.round(F.sum("o_totalprice"), 2).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            "n_orders",
+            "sum_price",
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Set operations (§2.8 — engine surface): customers active in 1995-1996
+# vs 1997+ — union / intersect / except cardinalities in one row.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "set_ops_customers",
+    oracle="""
+    WITH a AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate < TIMESTAMP '1997-01-01'),
+         b AS (SELECT DISTINCT o_custkey FROM orders
+               WHERE o_orderdate >= TIMESTAMP '1997-01-01')
+    SELECT (SELECT count(*) FROM (SELECT * FROM a UNION SELECT * FROM b))     AS union_cnt,
+           (SELECT count(*) FROM (SELECT * FROM a INTERSECT SELECT * FROM b)) AS intersect_cnt,
+           (SELECT count(*) FROM (SELECT * FROM a EXCEPT SELECT * FROM b))    AS except_cnt
+    """,
+)
+def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    a = o.where(F.col("o_orderdate") < "1997-01-01").select("o_custkey").distinct()
+    b = o.where(F.col("o_orderdate") >= "1997-01-01").select("o_custkey").distinct()
+    union_cnt = a.union(b).distinct().agg(F.count("*").alias("union_cnt"))
+    intersect_cnt = a.intersect(b).agg(F.count("*").alias("intersect_cnt"))
+    except_cnt = a.exceptAll(b.distinct()).agg(F.count("*").alias("except_cnt"))
+    return union_cnt.crossJoin(intersect_cnt).crossJoin(except_cnt)

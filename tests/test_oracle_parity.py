@@ -1,0 +1,73 @@
+"""Local replica of the driver's correctness gate.
+
+For every registered query with an oracle, run the Spark plan and the
+DuckDB SQL on the same parquet tables and compare row count, column
+names, and (column-name-sorted, row-sorted) values exactly — stricter
+than the driver's hash so mismatches are debuggable here first.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+
+from bigdata_imgprocessing_spark.core.catalog import TABLES
+from bigdata_imgprocessing_spark.queries import ORACLES, QUERIES
+
+
+def _duck(sf_dir: str):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def _norm(v):
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        # collapse -0.0 / representation noise at far-below-rounding scale
+        return round(v, 9)
+    if isinstance(v, int):
+        return v
+    return str(v)
+
+
+def _normalize(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(_norm(r[i]) for i in order) for r in rows]
+    return sorted(out, key=lambda t: tuple((x is None, str(x)) for x in t))
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_parity(spark, sf_dir, name):
+    sdf = QUERIES[name](spark, sf_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+
+    con = _duck(sf_dir)
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    con.close()
+
+    assert sorted(scols) == sorted(dcols), f"{name}: column mismatch {scols} vs {dcols}"
+    assert len(srows) == len(drows), f"{name}: row count {len(srows)} vs {len(drows)}"
+    sn, dn = _normalize(srows, scols), _normalize(drows, dcols)
+    mismatches = [(a, b) for a, b in zip(sn, dn) if a != b]
+    assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
+
+
+def test_all_queries_have_entries():
+    assert QUERIES, "no queries registered"
+    missing_oracle = set(QUERIES) - set(ORACLES)
+    # non-SQL-expressible ops are allowed to omit oracles, but must be
+    # consciously listed here as they are added
+    allowed_weak = set()
+    assert missing_oracle <= allowed_weak, f"queries missing oracles: {missing_oracle}"
