@@ -1,0 +1,81 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed end-to-end (logical plan → execution → full
+materialization via the no-op sink, so sink I/O doesn't pollute the
+number and nothing short-circuits to the driver).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_imgprocessing_spark.core.session import build_session
+from bigdata_imgprocessing_spark.queries import QUERIES
+
+# Headline set: one representative per operator family (scan+agg, star
+# join, top-k, window, JSON, pivot, rollup, distinct, semi/anti/outer).
+HEADLINE = [
+    "pricing_summary",
+    "alphabet_stats",
+    "top_orders",
+    "region_revenue",
+    "semi_join_customers",
+    "outer_join_order_counts",
+    "distinct_counts",
+    "json_map_extract",
+    "pivot_event_counts",
+    "window_topk_orders",
+    "moving_avg_orders",
+    "rollup_revenue",
+    "set_ops_customers",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = build_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up the JVM / Python worker pool outside the timed region
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    extra = os.environ.get("BENCH_QUERIES")
+    if extra:
+        names = [n for n in extra.split(",") if n in QUERIES]
+
+    times: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": float(sf),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
