@@ -1,0 +1,30 @@
+"""Vector-similarity column builders: dot / norm / cosine over
+``array<float>`` columns via higher-order functions — JVM-side, no UDFs.
+
+Determinism contract with the DuckDB oracle: both engines multiply
+element-wise in array order, cast each element to double first, and sum
+left-to-right, so the resulting doubles are bit-identical and rounding
+is exact parity (see queries/similarity.py oracles using
+``list_transform`` + ``list_sum`` with ``::DOUBLE`` casts).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))

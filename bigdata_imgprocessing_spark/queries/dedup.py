@@ -1,0 +1,346 @@
+"""Deduplication operators over ``documents`` — the core training-data
+pipeline surface (exact, MinHash+LSH, n-gram Jaccard, SimHash).
+
+Everything runs as built-in JVM expressions so Catalyst sees the whole
+plan: shingling via array HOFs, hashing via md5 (identically computable
+in the DuckDB oracle: hex-prefix → integer), band-bucketing + self-join
+for LSH candidates.
+
+Hash design shared by Spark and oracle: H(s) = first 10 hex chars of
+md5(s) as a 40-bit integer; minhash_j(s) = (a_j*H + b_j) mod P with
+a_j = 2j+3, b_j = 7919j + 1, P = 1099511627791 (prime > 2^40). 40-bit H
+keeps a_j*H far below 2^63 — no overflow in either engine.
+
+Scale notes: exact dedup is groupBy(fingerprint) with map-side combine;
+minhash signatures are one pass (explode-free: aggregate over the
+shingle array per row); LSH candidates self-join on (band, key) — the
+join key space grows with corpus size so buckets stay small; the
+verify stage joins only candidate pairs, never all pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+
+_P = 1099511627791  # prime > 2^40
+_N_HASHES = 16
+_BANDS = 8  # 2 rows per band
+
+
+def _a(j: int) -> int:
+    return 2 * j + 3
+
+
+def _b(j: int) -> int:
+    return 7919 * j + 1
+
+
+# ---- shared Spark-side builders -------------------------------------------
+
+
+def _shingles(text: Column) -> Column:
+    """Word 3-gram shingles as an array<string> (empty-safe)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    return F.when(
+        n >= 3,
+        F.transform(
+            F.sequence(F.lit(0), n - 3),
+            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
+        ),
+    ).otherwise(F.array(text))
+
+
+def _h40(s: Column) -> Column:
+    """40-bit integer hash: first 10 hex chars of md5. Reproducible in
+    DuckDB as ('0x' || substr(md5(s),1,10))::UBIGINT."""
+    return F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("bigint")
+
+
+def _minhash_sig(shingles: Column) -> list[Column]:
+    """16 minhash values; min over the shingle array via the aggregate
+    HOF — no explode, no shuffle, duplicates in the array are harmless
+    (min over a multiset equals min over its set)."""
+    hashes = F.transform(shingles, _h40)
+
+    def mh_term(j: int):
+        a, b = _a(j), _b(j)
+        # single-arg lambda: a 2-arg lambda would be treated by pyspark as
+        # (element, index) and silently bind the coefficient to the index
+        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
+
+    return [
+        F.array_min(F.transform(hashes, mh_term(j))).alias(f"mh{j}")
+        for j in range(_N_HASHES)
+    ]
+
+
+# ---- oracle-side builders (DuckDB SQL fragments) --------------------------
+
+_DUCK_SHINGLES = """
+    SELECT doc_id, lang,
+           CASE WHEN len(string_split(text, ' ')) >= 3
+                THEN list_transform(range(len(string_split(text, ' ')) - 2),
+                     i -> string_split(text, ' ')[i+1] || ' ' ||
+                          string_split(text, ' ')[i+2] || ' ' ||
+                          string_split(text, ' ')[i+3])
+                ELSE [text] END AS sh
+    FROM documents
+"""
+
+
+def _duck_mh(j: int) -> str:
+    return (
+        f"list_min(list_transform(sh, s -> ({_a(j)} * CAST(('0x' || substr(md5(s),1,10))::UBIGINT AS BIGINT)"
+        f" + {_b(j)}) % {_P})) AS mh{j}"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT lang, count(*) AS n_survivors
+    FROM (
+        SELECT min_by(lang, doc_id) AS lang
+        FROM documents
+        GROUP BY md5(lower(trim(text)))
+    )
+    GROUP BY lang
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on a normalized fingerprint keeping the
+    lowest doc_id per group (deterministic survivor), counted per lang.
+    One shuffle with map-side partial min_by."""
+    d = table(spark, sf_dir, "documents")
+    survivors = (
+        d.select(F.md5(F.lower(F.trim(F.col("text")))).alias("fp"), "doc_id", "lang")
+        .groupBy("fp")
+        .agg(F.min_by("lang", "doc_id").alias("lang"))
+    )
+    return survivors.groupBy("lang").agg(F.count("*").alias("n_survivors"))
+
+
+@query(
+    "minhash_band_stats",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sig AS (SELECT doc_id, {", ".join(_duck_mh(j) for j in range(_N_HASHES))} FROM sh),
+    bands AS (
+        SELECT doc_id, band,
+               CASE band {" ".join(f"WHEN {b} THEN CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_BANDS))} END AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range({_BANDS})) AS band) bs
+    ),
+    buckets AS (SELECT band, bkey, count(*) AS k FROM bands GROUP BY band, bkey)
+    SELECT band, count(*) AS n_buckets, max(k) AS max_bucket,
+           sum(k * (k - 1) // 2) AS n_candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+)
+def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH banding statistics (16 hashes, 8 bands x 2 rows):
+    per-band bucket count, largest bucket, and intra-bucket candidate
+    pair count — the cost model of the LSH join."""
+    d = table(spark, sf_dir, "documents")
+    sig = d.select("doc_id", *_minhash_sig(_shingles(F.col("text"))))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    buckets = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    return buckets.groupBy("band").agg(
+        F.count("*").alias("n_buckets"),
+        F.max("k").alias("max_bucket"),
+        F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("bigint")).alias("n_candidate_pairs"),
+    )
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sig AS (SELECT doc_id, {", ".join(_duck_mh(j) for j in range(_N_HASHES))} FROM sh),
+    bands AS (
+        SELECT doc_id, band,
+               CASE band {" ".join(f"WHEN {b} THEN CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_BANDS))} END AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range({_BANDS})) AS band) bs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.ss, sb.ss)) AS inter,
+               len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+        FROM cand JOIN sets sa ON sa.doc_id = doc_a
+                  JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
+    FROM verified WHERE inter * 1.0 / uni >= 0.5
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band-bucket
+    self-join for candidates → exact-Jaccard verification ≥ 0.5.
+    (This synthetic corpus has no near-dups, so an empty result matching
+    the oracle's empty result is the correct outcome; minhash_band_stats
+    carries the non-trivial value parity.)"""
+    d = table(spark, sf_dir, "documents")
+    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sig = with_sh.select("doc_id", *_minhash_sig(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = with_sh.select("doc_id", F.array_distinct("sh").alias("ss"))
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
+    verified = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+    )
+    return verified.where(F.col("inter") / F.col("uni") >= 0.5).select(
+        "doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard")
+    )
+
+
+@query(
+    "ngram_jaccard_hist",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+    ex AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+        SELECT inter,
+               len(sa.ss) + len(sb.ss) - inter AS uni
+        FROM pair_inter JOIN sets sa ON sa.doc_id = doc_a
+                        JOIN sets sb ON sb.doc_id = doc_b
+    )
+    SELECT CAST(inter * 10 // uni AS INTEGER) AS jaccard_decile,
+           count(*) AS n_pairs
+    FROM j GROUP BY jaccard_decile
+    """,
+)
+def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs n-gram Jaccard via inverted-index self-join (pairs
+    sharing ≥1 shingle only — never a full cross product), histogrammed
+    by decile. Integer arithmetic end-to-end → exact parity."""
+    d = table(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
+    ex = sets.select("doc_id", F.explode("ss").alias("s"))
+    a = ex.alias("a")
+    b = ex.alias("b")
+    pair_inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    j = (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select(
+            "inter",
+            (F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - F.col("inter")).alias("uni"),
+        )
+    )
+    return (
+        j.select(F.floor(F.col("inter") * 10 / F.col("uni")).cast("int").alias("jaccard_decile"))
+        .groupBy("jaccard_decile")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signs-of-weighted-bit-sums fingerprint. Near-dup docs
+# differ in few bits (hamming); here we emit the per-doc fingerprint —
+# exact integer parity — plus collision accounting.
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bits_sql() -> str:
+    terms = []
+    for bit in range(16):
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(toks, t -> "
+            f"2 * ((CAST(('0x' || substr(md5(t),1,10))::UBIGINT AS BIGINT) >> {bit}) & 1) - 1)) >= 0 "
+            f"THEN {1 << bit} ELSE 0 END"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM t)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM s GROUP BY simhash
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-hash bit votes), grouped into
+    fingerprint buckets — hamming-adjacent buckets are the near-dup
+    candidate space."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hashes = F.transform(toks, _h40)
+    def bit_vote(b: int):
+        return lambda h: 2 * F.shiftright(h, b).bitwiseAND(1) - 1
+
+    simhash = None
+    for bit in range(16):
+        vote = F.aggregate(
+            F.transform(hashes, bit_vote(bit)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        term = F.when(vote >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        simhash = term if simhash is None else simhash + term
+    s = d.select("doc_id", simhash.alias("simhash"))
+    return s.groupBy("simhash").agg(
+        F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )

@@ -1,0 +1,224 @@
+"""Similarity search over the ``embeddings`` table (array<float> vectors)
+— ANN surface for a training-data pipeline, plus the reference's
+nearest-centroid classifier (pyspark_dominant.py:96-117, P10) expressed
+as pure SQL.
+
+Brute-force cosine top-k is the correctness baseline; the IVF variant
+restricts the search to the query's coarse partition (here the
+precomputed ``label`` assignment plays the coarse quantizer role) — at
+100 TB that's the difference between an all-pairs shuffle and a
+partition-pruned equi-join probing ~1/k of the corpus.
+
+Determinism: both engines compute identical doubles (same element order,
+double casts, left-to-right sums — see operators/similarity.py), and
+top-k ORDER BY uses the ROUNDED score + vec_id so rank boundaries can't
+flip on representation noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..operators.similarity import cosine
+
+_QUERY_IDS = (0, 1, 2)
+
+_DUCK_COS = """
+    round(
+      list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+         * sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)))), 6)
+"""
+
+
+@query(
+    "knn_bruteforce",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_DUCK_COS} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 neighbors for 3 query vectors: broadcast the
+    tiny query side, score every corpus vector once (one pass, no
+    shuffle of the corpus), per-query top-k via window rank."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+@query(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_DUCK_COS} AS cos_sim
+        FROM embeddings e JOIN q ON e.label = q.qlabel
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style approximate top-3: probe only the query's coarse
+    partition (``label`` as the quantizer cell) — an equi-join instead
+    of a cross product; with the corpus partitioned/bucketed by cell
+    this is a partition-pruned local scan at cluster scale."""
+    e = table(spark, sf_dir, "embeddings")
+    q = F.broadcast(
+        e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+        )
+    )
+    scored = (
+        e.join(q, e.label == q.qlabel)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# Nearest-centroid classification — the reference's closest-primary-color
+# op (pyspark_dominant.py:96-117): Euclidean distance to a fixed literal
+# centroid set, argmin with ties to the LOWEST index
+# (dist.index(min(dist)) semantics at pyspark_dominant.py:115-117).
+# Centroids parameterized (SURVEY.md §2.12 color-space decision).
+# ---------------------------------------------------------------------------
+
+_CENTROIDS: tuple[tuple[float, float, float], ...] = (
+    (0.2, 0.2, 0.2),
+    (-0.2, 0.2, 0.2),
+    (0.2, -0.2, 0.2),
+    (0.2, 0.2, -0.2),
+    (-0.2, -0.2, 0.2),
+    (-0.2, 0.2, -0.2),
+)
+
+
+def _dist_sql(i: int) -> str:
+    c = _CENTROIDS[i]
+    return (
+        f"(embedding[1]::DOUBLE - ({c[0]}))^2 + (embedding[2]::DOUBLE - ({c[1]}))^2"
+        f" + (embedding[3]::DOUBLE - ({c[2]}))^2"
+    )
+
+
+@query(
+    "nearest_centroid_counts",
+    oracle=f"""
+    WITH d AS (
+        SELECT label, {", ".join(f"{_dist_sql(i)} AS d{i}" for i in range(6))}
+        FROM embeddings
+    ), assigned AS (
+        SELECT label,
+               CASE WHEN d0 <= least(d1, d2, d3, d4, d5) THEN 0
+                    WHEN d1 <= least(d2, d3, d4, d5) THEN 1
+                    WHEN d2 <= least(d3, d4, d5) THEN 2
+                    WHEN d3 <= least(d4, d5) THEN 3
+                    WHEN d4 <= d5 THEN 4
+                    ELSE 5 END AS centroid_idx
+        FROM d
+    )
+    SELECT centroid_idx, label, count(*) AS n_vectors
+    FROM assigned GROUP BY centroid_idx, label
+    """,
+)
+def nearest_centroid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Assign each vector (first 3 dims) to its nearest fixed centroid,
+    cross-tabbed against the true label. Pure expression — replaces the
+    reference's per-row Python distance loop AND its 6 sequential
+    filter(x==i).count() jobs (pyspark_dominant.py:119-124) with one
+    grouped aggregation."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def dist(i: int):
+        c = _CENTROIDS[i]
+        return sum(
+            (F.element_at("embedding", k + 1).cast("double") - F.lit(c[k])) ** 2
+            for k in range(3)
+        )
+
+    d = e.select("label", *[dist(i).alias(f"d{i}") for i in range(6)])
+    idx = (
+        F.when(F.col("d0") <= F.least("d1", "d2", "d3", "d4", "d5"), 0)
+        .when(F.col("d1") <= F.least("d2", "d3", "d4", "d5"), 1)
+        .when(F.col("d2") <= F.least("d3", "d4", "d5"), 2)
+        .when(F.col("d3") <= F.least("d4", "d5"), 3)
+        .when(F.col("d4") <= F.col("d5"), 4)
+        .otherwise(5)
+    )
+    return (
+        d.select("label", idx.alias("centroid_idx"))
+        .groupBy("centroid_idx", "label")
+        .agg(F.count("*").alias("n_vectors"))
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH n AS (
+        SELECT label,
+               sqrt(list_sum(list_transform(range(len(embedding)),
+                    i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))) AS nrm
+        FROM embeddings
+    )
+    SELECT label, count(*) AS n_vectors,
+           round(min(nrm), 6) AS min_norm,
+           round(max(nrm), 6) AS max_norm,
+           round(sum(nrm) / count(*), 4) AS avg_norm
+    FROM n GROUP BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster vector-norm profile (embedding QA pass)."""
+    from ..operators.similarity import norm
+
+    e = table(spark, sf_dir, "embeddings")
+    n = e.select("label", norm(F.col("embedding")).alias("nrm"))
+    return n.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("nrm"), 6).alias("min_norm"),
+        F.round(F.max("nrm"), 6).alias("max_norm"),
+        F.round(F.sum("nrm") / F.count("*"), 4).alias("avg_norm"),
+    )

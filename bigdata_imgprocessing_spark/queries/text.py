@@ -1,0 +1,272 @@
+"""Text analysis over ``documents`` — the training-data-pipeline surface
+(language-ID, quality scoring, token stats, fingerprinting) plus the
+reference's string-predicate queries mapped onto text data:
+conditional-aggregation ratio (pyspark_stats.py:125-153, A5/F3) and the
+substring theta-join over a small keyword dim (pyspark_stats.py:102-111,
+J5/F2).
+
+Everything is built-in JVM expressions (split / filter HOFs / md5 /
+contains) — no Python in the hot path. Token counts use
+single-space-separated semantics matching the corpus.
+
+Scale: all queries are scan → map-side expression → one grouped-agg
+shuffle; the keyword join broadcasts a literal dim (BNLJ) — the dim is
+O(10) rows at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_token_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           sum(len(string_split(text, ' '))) AS total_tokens,
+           round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4) AS avg_tokens,
+           round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counting (training-data token budgeting)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " "))
+    agg = d.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(toks).alias("total_tokens"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
+    return agg.select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens") / F.col("n_docs"), 4).alias("avg_tokens"),
+        F.round(F.col("total_chars") / F.col("n_docs"), 4).alias("avg_chars"),
+    )
+
+
+@query(
+    "doc_quality_scores",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               len(string_split(text, ' '))                    AS n_tokens,
+               len(list_distinct(string_split(text, ' ')))     AS n_unique,
+               length(text)                                    AS n_chars
+        FROM documents
+    )
+    SELECT doc_id, lang, n_tokens,
+           round(n_unique * 1.0 / n_tokens, 4) AS uniq_ratio,
+           round((n_chars - n_tokens + 1) * 1.0 / n_tokens, 4) AS avg_token_len,
+           round(0.5 * least(1.0, n_tokens / 50.0)
+                 + 0.5 * (n_unique * 1.0 / n_tokens), 4) AS quality
+    FROM m
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality scoring: length signal + lexical diversity
+    (the unique-token ratio is the classic gopher-style repetition
+    filter signal). All integer-derived arithmetic → exact parity."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.length("text").alias("n_chars"),
+    )
+    return m.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.round(F.col("n_unique") / F.col("n_tokens"), 4).alias("uniq_ratio"),
+        F.round((F.col("n_chars") - F.col("n_tokens") + 1) / F.col("n_tokens"), 4).alias(
+            "avg_token_len"
+        ),
+        F.round(
+            0.5 * F.least(F.lit(1.0), F.col("n_tokens") / 50.0)
+            + 0.5 * (F.col("n_unique") / F.col("n_tokens")),
+            4,
+        ).alias("quality"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language ID: marker-token scoring with a fixed tie-break order. On this
+# synthetic corpus the vocabulary is uniform across langs, so the value is
+# the operator shape (score -> argmax classify), not model accuracy.
+# ---------------------------------------------------------------------------
+
+_LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("customer", "hash", "row"),
+    "en": ("the", "order", "table"),
+    "es": ("slow", "agg", "vector"),
+    "fr": ("scan", "data", "query"),
+    "zh": ("join", "small", "column"),
+}
+
+
+def _marker_sql(lang: str) -> str:
+    lst = ", ".join(f"'{t}'" for t in _LANG_MARKERS[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({lst})))"
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               {_marker_sql('de')} AS s_de,
+               {_marker_sql('en')} AS s_en,
+               {_marker_sql('es')} AS s_es,
+               {_marker_sql('fr')} AS s_fr,
+               {_marker_sql('zh')} AS s_zh
+        FROM documents
+    ), pred AS (
+        SELECT lang,
+               CASE WHEN s_de >= greatest(s_en, s_es, s_fr, s_zh) THEN 'de'
+                    WHEN s_en >= greatest(s_es, s_fr, s_zh) THEN 'en'
+                    WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                    WHEN s_fr >= s_zh THEN 'fr'
+                    ELSE 'zh' END AS predicted
+        FROM scored
+    )
+    SELECT lang, predicted, count(*) AS n_docs
+    FROM pred GROUP BY lang, predicted
+    """,
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language ID → confusion-matrix counts. Ties resolve
+    in fixed lang order (de<en<es<fr<zh), identically on both engines."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def score(lang: str):
+        return F.size(F.filter(toks, lambda t: t.isin(*_LANG_MARKERS[lang])))
+
+    scored = d.select(
+        "lang",
+        *[score(lg).alias(f"s_{lg}") for lg in ("de", "en", "es", "fr", "zh")],
+    )
+    predicted = (
+        F.when(F.col("s_de") >= F.greatest("s_en", "s_es", "s_fr", "s_zh"), "de")
+        .when(F.col("s_en") >= F.greatest("s_es", "s_fr", "s_zh"), "en")
+        .when(F.col("s_es") >= F.greatest("s_fr", "s_zh"), "es")
+        .when(F.col("s_fr") >= F.col("s_zh"), "fr")
+        .otherwise("zh")
+    )
+    return (
+        scored.select("lang", predicted.alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_fingerprints",
+    oracle="""
+    WITH fp AS (
+        SELECT source, md5(lower(trim(text))) AS fingerprint
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           count(DISTINCT fingerprint) AS n_distinct,
+           count(*) - count(DISTINCT fingerprint) AS n_redundant
+    FROM fp GROUP BY source
+    """,
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting (normalize → md5) + per-source redundancy
+    accounting — the exact-dedup accounting pass."""
+    d = table(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5(F.lower(F.trim(F.col("text")))).alias("fingerprint"))
+    return fp.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("fingerprint").alias("n_distinct"),
+        (F.count("*") - F.count_distinct("fingerprint")).alias("n_redundant"),
+    )
+
+
+@query(
+    "conditional_agg_ratio",
+    oracle="""
+    SELECT count(*) AS n_docs,
+           count(*) FILTER (WHERE contains(text, 'spark')) AS n_spark_docs,
+           round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars_all,
+           round(CASE WHEN count(*) FILTER (WHERE contains(text, 'spark')) = 0 THEN 0
+                      ELSE sum(length(text)) FILTER (WHERE contains(text, 'spark')) * 1.0
+                           / count(*) FILTER (WHERE contains(text, 'spark')) END, 4)
+               AS avg_chars_spark
+    FROM documents
+    """,
+)
+def conditional_agg_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference stat 3 (pyspark_stats.py:125-153): global aggregate vs
+    substring-filtered aggregate with the 0-guard, in ONE pass via
+    conditional aggregation (the reference runs 4 separate jobs)."""
+    d = table(spark, sf_dir, "documents")
+    has = F.col("text").contains("spark")
+    agg = d.agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(has, 1)).alias("n_spark_docs"),
+        F.sum(F.length("text")).alias("chars_all"),
+        F.sum(F.when(has, F.length("text"))).alias("chars_spark"),
+    )
+    return agg.select(
+        "n_docs",
+        "n_spark_docs",
+        F.round(F.col("chars_all") / F.col("n_docs"), 4).alias("avg_chars_all"),
+        F.round(
+            F.when(F.col("n_spark_docs") == 0, F.lit(0.0)).otherwise(
+                F.coalesce(F.col("chars_spark"), F.lit(0)) / F.col("n_spark_docs")
+            ),
+            4,
+        ).alias("avg_chars_spark"),
+    )
+
+
+_KEYWORDS = ("spark", "join", "merge", "window", "stream", "vector")
+
+
+@query(
+    "keyword_doc_stats",
+    oracle=f"""
+    SELECT kw,
+           count(*) AS n_docs,
+           round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars
+    FROM documents
+    CROSS JOIN (SELECT unnest({list(_KEYWORDS)}) AS kw) kws
+    WHERE contains(text, kw)
+    GROUP BY kw
+    """,
+)
+def keyword_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference stat 2's substring theta-join (pyspark_stats.py:102-111,
+    J5): tiny keyword dim x documents with a contains() predicate —
+    broadcast nested-loop join; a doc matching k keywords lands in k
+    groups (the reference's loop semantics)."""
+    d = table(spark, sf_dir, "documents").select("text")
+    kws = F.broadcast(spark.createDataFrame([(k,) for k in _KEYWORDS], "kw string"))
+    return (
+        d.crossJoin(kws)
+        .where(F.col("text").contains(F.col("kw")))
+        .groupBy("kw")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.length("text")) / F.count("*"), 4).alias("avg_chars"),
+        )
+    )

@@ -1,0 +1,190 @@
+"""Time-window & temporal-join surface (SURVEY.md §2.10 extension).
+
+The reference has no time semantics at all; the driver's ``events`` table
+plus the north-star ("design for 100 TB") make batch time-windows,
+sessionization, and temporal joins first-class here. All bucket outputs
+are formatted at second-or-coarser granularity: the parquet source is
+TIMESTAMP(NANOS) which Spark truncates to µs while DuckDB keeps ns, and
+flooring to seconds is the provably truncation-safe comparison level.
+
+Scale notes: tumbling/sliding windows are pure map-side bucket columns +
+one grouped-agg shuffle; session windows shuffle once on user_id;
+the as-of join is the single-shuffle union-merge operator; the range
+join is an equi hash join on user_id with a residual time predicate
+(never a cross product).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..core.session import ensure_utc
+from ..operators.asof import asof_join
+
+
+@query(
+    "time_bucket_agg",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY day, event_type
+    """,
+)
+def time_bucket_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-day window via native ``window()`` (Structured-Streaming
+    compatible — same expression works under readStream + watermark)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 day").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd").alias("day"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "sliding_window_agg",
+    oracle="""
+    SELECT strftime(make_timestamp((CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off) * 1000000),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off) offs
+    WHERE (CAST(floor(epoch(ts) / 1800) AS BIGINT) * 1800 - off) >= 0
+    GROUP BY window_start
+    """,
+)
+def sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour window every 30 minutes: each event lands in 2
+    windows. Oracle reproduces Spark's window set by computing both
+    candidate starts (floor-to-30min minus {0, 30min})."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT sid) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user sessionization with a 30-minute inactivity gap via native
+    ``session_window`` (new session when gap >= 30min; the oracle's
+    gaps-and-islands formulation encodes the same boundary)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    per_session = e.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("cnt")
+    )
+    return per_session.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("cnt").alias("n_events")
+    )
+
+
+@query(
+    "asof_purchase_click",
+    oracle="""
+    WITH m AS (
+        SELECT p.event_id, p.user_id, p.ts AS pts, max(c.ts) AS cts
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id AND c.ts <= p.ts
+        GROUP BY p.event_id, p.user_id, p.ts
+    )
+    SELECT event_id, user_id,
+           strftime(cts, '%Y-%m-%d %H:%M:%S') AS last_click_ts,
+           CAST(floor(epoch(date_trunc('second', pts))) -
+                floor(epoch(date_trunc('second', cts))) AS BIGINT) AS secs_since_click
+    FROM m
+    """,
+)
+def asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join: every purchase matched to the user's most
+    recent click at-or-before it (union-merge operator, one shuffle)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    j = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts", payload_cols=[])
+    return j.select(
+        "event_id",
+        "user_id",
+        F.date_format("asof_ts", "yyyy-MM-dd HH:mm:ss").alias("last_click_ts"),
+        (F.unix_timestamp("ts") - F.unix_timestamp("asof_ts")).alias("secs_since_click"),
+    )
+
+
+@query(
+    "range_join_funnel",
+    oracle="""
+    SELECT s.event_id AS signup_id, s.user_id,
+           count(p.event_id) AS n_purchases,
+           round(coalesce(sum(p.value), 0), 2) AS sum_value
+    FROM (SELECT * FROM events WHERE event_type = 'signup') s
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = s.user_id AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 DAY
+    GROUP BY s.event_id, s.user_id
+    """,
+)
+def range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (band) join: purchases within 24h after each signup, per
+    signup. Equi hash join on user_id carries the time band as a residual
+    predicate — no cross product at any scale."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    s = e.where(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("signup_id"), "user_id", F.col("ts").alias("s_ts")
+    )
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_event"), "value",
+    )
+    cond = (
+        (s.user_id == p.p_user)
+        & (p.p_ts >= s.s_ts)
+        & (p.p_ts < s.s_ts + F.expr("INTERVAL 1 DAY"))
+    )
+    return (
+        s.join(p, cond, "left")
+        .groupBy("signup_id", "user_id")
+        .agg(
+            F.count("p_event").alias("n_purchases"),
+            F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
+        )
+    )
