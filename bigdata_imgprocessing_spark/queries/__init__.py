@@ -7,8 +7,10 @@ Importing this package registers every query into
 from ..core.registry import ORACLES, QUERIES
 
 from . import dedup  # noqa: F401
+from . import images  # noqa: F401
 from . import relational  # noqa: F401  (registration side effect)
 from . import similarity  # noqa: F401
+from . import streaming_queries  # noqa: F401
 from . import text  # noqa: F401
 from . import timeseries  # noqa: F401
 

@@ -1,0 +1,168 @@
+"""Image-pipeline queries: the reference's color/detection pipelines
+(pyspark_dominant.py, pyspark_yolox.py) run over synthetic binary
+images derived from the ``embeddings`` table, end-to-end through real
+binary columns and Arrow pandas UDFs.
+
+Why embeddings → images: the oracle must be able to recompute results
+from the same parquet inputs, so each "image" is a 2x2x3 uint8 pixel
+block deterministically derived from the first 12 embedding dims
+(pixel_i = abs(trunc(dim_i * 1000)) % 256). The Spark side round-trips
+through actual bytes (encode UDF → BinaryType column → decode UDF);
+the oracle computes from the array directly — hash-equality proves the
+whole binary path.
+
+Scale: UDF stages are Arrow-batched and partition-parallel; the
+aggregations after explode are ordinary shuffles. At 100 TB the binary
+column comes from spark.read.format("binaryFile") over object storage
+(see images/, sources/) and the pixel math is unchanged.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..images.codec import encode_image
+from ..images.color import average_color_udf, dominant_color_udf
+from ..images.detect import SCORE_THRESHOLD, detect_udf
+
+
+@F.pandas_udf(BinaryType())
+def _embedding_to_image_udf(emb: pd.Series) -> pd.Series:
+    """First 12 dims → 2x2x3 uint8 FIMG bytes (deterministic, documented
+    in the module docstring; the oracle mirrors the arithmetic)."""
+
+    def enc(vec) -> bytes:
+        v = np.asarray(vec[:12], dtype=np.float64) * 1000.0
+        px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8).reshape(2, 2, 3)
+        return encode_image(px)
+
+    return emb.map(enc)
+
+
+def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    return e.select(
+        F.col("vec_id").alias("img_id"),
+        _embedding_to_image_udf(F.col("embedding")).alias("content"),
+    )
+
+
+_DUCK_PX = "(abs(trunc(embedding[{i}]::DOUBLE * 1000)::BIGINT) % 256)"
+
+
+def _px(i: int) -> str:  # 1-based embedding index
+    return _DUCK_PX.format(i=i)
+
+
+@query(
+    "image_avg_color",
+    oracle=f"""
+    SELECT vec_id AS img_id,
+           ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 AS c0,
+           ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 AS c1,
+           ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 AS c2
+    FROM embeddings
+    """,
+)
+def image_avg_color(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P8 average color through the full binary round trip: encode UDF →
+    BinaryType column → decode UDF → per-channel means (exact .25-step
+    doubles → exact parity)."""
+    imgs = _images(spark, sf_dir)
+    avg = imgs.select("img_id", average_color_udf("content").alias("avg"))
+    return avg.select(
+        "img_id",
+        F.element_at("avg", 1).alias("c0"),
+        F.element_at("avg", 2).alias("c1"),
+        F.element_at("avg", 3).alias("c2"),
+    )
+
+
+@query(
+    "image_dominant_hist",
+    oracle=f"""
+    WITH px AS (
+        SELECT vec_id,
+               unnest([
+                   {{'p': 0, 'c0': {_px(1)},  'c1': {_px(2)},  'c2': {_px(3)}}},
+                   {{'p': 1, 'c0': {_px(4)},  'c1': {_px(5)},  'c2': {_px(6)}}},
+                   {{'p': 2, 'c0': {_px(7)},  'c1': {_px(8)},  'c2': {_px(9)}}},
+                   {{'p': 3, 'c0': {_px(10)}, 'c1': {_px(11)}, 'c2': {_px(12)}}}
+               ]) AS pix
+        FROM embeddings
+    ), vals AS (
+        SELECT vec_id, pix.p AS p, pix.c0 AS c0, pix.c1 AS c1, pix.c2 AS c2,
+               pix.c0 + pix.c1 + pix.c2 AS s
+        FROM px
+    ), grouped AS (
+        SELECT vec_id, c0, c1, c2, count(*) AS cnt, min(s) AS s, min(p) AS first_p
+        FROM vals GROUP BY vec_id, c0, c1, c2
+    ), winner AS (
+        SELECT vec_id, c0, c1, c2,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cnt DESC, s ASC, first_p ASC) AS rn
+        FROM grouped
+    )
+    SELECT c0, c1, c2, count(*) AS n_images
+    FROM winner WHERE rn = 1 GROUP BY c0, c1, c2
+    """,
+)
+def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P9 dominant color (per-image k-means, k=4) + A8 histogram. On 2x2
+    images the deterministic k-means degenerates to most-frequent pixel
+    with darkest-first tie-break, which the oracle states in SQL — so
+    even the clustering UDF is value-checked. The reference computes this
+    histogram via collect→np.unique→parallelize (pyspark_dominant.py:
+    74-92); here it's one groupBy."""
+    imgs = _images(spark, sf_dir)
+    dom = imgs.select("img_id", dominant_color_udf("content").alias("dom"))
+    return (
+        dom.select(
+            F.element_at("dom", 1).alias("c0"),
+            F.element_at("dom", 2).alias("c1"),
+            F.element_at("dom", 3).alias("c2"),
+        )
+        .groupBy("c0", "c1", "c2")
+        .agg(F.count("*").alias("n_images"))
+    )
+
+
+@query(
+    "image_detection_counts",
+    oracle=f"""
+    WITH imgs AS (SELECT CAST(vec_id AS VARCHAR) AS img_id FROM embeddings),
+    dets AS (
+        SELECT img_id,
+               CAST(('0x' || substr(md5(img_id || '_' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 80 AS INTEGER) AS class_id,
+               (('0x' || substr(md5(img_id || '_s' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 1000) / 1000.0 AS score
+        FROM imgs CROSS JOIN (SELECT unnest(range(3)) AS j) js
+        WHERE j < ('0x' || substr(md5(img_id), 1, 10))::UBIGINT % 4
+    )
+    SELECT class_id,
+           count(*) AS n_detections,
+           count(DISTINCT img_id) AS n_images
+    FROM dets WHERE score > {SCORE_THRESHOLD}
+    GROUP BY class_id
+    """,
+)
+def image_detection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6/P7: (stub) model inference → explode detections → score
+    threshold → per-class counts. The reference does this via per-row
+    Python closures + JSON strings (pyspark_yolox.py:90-111); here the
+    detections are a real array<struct> column exploded JVM-side."""
+    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
+    return (
+        dets.where(F.col("det.score") > SCORE_THRESHOLD)
+        .groupBy(F.col("det.class_id").alias("class_id"))
+        .agg(
+            F.count("*").alias("n_detections"),
+            F.count_distinct("img_id").alias("n_images"),
+        )
+    )

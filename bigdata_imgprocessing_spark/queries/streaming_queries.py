@@ -1,0 +1,53 @@
+"""Streaming queries in the driver contract: each runs a real Structured
+Streaming job (readStream → availableNow → memory sink) and returns the
+materialized result, so the DuckDB oracle value-checks actual streaming
+output — stream-batch unification made testable."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.registry import query
+from ..core.session import ensure_utc
+from ..streaming.jobs import event_stream, run_to_memory
+
+
+@query(
+    "streaming_event_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-counting job drained over the static corpus: the
+    streaming result must equal the batch group-by (oracle)."""
+    ensure_utc(spark)
+    agg = event_stream(spark, sf_dir).groupBy("event_type").agg(
+        F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value")
+    )
+    return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "streaming_windowed_counts",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           count(*) AS n_events
+    FROM events GROUP BY day
+    """,
+)
+def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window streaming aggregation (the watermark
+    is load-bearing for state eviction in a continuous run; with
+    availableNow over a finite corpus complete-mode emits every window)."""
+    ensure_utc(spark)
+    agg = (
+        event_stream(spark, sf_dir)
+        .withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n_events")
+    )
+    return run_to_memory(agg, mode="complete")

@@ -1,0 +1,54 @@
+"""Structured Streaming surface (SURVEY.md §2.10 — an extension beyond
+the batch-only reference, per the north-star).
+
+Streaming jobs reuse the exact window expressions of the batch queries
+(stream-batch unification): ``readStream`` over the parquet dir →
+the same ``window``/``groupBy`` transformations → ``availableNow``
+trigger draining all available data → memory sink, whose materialized
+table the driver can value-check against plain SQL oracles.
+
+At scale the same code runs continuously: swap ``availableNow`` for a
+processing-time trigger, the memory sink for kafka/delta, and add
+``withWatermark`` (shown in windowed job) for state eviction —
+the logical plan is unchanged.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_EVENT_SCHEMA = (
+    "event_id bigint, ts bigint, user_id bigint, "
+    "event_type string, value double, props string"
+)
+
+
+def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source stream over the events parquet (ts arrives as nanos →
+    converted to a µs timestamp, mirroring core.catalog)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s = (
+        spark.readStream.schema(_EVENT_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return s.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+
+
+def run_to_memory(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
+    """Drain a streaming aggregation with trigger(availableNow) into a
+    uniquely-named memory sink; return the materialized table."""
+    name = f"sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        streaming_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = streaming_df.sparkSession
+    return spark.table(name)

@@ -1,0 +1,73 @@
+"""Sources/sinks: semicolon CSV round-trip with explicit schemas (S2/K1),
+single-file text reports (K2), materialized intermediates (S5), and
+streaming drain equals batch (stream-batch unification)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from bigdata_imgprocessing_spark.sources import (
+    materialize,
+    read_or_compute,
+    read_semicolon_csv,
+    write_semicolon_csv,
+    write_single_text,
+)
+
+
+def test_semicolon_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a;x", 2.5), (2, "b", 0.0)], "id bigint, name string, v double"
+    )
+    path = str(tmp_path / "csv_out")
+    write_semicolon_csv(df, path)
+    back = read_semicolon_csv(spark, path, "id bigint, name string, v double")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+    # header + separator actually on disk
+    part = glob.glob(os.path.join(path, "part-*.csv"))[0]
+    first = open(part).readline().strip()
+    assert first == "id;name;v"
+
+
+def test_single_text_report(spark, tmp_path):
+    df = spark.createDataFrame([("line one",), ("line two",)], "value string")
+    path = str(tmp_path / "report")
+    write_single_text(df, path)
+    parts = glob.glob(os.path.join(path, "part-*"))
+    assert len(parts) == 1  # coalesce(1) → exactly one file
+
+
+def test_read_or_compute_caches(spark, tmp_path):
+    path = str(tmp_path / "inter")
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(5).withColumn("sq", F.col("id") * F.col("id"))
+
+    a = read_or_compute(spark, path, compute)
+    b = read_or_compute(spark, path, compute)
+    assert len(calls) == 1  # second call served from the materialization
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_materialize_cuts_lineage(spark, tmp_path):
+    df = spark.range(10).withColumn("x", F.col("id") % 3)
+    out = materialize(df, str(tmp_path / "mat"))
+    # re-read is a plain parquet scan: no trace of the original lineage
+    assert "Range" not in out._jdf.queryExecution().optimizedPlan().toString()
+    assert out.count() == 10
+
+
+def test_streaming_equals_batch(spark, sf_dir):
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.streaming.jobs import event_stream, run_to_memory
+
+    stream_res = run_to_memory(
+        event_stream(spark, sf_dir).groupBy("user_id").agg(F.count("*").alias("n"))
+    )
+    batch_res = table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
+    assert sorted(map(tuple, stream_res.collect())) == sorted(map(tuple, batch_res.collect()))
