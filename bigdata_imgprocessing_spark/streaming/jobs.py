@@ -41,6 +41,14 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
 def run_to_memory(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
     """Drain a streaming aggregation with trigger(availableNow) into a
     uniquely-named memory sink; return the materialized table."""
+    spark = streaming_df.sparkSession
+    # Streaming state partitioning is fixed at first checkpoint by
+    # spark.sql.shuffle.partitions and AQE does not apply to streams; the
+    # 200-partition default is 6x overkill for local drains — size to cores.
+    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+        import os
+
+        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
     name = f"sink_{uuid.uuid4().hex[:12]}"
     q = (
         streaming_df.writeStream.format("memory")
@@ -50,5 +58,4 @@ def run_to_memory(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
         .start()
     )
     q.awaitTermination()
-    spark = streaming_df.sparkSession
     return spark.table(name)

@@ -1,0 +1,109 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness says the answer is right; these say the PLAN is the one
+that survives 100 TB: filters pushed to the scan, columns pruned,
+small dims broadcast, no stray shuffles/cartesian products in the
+single-pass aggregations.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from bigdata_imgprocessing_spark.queries import QUERIES
+
+
+def _formatted(spark, df) -> str:
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def test_pushdown_and_pruning_top_orders(spark, sf_dir):
+    plan = _formatted(spark, QUERIES["top_orders"](spark, sf_dir))
+    # predicate pushdown into the parquet scans
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    assert "LessThan(o_orderdate" in plan
+    # column pruning: lineitem scan reads only the 3 needed columns
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+    # top-k executes as a bounded take, not a global sort
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_broadcast_dims_region_revenue(spark, sf_dir):
+    plan = _formatted(spark, QUERIES["region_revenue"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    # the fact table (lineitem) must never be the broadcast side
+    assert "SortMergeJoin" not in plan or "lineitem" not in plan.split("SortMergeJoin")[0]
+    # region filter reaches its scan
+    assert "In(r_name, [ASIA,EUROPE])" in plan
+
+
+def test_single_shuffle_pricing_summary(spark, sf_dir):
+    df = QUERIES["pricing_summary"](spark, sf_dir)
+    plan = _formatted(spark, df)
+    # one partial + one final agg, one exchange between them
+    assert plan.count("Exchange") <= 2  # shuffle exchange (+ AQE wrapper line)
+    assert "HashAggregate" in plan
+    # codegen spans only materialize in the executed (final) adaptive plan
+    df.collect()
+    final = _formatted(spark, df)
+    assert "codegen id" in final
+
+
+def test_no_python_udf_in_relational_queries(spark, sf_dir):
+    """The relational/text/dedup surface must stay JVM-side (UDFs are the
+    slow path, reserved for the image codec stages)."""
+    for name in [
+        "pricing_summary",
+        "alphabet_stats",
+        "doc_token_stats",
+        "dedup_exact",
+        "minhash_band_stats",
+        "knn_bruteforce",
+        "lang_id_confusion",
+    ]:
+        plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+        assert "BatchEvalPython" not in plan, f"{name} fell back to row-Python"
+        assert "ArrowEvalPython" not in plan, f"{name} uses a pandas UDF needlessly"
+
+
+def test_semi_and_anti_join_physical(spark, sf_dir):
+    semi = _formatted(spark, QUERIES["semi_join_customers"](spark, sf_dir))
+    anti = _formatted(spark, QUERIES["anti_join_customers"](spark, sf_dir))
+    assert "LeftSemi" in semi
+    assert "LeftAnti" in anti
+
+
+def test_range_join_is_hash_not_cartesian(spark, sf_dir):
+    """The band join must hash-join on user_id with the time band as a
+    residual condition — a nested-loop/cartesian here would explode at
+    scale."""
+    plan = _formatted(spark, QUERIES["range_join_funnel"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keyword_theta_join_is_broadcast_nested_loop(spark, sf_dir):
+    """Contains()-predicate join against a literal keyword dim SHOULD be
+    a broadcast nested-loop join (tiny build side) — never a shuffled
+    cartesian."""
+    plan = _formatted(spark, QUERIES["keyword_doc_stats"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_asof_join_single_shuffle(spark, sf_dir):
+    """Union-merge as-of join: exactly one exchange for the window (plus
+    the final aggregation's, if any) — no join-shaped explosion."""
+    plan = _formatted(spark, QUERIES["asof_purchase_click"](spark, sf_dir))
+    assert "Join" not in plan  # implemented without any join operator
+    assert plan.count("Exchange") <= 2
+
+
+@pytest.mark.parametrize("name", ["image_avg_color", "image_detection_counts"])
+def test_image_stages_use_arrow(spark, sf_dir, name):
+    """Python is unavoidable in codec stages — but it must be the Arrow
+    pandas path, never row-pickling BatchEvalPython."""
+    plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
