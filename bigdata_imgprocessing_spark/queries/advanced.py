@@ -1,0 +1,292 @@
+"""Second-ring operator surface: map-typed measures (A7), unpivot/melt
+(A13 inverse), lag/lead analytics, GROUPING SETS through the spark.sql
+entry path, regex tokenization, exact percentiles, random-hyperplane LSH
+for embedding near-dup, and approximate sketches (rows-only check —
+approx answers have no exact oracle by construction).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+
+# ---------------------------------------------------------------------------
+# A7 — the reference's per-landmark JSON-map aggregation
+# (pyspark_yolox.py:151-176): value-wise merge of per-image count maps.
+# Here the map measure is assembled JVM-side and emitted as a sorted
+# entry string so the oracle can compare it deterministically (raw JSON
+# map key order is engine-defined — the one representation we avoid).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "map_measure_rollup",
+    oracle="""
+    WITH c AS (
+        SELECT o_custkey, o_orderstatus AS st, count(*) AS cnt
+        FROM orders GROUP BY o_custkey, o_orderstatus
+    )
+    SELECT o_custkey,
+           string_agg(st || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY st) AS status_counts,
+           sum(cnt) AS n_orders
+    FROM c GROUP BY o_custkey
+    """,
+)
+def map_measure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_custkey", F.col("o_orderstatus").alias("st")).agg(
+        F.count("*").alias("cnt")
+    )
+    return per_status.groupBy("o_custkey").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("st", "cnt"))),
+                lambda s: F.concat_ws(":", s.st, s.cnt),
+            ),
+            ",",
+        ).alias("status_counts"),
+        F.sum("cnt").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+@query(
+    "unpivot_event_counts",
+    oracle=f"""
+    WITH w AS (
+        SELECT user_id,
+               {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS n_{t}" for t in _EVENT_TYPES)}
+        FROM events GROUP BY user_id
+    )
+    {" UNION ALL ".join(f"SELECT user_id, 'n_{t}' AS metric, n_{t} AS n FROM w" for t in _EVENT_TYPES)}
+    """,
+)
+def unpivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13's inverse reshape: wide per-class columns melted back to long
+    (metric, value) rows via native unpivot."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type")
+    wide = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
+    wide = wide.select(
+        "user_id", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES]
+    )
+    return wide.unpivot("user_id", [f"n_{t}" for t in _EVENT_TYPES], "metric", "n")
+
+
+@query(
+    "lag_order_gaps",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           date_diff('day',
+                     lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                            ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS days_since_prev
+    FROM orders
+    """,
+)
+def lag_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lag() analytic: days between consecutive orders per customer
+    (total order: date then key, so ties can't reorder)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    prev = F.lag("o_orderdate").over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff("o_orderdate", prev).alias("days_since_prev"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    oracle="""
+    SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+           coalesce(o_orderpriority, 'ALL') AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (only the needed combinations — see
+    SCALING.md on cube row multiplication) through the spark.sql entry
+    path with a DataFrame argument."""
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT coalesce(o_orderstatus, 'ALL')   AS status,
+               coalesce(o_orderpriority, 'ALL') AS priority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {o}
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """,
+        o=o,
+    )
+
+
+@query(
+    "regex_token_stats",
+    oracle="""
+    WITH toks AS (
+        SELECT source, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_tokens,
+           count(DISTINCT t) AS n_distinct_tokens,
+           round(sum(length(t)) * 1.0 / count(*), 4) AS avg_token_len
+    FROM toks WHERE t != '' GROUP BY source
+    """,
+)
+def regex_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish regex tokenization (split on non-alphanumeric runs) —
+    the second tokenizer of the token-counting surface."""
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("t")
+    ).where(F.col("t") != "")
+    return toks.groupBy("source").agg(
+        F.count("*").alias("n_tokens"),
+        F.count_distinct("t").alias("n_distinct_tokens"),
+        F.round(F.sum(F.length("t")) / F.count("*"), 4).alias("avg_token_len"),
+    )
+
+
+@query(
+    "percentile_stats",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 4) AS p25,
+           round(quantile_cont(value, 0.50), 4) AS p50,
+           round(quantile_cont(value, 0.75), 4) AS p75
+    FROM events GROUP BY event_type
+    """,
+)
+def percentile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles (both engines implement the
+    same index = p*(n-1) interpolation)."""
+    e = table(spark, sf_dir, "events")
+    pct = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return e.groupBy("event_type").agg(pct.alias("pcts")).select(
+        "event_type",
+        F.round(F.element_at("pcts", 1), 4).alias("p25"),
+        F.round(F.element_at("pcts", 2), 4).alias("p50"),
+        F.round(F.element_at("pcts", 3), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding near-dup via random-hyperplane (sign) LSH. The 8 hyperplanes
+# are integer-valued pseudo-random constants derived from md5 in Python
+# at import time — both the Spark plan and the oracle SQL embed the SAME
+# literals, so bucket assignment is exact-parity (integer-double dot
+# products, identical op order).
+# ---------------------------------------------------------------------------
+
+_DIM = 64
+_PLANES = [
+    [
+        (int(hashlib.md5(f"pl{j}_{d}".encode()).hexdigest()[:10], 16) % 2001) - 1000
+        for d in range(_DIM)
+    ]
+    for j in range(8)
+]
+
+
+def _plane_dot_sql(j: int) -> str:
+    terms = " + ".join(
+        f"embedding[{d + 1}]::DOUBLE * ({_PLANES[j][d]})" for d in range(_DIM)
+    )
+    return f"({terms})"
+
+
+@query(
+    "embedding_lsh_neardup",
+    oracle=f"""
+    WITH b AS (
+        SELECT vec_id, embedding,
+               {" + ".join(f"(CASE WHEN {_plane_dot_sql(j)} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(8))} AS bucket
+        FROM embeddings
+    ),
+    buckets AS (SELECT bucket, count(*) AS k FROM b GROUP BY bucket),
+    pairs AS (
+        SELECT x.vec_id AS va, y.vec_id AS vb,
+               round(
+                 list_sum(list_transform(range({_DIM}), i -> x.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range({_DIM}), i -> x.embedding[i+1]::DOUBLE * x.embedding[i+1]::DOUBLE)))
+                    * sqrt(list_sum(list_transform(range({_DIM}), i -> y.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE)))), 6) AS cos_sim
+        FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
+    )
+    SELECT (SELECT count(*) FROM buckets)                    AS n_buckets,
+           (SELECT sum(k * (k - 1) // 2) FROM buckets)       AS n_candidates,
+           (SELECT count(*) FROM pairs WHERE cos_sim >= 0.3) AS n_neardup
+    """,
+)
+def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup with sign-LSH blocking: candidates share
+    an 8-bit hyperplane-sign bucket (≈1/256 of all pairs), then exact
+    cosine ≥ 0.3 within buckets. At 100 TB this is the linear-shuffle
+    alternative to the quadratic all-pairs join."""
+    from ..operators.similarity import cosine
+
+    e = table(spark, sf_dir, "embeddings")
+
+    def plane_dot(j: int):
+        plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
+        return F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, p: x.cast("double") * p),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    bucket = None
+    for j in range(8):
+        term = F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = term if bucket is None else bucket + term
+    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+
+    buckets = b.groupBy("bucket").agg(F.count("*").alias("k"))
+    n_buckets = buckets.agg(F.count("*").alias("n_buckets"))
+    n_cand = buckets.agg(
+        F.sum((F.col("k") * (F.col("k") - 1) / 2).cast("bigint")).alias("n_candidates")
+    )
+    x = b.alias("x")
+    y = b.alias("y")
+    pairs = (
+        x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
+        .select(F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cos_sim"))
+    )
+    n_near = pairs.where(F.col("cos_sim") >= 0.3).agg(F.count("*").alias("n_neardup"))
+    return n_buckets.crossJoin(n_cand).crossJoin(n_near)
+
+
+# ---------------------------------------------------------------------------
+# Approximate sketches — genuinely no exact oracle (approximate by
+# design; HLL/KLL results are implementation-defined). Registered
+# without oracle → the driver records the weaker rows-only check; local
+# tests bound the error against exact answers instead.
+# ---------------------------------------------------------------------------
+
+
+@query("approx_sketch_stats", oracle=None)
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++) + approx_percentile (KLL-style) per
+    event_type — the one-shuffle alternatives to exact distinct /
+    percentile at 100 TB (see SCALING.md)."""
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
+        F.count("*").alias("n_events"),
+    )

@@ -1,0 +1,73 @@
+"""Operator-level unit tests: as-of join edge cases on hand-built data,
+and error bounds for the approximate sketches vs exact answers."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from bigdata_imgprocessing_spark.operators.asof import asof_join
+
+
+def _ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic_and_edges(spark):
+    left = spark.createDataFrame(
+        [
+            (1, "u1", _ts("2024-01-01T10:00:00")),  # right at 09:00 → match
+            (2, "u1", _ts("2024-01-01T08:00:00")),  # before any right → null
+            (3, "u2", _ts("2024-01-01T12:00:00")),  # equal ts → inclusive match
+            (4, "u3", _ts("2024-01-01T12:00:00")),  # key with no right rows → null
+        ],
+        "id bigint, k string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [
+            ("u1", _ts("2024-01-01T09:00:00"), 100.0),
+            ("u1", _ts("2024-01-01T09:30:00"), 200.0),  # later one wins for id=1
+            ("u2", _ts("2024-01-01T12:00:00"), 300.0),  # exactly equal → matched
+            ("u2", _ts("2024-01-01T13:00:00"), 400.0),  # future → never matched
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = {
+        r.id: (r.asof_ts, r.asof_v)
+        for r in asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()
+    }
+    assert out[1] == (_ts("2024-01-01T09:30:00"), 200.0)
+    assert out[2] == (None, None)
+    assert out[3] == (_ts("2024-01-01T12:00:00"), 300.0)
+    assert out[4] == (None, None)
+
+
+def test_asof_join_preserves_left_rowcount(spark, sf_dir):
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    e = table(spark, sf_dir, "events")
+    left = e.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    right = e.where(F.col("event_type") == "click").select("user_id", "ts")
+    joined = asof_join(left, right, on="user_id", left_ts="ts", right_ts="ts", payload_cols=[])
+    assert joined.count() == left.count()  # exactly one output row per left row
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries.advanced import approx_sketch_stats
+
+    e = table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: (r.users, r.med)
+        for r in e.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("med"),
+        )
+        .collect()
+    }
+    for r in approx_sketch_stats(spark, sf_dir).collect():
+        users, med = exact[r.event_type]
+        assert abs(r.approx_users - users) <= max(2, 0.1 * users)
+        assert abs(r.approx_median - med) <= max(1.0, 0.05 * abs(med))
