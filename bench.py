@@ -38,6 +38,24 @@ HEADLINE = [
     "moving_avg_orders",
     "rollup_revenue",
     "set_ops_customers",
+    "time_bucket_agg",
+    "session_windows",
+    "asof_purchase_click",
+    "range_join_funnel",
+    "doc_token_stats",
+    "lang_id_confusion",
+    "dedup_exact",
+    "minhash_band_stats",
+    "ngram_jaccard_hist",
+    "simhash_fingerprints",
+    "knn_bruteforce",
+    "ann_ivf_topk",
+    "embedding_lsh_neardup",
+    "image_avg_color",
+    "image_detection_counts",
+    "map_measure_rollup",
+    "percentile_stats",
+    "streaming_event_counts",
 ]
 
 

@@ -43,15 +43,21 @@ def _b(j: int) -> int:
 
 
 def _shingles(text: Column) -> Column:
-    """Word 3-gram shingles as an array<string> (empty-safe)."""
+    """Word 3-gram shingles as an array<string> (empty-safe).
+
+    Built with arrays_zip over three shifted slices rather than
+    ``transform(sequence(...), i -> toks[i] ...)``: subexpression
+    elimination does not reach inside HOF lambdas, so the indexed form
+    re-executes split() three times per ELEMENT (~2.4ms/doc measured);
+    the zip form splits once per row."""
     toks = F.split(text, " ")
     n = F.size(toks)
+    zipped = F.arrays_zip(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
+    )
     return F.when(
         n >= 3,
-        F.transform(
-            F.sequence(F.lit(0), n - 3),
-            lambda i: F.concat_ws(" ", toks[i], toks[i + 1], toks[i + 2]),
-        ),
+        F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"], s["2"])),
     ).otherwise(F.array(text))
 
 
@@ -61,22 +67,26 @@ def _h40(s: Column) -> Column:
     return F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("bigint")
 
 
-def _minhash_sig(shingles: Column) -> list[Column]:
-    """16 minhash values; min over the shingle array via the aggregate
-    HOF — no explode, no shuffle, duplicates in the array are harmless
-    (min over a multiset equals min over its set)."""
-    hashes = F.transform(shingles, _h40)
+def _minhash_signatures(d: DataFrame) -> DataFrame:
+    """doc_id + mh0..mh15 via explode → hash-once → groupBy(doc_id) with
+    16 algebraic min aggregates.
 
-    def mh_term(j: int):
-        a, b = _a(j), _b(j)
-        # single-arg lambda: a 2-arg lambda would be treated by pyspark as
-        # (element, index) and silently bind the coefficient to the index
-        return lambda h: (F.lit(a) * h + F.lit(b)) % _P
-
-    return [
-        F.array_min(F.transform(hashes, mh_term(j))).alias(f"mh{j}")
-        for j in range(_N_HASHES)
-    ]
+    Why explode instead of array HOFs: 16 independent projections over a
+    shared `transform(shingles, md5...)` array get re-INLINED by
+    Catalyst's CollapseProject, so md5 runs 16x per shingle (measured 54s
+    at sf0.1). Exploding computes each shingle's md5 exactly once; the
+    min aggregates are map-side partial, so the shuffle carries only
+    16 ints per (doc, partition) — negligible at any scale."""
+    sh = d.select(
+        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
+    )
+    h = sh.select("doc_id", _h40(F.col("s")).alias("h"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(_a(j)) * F.col("h") + F.lit(_b(j))) % _P).alias(f"mh{j}")
+            for j in range(_N_HASHES)
+        ]
+    )
 
 
 # ---- oracle-side builders (DuckDB SQL fragments) --------------------------
@@ -149,7 +159,7 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-band bucket count, largest bucket, and intra-bucket candidate
     pair count — the cost model of the LSH join."""
     d = table(spark, sf_dir, "documents")
-    sig = d.select("doc_id", *_minhash_sig(_shingles(F.col("text"))))
+    sig = _minhash_signatures(d)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -205,7 +215,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     carries the non-trivial value parity.)"""
     d = table(spark, sf_dir, "documents")
     with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sig = with_sh.select("doc_id", *_minhash_sig(F.col("sh")))
+    sig = _minhash_signatures(d)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -245,47 +255,74 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ngram_jaccard_hist",
     oracle=f"""
     WITH sh AS ({_DUCK_SHINGLES}),
-    sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
-    ex AS (SELECT doc_id, unnest(ss) AS s FROM sets),
+    ex_all AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+    ok AS (SELECT s FROM ex_all GROUP BY s HAVING count(*) <= {{cutoff}}),
+    ex AS (SELECT doc_id, ex_all.s FROM ex_all JOIN ok ON ex_all.s = ok.s),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
     pair_inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
         FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
         GROUP BY a.doc_id, b.doc_id
     ),
     j AS (
-        SELECT inter,
-               len(sa.ss) + len(sb.ss) - inter AS uni
-        FROM pair_inter JOIN sets sa ON sa.doc_id = doc_a
-                        JOIN sets sb ON sb.doc_id = doc_b
+        SELECT inter, sa.sz + sb.sz - inter AS uni
+        FROM pair_inter JOIN sizes sa ON sa.doc_id = doc_a
+                        JOIN sizes sb ON sb.doc_id = doc_b
     )
     SELECT CAST(inter * 10 // uni AS INTEGER) AS jaccard_decile,
            count(*) AS n_pairs
     FROM j GROUP BY jaccard_decile
-    """,
+    """.replace("{cutoff}", "50"),
 )
 def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs n-gram Jaccard via inverted-index self-join (pairs
-    sharing ≥1 shingle only — never a full cross product), histogrammed
-    by decile. Integer arithmetic end-to-end → exact parity."""
+    """n-gram Jaccard over candidate pairs from an inverted-index
+    self-join, histogrammed by decile. Shingles occurring in more than 50
+    documents are pruned FIRST (classic document-frequency cutoff,
+    applied identically in the oracle): a stop-shingle appearing in k
+    docs creates k² candidate pairs, which is the quadratic blowup that
+    killed the unpruned version at sf0.1 (SCALING.md). Set sizes are
+    post-prune, so Jaccard stays a true similarity on the pruned space.
+    Integer arithmetic end-to-end → exact parity."""
+    cutoff = 50
     d = table(spark, sf_dir, "documents")
     sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
     ex = sets.select("doc_id", F.explode("ss").alias("s"))
-    a = ex.alias("a")
-    b = ex.alias("b")
+    # ONE shuffle on the shingle: posting lists per shingle, DF-pruned.
+    # Everything downstream (sizes, pair generation) derives from this
+    # small grouped frame — a naive ex⋈ok + self-join re-executes the
+    # shingle explode lineage 4x (DataFrame DAGs don't share subplans),
+    # which benchmarked 27s vs ~8s for this shape at sf0.1.
+    groups = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= cutoff)
+        .cache()  # ≤ |vocab| rows; reused by sizes AND pair generation
+    )
+    sizes = groups.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
+        F.count("*").alias("sz")
+    )
+    # ordered pairs generated JVM-side from each posting list (≤ cutoff²/2
+    # per shingle — the DF prune is exactly what bounds this)
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
     pair_inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
         .agg(F.count("*").alias("inter"))
     )
-    sa = sets.alias("sa")
-    sb = sets.alias("sb")
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
     j = (
         pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .select(
-            "inter",
-            (F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - F.col("inter")).alias("uni"),
-        )
+        .select("inter", (F.col("sa.sz") + F.col("sb.sz") - F.col("inter")).alias("uni"))
     )
     return (
         j.select(F.floor(F.col("inter") * 10 / F.col("uni")).cast("int").alias("jaccard_decile"))
@@ -326,21 +363,21 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint buckets — hamming-adjacent buckets are the near-dup
     candidate space."""
     d = table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    hashes = F.transform(toks, _h40)
-    def bit_vote(b: int):
-        return lambda h: 2 * F.shiftright(h, b).bitwiseAND(1) - 1
-
+    # explode → hash once per token → 16 map-side-partial bit-vote sums
+    # (same CollapseProject md5-reinlining rationale as _minhash_signatures)
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = tok.select("doc_id", _h40(F.col("t")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(2 * F.shiftright(F.col("h"), b).bitwiseAND(1) - 1).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
     simhash = None
     for bit in range(16):
-        vote = F.aggregate(
-            F.transform(hashes, bit_vote(bit)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
-        )
-        term = F.when(vote >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
+        term = F.when(F.col(f"v{bit}") >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    s = d.select("doc_id", simhash.alias("simhash"))
+    s = votes.select("doc_id", simhash.alias("simhash"))
     return s.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
