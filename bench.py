@@ -56,6 +56,10 @@ HEADLINE = [
     "map_measure_rollup",
     "percentile_stats",
     "streaming_event_counts",
+    "image_letterbox_stats",
+    "video_frame_sample",
+    "cluster_profile",
+    "image_predictions",
 ]
 
 

@@ -9,6 +9,7 @@ from ..core.registry import ORACLES, QUERIES
 from . import advanced  # noqa: F401
 from . import dedup  # noqa: F401
 from . import images  # noqa: F401
+from . import multimodal  # noqa: F401
 from . import relational  # noqa: F401  (registration side effect)
 from . import similarity  # noqa: F401
 from . import streaming_queries  # noqa: F401

@@ -166,3 +166,108 @@ def image_detection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("img_id").alias("n_images"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Static class dimension + per-image prediction strings — the reference's
+# remaining detection-pipeline surfaces: the in-code class-name dim
+# (coco_classes.py:1-82, S3; names here are synthetic class_NN) joined to
+# detection counts (plots.py:24,34), and the per-image prediction table
+# (pyspark_yolox.py:137-140) with the {class: count} measure emitted as a
+# deterministic sorted-entry string (P7/P11; raw JSON map key order is
+# engine-defined, which is why the map is serialized sorted).
+# ---------------------------------------------------------------------------
+
+N_CLASSES = 80
+
+
+@query(
+    "detection_class_names",
+    oracle=f"""
+    WITH imgs AS (SELECT CAST(vec_id AS VARCHAR) AS img_id FROM embeddings),
+    dets AS (
+        SELECT img_id,
+               CAST(('0x' || substr(md5(img_id || '_' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 80 AS INTEGER) AS class_id,
+               (('0x' || substr(md5(img_id || '_s' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 1000) / 1000.0 AS score
+        FROM imgs CROSS JOIN (SELECT unnest(range(3)) AS j) js
+        WHERE j < ('0x' || substr(md5(img_id), 1, 10))::UBIGINT % 4
+    )
+    SELECT printf('class_%02d', class_id) AS class_name,
+           count(*) AS n_detections
+    FROM dets WHERE score > {SCORE_THRESHOLD}
+    GROUP BY class_name
+    ORDER BY n_detections DESC, class_name
+    LIMIT 10
+    """,
+)
+def detection_class_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Detection counts joined to a broadcast static class-name dim
+    (spark.createDataFrame over an in-code list — the S3 source kind),
+    top-10 classes fully tie-broken."""
+    class_dim = F.broadcast(
+        spark.createDataFrame(
+            [(i, f"class_{i:02d}") for i in range(N_CLASSES)],
+            "class_id int, class_name string",
+        )
+    )
+    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
+    counts = (
+        dets.where(F.col("det.score") > SCORE_THRESHOLD)
+        .groupBy(F.col("det.class_id").alias("class_id"))
+        .agg(F.count("*").alias("n_detections"))
+    )
+    return (
+        counts.join(class_dim, "class_id")
+        .select("class_name", "n_detections")
+        .orderBy(F.col("n_detections").desc(), "class_name")
+        .limit(10)
+    )
+
+
+@query(
+    "image_predictions",
+    oracle=f"""
+    WITH imgs AS (SELECT CAST(vec_id AS VARCHAR) AS img_id FROM embeddings),
+    dets AS (
+        SELECT img_id,
+               CAST(('0x' || substr(md5(img_id || '_' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 80 AS INTEGER) AS class_id,
+               (('0x' || substr(md5(img_id || '_s' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 1000) / 1000.0 AS score
+        FROM imgs CROSS JOIN (SELECT unnest(range(3)) AS j) js
+        WHERE j < ('0x' || substr(md5(img_id), 1, 10))::UBIGINT % 4
+    ),
+    cnt AS (
+        SELECT img_id, class_id, count(*) AS c
+        FROM dets WHERE score > {SCORE_THRESHOLD}
+        GROUP BY img_id, class_id
+    )
+    SELECT i.img_id,
+           coalesce(string_agg(CAST(cnt.class_id AS VARCHAR) || ':' || CAST(cnt.c AS VARCHAR),
+                               ',' ORDER BY cnt.class_id), '') AS predictions
+    FROM imgs i LEFT JOIN cnt ON i.img_id = cnt.img_id
+    GROUP BY i.img_id
+    """,
+)
+def image_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-image predictions table (id + {class: count} measure,
+    pyspark_yolox.py:137-140) — empty-detection images keep '' like the
+    reference's '{}' rows (pyspark_yolox.py:95-96)."""
+    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
+    cnt = (
+        dets.where(F.col("det.score") > SCORE_THRESHOLD)
+        .groupBy("img_id", F.col("det.class_id").alias("class_id"))
+        .agg(F.count("*").alias("c"))
+    )
+    per_img = cnt.groupBy("img_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("class_id", "c"))),
+                lambda s: F.concat_ws(":", s.class_id, s.c),
+            ),
+            ",",
+        ).alias("predictions")
+    )
+    return imgs.join(per_img, "img_id", "left").select(
+        "img_id", F.coalesce("predictions", F.lit("")).alias("predictions")
+    )

@@ -1,0 +1,165 @@
+"""Multimodal-column operators beyond still images: letterbox resize
+stats, video frame-sampling via ``mapInPandas`` (the one-row-to-many
+UDTF shape), and ``applyInPandas`` grouped feature extraction — the
+three remaining Python-boundary surfaces of SURVEY.md §2.11.
+
+As in queries/images.py, the binary payloads are deterministically
+derived from ``embeddings`` so DuckDB can recompute every result from
+the same parquet — the Spark side still round-trips through real bytes.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import BinaryType
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..images.codec import decode_image, encode_image
+from ..images.transform import PAD_VALUE, letterbox
+from .images import _images, _px
+
+
+@F.pandas_udf(BinaryType())
+def _letterbox_4x6_udf(content: pd.Series) -> pd.Series:
+    return content.map(lambda b: encode_image(letterbox(decode_image(b), 4, 6)))
+
+
+@query(
+    "image_letterbox_stats",
+    oracle=f"""
+    SELECT vec_id AS img_id,
+           round((4.0 * ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) + {PAD_VALUE} * 8) / 24, 4) AS c0,
+           round((4.0 * ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) + {PAD_VALUE} * 8) / 24, 4) AS c1,
+           round((4.0 * ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) + {PAD_VALUE} * 8) / 24, 4) AS c2
+    FROM embeddings
+    """,
+)
+def image_letterbox_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P5 letterbox (2x2 → 4x6 target): scale 2 → nearest-neighbor 4x4
+    (each pixel duplicated 4x) + an 8-pixel 114-pad strip; per-channel
+    means over the 24 output pixels, stated in closed form by the
+    oracle. Two chained binary UDF stages (letterbox, then average)."""
+    from ..images.color import average_color_udf
+
+    imgs = _images(spark, sf_dir)
+    boxed = imgs.select("img_id", _letterbox_4x6_udf("content").alias("content"))
+    avg = boxed.select("img_id", average_color_udf("content").alias("avg"))
+    return avg.select(
+        "img_id",
+        *[F.round(F.element_at("avg", i + 1), 4).alias(f"c{i}") for i in range(3)],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Video: 5 frames of 2x2 grayscale derived from dims 1-20; FVID payload =
+# frame count byte + concatenated FIMG frames. Frame-sample stride 2.
+# ---------------------------------------------------------------------------
+
+_N_FRAMES = 5
+_STRIDE = 2
+
+
+@F.pandas_udf(BinaryType())
+def _embedding_to_video_udf(emb: pd.Series) -> pd.Series:
+    def enc(vec) -> bytes:
+        v = np.asarray(vec[: _N_FRAMES * 4], dtype=np.float64) * 1000.0
+        px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8)
+        frames = [encode_image(px[f * 4 : (f + 1) * 4].reshape(2, 2, 1)) for f in range(_N_FRAMES)]
+        return bytes([_N_FRAMES]) + b"".join(frames)
+
+    return emb.map(enc)
+
+
+def _decode_video(buf: bytes) -> list[np.ndarray]:
+    n = buf[0]
+    body = buf[1:]
+    flen = len(body) // n
+    return [decode_image(body[i * flen : (i + 1) * flen]) for i in range(n)]
+
+
+def _frame_sample_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: one video row → one row per SAMPLED frame (UDTF
+    shape, like detection-explode in SURVEY.md §2.11)."""
+    for pdf in batches:
+        out = []
+        for vid, buf in zip(pdf["img_id"], pdf["content"]):
+            frames = _decode_video(bytes(buf))
+            for f in range(0, len(frames), _STRIDE):
+                out.append(
+                    (vid, f, float(frames[f].astype(np.float64).mean()))
+                )
+        yield pd.DataFrame(out, columns=["img_id", "frame_idx", "frame_avg"])
+
+
+@query(
+    "video_frame_sample",
+    oracle=f"""
+    SELECT vec_id AS img_id, f AS frame_idx,
+           ({" + ".join(f"(abs(trunc(embedding[f * 4 + {k}]::DOUBLE * 1000)::BIGINT) % 256)" for k in (1, 2, 3, 4))}) / 4.0 AS frame_avg
+    FROM embeddings CROSS JOIN (SELECT unnest([0, 2, 4]) AS f) fs
+    """,
+)
+def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video as an opaque binary column: encode 5-frame clips, then
+    frame-sample every 2nd frame and compute per-frame brightness via
+    mapInPandas (Arrow-batched, 1→3 rows)."""
+    e = table(spark, sf_dir, "embeddings")
+    vids = e.select(
+        F.col("vec_id").alias("img_id"),
+        _embedding_to_video_udf(F.col("embedding")).alias("content"),
+    )
+    return vids.mapInPandas(
+        _frame_sample_iter, "img_id bigint, frame_idx int, frame_avg double"
+    )
+
+
+# ---------------------------------------------------------------------------
+
+
+def _cluster_profile_fn(pdf: pd.DataFrame) -> pd.DataFrame:
+    """applyInPandas grouped feature extraction: centroid of the group's
+    embeddings + mean distance to it."""
+    m = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+    centroid = m.mean(axis=0)
+    dists = np.sqrt(((m - centroid) ** 2).sum(axis=1))
+    return pd.DataFrame(
+        {
+            "label": [int(pdf["label"].iloc[0])],
+            "n_vectors": [len(m)],
+            "avg_dist": [round(float(dists.mean()), 4)],
+        }
+    )
+
+
+@query(
+    "cluster_profile",
+    oracle="""
+    WITH c AS (
+        SELECT label, i,
+               avg(embedding[i + 1]::DOUBLE) AS cd
+        FROM embeddings CROSS JOIN (SELECT unnest(range(64)) AS i) dims
+        GROUP BY label, i
+    ), d AS (
+        SELECT e.label, e.vec_id,
+               sqrt(sum((e.embedding[c.i + 1]::DOUBLE - c.cd) ^ 2)) AS dist
+        FROM embeddings e JOIN c ON e.label = c.label
+        GROUP BY e.label, e.vec_id
+    )
+    SELECT label, count(*) AS n_vectors, round(avg(dist), 4) AS avg_dist
+    FROM d GROUP BY label
+    """,
+)
+def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster embedding profile via applyInPandas (grouped-map UDF):
+    each label group becomes one pandas frame, centroid + dispersion
+    computed vectorized. The oracle restates it relationally."""
+    e = table(spark, sf_dir, "embeddings").select("label", "vec_id", "embedding")
+    return e.groupBy("label").applyInPandas(
+        _cluster_profile_fn, "label int, n_vectors bigint, avg_dist double"
+    )

@@ -270,3 +270,32 @@ def keyword_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.length("text")) / F.count("*"), 4).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "keyword_lang_stats",
+    oracle=f"""
+    SELECT kw, lang,
+           count(*) AS n_docs,
+           round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars
+    FROM documents
+    CROSS JOIN (SELECT unnest({list(_KEYWORDS)}) AS kw) kws
+    WHERE contains(text, kw)
+    GROUP BY kw, lang
+    """,
+)
+def keyword_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reference stat 2's full shape — per (city x class) stats
+    (pyspark_stats.py:108-119, A4) mapped to (keyword x lang): the
+    6x(1+5)-job driver loop as ONE theta-join + grouped aggregation."""
+    d = table(spark, sf_dir, "documents").select("text", "lang")
+    kws = F.broadcast(spark.createDataFrame([(k,) for k in _KEYWORDS], "kw string"))
+    return (
+        d.crossJoin(kws)
+        .where(F.col("text").contains(F.col("kw")))
+        .groupBy("kw", "lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.sum(F.length("text")) / F.count("*"), 4).alias("avg_chars"),
+        )
+    )

@@ -91,3 +91,27 @@ def test_binaryfile_source_ingest(spark, tmp_path):
     )
     assert [r.img_id for r in out] == ["img_0", "img_1", "img_2"]
     assert [r.avg[0] for r in out] == [0.0, 100.0, 255.0]
+
+
+def test_letterbox_upscale_and_pad():
+    from bigdata_imgprocessing_spark.images.transform import PAD_VALUE, letterbox
+
+    img = np.array([[[10, 20, 30], [40, 50, 60]],
+                    [[70, 80, 90], [100, 110, 120]]], dtype=np.uint8)
+    out = letterbox(img, 4, 6)
+    assert out.shape == (4, 6, 3)
+    # scale 2: each source pixel becomes a 2x2 block
+    assert (out[0:2, 0:2] == img[0, 0]).all()
+    assert (out[2:4, 2:4] == img[1, 1]).all()
+    # right strip is padding
+    assert (out[:, 4:6] == PAD_VALUE).all()
+
+
+def test_letterbox_downscale():
+    from bigdata_imgprocessing_spark.images.transform import letterbox
+
+    img = np.zeros((8, 8, 1), dtype=np.uint8)
+    img[0:4] = 200  # top half bright
+    out = letterbox(img, 4, 4)
+    assert out.shape == (4, 4, 1)
+    assert (out[0:2] == 200).all() and (out[2:4] == 0).all()
