@@ -547,3 +547,37 @@ def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersect_cnt = a.intersect(b).agg(F.count("*").alias("intersect_cnt"))
     except_cnt = a.exceptAll(b.distinct()).agg(F.count("*").alias("except_cnt"))
     return union_cnt.crossJoin(intersect_cnt).crossJoin(except_cnt)
+
+
+@query(
+    "full_outer_nation_counts",
+    oracle="""
+    WITH c AS (SELECT c_nationkey AS nk, count(*) AS n_customers
+               FROM customer GROUP BY c_nationkey),
+         s AS (SELECT s_nationkey AS nk, count(*) AS n_suppliers
+               FROM supplier GROUP BY s_nationkey)
+    SELECT coalesce(c.nk, s.nk) AS nationkey,
+           coalesce(n_customers, 0) AS n_customers,
+           coalesce(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (SURVEY.md §2.5 'free' join types): per-nation
+    customer vs supplier counts — suppliers cover only a subset of
+    nations, so both null sides are exercised."""
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count("*").alias("n_customers"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count("*").alias("n_suppliers"))
+    )
+    return c.join(s, c.c_nk == s.s_nk, "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+        F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+    )

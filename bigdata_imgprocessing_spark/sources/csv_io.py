@@ -35,3 +35,10 @@ def write_single_text(df: DataFrame, path: str) -> None:
     only the last stage narrows (fine for small report output; never use
     for large data)."""
     df.coalesce(1).write.mode("overwrite").text(path)
+
+
+def write_local_csv(df: DataFrame, path: str) -> None:
+    """K3: driver-local ``;``-CSV (the reference's write_results,
+    pyspark_stats.py:40-49). Collects through Arrow — small result
+    tables only, never distributed data."""
+    df.toPandas().to_csv(path, sep=";", index=False)

@@ -71,3 +71,30 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         users, med = exact[r.event_type]
         assert abs(r.approx_users - users) <= max(2, 0.1 * users)
         assert abs(r.approx_median - med) <= max(1.0, 0.05 * abs(med))
+
+
+def test_salted_agg_matches_direct(spark, sf_dir):
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.operators.skew import salted_agg_sum
+
+    l = table(spark, sf_dir, "lineitem")
+    direct = {
+        r.l_returnflag: round(r.s, 2)
+        for r in l.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("s")).collect()
+    }
+    salted = {
+        r.l_returnflag: round(r.sum_l_quantity, 2)
+        for r in salted_agg_sum(l, "l_returnflag", "l_quantity").collect()
+    }
+    assert direct == salted
+
+
+def test_write_local_csv(spark, tmp_path):
+    from bigdata_imgprocessing_spark.sources.csv_io import write_local_csv
+
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, name string")
+    out = str(tmp_path / "local.csv")
+    write_local_csv(df, out)
+    lines = open(out).read().strip().splitlines()
+    assert lines[0] == "id;name"
+    assert sorted(lines[1:]) == ["1;a", "2;b"]

@@ -71,3 +71,36 @@ def test_streaming_equals_batch(spark, sf_dir):
     )
     batch_res = table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n"))
     assert sorted(map(tuple, stream_res.collect())) == sorted(map(tuple, batch_res.collect()))
+
+
+def test_stateful_streaming_equals_batch(spark, sf_dir):
+    """applyInPandasWithState running totals: final streamed state must
+    equal the batch recomputation (stream-batch contract)."""
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.streaming.stateful import (
+        _THRESHOLD,
+        running_user_totals,
+    )
+
+    streamed = {
+        r.user_id: (r.n_events, r.total_value, r.n_large)
+        for r in running_user_totals(spark, sf_dir).collect()
+    }
+
+    batch = table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    expected = {}
+    rows = sorted(batch.collect(), key=lambda r: (r.user_id, r.ts, r.event_id))
+    from collections import defaultdict
+
+    acc = defaultdict(lambda: [0, 0.0, 0])
+    for r in rows:
+        a = acc[r.user_id]
+        a[0] += 1
+        a[1] += r.value
+        if a[1] > _THRESHOLD:
+            a[2] += 1
+    for u, a in acc.items():
+        expected[u] = (a[0], round(a[1], 2), a[2])
+    assert streamed == expected
