@@ -1,0 +1,78 @@
+"""IVF (inverted-file) ANN index built with Spark ML KMeans.
+
+The oracle-checked `ann_ivf_topk` query uses the precomputed ``label``
+column as its coarse quantizer; this operator is the production path
+that LEARNS the quantizer: fit KMeans on (a sample of) the corpus,
+assign every vector to its nearest centroid cell, then answer queries
+by probing only the closest ``n_probe`` cells.
+
+Scale: fit on a driver-bounded sample; assignment is one ML transform
+pass (JVM vectorized); probing is an equi-join on cell id — with the
+corpus written partitioned/bucketed by cell, a partition-pruned local
+scan (see tests/test_layout.py for the layout proofs).
+"""
+
+from __future__ import annotations
+
+from pyspark.ml.clustering import KMeans, KMeansModel
+from pyspark.ml.functions import array_to_vector
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import cosine
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    k: int = 16,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    sample_fraction: float | None = None,
+) -> tuple[DataFrame, KMeansModel]:
+    """Fit the coarse quantizer and assign every row a ``cell`` id.
+    Returns (indexed corpus, fitted model)."""
+    with_vec = emb.withColumn("__vec", array_to_vector(F.col(vec_col)))
+    train = with_vec if sample_fraction is None else with_vec.sample(sample_fraction, seed)
+    model = KMeans(k=k, seed=seed, featuresCol="__vec", predictionCol="cell").fit(train)
+    indexed = model.transform(with_vec).drop("__vec")
+    return indexed, model
+
+
+def ivf_search(
+    indexed: DataFrame,
+    model: KMeansModel,
+    queries: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Cosine top-k per query, probing each query's ``n_probe`` nearest
+    cells only. ``queries`` needs (query_id, embedding)."""
+    import numpy as np
+    from pyspark.sql import Window
+
+    centers = model.clusterCenters()
+
+    @F.udf("array<int>")
+    def probe_cells(vec):
+        v = np.asarray(vec, dtype=np.float64)
+        d = [float(((c - v) ** 2).sum()) for c in centers]
+        return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+    q = queries.select(
+        F.col("query_id"),
+        F.col(vec_col).alias("qe"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        indexed.join(F.broadcast(q), "cell")
+        .where(F.col(id_col) != F.col("query_id"))
+        .select(
+            "query_id",
+            id_col,
+            F.round(cosine(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= top_k)

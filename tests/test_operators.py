@@ -98,3 +98,37 @@ def test_write_local_csv(spark, tmp_path):
     lines = open(out).read().strip().splitlines()
     assert lines[0] == "id;name"
     assert sorted(lines[1:]) == ["1;a", "2;b"]
+
+
+def test_ivf_index_and_search(spark, sf_dir):
+    """KMeans-IVF: every vector gets a cell; probe-limited search returns
+    top-k per query; recall vs brute force is sane for n_probe=4."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.operators.ivf import build_ivf_index, ivf_search
+    from bigdata_imgprocessing_spark.operators.similarity import cosine as cos_col
+
+    e = table(spark, sf_dir, "embeddings")
+    indexed, model = build_ivf_index(e, k=8)
+    assert indexed.count() == e.count()
+    assert indexed.select("cell").distinct().count() <= 8
+
+    queries = e.where(F.col("vec_id") < 2).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    res = ivf_search(indexed, model, queries, top_k=3, n_probe=4)
+    rows = res.collect()
+    assert {r.query_id for r in rows} == {0, 1}
+    assert all(1 <= r.rn <= 3 for r in rows)
+
+    # recall sanity: IVF top-1 should be in brute-force top-5
+    q0 = e.where(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    brute = (
+        e.crossJoin(q0)
+        .where(F.col("vec_id") != 0)
+        .select("vec_id", F.round(cos_col(F.col("embedding"), F.col("qe")), 6).alias("c"))
+        .orderBy(F.col("c").desc(), "vec_id")
+        .limit(5)
+        .collect()
+    )
+    ivf_top1 = [r.vec_id for r in rows if r.query_id == 0 and r.rn == 1][0]
+    assert ivf_top1 in {r.vec_id for r in brute}
