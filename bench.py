@@ -60,6 +60,9 @@ HEADLINE = [
     "video_frame_sample",
     "cluster_profile",
     "image_predictions",
+    "exists_late_orders",
+    "small_quantity_revenue",
+    "inactive_rich_customers",
 ]
 
 

@@ -581,3 +581,112 @@ def full_outer_nation_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
         F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
     )
+
+
+# --------------------------------------------------------------------------
+# Subqueries — optimizer surface the reference lacks entirely (SURVEY.md
+# §4 "absent" list): EXISTS decorrelates to a semi join; a correlated
+# scalar aggregate subquery decorrelates to an aggregate + join. Written
+# through the spark.sql path since subqueries are SQL-level constructs.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "exists_late_orders",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+)
+def exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: orders (in a date window) having at least one
+    lineitem shipped >60 days after the order date, counted per
+    priority. EXISTS decorrelates to a left-semi hash join."""
+    o = table(spark, sf_dir, "orders")
+    l = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM {o} o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND EXISTS (SELECT 1 FROM {l} l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+        GROUP BY o_orderpriority
+        """,
+        o=o,
+        l=l,
+    )
+
+
+@query(
+    "small_quantity_revenue",
+    oracle="""
+    SELECT p_brand,
+           round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem l2
+                        WHERE l2.l_partkey = lineitem.l_partkey)
+    GROUP BY p_brand
+    """,
+)
+def small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: lineitems below half their part's average
+    quantity. The correlated scalar subquery decorrelates to a
+    per-partkey aggregate joined back — one extra shuffle, not a
+    per-row subquery execution."""
+    l = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part")
+    return spark.sql(
+        """
+        SELECT p_brand,
+               round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM {l} l JOIN {p} p ON p.p_partkey = l.l_partkey
+        WHERE l.l_quantity < (SELECT 0.5 * avg(l2.l_quantity) FROM {l} l2
+                              WHERE l2.l_partkey = l.l_partkey)
+        GROUP BY p_brand
+        """,
+        l=l,
+        p=p,
+    )
+
+
+@query(
+    "inactive_rich_customers",
+    oracle="""
+    SELECT c_mktsegment, count(*) AS n_customers,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01')
+    GROUP BY c_mktsegment
+    """,
+)
+def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: above-average-balance customers with no recent
+    orders — an uncorrelated scalar subquery (broadcast single value)
+    plus NOT EXISTS (anti join)."""
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS n_customers,
+               round(sum(c_acctbal), 2) AS total_bal
+        FROM {c} c
+        WHERE c.c_acctbal > (SELECT avg(c2.c_acctbal) FROM {c} c2 WHERE c2.c_acctbal > 0)
+          AND NOT EXISTS (SELECT 1 FROM {o} o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY c_mktsegment
+        """,
+        c=c,
+        o=o,
+    )

@@ -107,3 +107,16 @@ def test_image_stages_use_arrow(spark, sf_dir, name):
     plan = _formatted(spark, QUERIES[name](spark, sf_dir))
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_subqueries_decorrelate(spark, sf_dir):
+    """EXISTS → semi join; NOT EXISTS → anti join; correlated scalar
+    aggregate → aggregate + join. None may remain as per-row subqueries."""
+    e = _formatted(spark, QUERIES["exists_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in e
+    q22 = _formatted(spark, QUERIES["inactive_rich_customers"](spark, sf_dir))
+    assert "LeftAnti" in q22
+    q17 = _formatted(spark, QUERIES["small_quantity_revenue"](spark, sf_dir))
+    assert "HashAggregate" in q17 and "Join" in q17
+    for plan in (e, q22, q17):
+        assert "InSubquery" not in plan  # fully decorrelated
