@@ -188,3 +188,46 @@ def range_join_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce(F.sum("value"), F.lit(0.0)), 2).alias("sum_value"),
         )
     )
+
+
+@query(
+    "daily_counts_gapfilled",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    daily AS (
+        SELECT date_trunc('day', ts) AS d, count(*) AS c
+        FROM events WHERE event_type = 'error' GROUP BY d
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           coalesce(daily.c, 0) AS n_errors
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    """,
+)
+def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill: generate the full day series between min and
+    max event time (sequence() of dates — a generated time dimension,
+    no driver loop), left join the sparse daily counts, zero-fill.
+    Days with no 'error' events appear with 0."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    bounds = e.agg(
+        F.min(F.to_date("ts")).alias("lo"), F.max(F.to_date("ts")).alias("hi")
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    daily = (
+        e.where(F.col("event_type") == "error")
+        .groupBy(F.to_date("ts").alias("d"))
+        .agg(F.count("*").alias("c"))
+    )
+    return days.join(daily, "d", "left").select(
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.coalesce("c", F.lit(0)).alias("n_errors"),
+    )

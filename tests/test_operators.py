@@ -132,3 +132,12 @@ def test_ivf_index_and_search(spark, sf_dir):
     )
     ivf_top1 = [r.vec_id for r in rows if r.query_id == 0 and r.rn == 1][0]
     assert ivf_top1 in {r.vec_id for r in brute}
+
+
+def test_catalog_rejects_unknown_table(spark, sf_dir):
+    import pytest
+
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    with pytest.raises(KeyError):
+        table(spark, sf_dir, "nonexistent")
