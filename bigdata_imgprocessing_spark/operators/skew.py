@@ -10,7 +10,7 @@ asserted by tests/test_operators.py.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -18,9 +18,9 @@ def salted_agg_sum(
     df: DataFrame, key: str, value: str, n_salts: int = 16
 ) -> DataFrame:
     """sum(value) per key via salt → partial agg → final agg (two small
-    shuffles instead of one skewed one). Salt derives from spark_partition_id
-    + a per-row counter so rows of a hot key spread evenly without
-    requiring a unique column."""
+    shuffles instead of one skewed one). Salt = monotonically_increasing_id
+    mod n (a per-partition counter in the low bits), so rows of a hot key
+    spread evenly without requiring a unique column."""
     salted = df.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts))
     )

@@ -18,7 +18,7 @@ deterministic stub slotting into predict_batch_udf.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions import first_letter, length_bucket, zero_guard_div

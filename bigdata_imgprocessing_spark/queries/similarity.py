@@ -222,3 +222,41 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 6).alias("max_norm"),
         F.round(F.sum("nrm") / F.count("*"), 4).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Broadcast-model scoring (SURVEY.md §1.1 "broadcast ML model",
+# pyspark_yolox.py:49-50): deterministic linear scorer with broadcast
+# weights; the oracle embeds the same md5-derived integer weights.
+# ---------------------------------------------------------------------------
+
+from ..operators.scoring import deterministic_weights, make_linear_scorer  # noqa: E402
+
+_W = deterministic_weights(64)
+
+
+@query(
+    "embedding_model_scores",
+    oracle=f"""
+    WITH w AS (SELECT {str(_W)}::DOUBLE[] AS wv),
+    scored AS (
+        SELECT vec_id, label,
+               round(list_sum(list_transform(range(64),
+                     i -> embedding[i+1]::DOUBLE * wv[i+1])), 4) AS score
+        FROM embeddings, w
+    )
+    SELECT vec_id, label, score, rn FROM (
+        SELECT *, row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 20
+    """,
+)
+def embedding_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch model scoring: weights broadcast once per executor, Arrow
+    pandas_udf scoring (predict_batch_udf shape), global top-20 by
+    rounded score with full tie-break."""
+    e = table(spark, sf_dir, "embeddings")
+    scorer = make_linear_scorer(spark, _W)
+    scored = e.select("vec_id", "label", F.round(scorer(F.col("embedding")), 4).alias("score"))
+    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
