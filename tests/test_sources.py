@@ -104,3 +104,30 @@ def test_stateful_streaming_equals_batch(spark, sf_dir):
     for u, a in acc.items():
         expected[u] = (a[0], round(a[1], 2), a[2])
     assert streamed == expected
+
+
+def test_fimg_datasource(spark, tmp_path):
+    """Custom Python DataSource: typed metadata columns parsed at scan
+    time; metadata-only projections don't need the binary payload."""
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.codec import encode_image
+    from bigdata_imgprocessing_spark.sources.fimg_source import FimgDataSource
+
+    d = tmp_path / "corpus"
+    d.mkdir()
+    for i, (h, w) in enumerate([(2, 2), (4, 6), (8, 3)]):
+        img = np.full((h, w, 3), i * 10, dtype=np.uint8)
+        (d / f"im{i}.fimg").write_bytes(encode_image(img))
+
+    spark.dataSource.register(FimgDataSource)
+    df = spark.read.format("fimg").option("path", str(d)).load()
+    rows = {r.img_id: (r.height, r.width, r.channels) for r in df.collect()}
+    assert rows == {"im0": (2, 2, 3), "im1": (4, 6, 3), "im2": (8, 3, 3)}
+
+    # metadata predicate + decode of the selected payload
+    from bigdata_imgprocessing_spark.images.color import average_color_udf
+
+    wide = df.where(F.col("width") >= 6).select("img_id", average_color_udf("content").alias("avg"))
+    out = wide.collect()
+    assert len(out) == 1 and out[0].img_id == "im1" and out[0].avg == [10.0, 10.0, 10.0]
