@@ -156,7 +156,10 @@ def image_detection_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold → per-class counts. The reference does this via per-row
     Python closures + JSON strings (pyspark_yolox.py:90-111); here the
     detections are a real array<struct> column exploded JVM-side."""
-    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    # ids only; the binary/encode stage is irrelevant to detection
+    imgs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("img_id")
+    )
     dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
     return (
         dets.where(F.col("det.score") > SCORE_THRESHOLD)
@@ -210,7 +213,10 @@ def detection_class_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             "class_id int, class_name string",
         )
     )
-    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    # ids only; the binary/encode stage is irrelevant to detection
+    imgs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("img_id")
+    )
     dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
     counts = (
         dets.where(F.col("det.score") > SCORE_THRESHOLD)
@@ -252,7 +258,10 @@ def image_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The per-image predictions table (id + {class: count} measure,
     pyspark_yolox.py:137-140) — empty-detection images keep '' like the
     reference's '{}' rows (pyspark_yolox.py:95-96)."""
-    imgs = _images(spark, sf_dir).select(F.col("img_id").cast("string").alias("img_id"))
+    # ids only; the binary/encode stage is irrelevant to detection
+    imgs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("img_id")
+    )
     dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
     cnt = (
         dets.where(F.col("det.score") > SCORE_THRESHOLD)
