@@ -163,3 +163,74 @@ def cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.groupBy("label").applyInPandas(
         _cluster_profile_fn, "label int, n_vectors bigint, avg_dist double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio: 64-sample int16 signals derived from the embedding dims
+# (sample_i = trunc(dim_i * 1000), i.e. the signed pixel recipe without
+# the % 256 fold); FSND payload = 'FSND' + int16 little-endian samples.
+# Feature extraction = per-window RMS-style energy + zero-crossing
+# count, the canonical cheap audio features.
+# ---------------------------------------------------------------------------
+
+_WIN = 16  # samples per analysis window → 4 windows per clip
+
+
+@F.pandas_udf(BinaryType())
+def _embedding_to_audio_udf(emb: pd.Series) -> pd.Series:
+    def enc(vec) -> bytes:
+        v = np.asarray(vec, dtype=np.float64) * 1000.0
+        samples = v.astype(np.int64).astype("<i2")
+        return b"FSND" + samples.tobytes()
+
+    return emb.map(enc)
+
+
+def _audio_features_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        out = []
+        for vid, buf in zip(pdf["clip_id"], pdf["content"]):
+            raw = bytes(buf)
+            assert raw[:4] == b"FSND"
+            sig = np.frombuffer(raw, dtype="<i2", offset=4).astype(np.int64)
+            for w in range(len(sig) // _WIN):
+                win = sig[w * _WIN : (w + 1) * _WIN]
+                energy = int((win * win).sum())
+                zc = int(((win[:-1] * win[1:]) < 0).sum())
+                out.append((vid, w, energy, zc))
+        yield pd.DataFrame(out, columns=["clip_id", "window_idx", "energy", "zero_crossings"])
+
+
+@query(
+    "audio_feature_extract",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, w, i,
+               trunc(embedding[w * {_WIN} + i + 1]::DOUBLE * 1000)::BIGINT AS v,
+               CASE WHEN i < {_WIN} - 1
+                    THEN trunc(embedding[w * {_WIN} + i + 2]::DOUBLE * 1000)::BIGINT
+                    ELSE NULL END AS nxt
+        FROM embeddings
+        CROSS JOIN (SELECT unnest(range(4)) AS w) ws
+        CROSS JOIN (SELECT unnest(range({_WIN})) AS i) iss
+    )
+    SELECT vec_id AS clip_id, CAST(w AS INTEGER) AS window_idx,
+           sum(v * v) AS energy,
+           count(*) FILTER (WHERE v * nxt < 0) AS zero_crossings
+    FROM s GROUP BY vec_id, w
+    """,
+)
+def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio as an opaque binary column with typed features extracted via
+    mapInPandas: per-16-sample-window energy and zero-crossing counts
+    (int16 clips packed from the embedding dims; integer arithmetic →
+    exact oracle parity through the full binary round trip)."""
+    e = table(spark, sf_dir, "embeddings")
+    clips = e.select(
+        F.col("vec_id").alias("clip_id"),
+        _embedding_to_audio_udf(F.col("embedding")).alias("content"),
+    )
+    return clips.mapInPandas(
+        _audio_features_iter,
+        "clip_id bigint, window_idx int, energy bigint, zero_crossings bigint",
+    )
