@@ -63,6 +63,10 @@ HEADLINE = [
     "exists_late_orders",
     "small_quantity_revenue",
     "inactive_rich_customers",
+    "full_outer_nation_counts",
+    "daily_counts_gapfilled",
+    "audio_feature_extract",
+    "embedding_model_scores",
 ]
 
 
