@@ -51,3 +51,24 @@ def streaming_windowed_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.date_format("w.start", "yyyy-MM-dd").alias("day"), "n_events")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "streaming_dedup_counts",
+    oracle="""
+    SELECT event_type, count(DISTINCT user_id) AS n_unique_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact-dedup: dropDuplicates on (user_id, event_type)
+    under a watermark (bounded dedup state — the streaming form of the
+    hash-groupBy dedup), then counts; must equal the batch
+    count-distinct."""
+    ensure_utc(spark)
+    s = event_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    deduped = s.dropDuplicates(["user_id", "event_type"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_unique_users")
+    )
+    return run_to_memory(agg, mode="complete")

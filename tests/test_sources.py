@@ -131,3 +131,30 @@ def test_fimg_datasource(spark, tmp_path):
     wide = df.where(F.col("width") >= 6).select("img_id", average_color_udf("content").alias("avg"))
     out = wide.collect()
     assert len(out) == 1 and out[0].img_id == "im1" and out[0].avg == [10.0, 10.0, 10.0]
+
+
+def test_foreachbatch_sink(spark, sf_dir, tmp_path):
+    """foreachBatch: custom per-microbatch sink logic (here: parquet
+    append with a batch id column) — the escape hatch for sinks
+    Structured Streaming lacks natively."""
+    from bigdata_imgprocessing_spark.streaming.jobs import event_stream
+
+    out = str(tmp_path / "fb_out")
+
+    def handle(batch_df, batch_id: int):
+        batch_df.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = (
+        event_stream(spark, sf_dir)
+        .select("event_id", "event_type")
+        .writeStream.foreachBatch(handle)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    q.awaitTermination()
+    written = spark.read.parquet(out)
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    assert written.count() == table(spark, sf_dir, "events").count()
+    assert "batch_id" in written.columns
