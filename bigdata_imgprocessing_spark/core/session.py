@@ -30,6 +30,9 @@ def build_session(app_name: str = "bigdata_imgprocessing_spark", cpus: int | Non
         .config("spark.sql.shuffle.partitions", str(max(cpus, 32)))
         # Arrow for pandas_udf / toPandas — the fast Python boundary.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Python DataSource filter pushdown (required once a reader
+        # implements pushFilters — see sources/fimg_source.py)
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Deterministic wall-clock semantics for timestamp queries: the
         # DuckDB oracle treats naive parquet timestamps as tz-free, so we
         # pin the session to UTC (container default, made explicit).

@@ -19,7 +19,16 @@ from __future__ import annotations
 import os
 import struct
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
 
 _HEADER = struct.Struct(">4sHHB")
 
@@ -34,12 +43,38 @@ class _FileChunk(InputPartition):
         self.paths = paths
 
 
+_META_COLS = {"height", "width", "channels", "length"}
+_OPS = {
+    EqualTo: lambda a, b: a == b,
+    GreaterThan: lambda a, b: a > b,
+    GreaterThanOrEqual: lambda a, b: a >= b,
+    LessThan: lambda a, b: a < b,
+    LessThanOrEqual: lambda a, b: a <= b,
+}
+
+
 class FimgReader(DataSourceReader):
     def __init__(self, options):
         self.path = options.get("path")
         if not self.path:
             raise ValueError("fimg source requires option 'path'")
         self.files_per_task = int(options.get("files_per_task", "64"))
+        self._pushed = []
+
+    def pushFilters(self, filters):
+        """Accept comparison filters on the metadata columns — evaluated
+        against the parsed header, so filtered-out files never surface
+        their payload; everything else stays with Spark."""
+        for f in filters:
+            if (
+                type(f) in _OPS
+                and len(f.attribute) == 1
+                and f.attribute[0] in _META_COLS
+                and isinstance(f.value, int)
+            ):
+                self._pushed.append((f.attribute[0], _OPS[type(f)], f.value))
+            else:
+                yield f
 
     def partitions(self):
         names = sorted(
@@ -53,10 +88,19 @@ class FimgReader(DataSourceReader):
     def read(self, partition: _FileChunk):
         for p in partition.paths:
             with open(p, "rb") as fh:
-                buf = fh.read()
-            magic, h, w, c = _HEADER.unpack_from(buf)
+                header = fh.read(_HEADER.size)
+                magic, h, w, c = _HEADER.unpack_from(header)
+                meta = {
+                    "height": h,
+                    "width": w,
+                    "channels": c,
+                    "length": os.path.getsize(p),
+                }
+                if any(not op(meta[col], val) for col, op, val in self._pushed):
+                    continue  # pushed filter pruned this file — payload unread
+                buf = header + fh.read()
             img_id = os.path.basename(p)[: -len(".fimg")]
-            yield (img_id, h, w, c, len(buf), buf)
+            yield (img_id, h, w, c, meta["length"], buf)
 
 
 class FimgDataSource(DataSource):

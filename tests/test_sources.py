@@ -120,6 +120,7 @@ def test_fimg_datasource(spark, tmp_path):
         img = np.full((h, w, 3), i * 10, dtype=np.uint8)
         (d / f"im{i}.fimg").write_bytes(encode_image(img))
 
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(FimgDataSource)
     df = spark.read.format("fimg").option("path", str(d)).load()
     rows = {r.img_id: (r.height, r.width, r.channels) for r in df.collect()}
@@ -158,3 +159,27 @@ def test_foreachbatch_sink(spark, sf_dir, tmp_path):
 
     assert written.count() == table(spark, sf_dir, "events").count()
     assert "batch_id" in written.columns
+
+
+def test_fimg_pushdown_filters(spark, tmp_path):
+    """Metadata filters push into the source: pruned files' payloads are
+    never read (the reader skips after the header)."""
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.codec import encode_image
+    from bigdata_imgprocessing_spark.sources.fimg_source import FimgDataSource
+
+    d = tmp_path / "pcorpus"
+    d.mkdir()
+    for i, w in enumerate([2, 6, 9]):
+        img = np.full((2, w, 3), 5, dtype=np.uint8)
+        (d / f"p{i}.fimg").write_bytes(encode_image(img))
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FimgDataSource)
+    df = spark.read.format("fimg").option("path", str(d)).load()
+    got = sorted(r.img_id for r in df.where(F.col("width") > 5).collect())
+    assert got == ["p1", "p2"]
+    # conjunction of pushed + unsupported-stays-with-spark filter
+    got2 = [r.img_id for r in df.where((F.col("width") > 5) & F.col("img_id").contains("2")).collect()]
+    assert got2 == ["p2"]
