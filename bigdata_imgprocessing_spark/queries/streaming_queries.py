@@ -72,3 +72,40 @@ def streaming_dedup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_unique_users")
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "streaming_session_windows",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+    ), sess AS (
+        SELECT user_id,
+               sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           count(DISTINCT sid) AS n_sessions,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id
+    """,
+)
+def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stateful session windows under streaming: the stream sessionizes
+    (watermarked session_window state), the drained per-session table is
+    rolled up batch-side (chained streaming aggregations are not
+    supported) — same oracle as the batch session_windows query."""
+    ensure_utc(spark)
+    s = event_stream(spark, sf_dir).withWatermark("ts", "1 day")
+    per_session = s.groupBy("user_id", F.session_window("ts", "30 minutes")).agg(
+        F.count("*").alias("cnt")
+    )
+    drained = run_to_memory(per_session.select("user_id", "cnt"), mode="complete")
+    return drained.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.sum("cnt").alias("n_events")
+    )
