@@ -540,13 +540,21 @@ def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-scan formulation: one pass over orders computes per-key
+    era membership flags, then union/intersect/except cardinalities are
+    conditional counts — instead of three union/intersect/exceptAll
+    subplans each rescanning orders (the oracle keeps the literal set-op
+    SQL, proving the rewrite's equivalence)."""
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
-    a = o.where(F.col("o_orderdate") < "1997-01-01").select("o_custkey").distinct()
-    b = o.where(F.col("o_orderdate") >= "1997-01-01").select("o_custkey").distinct()
-    union_cnt = a.union(b).distinct().agg(F.count("*").alias("union_cnt"))
-    intersect_cnt = a.intersect(b).agg(F.count("*").alias("intersect_cnt"))
-    except_cnt = a.exceptAll(b.distinct()).agg(F.count("*").alias("except_cnt"))
-    return union_cnt.crossJoin(intersect_cnt).crossJoin(except_cnt)
+    flags = o.groupBy("o_custkey").agg(
+        F.max((F.col("o_orderdate") < "1997-01-01").cast("int")).alias("in_a"),
+        F.max((F.col("o_orderdate") >= "1997-01-01").cast("int")).alias("in_b"),
+    )
+    return flags.agg(
+        F.count("*").alias("union_cnt"),
+        F.sum((F.col("in_a") * F.col("in_b"))).cast("bigint").alias("intersect_cnt"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).cast("bigint").alias("except_cnt"),
+    )
 
 
 @query(
