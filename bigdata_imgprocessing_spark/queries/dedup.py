@@ -381,3 +381,45 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
     )
+
+
+@query(
+    "doc_chain_components",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang,
+               doc_id - row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS grp
+        FROM documents
+    ),
+    runs AS (
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY lang, grp) AS comp,
+               count(*) OVER (PARTITION BY lang, grp) AS sz
+        FROM d
+    )
+    SELECT doc_id AS node, comp FROM runs WHERE sz >= 2
+    """,
+)
+def doc_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive closure of a near-dup candidate graph via the iterative
+    ``connected_components`` operator (operators/components.py), the
+    cluster-assignment stage that follows pair generation in a dedup
+    pipeline (reference analog: the per-landmark grouping closure of
+    pyspark_yolox.py:151-176 is one-hop; dedup needs multi-hop).
+
+    The candidate graph here is deterministic so the result is
+    value-checkable: an edge joins consecutive doc_ids sharing a lang,
+    so true components are maximal same-lang runs and the oracle can
+    compute them in closed form (gaps-and-islands window) while Spark
+    runs genuine min-label propagation — the iterative plan is verified
+    against an analytic oracle, not against itself."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    a, b = d.alias("a"), d.alias("b")
+    edges = a.join(
+        b,
+        (F.col("b.doc_id") == F.col("a.doc_id") + 1)
+        & (F.col("a.lang") == F.col("b.lang")),
+    ).select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    from ..operators.components import connected_components
+
+    return connected_components(edges).select("node", "comp")

@@ -141,3 +141,31 @@ def test_catalog_rejects_unknown_table(spark, sf_dir):
 
     with pytest.raises(KeyError):
         table(spark, sf_dir, "nonexistent")
+
+
+def test_connected_components(spark):
+    """Near-dup clustering closure: chains, triangles, and singleton
+    pairs resolve to min-id components."""
+    from bigdata_imgprocessing_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        # component {1,2,3,4} as a chain; {10,11,12} as a triangle;
+        # {20,21} as a pair
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "src bigint, dst bigint",
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert comp == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_connected_components_long_chain(spark):
+    """Convergence on a diameter-15 path (worst case for min-label
+    propagation within max_iter)."""
+    from bigdata_imgprocessing_spark.operators.components import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(15)], "src bigint, dst bigint"
+    )
+    comp = {r.node: r.comp for r in connected_components(edges).collect()}
+    assert set(comp.values()) == {0}
+    assert len(comp) == 16
