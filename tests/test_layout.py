@@ -59,3 +59,71 @@ def test_partitioned_write_prunes_scan(spark, sf_dir, tmp_path):
     # correctness of the pruned read
     expected = e.where(F.col("day") == "2024-01-05").count()
     assert got.count() == expected > 0
+
+
+def test_bucketed_table_helper_colocates_and_reuses(spark, sf_dir):
+    """catalog.bucketed_table materializes once, reuses on repeat calls,
+    and two facts bucketed on their join keys join with no Exchange."""
+    from bigdata_imgprocessing_spark.core.catalog import bucketed_table
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
+    l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", buckets=8)
+    # second call must resolve to the already-materialized table
+    import time
+
+    t0 = time.monotonic()
+    bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
+    assert time.monotonic() - t0 < 2.0  # lookup, not a rewrite
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == l.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """A join with one hot key, with thresholds forced low so AQE's
+    skew-join kicks in at test scale: the final adaptive plan must mark
+    the sort-merge join skew=true (the hot partition was split instead
+    of landing on one straggler task)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.0",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1KB",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        # 60k rows on one hot key + uniform tail; probe side small
+        left = spark.range(60_000).select(
+            F.when(F.col("id") % 10 < 9, F.lit(0))
+            .otherwise(F.col("id"))
+            .alias("k"),
+            F.concat(F.lit("payload_" * 8), F.col("id")).alias("pad"),
+        )
+        right = spark.range(0, 20_000).select(F.col("id").alias("k"))
+        j = left.join(right, "k")
+        # run THIS DataFrame's own QueryExecution so AQE finalizes its plan
+        # (an action like count() builds a separate QueryExecution)
+        n = len(j.collect())
+        assert n > 0
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
