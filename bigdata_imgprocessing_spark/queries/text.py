@@ -299,3 +299,53 @@ def keyword_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.length("text")) / F.count("*"), 4).alias("avg_chars"),
         )
     )
+
+
+@query(
+    "tfidf_top_terms",
+    oracle="""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY doc_id, term),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT doc_id, term, tf * ln(n.n * 1.0 / df) AS score
+        FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    r AS (
+        SELECT doc_id, term, score,
+               row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored
+    )
+    SELECT doc_id, term AS top_term, round(score, 4) AS tfidf FROM r WHERE rn = 1
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document most-characteristic term by tf·idf (keyword
+    extraction for training-data curation). Three shuffles total:
+    (doc,term) tf agg, term df agg, and the per-doc top-1 window; the
+    corpus size joins in as a broadcast 1-row agg, never a collect.
+    Ties (e.g. score 0 when a term spans every doc) break on term
+    order so both engines pick the same row."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    n = d.agg(F.count("*").alias("n"))
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("doc_id", F.col("term").alias("top_term"), F.round("score", 4).alias("tfidf"))
+    )
