@@ -12,6 +12,14 @@ Partitioning: one input partition per file group (``files_per_task``),
 so a 10⁸-file corpus fans out across executors instead of listing on
 one task. Registration: ``spark.dataSource.register(FimgDataSource)``
 then ``spark.read.format("fimg").option("path", dir).load()``.
+
+Manifest pruning: if the corpus dir holds ``_manifest.tsv``
+(``write_manifest`` builds it), planning applies the pushed metadata
+filters against the manifest and only schedules surviving files —
+pruned files are never opened, the Iceberg/Delta file-skipping model.
+Without a manifest the same filters still skip payloads per-file at
+read time, so the manifest is purely an optimization, never required
+for correctness.
 """
 
 from __future__ import annotations
@@ -41,6 +49,42 @@ _SCHEMA = (
 class _FileChunk(InputPartition):
     def __init__(self, paths: list[str]):
         self.paths = paths
+
+
+_MANIFEST = "_manifest.tsv"
+
+
+def write_manifest(corpus_dir: str) -> int:
+    """Scan a corpus dir once and write ``_manifest.tsv`` (file, height,
+    width, channels, length) — the planning-time pruning index. Returns
+    the number of files indexed. Rebuild after adding files; readers
+    fall back to per-file header checks for any file missing from it."""
+    rows = []
+    for f in sorted(os.listdir(corpus_dir)):
+        if not f.endswith(".fimg"):
+            continue
+        p = os.path.join(corpus_dir, f)
+        with open(p, "rb") as fh:
+            _, h, w, c = _HEADER.unpack_from(fh.read(_HEADER.size))
+        rows.append(f"{f}\t{h}\t{w}\t{c}\t{os.path.getsize(p)}")
+    with open(os.path.join(corpus_dir, _MANIFEST), "w") as out:
+        out.write("file\theight\twidth\tchannels\tlength\n")
+        out.write("\n".join(rows) + ("\n" if rows else ""))
+    return len(rows)
+
+
+def _read_manifest(corpus_dir: str) -> dict[str, dict[str, int]] | None:
+    p = os.path.join(corpus_dir, _MANIFEST)
+    if not os.path.exists(p):
+        return None
+    out: dict[str, dict[str, int]] = {}
+    with open(p) as fh:
+        header = fh.readline().rstrip("\n").split("\t")
+        for line in fh:
+            vals = line.rstrip("\n").split("\t")
+            rec = dict(zip(header, vals))
+            out[rec["file"]] = {k: int(rec[k]) for k in header[1:]}
+    return out
 
 
 _META_COLS = {"height", "width", "channels", "length"}
@@ -80,6 +124,14 @@ class FimgReader(DataSourceReader):
         names = sorted(
             f for f in os.listdir(self.path) if f.endswith(".fimg")
         )
+        manifest = _read_manifest(self.path)
+        if manifest is not None and self._pushed:
+            names = [
+                f
+                for f in names
+                if f not in manifest
+                or all(op(manifest[f][col], val) for col, op, val in self._pushed)
+            ]
         full = [os.path.join(self.path, f) for f in names]
         n = self.files_per_task
         chunks = [full[i : i + n] for i in range(0, len(full), n)] or [[]]

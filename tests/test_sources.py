@@ -183,3 +183,43 @@ def test_fimg_pushdown_filters(spark, tmp_path):
     # conjunction of pushed + unsupported-stays-with-spark filter
     got2 = [r.img_id for r in df.where((F.col("width") > 5) & F.col("img_id").contains("2")).collect()]
     assert got2 == ["p2"]
+
+
+def test_fimg_manifest_prunes_at_planning(spark, tmp_path):
+    """With a _manifest.tsv, pushed filters prune whole files during
+    partition planning — a manifest-pruned file is never opened (proved
+    by deleting its bytes from disk: the scan still succeeds because
+    planning never schedules it)."""
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.codec import encode_image
+    from bigdata_imgprocessing_spark.sources.fimg_source import (
+        FimgDataSource,
+        FimgReader,
+        write_manifest,
+    )
+    from pyspark.sql.datasource import GreaterThan
+
+    d = tmp_path / "mcorpus"
+    d.mkdir()
+    for i, w in enumerate([2, 6, 9]):
+        img = np.full((2, w, 3), 5, dtype=np.uint8)
+        (d / f"m{i}.fimg").write_bytes(encode_image(img))
+    assert write_manifest(str(d)) == 3
+
+    # planning-level unit check: pushed filter shrinks the file list
+    r = FimgReader({"path": str(d), "files_per_task": "64"})
+    leftover = list(r.pushFilters([GreaterThan(("width",), 5)]))
+    assert leftover == []
+    planned = [p for chunk in r.partitions() for p in chunk.paths]
+    assert sorted(os.path.basename(p) for p in planned) == ["m1.fimg", "m2.fimg"]
+
+    # end-to-end: truncate the pruned file to zero bytes (still listed in
+    # the dir; opening it would crash header unpack) — a manifest-pruned
+    # scan never opens it and returns the surviving rows
+    (d / "m0.fimg").write_bytes(b"")
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(FimgDataSource)
+    df = spark.read.format("fimg").option("path", str(d)).load()
+    got = sorted(r_.img_id for r_ in df.where(F.col("width") > 5).collect())
+    assert got == ["m1", "m2"]
