@@ -2,18 +2,25 @@
 clustering (LSH/Jaccard emit candidate PAIRS; dedup needs the transitive
 closure: every document mapped to a canonical cluster representative).
 
-Min-label propagation: each round every node takes the minimum
-component label among itself and its neighbors; converges in
-O(graph diameter) rounds (near-dup clusters are small and dense, so
-diameter is tiny; for web-scale general graphs swap in the
-large-star/small-star variant of Kiveris et al., SoCC'14, which
-converges in O(log n)). Genuinely iterative — not SQL-expressible as
-one query (the driver contract's rows-only class), so it lives as an
-operator with unit tests rather than an oracle query.
+Min-label propagation with pointer jumping: each round every node
+takes the minimum label among itself, its neighbors' labels
+(propagation, moves the min 1 hop), and its label's own label
+(shortcutting — comp(comp(v)) — which doubles the distance already
+covered). Propagation alone needs O(diameter) rounds; with
+shortcutting the effective distance doubles per round, so O(log
+diameter) — the same doubling idea as the large-star/small-star
+algorithm of Kiveris et al., "Connected Components in MapReduce and
+Beyond" (SoCC'14). Genuinely iterative — not SQL-expressible as one
+query, so the driver-contract demo (queries/dedup.py
+doc_chain_components) verifies it against an analytic closed-form
+oracle instead.
 
 Scale: per round, one shuffle on node id; localCheckpoint between
 rounds cuts the exponentially growing lineage (the classic
-iterative-algorithm failure mode on Spark).
+iterative-algorithm failure mode on Spark). Convergence is detected
+by the per-round sum of labels: labels only ever decrease, so the
+sum is strictly monotone while anything changes — one tiny agg over
+the just-checkpointed partitions instead of an old-vs-new join.
 """
 
 from __future__ import annotations
@@ -32,6 +39,7 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .localCheckpoint()
     )
     labels = (
         sym.groupBy("a")
@@ -39,25 +47,26 @@ def connected_components(
         .select(F.col("a").alias("node"), F.least("min_nbr", F.col("a")).alias("comp"))
         .localCheckpoint()
     )
+    prev_sum = labels.agg(F.sum("comp")).first()[0]
 
     for _ in range(max_iter):
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("comp")
         )
-        new_labels = (
+        jump = (
+            labels.alias("l1")
+            .join(labels.alias("l2"), F.col("l1.comp") == F.col("l2.node"))
+            .select(F.col("l1.node").alias("node"), F.col("l2.comp").alias("comp"))
+        )
+        labels = (
             labels.union(nbr)
+            .union(jump)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .localCheckpoint()  # cut lineage growth between rounds
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .where(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        new_sum = labels.agg(F.sum("comp")).first()[0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels
