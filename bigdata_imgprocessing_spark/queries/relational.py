@@ -698,3 +698,77 @@ def inactive_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         c=c,
         o=o,
     )
+
+
+@query(
+    "customer_balance_deciles",
+    oracle="""
+    WITH d AS (
+        SELECT c_acctbal,
+               ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+        FROM customer
+    )
+    SELECT decile, count(*) AS n_customers,
+           round(min(c_acctbal), 2) AS min_bal,
+           round(max(c_acctbal), 2) AS max_bal
+    FROM d GROUP BY decile
+    """,
+)
+def customer_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency binning via a global ntile window. The order key
+    (c_acctbal, c_custkey) is total, so decile assignment is identical
+    across engines even at tie values. A global window is a single-sort
+    operator — fine for dimension-sized inputs; at fact scale use
+    approx_percentile cutpoints instead (approx_sketch_stats)."""
+    c = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    w = Window.orderBy("c_acctbal", "c_custkey")
+    return (
+        c.select(F.ntile(10).over(w).alias("decile"), "c_acctbal")
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        )
+    )
+
+
+@query(
+    "priority_multiset_diff",
+    oracle="""
+    WITH a AS (SELECT o_orderpriority FROM orders WHERE extract(year FROM o_orderdate) = 1996),
+         b AS (SELECT o_orderpriority FROM orders WHERE extract(year FROM o_orderdate) = 1997),
+         ex AS (SELECT o_orderpriority, count(*) AS n_except
+                FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b) GROUP BY o_orderpriority),
+         inter AS (SELECT o_orderpriority, count(*) AS n_intersect
+                   FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b) GROUP BY o_orderpriority)
+    SELECT coalesce(ex.o_orderpriority, inter.o_orderpriority) AS o_orderpriority,
+           coalesce(n_except, 0) AS n_except,
+           coalesce(n_intersect, 0) AS n_intersect
+    FROM ex FULL OUTER JOIN inter ON ex.o_orderpriority = inter.o_orderpriority
+    """,
+)
+def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set-ops (EXCEPT ALL / INTERSECT ALL) on order-priority
+    bags from two years — the duplicate-preserving semantics
+    union/except DISTINCT can't express (exceptAll keeps
+    max(cnt_a - cnt_b, 0) copies; intersectAll keeps min counts)."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    )
+    a = o.where(F.col("yr") == 1996).select("o_orderpriority")
+    b = o.where(F.col("yr") == 1997).select("o_orderpriority")
+    ex = a.exceptAll(b).groupBy("o_orderpriority").agg(F.count("*").alias("n_except"))
+    inter = (
+        a.intersectAll(b)
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_intersect"))
+    )
+    return (
+        ex.join(inter, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_except", F.lit(0)).alias("n_except"),
+            F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
+        )
+    )

@@ -16,7 +16,7 @@ join is an equi hash join on user_id with a residual time predicate
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.catalog import table
@@ -230,4 +230,40 @@ def daily_counts_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(daily, "d", "left").select(
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.coalesce("c", F.lit(0)).alias("n_errors"),
+    )
+
+
+@query(
+    "event_transition_counts",
+    oracle="""
+    WITH o AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type, count(*) AS n_transitions
+    FROM o WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov transition matrix of user event sequences (lag over a
+    per-user total order, then one grouped count). Ordering is
+    (epoch-second, event_id) so it is total and identical in both
+    engines regardless of sub-second timestamp precision (Spark reads
+    the nanos column truncated to µs, DuckDB keeps ns — second
+    granularity sidesteps that, per the determinism contract)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_timestamp("ts"), "event_id")
+    seq = e.select(
+        "event_type", F.lag("event_type").over(w).alias("prev_type")
+    )
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count("*").alias("n_transitions"))
     )
