@@ -67,6 +67,10 @@ HEADLINE = [
     "daily_counts_gapfilled",
     "audio_feature_extract",
     "embedding_model_scores",
+    "tfidf_top_terms",
+    "event_transition_counts",
+    "customer_balance_deciles",
+    "priority_multiset_diff",
 ]
 
 

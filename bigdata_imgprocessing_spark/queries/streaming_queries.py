@@ -109,3 +109,59 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.sum("cnt").alias("n_events")
     )
+
+
+@query(
+    "streaming_interval_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(date_trunc('second', p.ts))) -
+                floor(epoch(date_trunc('second', c.ts))) AS BIGINT) AS secs_between
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join: every purchase within an
+    hour after a click by the same user, both sides live streams. The
+    time-range predicate plus both watermarks bound the join state
+    (clicks older than the watermark minus the interval are evicted) —
+    the construction that makes an unbounded two-stream join runnable
+    forever. Drained over the finite corpus it must equal the batch
+    interval join (oracle)."""
+    ensure_utc(spark)
+    clicks = (
+        event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    purchases = (
+        event_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+    )
+    j = clicks.withWatermark("click_ts", "1 hour").join(
+        purchases.withWatermark("purchase_ts", "1 hour"),
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+    )
+    out = j.select(
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "purchase_ts"))
+            - F.unix_timestamp(F.date_trunc("second", "click_ts"))
+        ).alias("secs_between"),
+    )
+    return run_to_memory(out, mode="append")

@@ -169,3 +169,36 @@ def test_connected_components_long_chain(spark):
     comp = {r.node: r.comp for r in connected_components(edges).collect()}
     assert set(comp.values()) == {0}
     assert len(comp) == 16
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Seeded random graphs checked against a driver-side union-find —
+    the iterative distributed closure must match the sequential oracle
+    exactly (labels canonicalized to component-min)."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.components import connected_components
+
+    rng = random.Random(42)
+    for n, m in [(30, 15), (40, 40), (25, 60)]:
+        edges = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        edges = [(a, b) for a, b in edges if a != b]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        in_graph = {v for e in edges for v in e}
+        expected = {}
+        for v in in_graph:
+            expected.setdefault(find(v), []).append(v)
+        want = {v: min(vs) for vs in expected.values() for v in vs}
+
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = {r.node: r.comp for r in connected_components(df).collect()}
+        assert got == want, f"n={n} m={m}"
