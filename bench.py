@@ -71,6 +71,8 @@ HEADLINE = [
     "event_transition_counts",
     "customer_balance_deciles",
     "priority_multiset_diff",
+    "doc_chunk_windows",
+    "doc_pack_stats",
 ]
 
 

@@ -7,6 +7,7 @@ Importing this package registers every query into
 from ..core.registry import ORACLES, QUERIES
 
 from . import advanced  # noqa: F401
+from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
 from . import images  # noqa: F401
 from . import multimodal  # noqa: F401

@@ -1,0 +1,231 @@
+"""Training-data curation over ``documents``: deterministic dataset
+splitting, overlapping-window chunking, and fixed-order sequence packing
+— the three ops between "filtered corpus" and "batches a trainer reads"
+that the reference's pipeline (image corpus -> per-image features ->
+grouped stats) never needed but a 100 TB text pipeline always does.
+
+All randomness is hash-derived (md5 -> 40-bit integer, the same
+construction as ``queries/dedup.py``) so every assignment is a pure
+function of the row — reproducible across runs, engines, and cluster
+sizes, and re-runnable on an incrementally grown corpus without
+reshuffling previously assigned rows.
+
+Scale notes per query are in the docstrings; the common theme is that
+split and chunk are map-side only (no shuffle before the final
+aggregation), while packing bounds its sort width by sharding the
+window key.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+
+# ---------------------------------------------------------------------------
+
+
+def _md5_bucket(s: Column, mod: int) -> Column:
+    """First 10 md5 hex chars as an integer, mod ``mod`` — DuckDB side is
+    ('0x' || substr(md5(s),1,10))::UBIGINT % mod (fits in 40 bits, so no
+    signedness mismatch)."""
+    return F.conv(F.substring(F.md5(s), 1, 10), 16, 10).cast("bigint") % mod
+
+
+def _duck_bucket(expr: str, mod: int) -> str:
+    return f"(('0x' || substr(md5({expr}), 1, 10))::UBIGINT % {mod})"
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_split_stats",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT lang,
+               CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} < 90
+                    THEN 'train'
+                    WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} < 95
+                    THEN 'val'
+                    ELSE 'test' END AS split,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    )
+    SELECT lang, split,
+           count(*) AS n_docs,
+           sum(n_tokens) AS total_tokens
+    FROM assigned GROUP BY lang, split
+    """,
+)
+def doc_split_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (90/5/5) by hashing the stable
+    document id, with per-(lang, split) doc and token accounting.
+
+    The hash-threshold construction is the scale-correct way to split:
+    no global shuffle or sort, no sampling state, and adding new
+    documents never moves an existing one between splits. The whole
+    query is one narrow projection plus a single grouped-agg shuffle on
+    a low-cardinality key (langs x 3)."""
+    d = table(spark, sf_dir, "documents")
+    h = _md5_bucket(F.concat(F.col("doc_id").cast("string"), F.lit("_split")), 100)
+    split = (
+        F.when(h < 90, "train").when(h < 95, "val").otherwise("test")
+    )
+    return (
+        d.select(
+            "lang",
+            split.alias("split"),
+            F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+        )
+        .groupBy("lang", "split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_CHUNK = 100  # tokens per chunk
+_STRIDE = 80  # chunk start step -> 20-token overlap
+
+
+@query(
+    "doc_chunk_windows",
+    oracle=f"""
+    WITH sized AS (
+        SELECT doc_id, lang, len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), chunks AS (
+        SELECT doc_id, lang, n_tokens,
+               unnest(generate_series(0, (n_tokens - 1) // {_STRIDE})) AS chunk_id
+        FROM sized
+    )
+    SELECT doc_id, lang, chunk_id,
+           least({_CHUNK}, n_tokens - chunk_id * {_STRIDE}) AS chunk_len
+    FROM chunks
+    """,
+)
+def doc_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-window chunking (chunk 100 tokens, stride 80 -> 20
+    overlap): one output row per chunk, the UDTF/flat-map shape done with
+    built-in ``sequence`` + ``explode`` so it stays inside whole-stage
+    codegen — no Python, no shuffle at all (narrow row expansion only).
+
+    At scale the expansion factor is bounded by max_doc_tokens / stride
+    per input row, so output partition sizes stay proportional to input
+    partition sizes; a trainer-facing variant would follow with
+    ``substring_index``-style token slicing to materialize chunk text,
+    which is the same narrow map."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    chunks = sized.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.explode(
+            F.sequence(F.lit(0), F.floor((F.col("n_tokens") - 1) / _STRIDE))
+        ).alias("chunk_id"),
+    )
+    return chunks.select(
+        "doc_id",
+        "lang",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        F.least(
+            F.lit(_CHUNK), F.col("n_tokens") - F.col("chunk_id") * _STRIDE
+        )
+        .cast("bigint")
+        .alias("chunk_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+
+_PACK_TOKENS = 2048  # context-window budget per pack
+_PACK_SHARDS = 8  # parallel packing streams per lang
+
+
+@query(
+    "doc_pack_stats",
+    oracle=f"""
+    WITH sized AS (
+        SELECT lang,
+               {_duck_bucket("CAST(doc_id AS VARCHAR) || '_shard'", _PACK_SHARDS)} AS shard,
+               doc_id,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT lang, shard, n_tokens,
+               (sum(n_tokens) OVER (PARTITION BY lang, shard ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tokens)
+                   // {_PACK_TOKENS} AS pack_id
+        FROM sized
+    ), per_pack AS (
+        SELECT lang, shard, pack_id, sum(n_tokens) AS pack_tokens,
+               count(*) AS docs_in_pack
+        FROM packed GROUP BY lang, shard, pack_id
+    )
+    SELECT lang,
+           count(*) AS n_packs,
+           sum(pack_tokens) AS total_tokens,
+           max(docs_in_pack) AS max_docs_per_pack,
+           round(sum(pack_tokens) * 1.0 / (count(*) * {_PACK_TOKENS}), 4) AS fill_ratio
+    FROM per_pack GROUP BY lang
+    """,
+)
+def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-order sequence packing: concatenate documents in stable
+    (doc_id) order and cut every 2048 tokens; a document belongs to the
+    pack its first token lands in. Reports packs, fill ratio, and the
+    densest pack per language.
+
+    The running-sum window is the scale hazard here: partitioning by
+    ``lang`` alone caps parallelism at n_langs forever. So the window
+    key is (lang, shard) with a hash-derived shard — {_PACK_SHARDS}
+    independent packing streams per language (at 100 TB you raise
+    shards to O(cluster cores); the cost is at most one underfull pack
+    per stream, negligible fill-ratio loss at scale). Plan: one hash
+    shuffle on (lang, shard), in-partition sort for the window, then
+    two grouped aggs that reuse the same partitioning map-side."""
+    d = table(spark, sf_dir, "documents")
+    sized = d.select(
+        "lang",
+        _md5_bucket(
+            F.concat(F.col("doc_id").cast("string"), F.lit("_shard")), _PACK_SHARDS
+        ).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang", "shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.select(
+        "lang",
+        "shard",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / _PACK_TOKENS).alias(
+            "pack_id"
+        ),
+    )
+    per_pack = packed.groupBy("lang", "shard", "pack_id").agg(
+        F.sum("n_tokens").alias("pack_tokens"),
+        F.count("*").alias("docs_in_pack"),
+    )
+    return per_pack.groupBy("lang").agg(
+        F.count("*").alias("n_packs"),
+        F.sum("pack_tokens").alias("total_tokens"),
+        F.max("docs_in_pack").alias("max_docs_per_pack"),
+        F.round(
+            F.sum("pack_tokens") / (F.count("*") * F.lit(_PACK_TOKENS)), 4
+        ).alias("fill_ratio"),
+    )

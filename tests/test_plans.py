@@ -120,3 +120,25 @@ def test_subqueries_decorrelate(spark, sf_dir):
     assert "HashAggregate" in q17 and "Join" in q17
     for plan in (e, q22, q17):
         assert "InSubquery" not in plan  # fully decorrelated
+
+
+def test_chunk_windows_is_shuffle_free(spark, sf_dir):
+    """Overlapping-window chunking is a narrow row expansion (sequence +
+    explode) — it must compile to a scan + generate with ZERO exchanges
+    and stay out of Python entirely."""
+    plan = _formatted(spark, QUERIES["doc_chunk_windows"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "Generate" in plan  # the explode
+    assert "EvalPython" not in plan
+
+
+def test_pack_stats_reuses_shard_partitioning(spark, sf_dir):
+    """Sequence packing: the (lang, shard) hash shuffle feeding the
+    window must be REUSED by the (lang, shard, pack_id) aggregation
+    (HashPartitioning on a subset of the grouping keys satisfies it);
+    only the final per-lang agg may add one more exchange."""
+    plan = _formatted(spark, QUERIES["doc_pack_stats"](spark, sf_dir))
+    # 2 physical exchanges; formatted explain names each twice (tree + detail)
+    assert plan.count("Exchange") <= 4
+    assert "Window" in plan
+    assert "EvalPython" not in plan
