@@ -82,8 +82,21 @@ def main() -> None:
     spark = build_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up the JVM / Python worker pool outside the timed region
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # Warm up engine machinery outside the timed region so its one-time
+    # cost (JIT, codegen classloading, shuffle/broadcast infra, Arrow
+    # Python worker pool) isn't charged to whichever query runs first.
+    # Steady-state per-query time is the quantity of interest — a real
+    # cluster pays these once per executor lifetime, not per query.
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li.groupBy("l_returnflag").count().collect()  # shuffle + codegen
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey).count()  # broadcast
+    from pyspark.sql.functions import pandas_udf
+
+    _warm = pandas_udf(lambda s: s, "long")
+    spark.range(1000).select(_warm("id")).count()  # Arrow worker pool
 
     names = [n for n in HEADLINE if n in QUERIES]
     extra = os.environ.get("BENCH_QUERIES")
