@@ -229,3 +229,61 @@ def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("pack_tokens") / (F.count("*") * F.lit(_PACK_TOKENS)), 4
         ).alias("fill_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "doc_quality_filter",
+    oracle="""
+    WITH m AS (
+        SELECT doc_id, lang,
+               0.5 * least(1.0, len(string_split(text, ' ')) / 50.0)
+             + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                      / len(string_split(text, ' '))) AS quality
+        FROM documents
+    ), ranked AS (
+        SELECT lang, quality,
+               percent_rank() OVER (PARTITION BY lang
+                                    ORDER BY quality, doc_id) AS pr
+        FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE pr >= 0.25) AS n_kept,
+           round(avg(quality) FILTER (WHERE pr >= 0.25), 4) AS kept_avg_quality,
+           round(min(quality) FILTER (WHERE pr >= 0.25), 4) AS kept_min_quality
+    FROM ranked GROUP BY lang
+    """,
+)
+def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-based quality filtering: drop each language's bottom
+    quartile by the doc_quality_scores signal (rank-based cut, so it
+    adapts per language instead of using one global threshold).
+
+    percent_rank is used here for exact cross-engine parity (integer
+    rank arithmetic). At 100 TB the per-lang window sort is the wrong
+    plan — the production form computes the per-lang 25th-percentile
+    threshold with approx_percentile (two fully-parallel passes, no
+    sort) and broadcast-joins it back as a plain filter; same
+    semantics up to sketch error on the cut line."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    m = d.select(
+        "doc_id",
+        "lang",
+        (
+            0.5 * F.least(F.lit(1.0), F.size(toks) / 50.0)
+            + 0.5 * (F.size(F.array_distinct(toks)) / F.size(toks))
+        ).alias("quality"),
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    ranked = m.select("lang", "quality", F.percent_rank().over(w).alias("pr"))
+    kept = F.col("pr") >= 0.25
+    return ranked.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(kept, 1)).alias("n_kept"),
+        F.round(F.avg(F.when(kept, F.col("quality"))), 4).alias("kept_avg_quality"),
+        F.round(F.min(F.when(kept, F.col("quality"))), 4).alias("kept_min_quality"),
+    )

@@ -127,3 +127,45 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime row-level filtering: with broadcast off (the 100 TB
+    fact-fact regime), a selective predicate on the join's small side
+    injects a bloom_filter_agg subquery and a might_contain probe into
+    the big side's scan filter — non-qualifying fact rows are dropped
+    BEFORE the join shuffle. Thresholds are lowered only because the
+    local corpus is far below the production defaults."""
+    from pyspark.sql import functions as F
+
+    olds = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+        )
+        l = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("qty"))
+        )
+        mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+        plan = j._jdf.queryExecution().explainString(mode)
+        assert "bloom_filter_agg" in plan
+        assert "might_contain" in plan
+        assert j.count() > 0  # and it still computes the right thing
+    finally:
+        for k, v in olds.items():
+            if v is not None:
+                spark.conf.set(k, v)
