@@ -37,8 +37,12 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read nanos as long and convert to a microsecond
         # timestamp (sub-µs truncation — DuckDB keeps ns; all time queries
-        # therefore compare at >=second granularity).
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # therefore compare at >=second granularity). build_session sets
+        # nanosAsLong at startup; the guard below only covers sessions
+        # built elsewhere (e.g. the driver's), and is idempotent — the
+        # conf is corpus-wide and never toggled back.
+        if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         return df.withColumn(
             "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))

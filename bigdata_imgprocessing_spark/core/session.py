@@ -33,6 +33,11 @@ def build_session(app_name: str = "bigdata_imgprocessing_spark", cpus: int | Non
         # Python DataSource filter pushdown (required once a reader
         # implements pushFilters — see sources/fimg_source.py)
         .config("spark.sql.python.filterPushdown.enabled", "true")
+        # events.ts is parquet TIMESTAMP(NANOS), which the vectorized
+        # reader rejects; always-on for this corpus (set here once, not
+        # toggled per-read — a mid-session flip would change how other
+        # concurrent parquet reads interpret nanos columns)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # Deterministic wall-clock semantics for timestamp queries: the
         # DuckDB oracle treats naive parquet timestamps as tz-free, so we
         # pin the session to UTC (container default, made explicit).

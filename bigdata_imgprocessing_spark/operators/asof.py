@@ -24,24 +24,33 @@ def asof_join(
     right_ts: str,
     payload_cols: list[str] | None = None,
     prefix: str = "asof_",
+    tie_break: str | None = None,
 ) -> DataFrame:
     """For every left row, attach the payload of the most recent right row
     with the same ``on`` key and ``right_ts <= left_ts`` (backward as-of,
     inclusive). Left rows with no prior right row keep null payloads.
 
-    Ties on ``right_ts``: the right side is ordered so the LAST row wins
-    deterministically only if ``payload_cols`` ordering makes it so; pass
-    payload columns whose max-at-equal-ts is what you want, or pre-dedup
-    the right side. Returns all left columns + ``prefix + right_ts`` +
-    prefixed payload columns.
+    Ties on ``right_ts`` are broken EXPLICITLY: pass ``tie_break`` (a
+    right column name, typically a unique id) and at equal timestamps the
+    row with the greatest ``tie_break`` value wins. Without it, ties fall
+    back to ordering by the full payload struct — still a total order
+    (greatest payload wins, field by field), but it requires every
+    payload column to be orderable (no maps) and couples the winner to
+    payload contents; prefer an explicit ``tie_break``. Property-tested
+    with duplicate right timestamps in tests/test_properties.py.
+
+    Returns all left columns + ``prefix + right_ts`` + prefixed payload
+    columns.
     """
     if payload_cols is None:
         payload_cols = [c for c in right.columns if c not in (on, right_ts)]
 
+    tb_right = F.col(tie_break) if tie_break is not None else F.lit(0)
     r = right.select(
         F.col(on).alias("__key"),
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),  # right sorts before left at equal ts → inclusive
+        tb_right.alias("__tb"),
         F.struct(F.col(right_ts).alias(f"{prefix}{right_ts}"), *[
             F.col(c).alias(f"{prefix}{c}") for c in payload_cols
         ]).alias("__payload"),
@@ -51,12 +60,13 @@ def asof_join(
         F.col(on).alias("__key"),
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
+        F.lit(None).cast(r.schema["__tb"].dataType).alias("__tb"),
         F.lit(None).cast(r.schema["__payload"].dataType).alias("__payload"),
         *[F.col(c).alias(f"__l_{c}") for c in left.columns],
     )
     w = (
         Window.partitionBy("__key")
-        .orderBy("__ts", "__side", "__payload")
+        .orderBy("__ts", "__side", "__tb", "__payload")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = r.unionByName(l).withColumn(

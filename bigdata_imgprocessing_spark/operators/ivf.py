@@ -14,6 +14,8 @@ scan (see tests/test_layout.py for the layout proofs).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.ml.clustering import KMeans, KMeansModel
 from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
@@ -49,16 +51,23 @@ def ivf_search(
 ) -> DataFrame:
     """Cosine top-k per query, probing each query's ``n_probe`` nearest
     cells only. ``queries`` needs (query_id, embedding)."""
-    import numpy as np
     from pyspark.sql import Window
 
-    centers = model.clusterCenters()
+    # (k, dim) centroid matrix captured in the closure — broadcast once
+    # per executor with the serialized UDF, distances fully vectorized.
+    # Arrow pandas_udf, not row-at-a-time F.udf: the query side is tiny
+    # but the repo-wide contract is zero BatchEvalPython anywhere
+    # (tests/test_plans.py asserts it over this plan too).
+    centers_mat = np.asarray(model.clusterCenters(), dtype=np.float64)
 
-    @F.udf("array<int>")
-    def probe_cells(vec):
-        v = np.asarray(vec, dtype=np.float64)
-        d = [float(((c - v) ** 2).sum()) for c in centers]
-        return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        def cells(vec):
+            v = np.asarray(vec, dtype=np.float64)
+            d = ((centers_mat - v) ** 2).sum(axis=1)
+            return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
+
+        return vecs.map(cells)
 
     q = queries.select(
         F.col("query_id"),

@@ -189,12 +189,27 @@ def run_stats_pipeline(
         cls.alias("class_cnt"),
     )
 
+    # Sink schemas below are pinned BYTE-FOR-BYTE to the reference's
+    # golden files (stats_bckp/ — asserted by tests/test_pipelines.py):
+    # alphabet_count + alphabet_count_avg both use `letter;count`
+    # (stats_bckp/stats/alphabet_count{,_avg}/0.csv:1), the keyword stat
+    # uses `city;avg_detections` (stats_bckp/stats/avg_obj_per_city/
+    # 0.csv:1), buckets use `length_of_landmark_name;avg_detections`
+    # with `*_chars` bucket names (stats_bckp/dogs_by_name_length/
+    # 16.csv:1-2), and the people stat is the long `files considered;
+    # avg_detections` form (stats_bckp/people_in_places_with_people/
+    # 0.csv:1-3). Returned DataFrames keep the richer combined schemas.
+
     # stat 1: per first letter (pyspark_stats.py:73-99) — was 156 jobs
     alphabet = base.groupBy(first_letter(F.col("name")).alias("letter")).agg(
         F.sum("files").alias("count"),
         zero_guard_div(F.sum("class_cnt"), F.sum("files")).alias("avg_count"),
     )
-    write_semicolon_csv(alphabet, f"{out_dir}/alphabet_count")
+    write_semicolon_csv(alphabet.select("letter", "count"), f"{out_dir}/alphabet_count")
+    write_semicolon_csv(
+        alphabet.select("letter", F.col("avg_count").alias("count")),
+        f"{out_dir}/alphabet_count_avg",
+    )
 
     # stat 2: per keyword/"city" substring (J5, :101-123)
     kw_dim = F.broadcast(spark.createDataFrame([(k,) for k in keywords], "kw string"))
@@ -204,7 +219,10 @@ def run_stats_pipeline(
         .groupBy("kw")
         .agg(zero_guard_div(F.sum("class_cnt"), F.sum("files")).alias("avg_detections"))
     )
-    write_semicolon_csv(per_kw, f"{out_dir}/avg_obj_per_keyword")
+    write_semicolon_csv(
+        per_kw.select(F.col("kw").alias("city"), "avg_detections"),
+        f"{out_dir}/avg_obj_per_city",
+    )
 
     # stat 3: global vs 'people'-subset ratios in ONE pass (:125-153)
     has = F.lower(F.col("name")).contains("people")
@@ -214,13 +232,22 @@ def run_stats_pipeline(
             F.sum(F.when(has, F.col("class_cnt"))), F.sum(F.when(has, F.col("files")))
         ).alias("avg_people_places"),
     )
-    write_semicolon_csv(people, f"{out_dir}/people_in_places_with_people")
+    people_long = people.unpivot(
+        [], ["avg_all", "avg_people_places"], "files considered", "avg_detections"
+    )
+    write_semicolon_csv(people_long, f"{out_dir}/people_in_places_with_people")
 
     # stat 4: name-length buckets (:156-200)
     buckets = base.groupBy(length_bucket(F.col("name"), 10, 20).alias("bucket")).agg(
         zero_guard_div(F.sum("class_cnt"), F.sum("files")).alias("avg_count")
     )
-    write_semicolon_csv(buckets, f"{out_dir}/dogs_by_name_length")
+    write_semicolon_csv(
+        buckets.select(
+            F.concat("bucket", F.lit("_chars")).alias("length_of_landmark_name"),
+            F.col("avg_count").alias("avg_detections"),
+        ),
+        f"{out_dir}/dogs_by_name_length",
+    )
 
     return {
         "alphabet": alphabet,

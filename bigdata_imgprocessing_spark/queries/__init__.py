@@ -6,15 +6,20 @@ Importing this package registers every query into
 
 from ..core.registry import ORACLES, QUERIES
 
+# Import order IS driver check order (dict insertion order). Round 1's
+# driver stopped after exactly 50 of 75 entries, leaving everything in
+# the alphabetically-late modules formally unverified — so the modules
+# whose queries have never had a CORRECTNESS row register FIRST.
+from . import similarity  # noqa: F401  (unchecked in r1)
+from . import text  # noqa: F401  (unchecked in r1)
+from . import timeseries  # noqa: F401  (unchecked in r1)
+from . import streaming_queries  # noqa: F401  (unchecked in r1)
+from . import pipeline_queries  # noqa: F401  (new in r2)
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
 from . import images  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import relational  # noqa: F401  (registration side effect)
-from . import similarity  # noqa: F401
-from . import streaming_queries  # noqa: F401
-from . import text  # noqa: F401
-from . import timeseries  # noqa: F401
 
 __all__ = ["QUERIES", "ORACLES"]

@@ -33,7 +33,7 @@ from ..core.registry import query
     )
     SELECT o_custkey,
            string_agg(st || ':' || CAST(cnt AS VARCHAR), ',' ORDER BY st) AS status_counts,
-           sum(cnt) AS n_orders
+           CAST(sum(cnt) AS BIGINT) AS n_orders
     FROM c GROUP BY o_custkey
     """,
 )
@@ -228,9 +228,9 @@ def _plane_dot_sql(j: int) -> str:
                     * sqrt(list_sum(list_transform(range({_DIM}), i -> y.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE)))), 6) AS cos_sim
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
-    SELECT (SELECT count(*) FROM buckets)                    AS n_buckets,
-           (SELECT sum(k * (k - 1) // 2) FROM buckets)       AS n_candidates,
-           (SELECT count(*) FROM pairs WHERE cos_sim >= 0.3) AS n_neardup
+    SELECT (SELECT count(*) FROM buckets)                              AS n_buckets,
+           (SELECT CAST(sum(k * (k - 1) // 2) AS BIGINT) FROM buckets) AS n_candidates,
+           (SELECT count(*) FROM pairs WHERE cos_sim >= 0.3)           AS n_neardup
     """,
 )
 def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -254,7 +254,10 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for j in range(8):
         term = F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
-    b = e.select("vec_id", "embedding", bucket.alias("bucket"))
+    # cache(): b fans out 4 ways (bucket counts ×2 + both self-join sides);
+    # uncached, the 8×64-term hyperplane dot products re-evaluate each time
+    # (top-8 bench entry in round 1 largely for that reason).
+    b = e.select("vec_id", "embedding", bucket.alias("bucket")).cache()
 
     buckets = b.groupBy("bucket").agg(F.count("*").alias("k"))
     n_buckets = buckets.agg(F.count("*").alias("n_buckets"))

@@ -56,7 +56,7 @@ def _duck_bucket(expr: str, mod: int) -> str:
     )
     SELECT lang, split,
            count(*) AS n_docs,
-           sum(n_tokens) AS total_tokens
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens
     FROM assigned GROUP BY lang, split
     """,
 )
@@ -175,7 +175,7 @@ _PACK_SHARDS = 8  # parallel packing streams per lang
     )
     SELECT lang,
            count(*) AS n_packs,
-           sum(pack_tokens) AS total_tokens,
+           CAST(sum(pack_tokens) AS BIGINT) AS total_tokens,
            max(docs_in_pack) AS max_docs_per_pack,
            round(sum(pack_tokens) * 1.0 / (count(*) * {_PACK_TOKENS}), 4) AS fill_ratio
     FROM per_pack GROUP BY lang

@@ -150,7 +150,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     buckets AS (SELECT band, bkey, count(*) AS k FROM bands GROUP BY band, bkey)
     SELECT band, count(*) AS n_buckets, max(k) AS max_bucket,
-           sum(k * (k - 1) // 2) AS n_candidate_pairs
+           CAST(sum(k * (k - 1) // 2) AS BIGINT) AS n_candidate_pairs
     FROM buckets GROUP BY band
     """,
 )
@@ -227,7 +227,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_BANDS)
             ])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    ).select("doc_id", "bb.band", "bb.bkey").cache()
+    # cache(): bands feeds BOTH sides of the candidate self-join — without
+    # it the shingle-explode/md5 signature lineage executes twice (same
+    # DataFrame-DAGs-don't-share-subplans issue ngram_jaccard_hist hit).
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -236,7 +239,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sets = with_sh.select("doc_id", F.array_distinct("sh").alias("ss"))
+    # cache(): sets joins in twice (sa/sb) — one shingling pass, not two
+    sets = with_sh.select("doc_id", F.array_distinct("sh").alias("ss")).cache()
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))

@@ -180,8 +180,12 @@ _WIN = 16  # samples per analysis window → 4 windows per clip
 def _embedding_to_audio_udf(emb: pd.Series) -> pd.Series:
     def enc(vec) -> bytes:
         v = np.asarray(vec, dtype=np.float64) * 1000.0
-        samples = v.astype(np.int64).astype("<i2")
-        return b"FSND" + samples.tobytes()
+        samples = v.astype(np.int64)
+        # the oracle computes with unwrapped BIGINT samples, so int16
+        # packing must be lossless — enforce the |dim| < 32.768 invariant
+        # instead of silently wrapping if the corpus ever changes
+        assert np.abs(samples).max(initial=0) < 32768, "sample exceeds int16 range"
+        return b"FSND" + samples.astype("<i2").tobytes()
 
     return emb.map(enc)
 
@@ -215,7 +219,7 @@ def _audio_features_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
         CROSS JOIN (SELECT unnest(range({_WIN})) AS i) iss
     )
     SELECT vec_id AS clip_id, CAST(w AS INTEGER) AS window_idx,
-           sum(v * v) AS energy,
+           CAST(sum(v * v) AS BIGINT) AS energy,
            count(*) FILTER (WHERE v * nxt < 0) AS zero_crossings
     FROM s GROUP BY vec_id, w
     """,

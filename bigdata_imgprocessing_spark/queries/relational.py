@@ -359,7 +359,7 @@ def event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_map_extract",
     oracle="""
     SELECT event_type,
-           sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS sum_k,
+           CAST(sum(coalesce(CAST(json_extract_string(props, '$.k') AS BIGINT), 0)) AS BIGINT) AS sum_k,
            count(*) AS n_events
     FROM events GROUP BY event_type
     """,

@@ -254,9 +254,16 @@ _W = deterministic_weights(64)
 def embedding_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch model scoring: weights broadcast once per executor, Arrow
     pandas_udf scoring (predict_batch_udf shape), global top-20 by
-    rounded score with full tie-break."""
+    rounded score with full tie-break.
+
+    The top-20 is orderBy().limit() — TakeOrderedAndProject, i.e.
+    per-partition 20-row heaps merged on the driver — NOT a global
+    row_number() window, whose single-partition sort of the whole corpus
+    is the classic 100 TB scale-killer. The rank window afterwards sees
+    only the 20 surviving rows."""
     e = table(spark, sf_dir, "embeddings")
     scorer = make_linear_scorer(spark, _W)
     scored = e.select("vec_id", "label", F.round(scorer(F.col("embedding")), 4).alias("score"))
-    w = Window.orderBy(F.col("score").desc(), F.col("vec_id"))
-    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 20)
+    order = [F.col("score").desc(), F.col("vec_id")]
+    top = scored.orderBy(*order).limit(20)
+    return top.withColumn("rn", F.row_number().over(Window.orderBy(*order)))

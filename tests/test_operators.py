@@ -43,6 +43,30 @@ def test_asof_join_basic_and_edges(spark):
     assert out[4] == (None, None)
 
 
+def test_asof_join_tie_break_duplicate_right_ts(spark):
+    """Multiple right rows at the SAME timestamp: the explicit tie_break
+    column decides (greatest wins), independent of payload contents."""
+    left = spark.createDataFrame(
+        [(1, "u1", _ts("2024-01-01T10:00:00"))], "id bigint, k string, ts timestamp"
+    )
+    t = _ts("2024-01-01T09:00:00")
+    right = spark.createDataFrame(
+        [("u1", t, 30, 999.0), ("u1", t, 10, 111.0), ("u1", t, 20, 555.0)],
+        "k string, ts timestamp, rid int, v double",
+    )
+    r = asof_join(
+        left, right, on="k", left_ts="ts", right_ts="ts", tie_break="rid"
+    ).collect()[0]
+    # rid=30 wins even though its v (999.0) is not the struct-order max of
+    # (rid, v) pairs sorted by v — the winner is pinned by rid alone
+    assert (r.asof_rid, r.asof_v) == (30, 999.0)
+
+    # default (no tie_break): greatest payload struct wins — documented
+    # fallback, still deterministic for orderable payloads
+    d = asof_join(left, right, on="k", left_ts="ts", right_ts="ts").collect()[0]
+    assert (d.asof_rid, d.asof_v) == (30, 999.0)
+
+
 def test_asof_join_preserves_left_rowcount(spark, sf_dir):
     from bigdata_imgprocessing_spark.core.catalog import table
 
@@ -116,6 +140,12 @@ def test_ivf_index_and_search(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     res = ivf_search(indexed, model, queries, top_k=3, n_probe=4)
+    # probe-cell assignment must ride the Arrow pandas path — this was
+    # the repo's one row-at-a-time BatchEvalPython in round 1
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = res._jdf.queryExecution().explainString(mode)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
     rows = res.collect()
     assert {r.query_id for r in rows} == {0, 1}
     assert all(1 <= r.rn <= 3 for r in rows)

@@ -25,17 +25,25 @@ def _duck(sf_dir: str):
 
 
 def _norm(v):
+    """Canonicalize a cell the way the driver's string-hash sees it.
+
+    The driver stringifies values before hashing, so an int 99111 from
+    Spark and a float 99111.0 from DuckDB (HUGEINT sum widened) MUST
+    mismatch here too.  Type-tagging ints vs floats makes the local gate
+    at least as strict as the driver for that class (round 1 failed 7
+    driver hashes that Python `==` masked because int == float is True).
+    """
     if v is None:
         return None
     if isinstance(v, bool):
-        return int(v)
+        return f"i:{int(v)}"
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
         # collapse -0.0 / representation noise at far-below-rounding scale
-        return round(v, 9)
+        return f"f:{round(v, 9)!r}"
     if isinstance(v, int):
-        return v
+        return f"i:{v}"
     return str(v)
 
 

@@ -104,3 +104,52 @@ def test_stats_pipeline(spark, corpus, dims, tmp_path):
     buckets = {r.bucket for r in stats["buckets"].collect()}
     assert buckets == {"under_10", "between_10_and_20", "over_20"}
     assert glob.glob(f"{out}/alphabet_count/part-*.csv")
+
+
+def _csv_lines(out_dir: str) -> list[str]:
+    lines: list[str] = []
+    for p in sorted(glob.glob(f"{out_dir}/part-*.csv")):
+        lines.extend(open(p).read().strip().splitlines())
+    # every part file repeats the header; keep the first, drop the rest
+    header = lines[0]
+    return [header] + [l for l in lines[1:] if l != header]
+
+
+def test_stats_golden_file_shapes(spark, corpus, dims, tmp_path):
+    """Pin the K1 CSV sink schemas to the reference's golden files
+    (stats_bckp/): header strings and value shapes must match what a
+    reference user's downstream tooling (plots.py:21,33,45) parses."""
+    (root, n), (labels, names) = corpus, dims
+    out = str(tmp_path / "golden_out")
+    _, per_landmark = run_detection_pipeline(
+        spark, str(root / "images"), labels, str(tmp_path / "det3")
+    )
+    run_stats_pipeline(spark, per_landmark, names, out, keywords=["spark", "people"])
+
+    # stats_bckp/stats/alphabet_count/0.csv:1 — letter;count, int counts
+    ac = _csv_lines(f"{out}/alphabet_count")
+    assert ac[0] == "letter;count"
+    for line in ac[1:]:
+        letter, cnt = line.split(";")
+        assert len(letter) == 1 and cnt == str(int(cnt))
+
+    # stats_bckp/stats/alphabet_count_avg/0.csv:1 — letter;count, floats
+    aca = _csv_lines(f"{out}/alphabet_count_avg")
+    assert aca[0] == "letter;count"
+    assert all(float(l.split(";")[1]) >= 0 for l in aca[1:])
+
+    # stats_bckp/stats/avg_obj_per_city/0.csv:1 — city;avg_detections
+    city = _csv_lines(f"{out}/avg_obj_per_city")
+    assert city[0] == "city;avg_detections"
+
+    # stats_bckp/dogs_by_name_length/16.csv — *_chars bucket names
+    dog = _csv_lines(f"{out}/dogs_by_name_length")
+    assert dog[0] == "length_of_landmark_name;avg_detections"
+    assert {l.split(";")[0] for l in dog[1:]} <= {
+        "under_10_chars", "between_10_and_20_chars", "over_20_chars"
+    }
+
+    # stats_bckp/people_in_places_with_people/0.csv — long form
+    ppl = _csv_lines(f"{out}/people_in_places_with_people")
+    assert ppl[0] == "files considered;avg_detections"
+    assert {l.split(";")[0] for l in ppl[1:]} == {"avg_all", "avg_people_places"}

@@ -122,6 +122,17 @@ def test_subqueries_decorrelate(spark, sf_dir):
         assert "InSubquery" not in plan  # fully decorrelated
 
 
+def test_model_scores_topk_is_bounded_take(spark, sf_dir):
+    """Global top-20 model scores must execute as TakeOrderedAndProject
+    (per-partition heaps), not a single-partition window sort of the
+    whole corpus — round 1's one real scale-killer."""
+    plan = _formatted(spark, QUERIES["embedding_model_scores"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    # the Window that assigns rn must sit ABOVE the bounded take (tree
+    # prints root-first), i.e. it consumes the 20-row result, not the corpus
+    assert plan.index("Window") < plan.index("TakeOrderedAndProject")
+
+
 def test_chunk_windows_is_shuffle_free(spark, sf_dir):
     """Overlapping-window chunking is a narrow row expansion (sequence +
     explode) — it must compile to a scan + generate with ZERO exchanges
