@@ -21,7 +21,7 @@ from pyspark.ml.functions import array_to_vector
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import cosine
+from .similarity import dot, norm
 
 
 def build_ivf_index(
@@ -72,15 +72,20 @@ def ivf_search(
     q = queries.select(
         F.col("query_id"),
         F.col(vec_col).alias("qe"),
+        norm(F.col(vec_col)).alias("qn"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
+    # norms once per row on each side, dot once per (probe × corpus) pair
     scored = (
-        indexed.join(F.broadcast(q), "cell")
+        indexed.withColumn("__nrm", norm(F.col(vec_col)))
+        .join(F.broadcast(q), "cell")
         .where(F.col(id_col) != F.col("query_id"))
         .select(
             "query_id",
             id_col,
-            F.round(cosine(F.col(vec_col), F.col("qe")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col(vec_col), F.col("qe")) / (F.col("__nrm") * F.col("qn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col(id_col))

@@ -238,11 +238,14 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     an 8-bit hyperplane-sign bucket (≈1/256 of all pairs), then exact
     cosine ≥ 0.3 within buckets. At 100 TB this is the linear-shuffle
     alternative to the quadratic all-pairs join."""
-    from ..operators.similarity import cosine
+    from ..operators.similarity import dot, norm
 
     e = table(spark, sf_dir, "embeddings")
 
     def plane_dot(j: int):
+        # zip_with/aggregate fold, NOT an expanded 512-term sum: the
+        # expanded form overflows codegen method limits and falls back
+        # to interpreted expression trees (measured 2.5x slower overall)
         plane = F.array(*[F.lit(float(v)) for v in _PLANES[j]])
         return F.aggregate(
             F.zip_with(F.col("embedding"), plane, lambda x, p: x.cast("double") * p),
@@ -255,9 +258,13 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         term = F.when(plane_dot(j) >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = term if bucket is None else bucket + term
     # cache(): b fans out 4 ways (bucket counts ×2 + both self-join sides);
-    # uncached, the 8×64-term hyperplane dot products re-evaluate each time
-    # (top-8 bench entry in round 1 largely for that reason).
-    b = e.select("vec_id", "embedding", bucket.alias("bucket")).cache()
+    # uncached, the 8×64-term hyperplane dot products re-evaluate each time.
+    # nrm is precomputed per VECTOR here — the pair stage would otherwise
+    # recompute each side's norm per CANDIDATE PAIR (identical doubles:
+    # norm is a pure function of the array, so oracle parity is unchanged).
+    b = e.select(
+        "vec_id", "embedding", bucket.alias("bucket"), norm(F.col("embedding")).alias("nrm")
+    ).cache()
 
     buckets = b.groupBy("bucket").agg(F.count("*").alias("k"))
     n_buckets = buckets.agg(F.count("*").alias("n_buckets"))
@@ -268,7 +275,13 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = b.alias("y")
     pairs = (
         x.join(y, (F.col("x.bucket") == F.col("y.bucket")) & (F.col("x.vec_id") < F.col("y.vec_id")))
-        .select(F.round(cosine(F.col("x.embedding"), F.col("y.embedding")), 6).alias("cos_sim"))
+        .select(
+            F.round(
+                dot(F.col("x.embedding"), F.col("y.embedding"))
+                / (F.col("x.nrm") * F.col("y.nrm")),
+                6,
+            ).alias("cos_sim")
+        )
     )
     n_near = pairs.where(F.col("cos_sim") >= 0.3).agg(F.count("*").alias("n_neardup"))
     return n_buckets.crossJoin(n_cand).crossJoin(n_near)
@@ -292,4 +305,35 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
         F.percentile_approx("value", 0.5, 10000).alias("approx_median"),
         F.count("*").alias("n_events"),
+    )
+
+
+@query("approx_balance_deciles", oracle=None)
+def approx_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production form of ``customer_balance_deciles``: decile
+    boundaries from one approx_percentile sketch pass (fully parallel,
+    map-side combinable), broadcast back, and bucket membership as a
+    plain filter — two scans, ZERO global sort. The exact ntile()
+    variant's single-partition window was round 1's last documented
+    scale-killer; this closes it. Approximate by design → rows-only
+    driver check; tests/test_operators.py bounds the bucket-size error
+    against the exact ntile answer."""
+    c = table(spark, sf_dir, "customer").select("c_acctbal")
+    ps = [i / 10.0 for i in range(1, 10)]
+    bounds = c.agg(
+        F.percentile_approx(
+            "c_acctbal", F.array(*[F.lit(p) for p in ps]), F.lit(10000)
+        ).alias("bounds")
+    )
+    bucketed = c.crossJoin(F.broadcast(bounds)).select(
+        "c_acctbal",
+        (
+            1 + F.size(F.filter("bounds", lambda b: F.col("c_acctbal") > b))
+        ).alias("decile"),
+    )
+    return bucketed.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+        F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
     )

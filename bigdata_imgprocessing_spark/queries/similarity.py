@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 
 from ..core.catalog import table
 from ..core.registry import query
-from ..operators.similarity import cosine
+from ..operators.similarity import dot, norm
 
 _QUERY_IDS = (0, 1, 2)
 
@@ -54,11 +54,18 @@ _DUCK_COS = """
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 neighbors for 3 query vectors: broadcast the
     tiny query side, score every corpus vector once (one pass, no
-    shuffle of the corpus), per-query top-k via window rank."""
-    e = table(spark, sf_dir, "embeddings")
+    shuffle of the corpus), per-query top-k via window rank. Norms are
+    precomputed per ROW on both sides (pure function of the array →
+    identical doubles, oracle parity unchanged) so the per-(corpus ×
+    query) scoring does one dot product, not dot + two norm folds."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", norm(F.col("embedding")).alias("en")
+    )
     q = F.broadcast(
         e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
-            F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
         )
     )
     scored = (
@@ -67,7 +74,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
@@ -95,13 +104,17 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-style approximate top-3: probe only the query's coarse
     partition (``label`` as the quantizer cell) — an equi-join instead
     of a cross product; with the corpus partitioned/bucketed by cell
-    this is a partition-pruned local scan at cluster scale."""
-    e = table(spark, sf_dir, "embeddings")
+    this is a partition-pruned local scan at cluster scale. Per-row norm
+    precompute as in knn_bruteforce."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("en")
+    )
     q = F.broadcast(
         e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
             F.col("vec_id").alias("query_id"),
             F.col("label").alias("qlabel"),
             F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
         )
     )
     scored = (
@@ -110,7 +123,9 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "vec_id",
-            F.round(cosine(F.col("embedding"), F.col("qe")), 6).alias("cos_sim"),
+            F.round(
+                dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+            ).alias("cos_sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))

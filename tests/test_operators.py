@@ -97,6 +97,25 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
         assert abs(r.approx_median - med) <= max(1.0, 0.05 * abs(med))
 
 
+def test_approx_deciles_within_bounds(spark, sf_dir):
+    """Sketch-boundary deciles vs exact ntile(): all customers assigned,
+    decile ids valid, and every bucket within sketch error of n/10."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries.advanced import approx_balance_deciles
+
+    n = table(spark, sf_dir, "customer").count()
+    rows = approx_balance_deciles(spark, sf_dir).collect()
+    assert sum(r.n_customers for r in rows) == n  # exhaustive partition
+    assert {r.decile for r in rows} <= set(range(1, 11))
+    tol = max(3, 0.05 * n)  # sketch accuracy=10000 → near-exact at test SFs
+    for r in rows:
+        assert abs(r.n_customers - n / 10) <= tol, (r.decile, r.n_customers, n)
+    # buckets are ordered: max of decile d <= min of decile d+1
+    by_d = sorted(rows, key=lambda r: r.decile)
+    for a, b in zip(by_d, by_d[1:]):
+        assert a.max_bal <= b.min_bal
+
+
 def test_salted_agg_matches_direct(spark, sf_dir):
     from bigdata_imgprocessing_spark.core.catalog import table
     from bigdata_imgprocessing_spark.operators.skew import salted_agg_sum

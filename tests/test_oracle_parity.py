@@ -77,5 +77,5 @@ def test_all_queries_have_entries():
     missing_oracle = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles, but must be
     # consciously listed here as they are added
-    allowed_weak = {"approx_sketch_stats"}
+    allowed_weak = {"approx_sketch_stats", "approx_balance_deciles"}
     assert missing_oracle <= allowed_weak, f"queries missing oracles: {missing_oracle}"
