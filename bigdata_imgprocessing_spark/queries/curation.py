@@ -235,6 +235,60 @@ def doc_pack_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stratified_sample_stats",
+    oracle=f"""
+    WITH cnt AS (SELECT lang, count(*) AS c FROM documents GROUP BY lang),
+    tgt AS (SELECT min(c) AS t FROM cnt),
+    keep AS (
+        SELECT d.lang
+        FROM documents d JOIN cnt ON d.lang = cnt.lang CROSS JOIN tgt
+        WHERE {_duck_bucket("CAST(doc_id AS VARCHAR) || '_sample'", 1000000)} * 1.0 / 1000000
+              < tgt.t * 1.0 / cnt.c
+    )
+    SELECT cnt.lang,
+           cnt.c AS n_docs,
+           coalesce(k.n, 0) AS n_sampled
+    FROM cnt LEFT JOIN (SELECT lang, count(*) AS n FROM keep GROUP BY lang) k
+      ON cnt.lang = k.lang
+    """,
+)
+def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus balancing by deterministic stratified down-sampling: every
+    language is sampled down toward the smallest language's document
+    count (rate_lang = min_count / count_lang), with membership decided
+    by a pure hash of the stable doc_id — reproducible across runs,
+    engines, and cluster sizes, and stable under corpus growth (an
+    existing doc's keep/drop never flips when new docs arrive; only the
+    rates move).
+
+    Scale shape: one count aggregation on the lang key, broadcast of the
+    per-lang rates (|langs| rows) back onto the corpus as a plain
+    filter — no sort, no per-group reservoir state, unlike sampleBy
+    whose seeds don't survive re-partitioning deterministically."""
+    d = table(spark, sf_dir, "documents")
+    cnt = d.groupBy("lang").agg(F.count("*").alias("c"))
+    tgt = cnt.agg(F.min("c").alias("t"))
+    u = _md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_sample")), 1_000_000
+    ) / F.lit(1_000_000.0)
+    kept = (
+        d.join(F.broadcast(cnt), "lang")
+        .crossJoin(F.broadcast(tgt))
+        .where(u < F.col("t") / F.col("c"))
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        cnt.join(kept, "lang", "left")
+        .select(
+            "lang",
+            F.col("c").alias("n_docs"),
+            F.coalesce("n", F.lit(0)).alias("n_sampled"),
+        )
+    )
+
+
+@query(
     "doc_quality_filter",
     oracle="""
     WITH m AS (

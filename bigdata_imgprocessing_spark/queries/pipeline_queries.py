@@ -178,3 +178,35 @@ def stats_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         out,
         "letter string, files bigint, avg_dets double, avg_brightness double",
     )
+
+
+@query(
+    "jsonl_roundtrip_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang
+    """,
+)
+def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines ingest/egress round trip — the de-facto interchange
+    format of text-corpus pipelines: write ``documents`` as partitioned
+    JSONL, re-read with an explicit schema (no inferSchema scan), and
+    aggregate the RE-READ frame. Hash-parity against the parquet-side
+    oracle proves the JSON encode/decode is lossless including text
+    escaping. Distributed write (one file per partition), schema'd read
+    — both ends scale linearly; the aggregation is one low-cardinality
+    shuffle."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "source", "text")
+    out = os.path.join(_root_dir(sf_dir), "docs_jsonl")
+    d.write.mode("overwrite").json(out)
+    back = spark.read.schema(
+        "doc_id bigint, lang string, source string, text string"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.length("text")).alias("total_chars"),
+        F.count_distinct("source").alias("n_sources"),
+    )

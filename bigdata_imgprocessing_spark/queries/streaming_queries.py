@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 from ..core.registry import query
 from ..core.session import ensure_utc
 from ..streaming.jobs import event_stream, run_to_memory
+from ..streaming.stateful import THRESHOLD, running_user_totals
 
 
 @query(
@@ -109,6 +110,34 @@ def streaming_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drained.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.sum("cnt").alias("n_events")
     )
+
+
+@query(
+    "streaming_stateful_totals",
+    oracle=f"""
+    WITH r AS (
+        SELECT user_id, ts, event_id, value,
+               sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS run
+        FROM events
+    )
+    SELECT user_id,
+           count(*) AS n_events,
+           round((list(run ORDER BY ts, event_id))[-1], 2) AS total_value,
+           count(*) FILTER (WHERE run > {THRESHOLD}) AS n_large
+    FROM r GROUP BY user_id
+    """,
+)
+def streaming_stateful_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState (the
+    arbitrary-state surface windowed aggs can't express): per-user
+    running totals with an order-dependent threshold-crossing counter.
+    The drained final state must equal the batch running-sum window
+    recomputation (oracle) — the stream≡batch contract for custom
+    state. State is per-user bounded (3 scalars) and watermark-free by
+    design; a continuous deployment adds GroupStateTimeout eviction."""
+    ensure_utc(spark)
+    return running_user_totals(spark, sf_dir)
 
 
 @query(

@@ -30,7 +30,7 @@ from ..core.registry import query
     oracle="""
     SELECT lang,
            count(*) AS n_docs,
-           sum(len(string_split(text, ' '))) AS total_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
            round(sum(len(string_split(text, ' '))) * 1.0 / count(*), 4) AS avg_tokens,
            round(sum(length(text)) * 1.0 / count(*), 4) AS avg_chars
     FROM documents GROUP BY lang
@@ -348,4 +348,86 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("doc_id", F.col("term").alias("top_term"), F.round("score", 4).alias("tfidf"))
+    )
+
+
+@query(
+    "vocab_top_terms",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(regexp_split_to_array(lower(text), '[^a-z0-9]+')) AS t
+        FROM documents
+    )
+    SELECT t AS token,
+           count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM tok WHERE t != ''
+    GROUP BY t
+    ORDER BY n_occurrences DESC, token
+    LIMIT 20
+    """,
+)
+def vocab_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: global top-20 tokens by occurrence (the
+    first pass of tokenizer/vocab training). One (token) agg shuffle with
+    map-side combine, then orderBy().limit() → TakeOrderedAndProject
+    per-partition heaps — NOT a global sort, the same bounded-take shape
+    as top_orders (plan-asserted). At 100 TB the long tail never leaves
+    the executors; only 20-row heaps merge at the driver."""
+    d = table(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id", F.explode(F.split(F.lower("text"), "[^a-z0-9]+")).alias("token")
+    ).where(F.col("token") != "")
+    counts = tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.count_distinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occurrences"), F.asc("token")).limit(20)
+
+
+@query(
+    "repetition_ngram_stats",
+    oracle="""
+    WITH b AS (
+        SELECT lang,
+               len(list_distinct(list_transform(
+                   range(len(string_split(text, ' ')) - 1),
+                   i -> string_split(text, ' ')[i+1] || ' ' || string_split(text, ' ')[i+2]
+               ))) AS d,
+               len(string_split(text, ' ')) - 1 AS t
+        FROM documents
+        WHERE len(string_split(text, ' ')) >= 2
+    )
+    SELECT lang,
+           CAST(d * 10 // t AS INTEGER) AS uniq_decile,
+           count(*) AS n_docs
+    FROM b GROUP BY lang, uniq_decile
+    """,
+)
+def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection by bigram diversity (the gopher-style
+    duplicate-n-gram quality filter): per document, distinct word
+    bigrams / total bigrams, bucketed into integer deciles and
+    histogrammed per language — heavily repetitive documents sink into
+    the low deciles. Bigrams are built with the zip-of-shifted-slices
+    construction (split() runs once per row, not per element — see
+    dedup._shingles), all arithmetic is integer → exact parity, and the
+    whole query is a narrow map plus one low-cardinality shuffle."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    zipped = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    b = d.where(n >= 2).select(
+        "lang",
+        F.size(F.array_distinct(bigrams)).alias("d"),
+        (n - 1).alias("t"),
+    )
+    return (
+        b.select(
+            "lang",
+            F.floor(F.col("d") * 10 / F.col("t")).cast("int").alias("uniq_decile"),
+        )
+        .groupBy("lang", "uniq_decile")
+        .agg(F.count("*").alias("n_docs"))
     )

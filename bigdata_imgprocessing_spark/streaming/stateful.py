@@ -21,7 +21,10 @@ from .jobs import event_stream, run_to_memory
 
 _OUT_SCHEMA = "user_id bigint, n_events bigint, total_value double, n_large bigint"
 _STATE_SCHEMA = "n bigint, total double, n_large bigint"
-_THRESHOLD = 500.0
+#: running-total threshold for the "large" counter (public: the oracle
+#: SQL in queries/streaming_queries.py embeds the same constant)
+THRESHOLD = 500.0
+_THRESHOLD = THRESHOLD
 
 
 def _update(

@@ -72,6 +72,22 @@ def test_parity(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
+def test_no_hugeint_oracle_columns(sf_dir):
+    """No oracle may emit a HUGEINT column: DuckDB widens integer sum()
+    to HUGEINT, which the driver's pandas/Arrow path converts to float64
+    ('99111.0' vs Spark's '99111' → hash fail, 7 queries in round 1).
+    CAST(... AS BIGINT) every integer aggregate instead."""
+    con = _duck(sf_dir)
+    flagged = {}
+    for name, sql in ORACLES.items():
+        rel = con.sql(sql)
+        hug = [c for c, ty in zip(rel.columns, rel.types) if "HUGEINT" in str(ty).upper()]
+        if hug:
+            flagged[name] = hug
+    con.close()
+    assert not flagged, f"oracles with HUGEINT output columns: {flagged}"
+
+
 def test_all_queries_have_entries():
     assert QUERIES, "no queries registered"
     missing_oracle = set(QUERIES) - set(ORACLES)
