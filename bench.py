@@ -73,6 +73,15 @@ HEADLINE = [
     "priority_multiset_diff",
     "doc_chunk_windows",
     "doc_pack_stats",
+    # round 2 additions
+    "stats_pipeline_e2e",
+    "jsonl_roundtrip_stats",
+    "stratified_sample_stats",
+    "vocab_top_terms",
+    "repetition_ngram_stats",
+    "streaming_stateful_totals",
+    "approx_balance_deciles",
+    "minhash_lsh_pairs",
 ]
 
 

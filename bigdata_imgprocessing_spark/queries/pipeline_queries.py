@@ -62,6 +62,11 @@ def _materialize_corpus(spark: SparkSession, sf_dir: str) -> str:
         .where(F.col("vec_id") < _N_IMGS)
         .select("vec_id", "embedding")
     )
+    # write-once: file bytes are a pure function of the (sf_dir-keyed)
+    # embeddings rows, so a complete corpus dir needs no rewrite
+    expected = e.count()
+    if len([f for f in os.listdir(img_dir) if f.endswith(".fimg")]) == expected:
+        return img_dir
 
     def write_part(rows):
         for r in rows:
