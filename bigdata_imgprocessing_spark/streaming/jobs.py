@@ -38,24 +38,33 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
 
 
-def run_to_memory(streaming_df: DataFrame, mode: str = "complete") -> DataFrame:
+def run_to_memory(
+    streaming_df: DataFrame, mode: str = "complete", state_partitions: int = 8
+) -> DataFrame:
     """Drain a streaming aggregation with trigger(availableNow) into a
-    uniquely-named memory sink; return the materialized table."""
-    spark = streaming_df.sparkSession
-    # Streaming state partitioning is fixed at first checkpoint by
-    # spark.sql.shuffle.partitions and AQE does not apply to streams; the
-    # 200-partition default is 6x overkill for local drains — size to cores.
-    if spark.conf.get("spark.sql.shuffle.partitions") == "200":
-        import os
+    uniquely-named memory sink; return the materialized table.
 
-        spark.conf.set("spark.sql.shuffle.partitions", str(os.cpu_count() or 32))
-    name = f"sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        streaming_df.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    Streaming state partitioning is pinned at the first checkpoint by
+    spark.sql.shuffle.partitions and AQE never re-coalesces it, so every
+    micro-batch pays one state-store task per partition forever. For a
+    bounded local drain 8 partitions is plenty (32 was measured ~1.8x
+    slower on pure task overhead); a continuous 100 TB deployment sizes
+    this to state volume/throughput instead — same knob, set before the
+    first start(). The session conf is restored afterwards so batch
+    queries in the same session keep their own shuffle sizing."""
+    spark = streaming_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        name = f"sink_{uuid.uuid4().hex[:12]}"
+        q = (
+            streaming_df.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)

@@ -133,6 +133,33 @@ def test_model_scores_topk_is_bounded_take(spark, sf_dir):
     assert plan.index("Window") < plan.index("TakeOrderedAndProject")
 
 
+def test_vocab_topk_is_bounded_take(spark, sf_dir):
+    """The global vocabulary head must be a bounded take over the token
+    aggregation, never a full sort of the (huge) token tail."""
+    plan = _formatted(spark, QUERIES["vocab_top_terms"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "EvalPython" not in plan
+
+
+def test_stratified_sample_broadcasts_rates(spark, sf_dir):
+    """Per-lang sampling rates join back onto the corpus as broadcasts
+    (|langs| rows + 1 scalar) — the corpus itself must not shuffle for
+    the membership filter, only for the two count aggregations."""
+    plan = _formatted(spark, QUERIES["stratified_sample_stats"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_repetition_stats_single_shuffle(spark, sf_dir):
+    """Bigram-diversity deciles: narrow per-row map (zip-of-slices, no
+    explode) + ONE grouped-agg shuffle; everything JVM-side."""
+    plan = _formatted(spark, QUERIES["repetition_ngram_stats"](spark, sf_dir))
+    assert plan.count("Exchange") <= 2  # tree + detail naming of the one shuffle
+    assert "EvalPython" not in plan
+    assert "Generate" not in plan  # no explode — the array stays per-row
+
+
 def test_chunk_windows_is_shuffle_free(spark, sf_dir):
     """Overlapping-window chunking is a narrow row expansion (sequence +
     explode) — it must compile to a scan + generate with ZERO exchanges
