@@ -82,6 +82,8 @@ HEADLINE = [
     "streaming_stateful_totals",
     "approx_balance_deciles",
     "minhash_lsh_pairs",
+    "bucketed_join_revenue",
+    "streaming_foreachbatch_counts",
 ]
 
 

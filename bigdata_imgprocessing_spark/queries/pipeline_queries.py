@@ -36,7 +36,7 @@ import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..core.catalog import table
+from ..core.catalog import bucketed_table, table
 from ..core.registry import query
 from ..images.codec import encode_image
 from ..images.color import average_color_udf
@@ -182,6 +182,41 @@ def stats_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark,
         out,
         "letter string, files bigint, avg_dets double, avg_brightness double",
+    )
+
+
+@query(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o_orderpriority,
+           count(*) AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through the materialize-once bucketed catalog
+    (core.catalog.bucketed_table): both facts bucketed+sorted on their
+    join key with the same bucket count, so the recurring join needs NO
+    join-side shuffle — the layout a 100 TB deployment bakes in instead
+    of re-shuffling terabytes per query (zero-Exchange SMJ proven in
+    tests/test_layout.py). At this SF Catalyst may still elect a
+    broadcast join (correctly — orders fits); the point is the catalog
+    path: write-once bucketed copies keyed by (sf, table, key, count),
+    reused across queries and sessions."""
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=16).select(
+        "o_orderkey", "o_orderpriority"
+    )
+    l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", buckets=16).select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    j = l.join(o, l.l_orderkey == o.o_orderkey)
+    return j.groupBy("o_orderpriority").agg(
+        F.count("*").alias("n_items"),
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+            "revenue"
+        ),
     )
 
 

@@ -194,3 +194,37 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("secs_between"),
     )
     return run_to_memory(out, mode="append")
+
+
+@query(
+    "streaming_foreachbatch_counts",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch sink: the stream drains through an arbitrary batch
+    writer (per-batch-id parquet overwrite — the idempotent exactly-once
+    construction for non-transactional sinks), and the aggregation runs
+    over the SINK's files re-read, so the oracle hash verifies the whole
+    write path, not just the stream."""
+    import hashlib as _h
+    import os as _os
+
+    from ..streaming.jobs import run_foreachbatch_parquet
+
+    ensure_utc(spark)
+    token = _h.md5(sf_dir.encode()).hexdigest()[:12]
+    out = f"/tmp/bdip_fob_{token}"
+    s = event_stream(spark, sf_dir).select("event_type", "user_id")
+    run_foreachbatch_parquet(s, out)
+    back = spark.read.parquet(*[
+        f"{out}/{d}" for d in _os.listdir(out) if d.startswith("batch=")
+    ])
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -68,3 +68,30 @@ def run_to_memory(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
+
+
+def run_foreachbatch_parquet(
+    streaming_df: DataFrame, out_dir: str, state_partitions: int = 8
+) -> None:
+    """Drain a stream through foreachBatch into per-batch parquet dirs —
+    the arbitrary-sink surface (upserts, JDBC, multi-sink fan-out) that
+    format sinks can't express. Idempotence contract: each micro-batch
+    overwrites its OWN ``batch=<id>`` directory, so a restart that
+    replays a batch rewrites the same path instead of duplicating it —
+    the standard exactly-once construction for non-transactional sinks."""
+    spark = streaming_df.sparkSession
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
+    try:
+        q = (
+            streaming_df.writeStream.foreachBatch(
+                lambda df, batch_id: df.write.mode("overwrite").parquet(
+                    f"{out_dir}/batch={batch_id}"
+                )
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
