@@ -49,3 +49,41 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def spark_prop(spark):
     return spark
+
+
+# ---------------------------------------------------------------------------
+# as-of join vs a brute-force Python reference, including DUPLICATE right
+# timestamps: for every left row the matched payload must be the maximum
+# (ts, tie_break) among right rows with ts <= left_ts for the same key.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    lefts=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=1, max_size=8
+    ),
+    rights=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 20)), min_size=0, max_size=12
+    ),
+)
+def test_asof_join_matches_bruteforce(spark_prop, lefts, rights):
+    from bigdata_imgprocessing_spark.operators.asof import asof_join
+
+    spark = spark_prop
+    left = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(lefts)], "lid int, k int, ts int"
+    )
+    right = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(rights)], "rid int, k int, ts int"
+    )
+    got = {
+        r.lid: r.asof_rid
+        for r in asof_join(
+            left, right, on="k", left_ts="ts", right_ts="ts", tie_break="rid"
+        ).collect()
+    }
+    for lid, (k, t) in enumerate(lefts):
+        cands = [(rt, rid) for rid, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
+        expected = max(cands)[1] if cands else None
+        assert got[lid] == expected, (lid, k, t, cands)
