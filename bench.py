@@ -84,6 +84,8 @@ HEADLINE = [
     "minhash_lsh_pairs",
     "bucketed_join_revenue",
     "streaming_foreachbatch_counts",
+    "dedup_keep_best",
+    "doc_embedding_join_stats",
 ]
 
 

@@ -427,3 +427,64 @@ def doc_chain_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     return connected_components(edges).select("node", "comp")
+
+
+@query(
+    "dedup_keep_best",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               md5(lower(trim(text))) AS fp,
+               CAST(round((1.0 - (0.5 * least(1.0, len(string_split(text, ' ')) / 50.0)
+                     + 0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                              / len(string_split(text, ' '))))) * 1000000) AS BIGINT)
+                   * 100000000 + doc_id AS ord
+        FROM documents
+    ),
+    best AS (
+        SELECT fp,
+               count(*) AS group_size,
+               min_by(doc_id, ord) AS survivor,
+               min_by(lang,   ord) AS lang
+        FROM scored GROUP BY fp
+    )
+    SELECT lang,
+           count(*) AS n_survivors,
+           CAST(sum(group_size - 1) AS BIGINT) AS n_dropped,
+           min(survivor) AS min_survivor_id
+    FROM best GROUP BY lang
+    """,
+)
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware exact dedup: within each duplicate group keep the
+    HIGHEST-quality document (ties → lowest doc_id) instead of an
+    arbitrary survivor — the curation policy real pipelines want, since
+    near-identical crawls differ in boilerplate. One hash shuffle with
+    map-side-combinable min_by aggregates; the ordering is packed into
+    one integer key ((1-quality)*1e6, a 6dp-exact integer, scaled past
+    the doc_id range) so both engines order identically."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = (
+        0.5 * F.least(F.lit(1.0), F.size(toks) / 50.0)
+        + 0.5 * (F.size(F.array_distinct(toks)) / F.size(toks))
+    )
+    ord_key = (
+        F.round((1.0 - q) * 1_000_000).cast("bigint") * 100_000_000 + F.col("doc_id")
+    )
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("fp"),
+        ord_key.alias("ord"),
+    )
+    best = scored.groupBy("fp").agg(
+        F.count("*").alias("group_size"),
+        F.min_by("doc_id", "ord").alias("survivor"),
+        F.min_by("lang", "ord").alias("lang"),
+    )
+    return best.groupBy("lang").agg(
+        F.count("*").alias("n_survivors"),
+        F.sum(F.col("group_size") - 1).alias("n_dropped"),
+        F.min("survivor").alias("min_survivor_id"),
+    )

@@ -238,3 +238,58 @@ def audio_feature_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_features_iter,
         "clip_id bigint, window_idx int, energy bigint, zero_crossings bigint",
     )
+
+
+@query(
+    "doc_embedding_join_stats",
+    oracle="""
+    WITH q AS (
+        SELECT doc_id, lang,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS uniq_ratio
+        FROM documents
+    ),
+    n AS (
+        SELECT vec_id,
+               sqrt(list_sum(list_transform(range(len(embedding)),
+                    i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))) AS nrm
+        FROM embeddings
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           count(*) FILTER (WHERE uniq_ratio >= 0.5) AS n_high_quality,
+           round(sum(nrm) / count(*), 4) AS avg_norm
+    FROM q JOIN n ON q.doc_id = n.vec_id
+    GROUP BY lang
+    """,
+)
+def doc_embedding_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal equi-join: the text table joined to its embedding
+    table on the shared id — the canonical 'attach vectors to documents'
+    step before embedding-based filtering/packing. Per language: doc
+    count, high-lexical-diversity count, and mean vector norm.
+
+    Scale: id⋈id is the textbook co-partition case — at 100 TB both
+    tables are bucketed/sorted on the id (see bucketed_join_revenue for
+    the materialized construction) so this join runs with zero
+    exchanges; here AQE picks the join strategy for the test SFs. The
+    norm is computed per row pre-join (one pass), sums are
+    single-division averages."""
+    from ..operators.similarity import norm as vnorm
+
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    q = d.select(
+        "doc_id",
+        "lang",
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("uniq_ratio"),
+    )
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", vnorm(F.col("embedding")).alias("nrm")
+    )
+    j = q.join(e, q.doc_id == e.vec_id)
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count(F.when(F.col("uniq_ratio") >= 0.5, 1)).alias("n_high_quality"),
+        F.round(F.sum("nrm") / F.count("*"), 4).alias("avg_norm"),
+    )

@@ -18,6 +18,25 @@ def _formatted(spark, df) -> str:
     return df._jdf.queryExecution().explainString(mode)
 
 
+def test_plan_hygiene_every_query(spark, sf_dir):
+    """Blanket scale contract over the ENTIRE query surface: no query
+    may plan a CartesianProduct (row-explosion at scale) or
+    BatchEvalPython (row-at-a-time Python). Queries with build-time side
+    effects (streaming drains, sink round trips, bucketed
+    materialization) are plan-checked by their own tests instead."""
+    skip_prefix = ("streaming_",)
+    skip = {"stats_pipeline_e2e", "jsonl_roundtrip_stats", "bucketed_join_revenue"}
+    bad = {}
+    for name, fn in QUERIES.items():
+        if name.startswith(skip_prefix) or name in skip:
+            continue
+        plan = _formatted(spark, fn(spark, sf_dir))
+        hits = [m for m in ("CartesianProduct", "BatchEvalPython") if m in plan]
+        if hits:
+            bad[name] = hits
+    assert not bad, f"scale anti-patterns in plans: {bad}"
+
+
 def test_pushdown_and_pruning_top_orders(spark, sf_dir):
     plan = _formatted(spark, QUERIES["top_orders"](spark, sf_dir))
     # predicate pushdown into the parquet scans
