@@ -86,6 +86,8 @@ HEADLINE = [
     "streaming_foreachbatch_counts",
     "dedup_keep_best",
     "doc_embedding_join_stats",
+    "report_text_roundtrip",
+    "salted_event_sum",
 ]
 
 

@@ -250,3 +250,64 @@ def jsonl_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("text")).alias("total_chars"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+@query(
+    "report_text_roundtrip",
+    oracle="""
+    SELECT o_orderpriority AS priority,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def report_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K2 single-file text report in the checked path: aggregate, format
+    each row as the reference's ';'-joined report line
+    (pyspark_stats.py:40-52), coalesce(1)-write one text file, re-read
+    and PARSE it back into typed columns. Hash-parity proves the report
+    formatting is lossless. coalesce(1) only narrows the final
+    already-aggregated stage (|priorities| rows) — the upstream agg
+    keeps full parallelism."""
+    o = table(spark, sf_dir, "orders")
+    agg = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+    )
+    lines = agg.select(
+        F.concat_ws(";", "priority", "n_orders", "sum_price").alias("value")
+    )
+    out = os.path.join(_root_dir(sf_dir), "report_text")
+    from ..sources.csv_io import write_single_text
+
+    write_single_text(lines, out)
+    back = spark.read.text(out)
+    parts = F.split(F.col("value"), ";")
+    return back.select(
+        parts.getItem(0).alias("priority"),
+        parts.getItem(1).cast("bigint").alias("n_orders"),
+        parts.getItem(2).cast("double").alias("sum_price"),
+    )
+
+
+@query(
+    "salted_event_sum",
+    oracle="""
+    SELECT event_type, round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def salted_event_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level salted aggregation (operators/skew.py) in the checked
+    path: each of the 5 heavy-hitter event_type keys spreads over 16
+    deterministic row-hash salts, partially aggregates, then combines —
+    the construction for aggregation keys too hot for one reducer at
+    100 TB (AQE splits skewed JOINS but not skewed agg keys). Result
+    must hash-equal the direct single-shuffle groupBy (oracle)."""
+    from ..operators.skew import salted_agg_sum
+
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    salted = salted_agg_sum(e, "event_type", "value", n_salts=16)
+    return salted.select(
+        "event_type", F.round(F.col("sum_value"), 2).alias("sum_value")
+    )
