@@ -6,20 +6,50 @@ Importing this package registers every query into
 
 from ..core.registry import ORACLES, QUERIES
 
-# Import order IS driver check order (dict insertion order). Round 1's
-# driver stopped after exactly 50 of 75 entries, leaving everything in
-# the alphabetically-late modules formally unverified — so the modules
-# whose queries have never had a CORRECTNESS row register FIRST.
-from . import similarity  # noqa: F401  (unchecked in r1)
-from . import text  # noqa: F401  (unchecked in r1)
-from . import timeseries  # noqa: F401  (unchecked in r1)
-from . import streaming_queries  # noqa: F401  (unchecked in r1)
-from . import pipeline_queries  # noqa: F401  (new in r2)
+# Import order feeds registration; the explicit priority list below is
+# the driver check order (dict insertion order). Round 1's driver
+# stopped after exactly 50 of 75 entries, so order = (1) queries that
+# have never had a CORRECTNESS row, (2) queries whose r1 row FAILED and
+# whose fix needs a green row, (3) new r2 queries, (4) r1-passed (their
+# green rows stand).
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
 from . import images  # noqa: F401
 from . import multimodal  # noqa: F401
-from . import relational  # noqa: F401  (registration side effect)
+from . import pipeline_queries  # noqa: F401
+from . import relational  # noqa: F401
+from . import similarity  # noqa: F401
+from . import streaming_queries  # noqa: F401
+from . import text  # noqa: F401
+from . import timeseries  # noqa: F401  (registration side effect)
+
+_PRIORITY = [
+    # (1) no CORRECTNESS row yet (r1 driver cap)
+    "knn_bruteforce", "ann_ivf_topk", "nearest_centroid_counts",
+    "embedding_norm_stats", "embedding_model_scores", "doc_token_stats",
+    "doc_quality_scores", "lang_id_confusion", "doc_fingerprints",
+    "conditional_agg_ratio", "keyword_doc_stats", "keyword_lang_stats",
+    "tfidf_top_terms", "time_bucket_agg", "sliding_window_agg",
+    "session_windows", "asof_purchase_click", "range_join_funnel",
+    "daily_counts_gapfilled", "event_transition_counts",
+    "streaming_event_counts", "streaming_windowed_counts",
+    "streaming_dedup_counts", "streaming_session_windows",
+    "streaming_interval_join",
+    # (2) r1 hash-FAIL, fixed in r2 — need a green row as proof
+    "map_measure_rollup", "json_map_extract", "doc_split_stats",
+    "doc_pack_stats", "minhash_band_stats", "audio_feature_extract",
+    "embedding_lsh_neardup",
+    # (3) new in r2
+    "stats_pipeline_e2e", "jsonl_roundtrip_stats", "bucketed_join_revenue",
+    "report_text_roundtrip", "salted_event_sum", "stratified_sample_stats",
+    "vocab_top_terms", "repetition_ngram_stats", "streaming_stateful_totals",
+    "streaming_foreachbatch_counts", "dedup_keep_best",
+    "doc_embedding_join_stats", "approx_balance_deciles",
+]
+_ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
+_ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})
+QUERIES.clear()
+QUERIES.update(_ordered)
 
 __all__ = ["QUERIES", "ORACLES"]
