@@ -66,14 +66,30 @@ def bucketed_table(
     token = re.sub(r"\W+", "_", sf_dir).strip("_")
     tbl = f"bkt_{token}_{name}_by_{key}_{buckets}b"
     if not spark.catalog.tableExists(tbl):
-        # bucket spec lives in the session catalog; a location left by a
-        # previous session without its metadata is unusable — clear it
-        # (the bkt_ namespace is ours) and rewrite
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-        stale = os.path.join(wh, tbl)
-        if os.path.exists(stale):
-            shutil.rmtree(stale)
-        table(spark, sf_dir, name).write.bucketBy(buckets, key).sortBy(
-            key
-        ).saveAsTable(tbl)
+        loc = os.path.join(wh, tbl)
+        if os.path.exists(os.path.join(loc, "_SUCCESS")):
+            # complete bucketed data from a previous session: the default
+            # in-memory catalog forgot the table, but the files + bucket
+            # layout are valid — REATTACH via an external table with the
+            # identical bucket spec instead of rewriting the data (the
+            # bucket id is encoded in the filenames Spark wrote)
+            src = table(spark, sf_dir, name)
+            ddl = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {tbl} ({ddl}) USING parquet "
+                f"CLUSTERED BY ({key}) SORTED BY ({key}) INTO {buckets} BUCKETS "
+                f"LOCATION '{loc}'"
+            )
+        else:
+            # incomplete/absent data: clear and rewrite (bkt_ namespace is
+            # ours). The table is written EXTERNAL (explicit path) so its
+            # files survive metadata-only drops and future reattaches.
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
+            table(spark, sf_dir, name).write.bucketBy(buckets, key).sortBy(
+                key
+            ).option("path", loc).saveAsTable(tbl)
     return spark.table(tbl)

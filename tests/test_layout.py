@@ -87,6 +87,41 @@ def test_bucketed_table_helper_colocates_and_reuses(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+def test_bucketed_table_reattaches_after_catalog_loss(spark, sf_dir):
+    """A fresh session's in-memory catalog forgets bucketed tables; the
+    helper must REATTACH to the surviving files (external table, same
+    bucket spec) instead of rewriting — simulated here by a
+    metadata-only DROP TABLE (tables are external, files remain)."""
+    import re as _re
+    import time
+
+    from bigdata_imgprocessing_spark.core.catalog import bucketed_table
+
+    o = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
+    n_before = o.count()
+    token = _re.sub(r"\W+", "_", sf_dir).strip("_")
+    tbl = f"bkt_{token}_orders_by_o_orderkey_8b"
+    spark.sql(f"DROP TABLE {tbl}")  # metadata only — external location kept
+
+    t0 = time.monotonic()
+    o2 = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
+    reattach_secs = time.monotonic() - t0
+    assert o2.count() == n_before
+    assert reattach_secs < 2.0  # DDL-only, no rewrite
+    # the reattached table still carries the bucket spec: self-join with
+    # broadcast off must be a zero-exchange sort-merge join
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        l = bucketed_table(spark, sf_dir, "lineitem", "l_orderkey", buckets=8)
+        j = l.join(o2, F.col("l_orderkey") == F.col("o_orderkey"))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_aqe_splits_skewed_join_partitions(spark):
     """A join with one hot key, with thresholds forced low so AQE's
     skew-join kicks in at test scale: the final adaptive plan must mark
