@@ -88,6 +88,7 @@ HEADLINE = [
     "doc_embedding_join_stats",
     "report_text_roundtrip",
     "salted_event_sum",
+    "cached_predictions_stats",
 ]
 
 

@@ -311,3 +311,56 @@ def salted_event_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted.select(
         "event_type", F.round(F.col("sum_value"), 2).alias("sum_value")
     )
+
+
+@query(
+    "cached_predictions_stats",
+    oracle=f"""
+    WITH imgs AS (SELECT CAST(vec_id AS VARCHAR) AS img_id FROM embeddings),
+    dets AS (
+        SELECT img_id,
+               CAST(('0x' || substr(md5(img_id || '_' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 80 AS INTEGER) AS class_id,
+               (('0x' || substr(md5(img_id || '_s' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 1000) / 1000.0 AS score
+        FROM imgs CROSS JOIN (SELECT unnest(range(3)) AS j) js
+        WHERE j < ('0x' || substr(md5(img_id), 1, 10))::UBIGINT % 4
+    ),
+    counted AS (
+        SELECT img_id, class_id, count(*) AS cnt
+        FROM dets WHERE score > {SCORE_THRESHOLD}
+        GROUP BY img_id, class_id
+    )
+    SELECT class_id,
+           CAST(sum(cnt) AS BIGINT) AS n_detections,
+           count(*) AS n_images
+    FROM counted GROUP BY class_id
+    """,
+)
+def cached_predictions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 cached-result source in the checked path (the reference's
+    --cached-pred restart, pyspark_yolox.py:115-119): the per-image
+    detection-count intermediate is computed once, materialized to
+    parquet via sources/cached.read_or_compute, and the downstream
+    aggregation reads the MATERIALIZED copy — so the hash verifies the
+    checkpoint write/read, and a re-run skips inference entirely.
+    Materialization cuts lineage like checkpoint() but survives
+    sessions, exactly how a 100 TB pipeline restarts after its most
+    expensive stage."""
+    from ..sources.cached import read_or_compute
+
+    def compute() -> DataFrame:
+        imgs = table(spark, sf_dir, "embeddings").select(
+            F.col("vec_id").cast("string").alias("img_id")
+        )
+        dets = imgs.select("img_id", F.explode(detect_udf("img_id")).alias("det"))
+        return (
+            dets.where(F.col("det.score") > SCORE_THRESHOLD)
+            .groupBy("img_id", F.col("det.class_id").alias("class_id"))
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    path = os.path.join(_root_dir(sf_dir), "cached_predictions.parquet")
+    counted = read_or_compute(spark, path, compute)
+    return counted.groupBy("class_id").agg(
+        F.sum("cnt").alias("n_detections"),
+        F.count("*").alias("n_images"),
+    )
