@@ -72,20 +72,29 @@ def test_parity(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
-def test_no_hugeint_oracle_columns(sf_dir):
-    """No oracle may emit a HUGEINT column: DuckDB widens integer sum()
-    to HUGEINT, which the driver's pandas/Arrow path converts to float64
-    ('99111.0' vs Spark's '99111' → hash fail, 7 queries in round 1).
-    CAST(... AS BIGINT) every integer aggregate instead."""
+_ORACLE_TYPE_ALLOWLIST = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR"}
+
+
+def test_oracle_output_types_are_plain_scalars(sf_dir):
+    """Every oracle column must be a plain scalar type the driver's
+    comparator represents identically to Spark's. DuckDB widens integer
+    sum() to HUGEINT, which the pandas/Arrow path converts to float64
+    ('99111.0' vs Spark's '99111' → hash fail, 7 queries in round 1);
+    DECIMAL, TIMESTAMP, and nested types have the same representation
+    hazard. CAST to BIGINT/DOUBLE/VARCHAR at the oracle's output edge."""
     con = _duck(sf_dir)
     flagged = {}
     for name, sql in ORACLES.items():
         rel = con.sql(sql)
-        hug = [c for c, ty in zip(rel.columns, rel.types) if "HUGEINT" in str(ty).upper()]
-        if hug:
-            flagged[name] = hug
+        bad = [
+            (c, str(ty).upper())
+            for c, ty in zip(rel.columns, rel.types)
+            if str(ty).upper() not in _ORACLE_TYPE_ALLOWLIST
+        ]
+        if bad:
+            flagged[name] = bad
     con.close()
-    assert not flagged, f"oracles with HUGEINT output columns: {flagged}"
+    assert not flagged, f"oracles with non-scalar/widened output columns: {flagged}"
 
 
 def test_all_queries_have_entries():
