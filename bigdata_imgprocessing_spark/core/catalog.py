@@ -64,7 +64,11 @@ def bucketed_table(
     repeat calls reuse the existing table (write-once, read-many).
     """
     token = re.sub(r"\W+", "_", sf_dir).strip("_")
-    tbl = f"bkt_{token}_{name}_by_{key}_{buckets}b"
+    # fingerprint the source parquet so a regenerated testdata dir maps
+    # to a NEW table name instead of reattaching stale bucketed data
+    st = os.stat(f"{sf_dir}/{name}.parquet")
+    src = f"{st.st_mtime_ns:x}{st.st_size:x}"[-10:]
+    tbl = f"bkt_{token}_{name}_v{src}_by_{key}_{buckets}b"
     if not spark.catalog.tableExists(tbl):
         wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
         loc = os.path.join(wh, tbl)

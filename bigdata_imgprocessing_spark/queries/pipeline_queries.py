@@ -48,7 +48,14 @@ _CLASS = 16  # class-of-interest, mirroring pyspark_stats.py:69 "dog"
 
 
 def _root_dir(sf_dir: str) -> str:
-    token = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    """Per-(corpus-version) cache root: the token fingerprints the
+    embeddings parquet (mtime+size), so a regenerated testdata dir gets
+    a FRESH cache instead of stale materialized bytes — the cached
+    corpus/intermediates are pure functions of that file."""
+    st = os.stat(f"{sf_dir}/embeddings.parquet")
+    token = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     return f"/tmp/bdip_pipeline_{token}"
 
 

@@ -92,6 +92,7 @@ def test_bucketed_table_reattaches_after_catalog_loss(spark, sf_dir):
     helper must REATTACH to the surviving files (external table, same
     bucket spec) instead of rewriting — simulated here by a
     metadata-only DROP TABLE (tables are external, files remain)."""
+    import os as _os
     import re as _re
     import time
 
@@ -100,7 +101,9 @@ def test_bucketed_table_reattaches_after_catalog_loss(spark, sf_dir):
     o = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
     n_before = o.count()
     token = _re.sub(r"\W+", "_", sf_dir).strip("_")
-    tbl = f"bkt_{token}_orders_by_o_orderkey_8b"
+    st = _os.stat(f"{sf_dir}/orders.parquet")
+    src = f"{st.st_mtime_ns:x}{st.st_size:x}"[-10:]
+    tbl = f"bkt_{token}_orders_v{src}_by_o_orderkey_8b"
     spark.sql(f"DROP TABLE {tbl}")  # metadata only — external location kept
 
     t0 = time.monotonic()
