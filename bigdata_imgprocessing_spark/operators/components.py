@@ -35,16 +35,24 @@ def connected_components(
     """(src, dst) undirected edge list → (node, comp) with comp = min
     node id in the component. Nodes appear iff they occur in an edge;
     union isolated nodes afterwards if needed."""
+    from ..core.session import cache_parallelism
+
+    # checkpointed partitioning is frozen for every later round — size it
+    # to cores, not the session's shuffle-partition conf (a default-conf
+    # 200 would cost 200 tasks x stages x rounds)
+    width = cache_parallelism(edges.sparkSession)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
+        .coalesce(width)
         .localCheckpoint()
     )
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("min_nbr"))
         .select(F.col("a").alias("node"), F.least("min_nbr", F.col("a")).alias("comp"))
+        .coalesce(width)
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
@@ -63,6 +71,7 @@ def connected_components(
             .union(jump)
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
+            .coalesce(width)
             .localCheckpoint()  # cut lineage growth between rounds
         )
         new_sum = labels.agg(F.sum("comp")).first()[0]

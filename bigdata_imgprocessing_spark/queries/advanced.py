@@ -262,9 +262,16 @@ def embedding_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # nrm is precomputed per VECTOR here — the pair stage would otherwise
     # recompute each side's norm per CANDIDATE PAIR (identical doubles:
     # norm is a pure function of the array, so oracle parity is unchanged).
-    b = e.select(
-        "vec_id", "embedding", bucket.alias("bucket"), norm(F.col("embedding")).alias("nrm")
-    ).cache()
+    # coalesce first: cached partitioning is frozen (see cache_parallelism).
+    from ..core.session import cache_parallelism
+
+    b = (
+        e.select(
+            "vec_id", "embedding", bucket.alias("bucket"), norm(F.col("embedding")).alias("nrm")
+        )
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
 
     buckets = b.groupBy("bucket").agg(F.count("*").alias("k"))
     n_buckets = buckets.agg(F.count("*").alias("n_buckets"))

@@ -227,10 +227,14 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for b in range(_BANDS)
             ])
         ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey").cache()
+    ).select("doc_id", "bb.band", "bb.bkey")
     # cache(): bands feeds BOTH sides of the candidate self-join — without
     # it the shingle-explode/md5 signature lineage executes twice (same
     # DataFrame-DAGs-don't-share-subplans issue ngram_jaccard_hist hit).
+    # coalesce first: cached partitioning is frozen (see cache_parallelism).
+    from ..core.session import cache_parallelism
+
+    bands = bands.coalesce(cache_parallelism(spark)).cache()
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -240,7 +244,11 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     # cache(): sets joins in twice (sa/sb) — one shingling pass, not two
-    sets = with_sh.select("doc_id", F.array_distinct("sh").alias("ss")).cache()
+    sets = (
+        with_sh.select("doc_id", F.array_distinct("sh").alias("ss"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
     sa = sets.alias("sa")
     sb = sets.alias("sb")
     inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
@@ -296,10 +304,13 @@ def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # small grouped frame — a naive ex⋈ok + self-join re-executes the
     # shingle explode lineage 4x (DataFrame DAGs don't share subplans),
     # which benchmarked 27s vs ~8s for this shape at sf0.1.
+    from ..core.session import cache_parallelism
+
     groups = (
         ex.groupBy("s")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
         .where(F.size("ds") <= cutoff)
+        .coalesce(cache_parallelism(spark))  # cached partitioning is frozen
         .cache()  # ≤ |vocab| rows; reused by sizes AND pair generation
     )
     sizes = groups.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
