@@ -91,6 +91,16 @@ def bucketed_table(
             # incomplete/absent data: clear and rewrite (bkt_ namespace is
             # ours). The table is written EXTERNAL (explicit path) so its
             # files survive metadata-only drops and future reattaches.
+            # Also garbage-collect superseded versions of the same table
+            # (older source fingerprints) so the warehouse doesn't grow
+            # one copy per testdata regeneration.
+            import glob as _glob
+
+            for old in _glob.glob(
+                os.path.join(wh, f"bkt_{token}_{name}_v*_by_{key}_{buckets}b")
+            ):
+                if os.path.basename(old) != tbl:
+                    shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(loc):
                 shutil.rmtree(loc)
             table(spark, sf_dir, name).write.bucketBy(buckets, key).sortBy(
