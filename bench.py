@@ -89,6 +89,7 @@ HEADLINE = [
     "report_text_roundtrip",
     "salted_event_sum",
     "cached_predictions_stats",
+    "dedup_incremental_stats",
 ]
 
 

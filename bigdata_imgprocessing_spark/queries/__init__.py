@@ -46,7 +46,7 @@ _PRIORITY = [
     "vocab_top_terms", "repetition_ngram_stats", "streaming_stateful_totals",
     "streaming_foreachbatch_counts", "dedup_keep_best",
     "doc_embedding_join_stats", "approx_balance_deciles",
-    "cached_predictions_stats",
+    "cached_predictions_stats", "dedup_incremental_stats",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

@@ -499,3 +499,42 @@ def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("group_size") - 1).alias("n_dropped"),
         F.min("survivor").alias("min_survivor_id"),
     )
+
+
+@query(
+    "dedup_incremental_stats",
+    oracle="""
+    WITH old AS (
+        SELECT DISTINCT md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id < 250
+    ),
+    new_batch AS (
+        SELECT lang, md5(lower(trim(text))) AS fp
+        FROM documents WHERE doc_id >= 250
+    )
+    SELECT lang,
+           count(*) AS n_new,
+           count(*) FILTER (WHERE o.fp IS NULL) AS n_unique_vs_corpus
+    FROM new_batch n LEFT JOIN old o ON n.fp = o.fp
+    GROUP BY lang
+    """,
+)
+def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup: a NEW batch of documents checked
+    against the EXISTING corpus's fingerprint set (here: doc_id >= 250
+    arriving against doc_id < 250) — the shape every continuously-fed
+    training pipeline runs per ingest, distinct from whole-corpus dedup.
+    Implemented as a left-ANTI-style membership probe via left join on
+    the fingerprint; at 100 TB the existing-corpus fingerprints live as
+    a bucketed/sorted table (or a bloom filter for a first pass) so the
+    per-batch check shuffles only the new batch, never the corpus."""
+    d = table(spark, sf_dir, "documents")
+    fp = F.md5(F.lower(F.trim(F.col("text"))))
+    old = d.where(F.col("doc_id") < 250).select(fp.alias("fp")).distinct()
+    new_batch = d.where(F.col("doc_id") >= 250).select("lang", fp.alias("fp"))
+    j = new_batch.join(old.withColumnRenamed("fp", "ofp"),
+                       new_batch.fp == F.col("ofp"), "left")
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_new"),
+        F.count(F.when(F.col("ofp").isNull(), 1)).alias("n_unique_vs_corpus"),
+    )
