@@ -1,0 +1,54 @@
+#!/usr/bin/env python
+"""Regenerate PLANS.md: formatted physical plans of flagship queries
+with one-line commentary on why each plan is the scale-correct shape.
+The load-bearing plan properties are LOCKED by tests/test_plans.py;
+this file is the human-readable gallery."""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from bigdata_imgprocessing_spark.core.session import build_session
+from bigdata_imgprocessing_spark.queries import QUERIES
+
+PICKS = {
+    "top_orders": "Filters pushed to both parquet scans; 3-column lineitem ReadSchema; broadcast dim; TakeOrderedAndProject bounded top-k.",
+    "region_revenue": "Star join: both dims broadcast, single agg shuffle, filter In(r_name,...) reaches the region scan.",
+    "asof_purchase_click": "As-of join WITHOUT a join operator: union-merge + one (key,ts) window shuffle.",
+    "doc_chunk_windows": "Overlap chunking with ZERO exchanges: scan -> narrow Generate (explode) -> project.",
+    "embedding_model_scores": "Global top-20 as TakeOrderedAndProject per-partition heaps; the rank window consumes only the 20 survivors.",
+    "vocab_top_terms": "Token head: map-side-combined token agg then bounded take -- the tail never leaves the executors.",
+    "minhash_band_stats": "MinHash: explode -> hash-once -> 16 map-side partial min aggregates; band stats in one extra low-cardinality shuffle.",
+    "doc_pack_stats": "Sequence packing: one (lang,shard) shuffle feeds the running-sum window AND is reused by the pack aggregation (subset partitioning).",
+}
+
+
+def main() -> None:
+    spark = build_session("plans", cpus=8)
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    out = [
+        "# PLANS — formatted physical plans of flagship queries",
+        "",
+        'Generated from `.explain("formatted")` at sf0.001 (plans are',
+        "scale-invariant in shape; AQE adapts sizes at runtime). Regenerate:",
+        "`python tools_gen_plans.py` — or read the assertions in",
+        "`tests/test_plans.py`, which lock the load-bearing properties.",
+        "",
+    ]
+    for name, note in PICKS.items():
+        df = QUERIES[name](spark, sf)
+        plan = df._jdf.queryExecution().explainString(mode)
+        tree = plan.split("\n\n")[0]  # operator tree only, not node detail
+        out += [f"## {name}", "", note, "", "```", tree, "```", ""]
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md"), "w") as f:
+        f.write("\n".join(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
