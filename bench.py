@@ -90,6 +90,7 @@ HEADLINE = [
     "salted_event_sum",
     "cached_predictions_stats",
     "dedup_incremental_stats",
+    "range_window_counts",
 ]
 
 

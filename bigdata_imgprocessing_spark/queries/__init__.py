@@ -47,6 +47,7 @@ _PRIORITY = [
     "streaming_foreachbatch_counts", "dedup_keep_best",
     "doc_embedding_join_stats", "approx_balance_deciles",
     "cached_predictions_stats", "dedup_incremental_stats",
+    "range_window_counts",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

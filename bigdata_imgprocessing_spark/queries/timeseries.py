@@ -267,3 +267,44 @@ def event_transition_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("prev_type", "event_type")
         .agg(F.count("*").alias("n_transitions"))
     )
+
+
+@query(
+    "range_window_counts",
+    oracle="""
+    WITH e AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(date_trunc('second', ts))) AS BIGINT) AS sec
+        FROM events
+    ),
+    w AS (
+        SELECT user_id, event_id,
+               count(*) OVER (PARTITION BY user_id ORDER BY sec
+                              RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+                   AS n_last_hour
+        FROM e
+    )
+    SELECT n_last_hour AS burst_size, count(*) AS n_events
+    FROM w GROUP BY burst_size
+    """,
+)
+def range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based frame, not row-based): for every
+    event, how many events the same user produced in the preceding hour
+    INCLUDING simultaneous ones — rowsBetween can't express this because
+    ties at the frame edge must all enter the frame. Histogrammed by
+    burst size (a rate-limiting / burst-detection signal). One (user)
+    window shuffle + one tiny histogram shuffle; the frame is bounded
+    (1h) so window state stays O(events-per-hour-per-user) at any
+    corpus size."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.unix_timestamp(F.date_trunc("second", "ts")).alias("sec")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("sec")
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    counted = e.select("user_id", F.count("*").over(w).alias("burst_size"))
+    return counted.groupBy("burst_size").agg(F.count("*").alias("n_events"))
