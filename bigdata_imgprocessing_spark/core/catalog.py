@@ -78,9 +78,9 @@ def bucketed_table(
             # layout are valid — REATTACH via an external table with the
             # identical bucket spec instead of rewriting the data (the
             # bucket id is encoded in the filenames Spark wrote)
-            src = table(spark, sf_dir, name)
+            src_df = table(spark, sf_dir, name)
             ddl = ", ".join(
-                f"`{f.name}` {f.dataType.simpleString()}" for f in src.schema.fields
+                f"`{f.name}` {f.dataType.simpleString()}" for f in src_df.schema.fields
             )
             spark.sql(
                 f"CREATE TABLE {tbl} ({ddl}) USING parquet "
@@ -100,6 +100,11 @@ def bucketed_table(
                 os.path.join(wh, f"bkt_{token}_{name}_v*_by_{key}_{buckets}b")
             ):
                 if os.path.basename(old) != tbl:
+                    # drop the catalog entry FIRST so a registered table
+                    # never points at files we are about to delete
+                    spark.sql(
+                        f"DROP TABLE IF EXISTS `{os.path.basename(old)}`"
+                    )
                     shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(loc):
                 shutil.rmtree(loc)

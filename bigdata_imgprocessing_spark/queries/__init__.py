@@ -7,11 +7,12 @@ Importing this package registers every query into
 from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
-# the driver check order (dict insertion order). Round 1's driver
-# stopped after exactly 50 of 75 entries, so order = (1) queries that
-# have never had a CORRECTNESS row, (2) queries whose r1 row FAILED and
-# whose fix needs a green row, (3) new r2 queries, (4) r1-passed (their
-# green rows stand).
+# the driver check order (dict insertion order). The driver checks ~50
+# entries per round, so order = (1) queries whose latest green row is
+# r1-era (validated BEFORE the strictified parity gate / oracle-type
+# audit — re-confirm them under it; VERDICT r2 "Next round" item 2),
+# (2) new r3 queries (never checked), (3) r2-green queries (their rows
+# stand under the current gate).
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
@@ -25,29 +26,27 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) no CORRECTNESS row yet (r1 driver cap)
-    "knn_bruteforce", "ann_ivf_topk", "nearest_centroid_counts",
-    "embedding_norm_stats", "embedding_model_scores", "doc_token_stats",
-    "doc_quality_scores", "lang_id_confusion", "doc_fingerprints",
-    "conditional_agg_ratio", "keyword_doc_stats", "keyword_lang_stats",
-    "tfidf_top_terms", "time_bucket_agg", "sliding_window_agg",
-    "session_windows", "asof_purchase_click", "range_join_funnel",
-    "daily_counts_gapfilled", "event_transition_counts",
-    "streaming_event_counts", "streaming_windowed_counts",
-    "streaming_dedup_counts", "streaming_session_windows",
-    "streaming_interval_join",
-    # (2) r1 hash-FAIL, fixed in r2 — need a green row as proof
-    "map_measure_rollup", "json_map_extract", "doc_split_stats",
-    "doc_pack_stats", "minhash_band_stats", "audio_feature_extract",
-    "embedding_lsh_neardup",
-    # (3) new in r2
-    "stats_pipeline_e2e", "jsonl_roundtrip_stats", "bucketed_join_revenue",
-    "report_text_roundtrip", "salted_event_sum", "stratified_sample_stats",
-    "vocab_top_terms", "repetition_ngram_stats", "streaming_stateful_totals",
-    "streaming_foreachbatch_counts", "dedup_keep_best",
-    "doc_embedding_join_stats", "approx_balance_deciles",
-    "cached_predictions_stats", "dedup_incremental_stats",
-    "range_window_counts",
+    # (1) latest green row is r1-era (not in CORRECTNESS_r02.json) —
+    # re-confirm under the strictified gate. 41 names, computed as
+    # QUERIES - r2-checked set.
+    "grouping_sets_revenue", "regex_token_stats", "percentile_stats",
+    "approx_sketch_stats", "doc_chunk_windows", "doc_quality_filter",
+    "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_hist",
+    "simhash_fingerprints", "doc_chain_components", "image_avg_color",
+    "image_dominant_hist", "image_detection_counts",
+    "detection_class_names", "image_predictions", "image_letterbox_stats",
+    "video_frame_sample", "cluster_profile", "pricing_summary",
+    "alphabet_stats", "top_orders", "region_revenue",
+    "name_length_buckets", "semi_join_customers", "anti_join_customers",
+    "outer_join_order_counts", "distinct_counts", "event_histogram",
+    "pivot_event_counts", "window_topk_orders", "moving_avg_orders",
+    "rollup_revenue", "cube_order_stats", "set_ops_customers",
+    "full_outer_nation_counts", "exists_late_orders",
+    "small_quantity_revenue", "inactive_rich_customers",
+    "customer_balance_deciles", "priority_multiset_diff",
+    # (2) new in r3 — never had a CORRECTNESS row
+    "approx_balance_deciles",  # upgraded r3: rows-only -> hash-checked bound
+    # (3) r2-green queries follow in registration order (rows stand).
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

@@ -213,12 +213,22 @@ def streaming_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     write path, not just the stream."""
     import hashlib as _h
     import os as _os
+    import shutil as _sh
 
     from ..streaming.jobs import run_foreachbatch_parquet
 
     ensure_utc(spark)
-    token = _h.md5(sf_dir.encode()).hexdigest()[:12]
+    # Token fingerprints the source file (mtime+size, like
+    # pipeline_queries._root_dir): regenerated testdata gets a fresh sink
+    # dir. Belt-and-braces: also clear the dir before draining, so stale
+    # batch=* dirs from a prior run with different micro-batch
+    # segmentation can never pollute the glob re-read (ADVICE r2).
+    st = _os.stat(f"{sf_dir}/events.parquet")
+    token = _h.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
     out = f"/tmp/bdip_fob_{token}"
+    _sh.rmtree(out, ignore_errors=True)
     s = event_stream(spark, sf_dir).select("event_type", "user_id")
     run_foreachbatch_parquet(s, out)
     back = spark.read.parquet(*[

@@ -31,9 +31,19 @@ def _update(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
     n, total, n_large = state.get if state.exists else (0, 0.0, 0)
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])  # deterministic arrival order
-        for v in pdf["value"]:
+    # Concat ALL Arrow chunks for the group, then sort ONCE: a group
+    # larger than arrow.maxRecordsPerBatch arrives as multiple chunks,
+    # and chunk-local sorts would fold values out of global (ts,
+    # event_id) order (ADVICE r2). Residual assumption (documented): a
+    # group split ACROSS micro-batches still folds in micro-batch order;
+    # the order-dependent n_large contract holds because the file source
+    # delivers each key's rows within one micro-batch per file-chunk and
+    # ts ordering across batches follows file order in this corpus.
+    chunks = [p for p in pdfs if len(p)]
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
             n += 1
             total += float(v)
             if total > _THRESHOLD:

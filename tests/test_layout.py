@@ -94,7 +94,6 @@ def test_bucketed_table_reattaches_after_catalog_loss(spark, sf_dir):
     metadata-only DROP TABLE (tables are external, files remain)."""
     import os as _os
     import re as _re
-    import time
 
     from bigdata_imgprocessing_spark.core.catalog import bucketed_table
 
@@ -104,13 +103,24 @@ def test_bucketed_table_reattaches_after_catalog_loss(spark, sf_dir):
     st = _os.stat(f"{sf_dir}/orders.parquet")
     src = f"{st.st_mtime_ns:x}{st.st_size:x}"[-10:]
     tbl = f"bkt_{token}_orders_v{src}_by_o_orderkey_8b"
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    loc = _os.path.join(wh, tbl)
+    files_before = {
+        f: _os.stat(_os.path.join(loc, f)).st_mtime_ns
+        for f in _os.listdir(loc)
+    }
     spark.sql(f"DROP TABLE {tbl}")  # metadata only — external location kept
 
-    t0 = time.monotonic()
     o2 = bucketed_table(spark, sf_dir, "orders", "o_orderkey", buckets=8)
-    reattach_secs = time.monotonic() - t0
     assert o2.count() == n_before
-    assert reattach_secs < 2.0  # DDL-only, no rewrite
+    # DDL-only reattach, no rewrite: every data file survives untouched
+    # (load-insensitive check — a wall-clock bound here flaked under CI
+    # load; same file set + same mtimes proves no write happened)
+    files_after = {
+        f: _os.stat(_os.path.join(loc, f)).st_mtime_ns
+        for f in _os.listdir(loc)
+    }
+    assert files_after == files_before
     # the reattached table still carries the bucket spec: self-join with
     # broadcast off must be a zero-exchange sort-merge join
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
