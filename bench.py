@@ -97,6 +97,10 @@ HEADLINE = [
     "cached_predictions_stats",
     "dedup_incremental_stats",
     "range_window_counts",
+    # round 3 additions
+    "streaming_kafka_roundtrip",
+    "streaming_upsert_latest",
+    "ann_ivf_learned",
 ]
 
 
@@ -133,6 +137,15 @@ def main() -> None:
         df = QUERIES[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # Untimed between queries: drop cached frames (the LSH queries
+        # cache fan-out frames and never unpersist — 68 queries of
+        # accumulated storage blocks showed up as erratic multi-second
+        # outliers in otherwise sub-2s queries) and force a GC so
+        # collection pauses land in the harness gap, not mid-query
+        # (the multi-second spike wandered to a different query each
+        # run before this).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
     detail = {

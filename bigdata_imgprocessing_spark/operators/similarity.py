@@ -28,3 +28,19 @@ def norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
+
+
+def sqdist(a: Column, b: Column) -> Column:
+    """Squared Euclidean distance, same determinism contract as ``dot``:
+    element order, double casts, left-to-right sum, and an explicit
+    multiply (not pow) mirrored in the oracle SQL."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )

@@ -132,6 +132,121 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
 
 
+@query(
+    "ann_ivf_learned",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label, i AS pos, embedding[i+1]::DOUBLE AS x
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS cell, list(round(c, 3) ORDER BY pos) AS cv
+        FROM (SELECT label, pos, avg(x) AS c FROM flat GROUP BY label, pos)
+        GROUP BY cell
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               round(list_sum(list_transform(range(len(e.embedding)),
+                     i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+                        * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))), 6) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS arn
+            FROM dists
+        ) WHERE arn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS prn
+            FROM dists WHERE vec_id IN {_QUERY_IDS}
+        ) WHERE prn <= 2
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_DUCK_COS} AS cos_sim
+        FROM assigned e JOIN qprobe q ON e.cell = q.cell
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with a LEARNED quantizer, driver-checked (VERDICT r2 item 7):
+    centroids are computed FROM the corpus (per-label mean vector — one
+    deterministic Lloyd step seeded by labels, rounded to 3dp so both
+    engines agree bit-for-bit), every vector is assigned to its nearest
+    centroid by squared Euclidean distance (NOT its label — vectors can
+    and do land in foreign cells, which is what makes this a quantizer
+    rather than the ``ann_ivf_topk`` label shortcut), and queries probe
+    their 2 nearest cells for cosine top-3.
+
+    Same plan shape as the Spark-ML-KMeans path in ``operators/ivf.py``
+    (which stays pytest-covered — ML centroids aren't SQL-reproducible):
+    broadcast centroid table → one assignment pass over the corpus →
+    probe equi-join on cell. Scale: assignment is a broadcast nested
+    cross with k rows (k=|labels|), the per-vec argmin is a window
+    partitioned by vec_id (no global sort), and the probe join touches
+    ~n_probe/k of the corpus — with the corpus written bucketed by cell
+    it's a partition-pruned local scan at 100 TB."""
+    from ..operators.similarity import sqdist
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"], 3),
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+    withd = e.crossJoin(F.broadcast(cent)).withColumn(
+        "dist", F.round(sqdist(F.col("embedding"), F.col("cv")), 6)
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy("dist", "cell")
+    ranked = withd.withColumn("arn", F.row_number().over(w_assign))
+    assigned = ranked.where(F.col("arn") == 1).select(
+        "vec_id", "embedding", "en", "cell"
+    )
+    qprobe = (
+        ranked.where(F.col("vec_id").isin(*_QUERY_IDS) & (F.col("arn") <= 2))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
+            "cell",
+        )
+    )
+    scored = (
+        assigned.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
+
+
 # ---------------------------------------------------------------------------
 # Nearest-centroid classification — the reference's closest-primary-color
 # op (pyspark_dominant.py:96-117): Euclidean distance to a fixed literal

@@ -238,3 +238,116 @@ def streaming_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count("*").alias("n_events"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+def _fingerprinted_tmp(sf_dir: str, prefix: str) -> str:
+    """Per-corpus-version /tmp dir: token = source mtime+size, so
+    regenerated testdata never reads a stale sink."""
+    import hashlib as _h
+    import os as _os
+
+    st = _os.stat(f"{sf_dir}/events.parquet")
+    token = _h.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    return f"/tmp/{prefix}_{token}"
+
+
+@query(
+    "streaming_kafka_roundtrip",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value,
+           true AS partitions_in_range
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_kafka_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kafka-shaped ingest: events are serialized to the exact record
+    shape Spark's Kafka source emits (key/value binary, topic,
+    partition, offset, timestamp), then parsed back with the consumer
+    code a real ``.format("kafka")`` stream would run
+    (``from_json(cast(value as string))``), and aggregated. The oracle
+    hash proves the full serialize → wire → deserialize path loses
+    nothing: counts, distinct keys (via the KEY bytes, not the payload),
+    and value sums all survive; ``partitions_in_range`` asserts the
+    DefaultPartitioner-style pmod(hash(key)) stays within the topic's
+    partition count. See streaming/kafka_shaped.py for the one-line swap
+    to a real broker."""
+    from ..streaming.kafka_shaped import parse_kafka_wire, to_kafka_wire
+
+    ensure_utc(spark)
+    wire = to_kafka_wire(event_stream(spark, sf_dir), n_partitions=4)
+    parsed = parse_kafka_wire(wire)
+    # streaming forbids exact count_distinct → per-(type,key) partial agg
+    # in the stream (the heavy shuffle), distinct-count as a final batch
+    # reduce over the materialized sink table
+    partial = parsed.groupBy("event_type", "key_user_id").agg(
+        F.count("*").alias("cnt"),
+        F.sum("value").alias("sum_v"),
+        F.min("partition").alias("p_min"),
+        F.max("partition").alias("p_max"),
+    )
+    sink = run_to_memory(partial, mode="complete")
+    return sink.groupBy("event_type").agg(
+        F.sum("cnt").alias("n_events"),
+        F.count("*").alias("n_users"),
+        F.round(F.sum("sum_v"), 2).alias("sum_value"),
+        ((F.min("p_min") >= 0) & (F.max("p_max") < 4)).alias(
+            "partitions_in_range"
+        ),
+    )
+
+
+@query(
+    "streaming_upsert_latest",
+    oracle="""
+    WITH ranked AS (
+        SELECT user_id, event_type, value,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+               row_number() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT) DESC,
+                            event_id DESC
+               ) AS rn
+        FROM events
+    )
+    SELECT user_id,
+           ts_sec AS last_ts_sec,
+           event_type AS last_event_type,
+           round(value, 2) AS last_value
+    FROM ranked WHERE rn = 1
+    """,
+)
+def streaming_upsert_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """foreachBatch MERGE-style upsert keyed on user_id: the Kafka-shaped
+    stream drains through a versioned-parquet state table where each
+    micro-batch UPDATEs existing keys with newer events and INSERTs
+    unseen ones (streaming/upsert.py — the by-hand form of Delta/Iceberg
+    ``MERGE INTO``). The checked result is the FINAL STATE re-read from
+    the sink, so the oracle (batch last-event-per-user) verifies the
+    whole chain: wire decode → per-batch newest-wins reduce → cross-batch
+    merge → state versioning. Newest = max (second-truncated ts,
+    event_id), a total order shared with the oracle, so the answer is
+    independent of micro-batch segmentation."""
+    import shutil as _sh
+
+    from ..streaming.kafka_shaped import parse_kafka_wire, to_kafka_wire
+    from ..streaming.upsert import read_final_state, run_foreachbatch_upsert
+
+    ensure_utc(spark)
+    out = _fingerprinted_tmp(sf_dir, "bdip_upsert")
+    _sh.rmtree(out, ignore_errors=True)
+    parsed = parse_kafka_wire(
+        to_kafka_wire(event_stream(spark, sf_dir), n_partitions=4)
+    )
+    run_foreachbatch_upsert(parsed, out, key="user_id")
+    state = read_final_state(spark, out)
+    return state.select(
+        "user_id",
+        F.col("ts_sec").alias("last_ts_sec"),
+        F.col("event_type").alias("last_event_type"),
+        F.round("value", 2).alias("last_value"),
+    )

@@ -20,6 +20,16 @@ pruned files are never opened, the Iceberg/Delta file-skipping model.
 Without a manifest the same filters still skip payloads per-file at
 read time, so the manifest is purely an optimization, never required
 for correctness.
+
+SCOPE — demo/reference connector, not the default ingest path: rows
+materialize through a Python worker (the Python DataSource API), so a
+bulk scan here pays serialization the JVM ``binaryFile`` reader doesn't.
+The default image ingest at scale stays
+``spark.read.format("binaryFile")`` (JVM-side, whole-stage codegen
+downstream) + metadata extraction in the first Arrow UDF stage
+(images/codec.py); use THIS source when scan-time typed-metadata
+pushdown/manifest pruning is worth a Python scan — small/medium corpora
+or highly selective metadata predicates.
 """
 
 from __future__ import annotations

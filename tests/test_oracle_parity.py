@@ -72,7 +72,12 @@ def test_parity(spark, sf_dir, name):
     assert not mismatches, f"{name}: first mismatches {mismatches[:5]}"
 
 
-_ORACLE_TYPE_ALLOWLIST = {"BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT", "VARCHAR"}
+# BOOLEAN: tolerance-bound columns (approx_* queries) — Python bool on
+# both engines, repr-stable through the driver's value hash.
+_ORACLE_TYPE_ALLOWLIST = {
+    "BIGINT", "INTEGER", "SMALLINT", "TINYINT", "DOUBLE", "FLOAT",
+    "VARCHAR", "BOOLEAN",
+}
 
 
 def test_oracle_output_types_are_plain_scalars(sf_dir):
@@ -101,6 +106,7 @@ def test_all_queries_have_entries():
     assert QUERIES, "no queries registered"
     missing_oracle = set(QUERIES) - set(ORACLES)
     # non-SQL-expressible ops are allowed to omit oracles, but must be
-    # consciously listed here as they are added
-    allowed_weak = {"approx_sketch_stats", "approx_balance_deciles"}
+    # consciously listed here as they are added (r3: the approx sketch
+    # queries graduated to hash-checked tolerance bounds — none left)
+    allowed_weak: set[str] = set()
     assert missing_oracle <= allowed_weak, f"queries missing oracles: {missing_oracle}"

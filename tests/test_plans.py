@@ -199,3 +199,15 @@ def test_pack_stats_reuses_shard_partitioning(spark, sf_dir):
     assert plan.count("Exchange") <= 4
     assert "Window" in plan
     assert "EvalPython" not in plan
+
+
+def test_lsh_verify_joins_are_hash_on_cached_candidates(spark, sf_dir):
+    """minhash_lsh_pairs: candidate generation is a bucketed self-EQUI-join
+    and the Jaccard verify stage joins only the candidate frame to the
+    CACHED shingle sets — all hash-based joins, no nested-loop/cartesian
+    anywhere, and the cached bands/sets show up as InMemoryTableScan so
+    the signature lineage runs once, not once per join side."""
+    plan = _formatted(spark, QUERIES["minhash_lsh_pairs"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
