@@ -101,6 +101,9 @@ HEADLINE = [
     "streaming_kafka_roundtrip",
     "streaming_upsert_latest",
     "ann_ivf_learned",
+    "decontam_ngram_overlap",
+    "quantized_ann_recall",
+    "streaming_replay_dedup",
 ]
 
 

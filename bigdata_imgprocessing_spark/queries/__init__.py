@@ -47,7 +47,8 @@ _PRIORITY = [
     # (2) new in r3 — never had a CORRECTNESS row
     "approx_balance_deciles",  # upgraded r3: rows-only -> hash-checked bound
     "streaming_kafka_roundtrip", "streaming_upsert_latest",
-    "ann_ivf_learned",
+    "ann_ivf_learned", "decontam_ngram_overlap", "quantized_ann_recall",
+    "streaming_replay_dedup",
     # (3) r2-green queries follow in registration order (rows stand).
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -341,3 +341,106 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.avg(F.when(kept, F.col("quality"))), 4).alias("kept_avg_quality"),
         F.round(F.min(F.when(kept, F.col("quality"))), 4).alias("kept_min_quality"),
     )
+
+
+# ---------------------------------------------------------------------------
+
+_DECON_N = 5  # word n-gram size for contamination detection
+
+
+@query(
+    "decontam_ngram_overlap",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} < 90
+                    THEN 'train'
+                    WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} >= 95
+                    THEN 'test' END AS split
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, split,
+               substr(md5(array_to_string(toks[i + 1:i + {_DECON_N}], ' ')), 1, 16)
+                   AS gram_h
+        FROM (
+            SELECT doc_id, lang, split, toks,
+                   unnest(generate_series(0, len(toks) - {_DECON_N})) AS i
+            FROM assigned WHERE split IS NOT NULL
+        )
+    ), train_grams AS (
+        SELECT DISTINCT gram_h FROM grams WHERE split = 'train'
+    ), contaminated AS (
+        SELECT DISTINCT g.doc_id
+        FROM grams g JOIN train_grams tg USING (gram_h)
+        WHERE g.split = 'test'
+    )
+    SELECT a.lang,
+           CAST(count(*) AS BIGINT) AS n_test_docs,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+           round(count(c.doc_id) * 1.0 / count(*), 4) AS contamination_rate
+    FROM assigned a LEFT JOIN contaminated c USING (doc_id)
+    WHERE a.split = 'test'
+    GROUP BY a.lang
+    """,
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test decontamination check: flag test-split documents that
+    share any word 5-gram with the train split — the benchmark-leakage
+    scan every training-data pipeline runs before shipping an eval set.
+
+    Uses the SAME hash split as ``doc_split_stats`` (one split function
+    across the whole pipeline is itself the point: the contamination
+    scan must see exactly the split the trainer will).
+
+    Scale design: grams are hashed to a 16-hex-char key BEFORE the
+    shuffle, so the semi join moves fixed 16-byte keys instead of raw
+    40-char n-grams, and the train side is distinct-reduced map-side
+    before the exchange. The join is a left-semi on the hash — at 100 TB
+    the train-gram set becomes a bloom filter broadcast (or a DF-cutoff
+    pruned index like ``ngram_jaccard_hist``) probed map-side, turning
+    the scan into a shuffle-free pass over test docs; the exact-join
+    form here is the verification-grade fallback. Hash collisions
+    (2^-64) only ever ADD a flagged doc — conservative in the right
+    direction for decontamination.
+    """
+    d = table(spark, sf_dir, "documents")
+    h = _md5_bucket(F.concat(F.col("doc_id").cast("string"), F.lit("_split")), 100)
+    split = F.when(h < 90, "train").when(h >= 95, "test")
+    assigned = d.select(
+        "doc_id", "lang", split.alias("split"), F.split(F.col("text"), " ").alias("toks")
+    ).where(F.col("split").isNotNull())
+    n = F.size(F.col("toks"))
+    idx = F.when(n >= _DECON_N, F.sequence(F.lit(0), n - _DECON_N)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = assigned.select(
+        "doc_id",
+        "split",
+        F.explode(
+            F.transform(
+                idx, lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(F.col("toks"), i + 1, _DECON_N), " ")),
+                    1,
+                    16,
+                )
+            )
+        ).alias("gram_h"),
+    )
+    train_grams = grams.where(F.col("split") == "train").select("gram_h").distinct()
+    contaminated = (
+        grams.where(F.col("split") == "test")
+        .join(train_grams, "gram_h", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    test_docs = assigned.where(F.col("split") == "test").select("doc_id", "lang")
+    return (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.count("hit").alias("n_contaminated"),
+            F.round(F.count("hit") / F.count("*"), 4).alias("contamination_rate"),
+        )
+    )

@@ -397,3 +397,136 @@ def embedding_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     order = [F.col("score").desc(), F.col("vec_id")]
     top = scored.orderBy(*order).limit(20)
     return top.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
+
+
+# ---------------------------------------------------------------------------
+# Scalar (int8) quantization + recall audit — the memory-side half of a
+# 100 TB ANN deployment: 4 bytes/dim float32 -> 1 byte/dim int8 cuts the
+# resident index 4x; this query measures what that costs in rank quality.
+# ---------------------------------------------------------------------------
+
+_DUCK_QCOS = """
+    round(
+      list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))
+      / (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
+         * sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)))), 6)
+"""
+
+
+@query(
+    "quantized_ann_recall",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 127 / ma + 0.5) AS BIGINT)) AS qv
+        FROM (
+            SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE))), 1e-30) AS ma
+            FROM embeddings
+        )
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe, qv AS qqv
+        FROM qz WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               {_DUCK_QCOS} AS cos_sim,
+               list_sum(list_transform(range(len(e.qv)),
+                   i -> e.qv[i+1] * q.qqv[i+1])) AS qdot
+        FROM qz e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY qdot DESC, vec_id) AS rn_q,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, vec_id) AS rn_e
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE rn_q <= 5 AND rn_e <= 5) AS BIGINT)
+               AS n_overlap,
+           count(*) FILTER (WHERE rn_q <= 5 AND rn_e <= 5) / 5.0 AS recall_at_5
+    FROM ranked GROUP BY query_id
+    """,
+)
+def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector symmetric int8 quantization (scale = 127 / max|x|) and
+    recall@5 of quantized-dot top-k against exact-cosine top-k, per
+    query — the audit run before switching a serving index to int8.
+
+    Rounding is floor(z + 0.5) on BOTH engines (identical half-up
+    semantics; plain round() differs between them on .5 boundaries), and
+    both rankings tie-break on vec_id, so integer-score ties — common
+    after quantization — can't flip ranks between engines.
+
+    Scale design: quantized vectors and their integer dot products are
+    narrow per-row projections computed map-side; the corpus is scanned
+    once, never shuffled (query side broadcast, 3 rows). The per-query
+    rank windows here see the whole corpus per partition — fine for an
+    audit over a sampled corpus (the intended use: quantization error is
+    estimated on a sample, not the full 100 TB); a full-corpus variant
+    takes both top-k lists per query via orderBy().limit() two-phase
+    heaps exactly as ``embedding_model_scores`` does."""
+    from ..operators.similarity import dot, norm
+
+    e = table(spark, sf_dir, "embeddings")
+    based = e.select(
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            F.lit(1e-30),
+        ).alias("ma"),
+    )
+    qz = based.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127 / F.col("ma") + 0.5).cast("bigint"),
+        ).alias("qv"),
+        norm(F.col("embedding")).alias("en"),
+    )
+    q = F.broadcast(
+        qz.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("qv").alias("qqv"),
+            F.col("en").alias("qn"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    scored = (
+        qz.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+            ).alias("cos_sim"),
+            idot.alias("qdot"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), F.col("vec_id"))
+    we = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), F.col("vec_id"))
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(wq).alias("rn_q"),
+        F.row_number().over(we).alias("rn_e"),
+    )
+    hit = (F.col("rn_q") <= 5) & (F.col("rn_e") <= 5)
+    return ranked.groupBy("query_id").agg(
+        F.count(F.when(hit, 1)).alias("n_overlap"),
+        (F.count(F.when(hit, 1)) / 5.0).alias("recall_at_5"),
+    )

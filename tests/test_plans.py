@@ -211,3 +211,24 @@ def test_lsh_verify_joins_are_hash_on_cached_candidates(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_decontam_is_semi_join_jvm_side(spark, sf_dir):
+    """decontam_ngram_overlap: the train-gram probe must be a LeftSemi
+    HASH join on the 16-char gram hash (never nested-loop over raw
+    grams) and the whole gram build — split/slice/md5 — stays JVM-side
+    (no Python eval anywhere)."""
+    plan = _formatted(spark, QUERIES["decontam_ngram_overlap"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan
+
+
+def test_quantized_recall_scans_corpus_broadcast_queries(spark, sf_dir):
+    """quantized_ann_recall: query side (3 rows) is broadcast — the
+    corpus-side scan is never shuffled for scoring; quantization and the
+    integer dot are pure JVM expressions (no Python eval)."""
+    plan = _formatted(spark, QUERIES["quantized_ann_recall"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "EvalPython" not in plan

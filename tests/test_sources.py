@@ -295,3 +295,31 @@ def test_fimg_manifest_prunes_at_planning(spark, tmp_path):
     df = spark.read.format("fimg").option("path", str(d)).load()
     got = sorted(r_.img_id for r_ in df.where(F.col("width") > 5).collect())
     assert got == ["m1", "m2"]
+
+
+def test_replay_dedup_is_load_bearing(spark, sf_dir):
+    """streaming_replay_dedup: the unioned replay leg really doubles the
+    feed (so the green oracle row isn't vacuous), and
+    dropDuplicatesWithinWatermark collapses it back to exactly the
+    original event count despite the +10s timestamp skew on the
+    duplicate copies."""
+    from pyspark.sql import functions as F
+
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.streaming.jobs import event_stream, run_to_memory
+
+    n_events = table(spark, sf_dir, "events").count()
+
+    s = event_stream(spark, sf_dir)
+    replay = s.withColumn("ts", F.col("ts") + F.expr("INTERVAL 10 SECONDS"))
+    both = s.unionByName(replay).withWatermark("ts", "1 hour")
+
+    raw = run_to_memory(both.select("event_id"), mode="append")
+    assert raw.count() == 2 * n_events
+
+    deduped = run_to_memory(
+        both.dropDuplicatesWithinWatermark(["event_id"]).select("event_id"),
+        mode="append",
+    )
+    assert deduped.count() == n_events
+    assert deduped.distinct().count() == n_events
