@@ -104,6 +104,8 @@ HEADLINE = [
     "decontam_ngram_overlap",
     "quantized_ann_recall",
     "streaming_replay_dedup",
+    "image_phash_neardup",
+    "orc_roundtrip_stats",
 ]
 
 

@@ -8,11 +8,14 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so order = (1) queries whose latest green row is
-# r1-era (validated BEFORE the strictified parity gate / oracle-type
-# audit — re-confirm them under it; VERDICT r2 "Next round" item 2),
-# (2) new r3 queries (never checked), (3) r2-green queries (their rows
-# stand under the current gate).
+# entries per round, so order = (1) new r3 queries that have NEVER had a
+# CORRECTNESS row (their first row is the highest-value check), (2)
+# queries whose latest green row is r1-era (validated BEFORE the
+# strictified parity gate / oracle-type audit — re-confirm them under
+# it; VERDICT r2 "Next round" item 2), (3) r2-green queries (their rows
+# stand under the current gate). (1)+(2) is 51 names for a ~50 window:
+# the one that may fall out is detection_class_names, deliberately last
+# in (2) — a 3-row static-dim lookup, the least risky standing row.
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
@@ -26,15 +29,21 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) latest green row is r1-era (not in CORRECTNESS_r02.json) —
+    # (1) new in r3 — never had a CORRECTNESS row
+    "approx_balance_deciles",  # upgraded r3: rows-only -> hash-checked bound
+    "approx_sketch_stats",  # same upgrade (was rows-only by design)
+    "streaming_kafka_roundtrip", "streaming_upsert_latest",
+    "ann_ivf_learned", "decontam_ngram_overlap", "quantized_ann_recall",
+    "streaming_replay_dedup", "image_phash_neardup", "orc_roundtrip_stats",
+    # (2) latest green row is r1-era (not in CORRECTNESS_r02.json) —
     # re-confirm under the strictified gate. 41 names, computed as
     # QUERIES - r2-checked set.
     "grouping_sets_revenue", "regex_token_stats", "percentile_stats",
-    "approx_sketch_stats", "doc_chunk_windows", "doc_quality_filter",
+    "doc_chunk_windows", "doc_quality_filter",
     "dedup_exact", "minhash_lsh_pairs", "ngram_jaccard_hist",
     "simhash_fingerprints", "doc_chain_components", "image_avg_color",
     "image_dominant_hist", "image_detection_counts",
-    "detection_class_names", "image_predictions", "image_letterbox_stats",
+    "image_predictions", "image_letterbox_stats",
     "video_frame_sample", "cluster_profile", "pricing_summary",
     "alphabet_stats", "top_orders", "region_revenue",
     "name_length_buckets", "semi_join_customers", "anti_join_customers",
@@ -44,11 +53,7 @@ _PRIORITY = [
     "full_outer_nation_counts", "exists_late_orders",
     "small_quantity_revenue", "inactive_rich_customers",
     "customer_balance_deciles", "priority_multiset_diff",
-    # (2) new in r3 — never had a CORRECTNESS row
-    "approx_balance_deciles",  # upgraded r3: rows-only -> hash-checked bound
-    "streaming_kafka_roundtrip", "streaming_upsert_latest",
-    "ann_ivf_learned", "decontam_ngram_overlap", "quantized_ann_recall",
-    "streaming_replay_dedup",
+    "detection_class_names",  # least-risky standing row, may fall outside
     # (3) r2-green queries follow in registration order (rows stand).
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

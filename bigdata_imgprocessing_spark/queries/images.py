@@ -280,3 +280,87 @@ def image_predictions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return imgs.join(per_img, "img_id", "left").select(
         "img_id", F.coalesce("predictions", F.lit("")).alias("predictions")
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-dup detection (image dedup for a training corpus)
+# ---------------------------------------------------------------------------
+
+_PH_MEAN = "(" + " + ".join(_DUCK_PX.format(i=i) for i in range(1, 13)) + ") / 12.0"
+_PH_HASH = "(" + " + ".join(
+    f"(CASE WHEN {_DUCK_PX.format(i=i + 1)}::DOUBLE >= m THEN {1 << i} ELSE 0 END)"
+    for i in range(12)
+) + ")"
+
+
+@query(
+    "image_phash_neardup",
+    oracle=f"""
+    WITH m0 AS (
+        SELECT vec_id AS img_id, {_PH_MEAN} AS m, embedding FROM embeddings
+    ), hashes AS (
+        SELECT img_id, {_PH_HASH} AS ph FROM m0
+    ), bands AS (
+        SELECT img_id, ph, b, (ph >> (4 * b)) & 15 AS bv
+        FROM hashes, unnest([0, 1, 2]) t(b)
+    ), pairs AS (
+        SELECT DISTINCT a.img_id AS ia, b.img_id AS ib, a.ph AS pa, b.ph AS pb
+        FROM bands a JOIN bands b
+          ON a.b = b.b AND a.bv = b.bv AND a.img_id < b.img_id
+    )
+    SELECT bit_count(xor(pa, pb)) AS hamming,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs WHERE bit_count(xor(pa, pb)) <= 2
+    GROUP BY hamming
+    """,
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual hash: mean-threshold
+    aHash per image (computed from DECODED bytes — the binary round trip
+    is inside the checked hash), banded-LSH candidate generation (3
+    bands x 4 bits: a near-dup pair differing in <= 2 bits must agree on
+    at least one whole band), hamming-verified pairs histogrammed.
+
+    The image-side twin of ``minhash_lsh_pairs``: candidates come from a
+    bucketed band self-EQUI-join — never an all-pairs comparison — and
+    the verify stage is one integer xor/popcount per candidate. At 100
+    TB the hash is 64-bit over 8x8 downsampled luma (same UDF shape),
+    bands widen to 4 x 16 bits, and the band join's bucket sizes stay
+    bounded by true near-dup cluster sizes, not corpus size. The hash
+    frame is cached: band explode + both join sides reuse one UDF pass
+    over the corpus."""
+    from ..core.session import cache_parallelism
+    from ..images.fingerprint import phash_udf
+
+    imgs = _images(spark, sf_dir)
+    hashes = (
+        imgs.select("img_id", phash_udf("content").alias("ph"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    bands = hashes.select(
+        "img_id", "ph", F.explode(F.array(*[F.lit(b) for b in range(3)])).alias("b")
+    ).withColumn("bv", F.expr("shiftright(ph, 4 * b) & 15"))
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.b") == F.col("b.b"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.img_id") < F.col("b.img_id")),
+        )
+        .select(
+            F.col("a.img_id").alias("ia"),
+            F.col("b.img_id").alias("ib"),
+            F.col("a.ph").alias("pa"),
+            F.col("b.ph").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        pairs.select(ham.alias("hamming"))
+        .where(F.col("hamming") <= 2)
+        .groupBy("hamming")
+        .agg(F.count("*").alias("n_pairs"))
+    )

