@@ -106,6 +106,7 @@ HEADLINE = [
     "streaming_replay_dedup",
     "image_phash_neardup",
     "orc_roundtrip_stats",
+    "streaming_enriched_counts",
 ]
 
 

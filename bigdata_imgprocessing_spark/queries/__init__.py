@@ -13,9 +13,9 @@ from ..core.registry import ORACLES, QUERIES
 # queries whose latest green row is r1-era (validated BEFORE the
 # strictified parity gate / oracle-type audit — re-confirm them under
 # it; VERDICT r2 "Next round" item 2), (3) r2-green queries (their rows
-# stand under the current gate). (1)+(2) is 51 names for a ~50 window:
-# the one that may fall out is detection_class_names, deliberately last
-# in (2) — a 3-row static-dim lookup, the least risky standing row.
+# stand under the current gate). (1)+(2) is 52 names for a ~50 window:
+# the ones that may fall out are the last three of (2) — simple
+# r1-green aggregates / a 3-row static dim, the least risky rows.
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
@@ -35,6 +35,7 @@ _PRIORITY = [
     "streaming_kafka_roundtrip", "streaming_upsert_latest",
     "ann_ivf_learned", "decontam_ngram_overlap", "quantized_ann_recall",
     "streaming_replay_dedup", "image_phash_neardup", "orc_roundtrip_stats",
+    "streaming_enriched_counts",
     # (2) latest green row is r1-era (not in CORRECTNESS_r02.json) —
     # re-confirm under the strictified gate. 41 names, computed as
     # QUERIES - r2-checked set.
@@ -47,13 +48,16 @@ _PRIORITY = [
     "video_frame_sample", "cluster_profile", "pricing_summary",
     "alphabet_stats", "top_orders", "region_revenue",
     "name_length_buckets", "semi_join_customers", "anti_join_customers",
-    "outer_join_order_counts", "distinct_counts", "event_histogram",
+    "outer_join_order_counts",
     "pivot_event_counts", "window_topk_orders", "moving_avg_orders",
     "rollup_revenue", "cube_order_stats", "set_ops_customers",
     "full_outer_nation_counts", "exists_late_orders",
     "small_quantity_revenue", "inactive_rich_customers",
     "customer_balance_deciles", "priority_multiset_diff",
-    "detection_class_names",  # least-risky standing row, may fall outside
+    # least-risky standing rows last — with 52 names for a ~50 window
+    # these are the ones that may fall outside (simple single-shuffle
+    # aggregates / a 3-row static dim, all r1-green)
+    "distinct_counts", "event_histogram", "detection_class_names",
     # (3) r2-green queries follow in registration order (rows stand).
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

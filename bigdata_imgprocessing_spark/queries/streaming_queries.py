@@ -390,3 +390,40 @@ def streaming_replay_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_enriched_counts",
+    oracle="""
+    SELECT c.c_mktsegment AS segment,
+           count(*) AS n_events,
+           round(sum(e.value), 2) AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+)
+def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: the event stream is enriched per micro-batch
+    against the static ``customer`` dimension (broadcast — the dim ships
+    to executors once, the stream side never shuffles for the join),
+    then rolled up by market segment. This is THE standard streaming
+    enrichment shape: dimension lookups against a slowly-changing table
+    while facts flow. Must equal the batch join+agg (oracle).
+
+    Scale: the static side is re-resolvable every micro-batch (picks up
+    dim updates); a dimension too big to broadcast becomes a shuffled
+    join only on the stream side's micro-batch, never the full
+    history."""
+    from ..core.catalog import table
+
+    ensure_utc(spark)
+    s = event_stream(spark, sf_dir)
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    joined = s.join(F.broadcast(c), "user_id")
+    agg = joined.groupBy("segment").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, mode="complete")

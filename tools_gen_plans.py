@@ -23,6 +23,9 @@ PICKS = {
     "vocab_top_terms": "Token head: map-side-combined token agg then bounded take -- the tail never leaves the executors.",
     "minhash_band_stats": "MinHash: explode -> hash-once -> 16 map-side partial min aggregates; band stats in one extra low-cardinality shuffle.",
     "doc_pack_stats": "Sequence packing: one (lang,shard) shuffle feeds the running-sum window AND is reused by the pack aggregation (subset partitioning).",
+    "decontam_ngram_overlap": "Decontamination: gram-hash LeftSemi hash join (16-char keys shuffled, never raw n-grams); all gram building JVM-side.",
+    "image_phash_neardup": "Perceptual-hash near-dup: cached hash frame (one decode-UDF pass), banded equi self-join with the id inequality as residual, integer xor/popcount verify.",
+    "quantized_ann_recall": "int8 quantization audit: corpus scanned once, 3-row query side broadcast (BNLJ), quantization + integer dot pure JVM expressions.",
 }
 
 
