@@ -107,6 +107,7 @@ HEADLINE = [
     "image_phash_neardup",
     "orc_roundtrip_stats",
     "streaming_enriched_counts",
+    "market_share_by_year",
 ]
 
 

@@ -772,3 +772,101 @@ def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_intersect", F.lit(0)).alias("n_intersect"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q8-style market share: the deepest join tree in the suite —
+# fact⋈fact shuffle join with three broadcast dimension arms.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "market_share_by_year",
+    oracle="""
+    WITH base AS (
+        SELECT year(o.o_orderdate) AS order_year,
+               round(sum(l.l_extendedprice * (1 - l.l_discount)), 2)
+                   AS total_revenue,
+               round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                              THEN l.l_extendedprice * (1 - l.l_discount)
+                              ELSE 0 END), 2) AS nation_revenue
+        FROM lineitem l
+        JOIN orders o    ON l.l_orderkey = o.o_orderkey
+        JOIN customer c  ON o.o_custkey = c.c_custkey
+        JOIN nation cn   ON c.c_nationkey = cn.n_nationkey
+        JOIN region r    ON cn.n_regionkey = r.r_regionkey
+        JOIN supplier s  ON l.l_suppkey = s.s_suppkey
+        JOIN nation sn   ON s.s_nationkey = sn.n_nationkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY order_year
+    )
+    SELECT order_year, total_revenue, nation_revenue,
+           round(nation_revenue / total_revenue, 6) AS market_share
+    FROM base
+    """,
+)
+def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: among orders by ASIA-region
+    customers, the yearly revenue share supplied by one nation's
+    suppliers. The deepest join tree in the suite: lineitem⋈orders is
+    the one genuine big-big shuffle join (both sides hash-partitioned on
+    the order key); the customer→nation→region arm and the
+    supplier→nation arm are broadcast dims, so neither fact shuffles for
+    them, and Catalyst is free to reorder the broadcast arms around the
+    shuffle join. Conditional sum gives the numerator in the same pass
+    as the denominator — one aggregation, no second scan, no join of two
+    aggregates.
+
+    Cross-engine float contract: the share is derived from the ALREADY
+    2-rounded sums (identical inputs in both engines → identical
+    quotient), never from the raw float accumulations."""
+    r = table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = table(spark, sf_dir, "nation")
+    cust_dim = F.broadcast(
+        table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).select(
+                    "n_nationkey"
+                )
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    supp_dim = F.broadcast(
+        table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(n.select(F.col("n_nationkey").alias("sn_key"), "n_name")),
+            F.col("s_nationkey") == F.col("sn_key"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    l = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(cust_dim, F.col("o_custkey") == F.col("c_custkey"))
+        .join(supp_dim, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", rev).otherwise(0.0)),
+                2,
+            ).alias("nation_revenue"),
+        )
+    )
+    return base.select(
+        "order_year",
+        "total_revenue",
+        "nation_revenue",
+        F.round(F.col("nation_revenue") / F.col("total_revenue"), 6).alias(
+            "market_share"
+        ),
+    )

@@ -243,3 +243,15 @@ def test_phash_band_join_is_hash_on_cached_hashes(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "InMemoryTableScan" in plan
+
+
+def test_market_share_join_tree_broadcasts_dims(spark, sf_dir):
+    """market_share_by_year: every dimension arm is a BroadcastHashJoin
+    (no cartesian/nested-loop anywhere); at test scale even
+    lineitem⋈orders broadcasts, leaving exactly ONE shuffle Exchange —
+    the final year aggregation. At production scale AQE swaps the
+    fact-fact join to sort-merge; the dim arms stay broadcast."""
+    plan = _formatted(spark, QUERIES["market_share_by_year"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
