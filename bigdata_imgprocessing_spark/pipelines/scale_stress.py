@@ -138,4 +138,14 @@ def run_scale_stress(
         "secs": round(time.perf_counter() - t0, 2),
         "n_pairs_scored": sum(r.n_pairs for r in hist),
     }
+
+    from ..queries.curation import decontam_ngram_overlap
+
+    t0 = time.perf_counter()
+    dec = decontam_ngram_overlap(spark, scaled_dir).collect()
+    metrics["decontam_ngram_overlap"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_test_docs": sum(r.n_test_docs for r in dec),
+        "n_contaminated": sum(r.n_contaminated for r in dec),
+    }
     return metrics
