@@ -108,6 +108,7 @@ HEADLINE = [
     "orc_roundtrip_stats",
     "streaming_enriched_counts",
     "market_share_by_year",
+    "variant_props_stats",
 ]
 
 

@@ -13,7 +13,7 @@ from ..core.registry import ORACLES, QUERIES
 # queries whose latest green row is r1-era (validated BEFORE the
 # strictified parity gate / oracle-type audit — re-confirm them under
 # it; VERDICT r2 "Next round" item 2), (3) r2-green queries (their rows
-# stand under the current gate). (1)+(2) is 53 names for a ~50 window:
+# stand under the current gate). (1)+(2) is 54 names for a ~50 window:
 # the ones that may fall out are the last three of (2) — simple
 # r1-green aggregates / a 3-row static dim, the least risky rows.
 from . import advanced  # noqa: F401
@@ -36,6 +36,7 @@ _PRIORITY = [
     "ann_ivf_learned", "decontam_ngram_overlap", "quantized_ann_recall",
     "streaming_replay_dedup", "image_phash_neardup", "orc_roundtrip_stats",
     "streaming_enriched_counts", "market_share_by_year",
+    "variant_props_stats",
     # (2) latest green row is r1-era (not in CORRECTNESS_r02.json) —
     # re-confirm under the strictified gate. 41 names, computed as
     # QUERIES - r2-checked set.
@@ -54,7 +55,7 @@ _PRIORITY = [
     "full_outer_nation_counts", "exists_late_orders",
     "small_quantity_revenue", "inactive_rich_customers",
     "customer_balance_deciles", "priority_multiset_diff",
-    # least-risky standing rows last — with 53 names for a ~50 window
+    # least-risky standing rows last — with 54 names for a ~50 window
     # these are the ones that may fall outside (simple single-shuffle
     # aggregates / a 3-row static dim, all r1-green)
     "distinct_counts", "event_histogram", "detection_class_names",

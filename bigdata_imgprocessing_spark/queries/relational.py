@@ -870,3 +870,53 @@ def market_share_by_year(spark: SparkSession, sf_dir: str) -> DataFrame:
             "market_share"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Spark 4 VARIANT ingestion of semi-structured JSON (the modern
+# schema-on-read path, successor to from_json-with-a-declared-schema).
+# --------------------------------------------------------------------------
+
+
+@query(
+    "variant_props_stats",
+    oracle="""
+    WITH x AS (
+        SELECT event_type,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(k) AS BIGINT) AS n_with_k,
+           CAST(min(k) AS BIGINT) AS min_k,
+           CAST(max(k) AS BIGINT) AS max_k,
+           CAST(sum(coalesce(k, 0)) AS BIGINT) AS sum_k
+    FROM x GROUP BY event_type
+    """,
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props through Spark 4's VARIANT type:
+    ``parse_json`` encodes each document once into the binary variant
+    form, ``try_variant_get`` extracts typed paths without re-parsing
+    and without a declared schema — unlike ``from_json`` (see
+    ``json_map_extract``, the P2 reference shape), heterogeneous or
+    evolving keys don't need a schema migration, and missing
+    keys/type mismatches yield NULL instead of failing.
+
+    Scale: parse + extraction are narrow map-side expressions feeding
+    one low-cardinality aggregation shuffle; variant's binary encoding
+    amortizes parsing across multiple path extractions per row (one
+    parse, N gets), where chained ``from_json`` calls would re-parse
+    per expression."""
+    e = table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    k = F.try_variant_get(v, "$.k", "bigint")
+    x = e.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count("k").alias("n_with_k"),
+        F.min("k").alias("min_k"),
+        F.max("k").alias("max_k"),
+        F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k"),
+    )
