@@ -404,3 +404,92 @@ def orc_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
         F.count_distinct("user_id").alias("n_users"),
     )
+
+
+@query(
+    "xml_roundtrip_stats",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(length(text)) AS BIGINT) AS sum_text_len,
+           count(DISTINCT md5(text)) AS n_unique_texts
+    FROM documents GROUP BY lang
+    """,
+)
+def xml_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingest/egress round trip (Spark 4 native XML source — the
+    third interchange format after parquet/ORC, the one enterprise feeds
+    still arrive in): write ``documents`` as XML, re-read with an
+    explicit schema, and aggregate the RE-READ frame. The checked hash
+    covers XML escaping/parsing of free text byte-for-byte (sum of
+    lengths + distinct md5 of the parsed text), so an entity-encoding
+    or whitespace-trim bug anywhere in the round trip breaks parity.
+    Both sides are distributed (one XML part file per input partition;
+    the reader splits by rowTag) — same logical plan as the parquet
+    path, which is the format-agnosticism point."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    out = os.path.join(_root_dir(sf_dir), "docs_xml")
+    d.write.mode("overwrite").option("rowTag", "doc").format("xml").save(out)
+    back = spark.read.option("rowTag", "doc").schema(
+        "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).format("xml").load(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.length("text")).alias("sum_text_len"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+    )
+
+
+@query(
+    "compaction_file_stats",
+    oracle="""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           count(DISTINCT md5(text)) AS n_unique_texts,
+           true AS files_reduced
+    FROM documents GROUP BY source
+    """,
+)
+def compaction_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction — the maintenance operator every
+    streaming-ingested 100 TB corpus needs (a micro-batch writer leaves
+    thousands of KB-sized parquet files; scans then pay per-file open
+    cost and tiny row groups kill columnar compression). Simulate the
+    problem by writing ``documents`` across many small part files, then
+    compact with ``repartitionByRange(doc_id).sortWithinPartitions``
+    (range layout clusters doc_id so parquet min/max row-group stats
+    prune id-range scans after compaction) and re-read. The returned
+    stats aggregate the COMPACTED copy, so the hash proves compaction
+    is content-lossless; ``files_reduced`` is measured from the actual
+    file listings, not assumed. At scale the same two-line job runs
+    per partition-of-the-corpus as a background table service."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    frag_dir = os.path.join(_root_dir(sf_dir), "docs_fragmented")
+    compact_dir = os.path.join(_root_dir(sf_dir), "docs_compacted")
+    d.repartition(64).write.mode("overwrite").parquet(frag_dir)
+
+    def _n_parts(path: str) -> int:
+        return len([f for f in os.listdir(path) if f.endswith(".parquet")])
+
+    frag = spark.read.parquet(frag_dir)
+    (
+        frag.repartitionByRange(2, "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .parquet(compact_dir)
+    )
+    reduced = _n_parts(compact_dir) < _n_parts(frag_dir)
+    back = spark.read.parquet(compact_dir)
+    return back.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct(F.md5("text")).alias("n_unique_texts"),
+        F.max(F.lit(reduced)).alias("files_reduced"),
+    )
