@@ -13,6 +13,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -28,25 +29,51 @@ TABLES = (
 )
 
 
+def normalize_event_ts(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Schema-driven normalization of an event-time column to a µs
+    timestamp, tolerant of how the source parquet encodes it:
+
+    - already a (NTZ) timestamp (parquet ``timestamp[us]``/``[ms]``) →
+      pass through untouched;
+    - integral (parquet TIMESTAMP(NANOS) surfaced as ``long`` via
+      ``spark.sql.legacy.parquet.nanosAsLong``) → nanos ÷ 1000 → µs
+      timestamp (sub-µs truncation; time queries compare at ≥second
+      granularity).
+
+    Branching on the SCANNED dtype instead of hardcoding one encoding is
+    what makes the catalog survive upstream regeneration of the data —
+    the exact drift that broke round 3. Shared by ``table`` (batch) and
+    ``streaming.jobs.event_stream``.
+    """
+    dt = df.schema[col].dataType
+    if isinstance(dt, T.TimestampType):
+        return df
+    if isinstance(dt, T.TimestampNTZType):
+        # parquet isAdjustedToUTC=false scans as TIMESTAMP_NTZ; cast to
+        # the session-TZ TIMESTAMP type (session is pinned to UTC, so
+        # wall-clock values are unchanged). Watermarks/windows require
+        # TIMESTAMP, and it keeps one dtype across both encodings.
+        return df.withColumn(col, F.col(col).cast("timestamp"))
+    if isinstance(dt, (T.LongType, T.IntegerType)):
+        return df.withColumn(
+            col, F.timestamp_micros(F.floor(F.col(col) / 1000).cast("long"))
+        )
+    raise TypeError(f"unsupported {col!r} dtype for events: {dt.simpleString()}")
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one catalog table. Column pruning + filter pushdown reach the
     scan because callers express plans declaratively on the returned DF."""
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; catalog has {TABLES}")
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read nanos as long and convert to a microsecond
-        # timestamp (sub-µs truncation — DuckDB keeps ns; all time queries
-        # therefore compare at >=second granularity). build_session sets
-        # nanosAsLong at startup; the guard below only covers sessions
-        # built elsewhere (e.g. the driver's), and is idempotent — the
-        # conf is corpus-wide and never toggled back.
+        # nanosAsLong lets a legacy TIMESTAMP(NANOS) encoding scan as
+        # long instead of erroring; it does not affect µs/ms encodings.
+        # normalize_event_ts then branches on whichever dtype actually
+        # came off the footer. Idempotent, corpus-wide, never unset.
         if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn(
-            "ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long"))
-        )
+        return normalize_event_ts(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

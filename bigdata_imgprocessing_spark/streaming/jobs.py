@@ -18,24 +18,28 @@ from __future__ import annotations
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-_EVENT_SCHEMA = (
-    "event_id bigint, ts bigint, user_id bigint, "
-    "event_type string, value double, props string"
-)
-
 
 def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """File-source stream over the events parquet (ts arrives as nanos →
-    converted to a µs timestamp, mirroring core.catalog)."""
+    """File-source stream over the events parquet.
+
+    Streaming sources need a declared schema, so peek the parquet footer
+    with a batch read (metadata-only — no data scan) and declare
+    WHATEVER dtype the file actually stores for ``ts``, then normalize
+    it exactly like ``core.catalog.table`` does (schema-driven: µs
+    timestamp passes through, legacy nanos-as-long gets ÷1000). The
+    batch and streaming readers can therefore never disagree about event
+    time, whichever encoding the upstream generator picked.
+    """
+    from ..core.catalog import normalize_event_ts
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    footer_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     s = (
-        spark.readStream.schema(_EVENT_SCHEMA)
+        spark.readStream.schema(footer_schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return s.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return normalize_event_ts(s)
 
 
 def run_to_memory(

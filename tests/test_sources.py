@@ -323,3 +323,59 @@ def test_replay_dedup_is_load_bearing(spark, sf_dir):
     )
     assert deduped.count() == n_events
     assert deduped.distinct().count() == n_events
+
+
+def test_events_ts_encoding_drift(spark, tmp_path):
+    """Regression for the round-3 testdata regeneration: events.ts moved
+    from parquet TIMESTAMP(NANOS) (scans as long under nanosAsLong) to
+    timestamp[us]. catalog.table and event_stream must be schema-driven
+    and agree on epoch seconds under BOTH encodings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.streaming.jobs import event_stream, run_to_memory
+
+    base = {
+        "event_id": pa.array([1, 2, 3], pa.int64()),
+        "user_id": pa.array([10, 20, 30], pa.int64()),
+        "event_type": pa.array(["a", "b", "a"], pa.string()),
+        "value": pa.array([1.0, 2.0, 3.0], pa.float64()),
+        "props": pa.array(["{}", "{}", "{}"], pa.string()),
+    }
+    secs = [1704067200, 1704067211, 1704070000]  # 2024-01-01T00:00:00Z ...
+
+    dirs = {}
+    for enc, (unit, version) in {
+        "ns": ("ns", "2.6"),  # TIMESTAMP(NANOS) → long under nanosAsLong
+        "us": ("us", "2.6"),  # timestamp[us] → TimestampNTZ
+    }.items():
+        d = tmp_path / enc
+        d.mkdir()
+        ts = pa.array([s * 1_000_000_000 for s in secs], pa.int64()).cast(
+            pa.timestamp(unit)
+        ) if unit == "ns" else pa.array(
+            [s * 1_000_000 for s in secs], pa.int64()
+        ).cast(pa.timestamp("us"))
+        tbl = pa.table({**base, "ts": ts})
+        pq.write_table(tbl, str(d / "events.parquet"), version=version)
+        dirs[enc] = str(d)
+
+    # confirm the two files genuinely differ in physical encoding
+    assert str(pq.read_schema(dirs["ns"] + "/events.parquet").field("ts").type) == "timestamp[ns]"
+    assert str(pq.read_schema(dirs["us"] + "/events.parquet").field("ts").type) == "timestamp[us]"
+
+    expected = sorted(zip([1, 2, 3], secs))
+    for enc, d in dirs.items():
+        batch = table(spark, d, "events").select(
+            "event_id", F.unix_timestamp("ts").alias("sec")
+        )
+        assert sorted(map(tuple, batch.collect())) == expected, f"batch {enc}"
+
+        stream = run_to_memory(
+            event_stream(spark, d).select(
+                "event_id", F.unix_timestamp("ts").alias("sec")
+            ),
+            mode="append",
+        )
+        assert sorted(map(tuple, stream.collect())) == expected, f"stream {enc}"
