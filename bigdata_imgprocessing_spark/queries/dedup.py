@@ -243,9 +243,19 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # cache(): sets joins in twice (sa/sb) — one shingling pass, not two
+    # Verification only touches docs that appear in a candidate pair, so
+    # shingle-set materialization is SEMI-JOINED down to candidate ids
+    # first — at scale the candidate set is orders of magnitude smaller
+    # than the corpus (here: usually empty), and caching full shingle
+    # arrays for every document was the dominant cost of this query.
+    # cache(): the pruned sets frame still joins in twice (sa/sb).
+    cand = cand.coalesce(cache_parallelism(spark)).cache()
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
     sets = (
-        with_sh.select("doc_id", F.array_distinct("sh").alias("ss"))
+        with_sh.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", F.array_distinct("sh").alias("ss"))
         .coalesce(cache_parallelism(spark))
         .cache()
     )
@@ -298,7 +308,15 @@ def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     cutoff = 50
     d = table(spark, sf_dir, "documents")
     sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
-    ex = sets.select("doc_id", F.explode("ss").alias("s"))
+    # Shuffle 8-byte shingle hashes, not ~30-byte shingle strings: the
+    # posting-list groupBy keys on the shingle, and xxhash64 keeps every
+    # downstream count identical as long as the hash is injective on the
+    # observed vocabulary (64-bit space vs ~1e6 shingles → collision
+    # odds ~1e-7; a collision would merge two posting lists). Halves the
+    # bytes through the one big shuffle of this query.
+    ex = sets.select("doc_id", F.explode("ss").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
     # ONE shuffle on the shingle: posting lists per shingle, DF-pruned.
     # Everything downstream (sizes, pair generation) derives from this
     # small grouped frame — a naive ex⋈ok + self-join re-executes the

@@ -31,6 +31,36 @@ def test_codec_rejects_unknown_format():
         decode_image(b"\xff\xd8\xff\xe0 not really a jpeg")
 
 
+def test_codec_cv2_slot_in(monkeypatch):
+    """The cv2 dispatch branch is live code, not dead glue: with a fake
+    cv2 module patched in, non-FIMG bytes route through cv2.imdecode
+    (and FIMG bytes still take the native path, never touching cv2)."""
+    from bigdata_imgprocessing_spark.images import codec
+
+    calls = []
+
+    class FakeCv2:
+        IMREAD_COLOR = 1
+
+        @staticmethod
+        def imdecode(arr, flag):
+            calls.append((bytes(arr.tobytes()), flag))
+            return np.full((2, 3, 3), 7, dtype=np.uint8)
+
+    monkeypatch.setattr(codec, "_HAS_CV2", True)
+    monkeypatch.setattr(codec, "cv2", FakeCv2, raising=False)
+
+    jpeg_ish = b"\xff\xd8\xff\xe0 not really a jpeg"
+    out = codec.decode_image(jpeg_ish)
+    assert out.shape == (2, 3, 3) and (out == 7).all()
+    assert calls == [(jpeg_ish, FakeCv2.IMREAD_COLOR)]
+
+    # FIMG bytes bypass cv2 even when it is importable
+    native = codec.decode_image(encode_image(np.zeros((4, 4, 3), np.uint8)))
+    assert native.shape == (4, 4, 3)
+    assert len(calls) == 1
+
+
 def test_avg_color_exact():
     img = np.zeros((2, 2, 3), dtype=np.uint8)
     img[0, 0] = (10, 20, 30)
