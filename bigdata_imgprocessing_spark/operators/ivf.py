@@ -40,9 +40,39 @@ def build_ivf_index(
     return indexed, model
 
 
+def _centers_matrix(model_or_centers) -> np.ndarray:
+    """(k, dim) float64 centroid matrix from a fitted KMeansModel or any
+    array-like of centroid vectors (row i = cell i)."""
+    if isinstance(model_or_centers, KMeansModel):
+        return np.asarray(model_or_centers.clusterCenters(), dtype=np.float64)
+    return np.asarray(model_or_centers, dtype=np.float64)
+
+
+def assign_cells(
+    df: DataFrame, model_or_centers, vec_col: str = "embedding"
+) -> DataFrame:
+    """Add a ``cell`` column: index of the nearest centroid by squared
+    Euclidean distance, rounded to 6dp before the argmin (ties → lowest
+    cell index) so the assignment is reproducible across engines and
+    summation orders. One vectorized Arrow pass — the non-ML twin of
+    ``KMeansModel.transform`` for centroids that came from elsewhere."""
+    centers_mat = _centers_matrix(model_or_centers)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        def cell(vec):
+            v = np.asarray(vec, dtype=np.float64)
+            d = np.round(((centers_mat - v) ** 2).sum(axis=1), 6)
+            return int(np.argmin(d))  # first (lowest-index) min on ties
+
+        return vecs.map(cell)
+
+    return df.withColumn("cell", nearest(F.col(vec_col)))
+
+
 def ivf_search(
     indexed: DataFrame,
-    model: KMeansModel,
+    model_or_centers,
     queries: DataFrame,
     top_k: int = 5,
     n_probe: int = 2,
@@ -50,7 +80,10 @@ def ivf_search(
     id_col: str = "vec_id",
 ) -> DataFrame:
     """Cosine top-k per query, probing each query's ``n_probe`` nearest
-    cells only. ``queries`` needs (query_id, embedding)."""
+    cells only. ``queries`` needs (query_id, embedding); ``indexed``
+    needs a ``cell`` column (from ``build_ivf_index`` or
+    ``assign_cells``). Centroids may come from the fitted ML model or a
+    plain centroid array (the SQL-reproducible serving path)."""
     from pyspark.sql import Window
 
     # (k, dim) centroid matrix captured in the closure — broadcast once
@@ -58,13 +91,14 @@ def ivf_search(
     # Arrow pandas_udf, not row-at-a-time F.udf: the query side is tiny
     # but the repo-wide contract is zero BatchEvalPython anywhere
     # (tests/test_plans.py asserts it over this plan too).
-    centers_mat = np.asarray(model.clusterCenters(), dtype=np.float64)
+    centers_mat = _centers_matrix(model_or_centers)
 
     @F.pandas_udf("array<int>")
     def probe_cells(vecs: pd.Series) -> pd.Series:
         def cells(vec):
             v = np.asarray(vec, dtype=np.float64)
-            d = ((centers_mat - v) ** 2).sum(axis=1)
+            # round before ranking: cross-engine reproducible probe order
+            d = np.round(((centers_mat - v) ** 2).sum(axis=1), 6)
             return [int(i) for i in np.argsort(d, kind="stable")[:n_probe]]
 
         return vecs.map(cells)

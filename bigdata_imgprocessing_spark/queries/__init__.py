@@ -48,7 +48,8 @@ _PRIORITY = [
     "streaming_interval_join", "streaming_foreachbatch_counts",
     "streaming_kafka_roundtrip", "streaming_replay_dedup",
     "streaming_enriched_counts",
-    # (3) new round-4 queries get inserted here as they land.
+    # (3) new round-4 queries — first CORRECTNESS row pending.
+    "heatmap_chart_data", "ivf_search_served",
     # (4) standing r2/r3-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -530,3 +530,87 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(hit, 1)).alias("n_overlap"),
         (F.count(F.when(hit, 1)) / 5.0).alias("recall_at_5"),
     )
+
+
+@query(
+    "ivf_search_served",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label, i AS pos, embedding[i+1]::DOUBLE AS x
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS cell, list(round(c, 3) ORDER BY pos) AS cv
+        FROM (SELECT label, pos, avg(x) AS c FROM flat GROUP BY label, pos)
+        GROUP BY cell
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               round(list_sum(list_transform(range(len(e.embedding)),
+                     i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+                        * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))), 6) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS arn
+            FROM dists
+        ) WHERE arn = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, embedding AS qe, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS prn
+            FROM dists WHERE vec_id IN {_QUERY_IDS}
+        ) WHERE prn <= 3
+    ),
+    scored AS (
+        SELECT q.query_id, e.vec_id, {_DUCK_COS} AS cos_sim
+        FROM assigned e JOIN qprobe q ON e.cell = q.cell
+        WHERE e.vec_id != q.query_id
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def ivf_search_served(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``operators/ivf.py`` serving path itself, driver-checked
+    (VERDICT r3 item 8): ``assign_cells`` indexes the corpus and
+    ``ivf_search`` answers cosine top-5 probing 3 cells — the SAME
+    operator code the ML-KMeans pipeline uses, here fed SQL-reproducible
+    centroids (per-label mean vectors rounded to 3dp, as
+    ``ann_ivf_learned``) so every probe, assignment, and score is
+    value-checked against the oracle. The k-row centroid collect mirrors
+    ``KMeansModel.clusterCenters()`` — driver-bounded by k, never data.
+
+    Scale: assignment + probe are one Arrow pass each with the (k, dim)
+    centroid matrix shipped in the UDF closure; the probe join is an
+    equi-join on cell touching ~n_probe/k of the corpus."""
+    from ..operators.ivf import assign_cells, ivf_search
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"], 3),
+            ).alias("cv")
+        )
+    )
+    rows = cent.collect()  # k rows (k = |labels|) — bounded like clusterCenters()
+    centers = [r.cv for r in sorted(rows, key=lambda r: r.label)]
+    indexed = assign_cells(e.select("vec_id", "embedding"), centers)
+    queries = e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_search(indexed, centers, queries, top_k=5, n_probe=3)

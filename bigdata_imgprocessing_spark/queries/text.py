@@ -431,3 +431,42 @@ def repetition_ngram_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "uniq_decile")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+_LANGS = ("de", "en", "es", "fr", "zh")
+
+
+@query(
+    "heatmap_chart_data",
+    oracle=f"""
+    SELECT kw,
+           {", ".join(f"count(*) FILTER (WHERE lang = '{lg}') AS {lg}" for lg in _LANGS)}
+    FROM documents
+    CROSS JOIN (SELECT unnest({list(_KEYWORDS)}) AS kw) kws
+    WHERE contains(text, kw)
+    GROUP BY kw
+    """,
+)
+def heatmap_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's data half — the reference's heatmap matrix (plots.py:27-40:
+    merge per-class count frames on the index column, transpose to
+    class-rows × index-columns) as ONE query: keyword rows (the class
+    axis) × language columns (the index axis), each cell the matching
+    doc count. Built as a broadcast theta-join + a single groupBy with
+    per-language conditional counts — the plan a 100 TB run wants (no
+    pivot's extra distinct-values job, one map-side-combine shuffle of
+    6-row partials). ``sources.html_report.write_html_heatmap`` renders
+    this matrix to the reference's standalone-HTML chart artifact."""
+    d = table(spark, sf_dir, "documents").select("text", "lang")
+    kws = F.broadcast(spark.createDataFrame([(k,) for k in _KEYWORDS], "kw string"))
+    return (
+        d.crossJoin(kws)
+        .where(F.col("text").contains(F.col("kw")))
+        .groupBy("kw")
+        .agg(
+            *[
+                F.count(F.when(F.col("lang") == lg, 1)).alias(lg)
+                for lg in _LANGS
+            ]
+        )
+    )

@@ -379,3 +379,25 @@ def test_events_ts_encoding_drift(spark, tmp_path):
             mode="append",
         )
         assert sorted(map(tuple, stream.collect())) == expected, f"stream {enc}"
+
+
+def test_html_heatmap_sink(spark, tmp_path):
+    """K4 egress: a pivoted matrix renders to a standalone HTML heatmap
+    with one header row, one row per index value, every cell value
+    printed, and min/max mapped to the ends of the color ramp."""
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_heatmap
+
+    df = spark.createDataFrame(
+        [("join", 4, 0), ("spark", 10, 2)], "kw string, en bigint, de bigint"
+    )
+    path = str(tmp_path / "heatmap.html")
+    write_html_heatmap(df, path, index_col="kw")
+    doc = open(path).read()
+    assert doc.count("<tr>") == 3  # header + 2 data rows
+    for val in ("4", "0", "10", "2"):
+        assert f">{val}</td>" in doc
+    # global scale: min (0) is white, max (10) is the full accent color
+    assert "background:rgb(255,255,255)" in doc
+    assert "background:rgb(31,119,180)" in doc
+    # deterministic row order: sorted by index column
+    assert doc.index(">join</th>") < doc.index(">spark</th>")
