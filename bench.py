@@ -109,6 +109,10 @@ HEADLINE = [
     "streaming_enriched_counts",
     "market_share_by_year",
     "variant_props_stats",
+    # round 4 additions
+    "heatmap_chart_data",
+    "ivf_search_served",
+    "pii_scrub_stats",
 ]
 
 

@@ -49,7 +49,7 @@ _PRIORITY = [
     "streaming_kafka_roundtrip", "streaming_replay_dedup",
     "streaming_enriched_counts",
     # (3) new round-4 queries — first CORRECTNESS row pending.
-    "heatmap_chart_data", "ivf_search_served",
+    "heatmap_chart_data", "ivf_search_served", "pii_scrub_stats",
     # (4) standing r2/r3-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

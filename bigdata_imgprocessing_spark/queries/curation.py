@@ -444,3 +444,86 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("hit") / F.count("*"), 4).alias("contamination_rate"),
         )
     )
+
+
+@query(
+    "pii_scrub_stats",
+    oracle="""
+    WITH aug AS (
+        SELECT lang,
+               text
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.com'
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END AS text
+        FROM documents
+    ),
+    scrubbed AS (
+        SELECT lang,
+               len(regexp_extract_all(text, '[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+')) AS ne,
+               len(regexp_extract_all(text, '\\d{3}-\\d{4}')) AS np,
+               length(text)
+               - length(regexp_replace(regexp_replace(text,
+                     '[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+', '<EMAIL>', 'g'),
+                     '\\d{3}-\\d{4}', '<PHONE>', 'g')) AS removed
+        FROM aug
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(ne) AS BIGINT) AS n_emails,
+           CAST(sum(np) AS BIGINT) AS n_phones,
+           CAST(sum(removed) AS BIGINT) AS chars_removed
+    FROM scrubbed GROUP BY lang
+    """,
+)
+def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the scrub pass every training-data pipeline runs
+    before packing. The synthetic corpus contains no PII, so emails and
+    phone-shaped tokens are INJECTED deterministically (pure function of
+    doc_id, reproduced identically by the oracle) and then scrubbed with
+    the real redaction expressions: regexp_replace to typed placeholder
+    tokens, match counts and removed-character accounting per language.
+
+    Everything is JVM-side regexp (whole-stage codegen, no UDF); at
+    scale this is a pure map plus one low-cardinality shuffle — the
+    scrub cost is a single pass over text bytes, which is the floor for
+    any redaction."""
+    email_re = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+"
+    phone_re = "\\d{3}-\\d{4}"
+    d = table(spark, sf_dir, "documents")
+    aug = d.select(
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(F.lit(" contact user"), F.col("doc_id"), F.lit("@mail.com")),
+            ).otherwise(""),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(""),
+        ).alias("text"),
+    )
+    scrub = F.regexp_replace(
+        F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+        phone_re,
+        "<PHONE>",
+    )
+    s = aug.select(
+        "lang",
+        F.regexp_count(F.col("text"), F.lit(email_re)).alias("ne"),
+        F.regexp_count(F.col("text"), F.lit(phone_re)).alias("np"),
+        (F.length("text") - F.length(scrub)).alias("removed"),
+    )
+    return s.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("ne").cast("bigint").alias("n_emails"),
+        F.sum("np").cast("bigint").alias("n_phones"),
+        F.sum("removed").cast("bigint").alias("chars_removed"),
+    )

@@ -42,3 +42,15 @@ def write_local_csv(df: DataFrame, path: str) -> None:
     pyspark_stats.py:40-49). Collects through Arrow — small result
     tables only, never distributed data."""
     df.toPandas().to_csv(path, sep=";", index=False)
+
+
+def read_local_csv(
+    spark: SparkSession, path: str, schema: StructType | str
+) -> DataFrame:
+    """S4: driver-local ``;``-CSV read (the reference's plotting layer
+    re-reads its stat CSVs with pandas, plots.py:21,33,45). Pandas parse
+    → Arrow createDataFrame with a mandatory explicit schema; the K3
+    inverse, for small driver-side result tables only."""
+    import pandas as pd
+
+    return spark.createDataFrame(pd.read_csv(path, sep=";"), schema)

@@ -401,3 +401,28 @@ def test_html_heatmap_sink(spark, tmp_path):
     assert "background:rgb(31,119,180)" in doc
     # deterministic row order: sorted by index column
     assert doc.index(">join</th>") < doc.index(">spark</th>")
+
+
+def test_stats_to_chart_pipeline(spark, tmp_path):
+    """The reference's full viz hand-off (pyspark_stats write_results →
+    plots.py read_csv → heatmap write_html): K3 driver-local CSV out,
+    S4 driver-local CSV back in (typed), K4 HTML heatmap rendered from
+    the re-read matrix."""
+    from bigdata_imgprocessing_spark.sources.csv_io import (
+        read_local_csv,
+        write_local_csv,
+    )
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_heatmap
+
+    matrix = spark.createDataFrame(
+        [("A", 3, 1), ("B", 0, 7)], "letter string, cat bigint, dog bigint"
+    )
+    csv_path = str(tmp_path / "stats.csv")
+    write_local_csv(matrix, csv_path)
+    back = read_local_csv(spark, csv_path, "letter string, cat bigint, dog bigint")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, matrix.collect()))
+
+    html_path = str(tmp_path / "heatmap.html")
+    write_html_heatmap(back, html_path, index_col="letter")
+    doc = open(html_path).read()
+    assert doc.count("<tr>") == 3 and ">7</td>" in doc
