@@ -255,3 +255,36 @@ def test_market_share_join_tree_broadcasts_dims(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4
+
+
+def test_heatmap_matrix_single_shuffle(spark, sf_dir):
+    """heatmap_chart_data: the 6-row keyword dim joins as a broadcast
+    BNLJ (an intentional tiny-literal theta join, never a shuffle) and
+    the matrix builds in ONE exchange with map-side partial aggregation
+    — no pivot distinct-values job."""
+    plan = _formatted(spark, QUERIES["heatmap_chart_data"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # tree nodes only (formatted mode repeats each node in the detail)
+    assert plan.count("- Exchange (") == 1
+    assert "partial_count" in plan  # map-side combine before the shuffle
+
+
+def test_pii_scrub_map_only(spark, sf_dir):
+    """pii_scrub_stats: redaction is a pure JVM map over the scan — one
+    low-cardinality shuffle for the per-lang rollup, no UDF, no join."""
+    plan = _formatted(spark, QUERIES["pii_scrub_stats"](spark, sf_dir))
+    assert plan.count("- Exchange (") == 1
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+
+
+def test_ivf_search_served_probe_join(spark, sf_dir):
+    """ivf_search_served: the probe side broadcasts into an equi-join on
+    cell (never a cross product), cell probing is Arrow-batched, and the
+    per-query top-k runs as a rank-limited window (WindowGroupLimit),
+    not a global sort."""
+    plan = _formatted(spark, QUERIES["ivf_search_served"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+    assert "WindowGroupLimit" in plan
