@@ -28,7 +28,15 @@ def test_zero_guard_div_total(spark_prop, num, den):
     if den == 0:
         assert v == 0.0  # the reference's except-ZeroDivisionError → 0
     else:
-        assert abs(v - round(num / den, 4)) < 1e-9
+        # HALF_UP like Spark's round() (and DuckDB's) — Python's builtin
+        # round() is banker's rounding and diverges at .xxxx5 midpoints
+        # (hypothesis found 1.5/48 = 0.03125 → 0.0312 vs Spark 0.0313)
+        from decimal import ROUND_HALF_UP, Decimal
+
+        expected = float(
+            Decimal(repr(num / den)).quantize(Decimal("0.0001"), ROUND_HALF_UP)
+        )
+        assert abs(v - expected) < 1e-9
     assert v is not None  # never null/NaN
 
 
@@ -87,3 +95,80 @@ def test_asof_join_matches_bruteforce(spark_prop, lefts, rights):
         cands = [(rt, rid) for rid, (rk, rt) in enumerate(rights) if rk == k and rt <= t]
         expected = max(cands)[1] if cands else None
         assert got[lid] == expected, (lid, k, t, cands)
+
+
+# ---------------------------------------------------------------------------
+# Shingling vs a trivial Python 3-gram reference: the arrays_zip-of-
+# shifted-slices construction (dedup._shingles, chosen for its CSE
+# behavior — see its docstring) must produce exactly the naive sliding
+# window for arbitrary token streams, including the n<3 degenerate case.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3), min_size=0, max_size=12
+    )
+)
+def test_shingles_match_naive_ngrams(spark_prop, toks):
+    from bigdata_imgprocessing_spark.queries.dedup import _shingles
+
+    text = " ".join(toks)
+    got = _eval(spark_prop, _shingles(F.lit(text)))
+    words = text.split(" ")  # split(" ") semantics: "" -> [""]
+    if len(words) >= 3:
+        expected = [
+            " ".join(words[i : i + 3]) for i in range(len(words) - 2)
+        ]
+    else:
+        expected = [text]
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# FIMG codec: encode→decode is the identity for any uint8 image shape
+# (the property the whole image pipeline leans on — avg/dominant/resize
+# all consume decode_image output).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 16),
+    w=st.integers(1, 16),
+    c=st.sampled_from([1, 3]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_codec_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.codec import decode_image, encode_image
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    out = decode_image(encode_image(arr))
+    assert out.shape == (h, w, c) and (out == arr).all()
+
+
+# ---------------------------------------------------------------------------
+# PII regexes: Spark's Java regex and Python's re must agree on match
+# counts for the patterns pii_scrub_stats uses (guards against regex
+# dialect drift between the engine and the oracle's RE2).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    s=st.text(
+        alphabet="ab1@. -x0", min_size=0, max_size=40
+    )
+)
+def test_pii_regex_cross_engine(spark_prop, s):
+    import re
+
+    email_re = "[A-Za-z0-9]+@[A-Za-z0-9]+\\.[a-z]+"
+    phone_re = "\\d{3}-\\d{4}"
+    for pat in (email_re, phone_re):
+        spark_n = _eval(spark_prop, F.regexp_count(F.lit(s), F.lit(pat)))
+        assert spark_n == len(re.findall(pat, s)), (pat, s)
