@@ -113,6 +113,8 @@ HEADLINE = [
     "heatmap_chart_data",
     "ivf_search_served",
     "pii_scrub_stats",
+    "fuzzy_match_stats",
+    "lone_problem_supplier",
 ]
 
 

@@ -556,3 +556,79 @@ def dedup_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_new"),
         F.count(F.when(F.col("ofp").isNull(), 1)).alias("n_unique_vs_corpus"),
     )
+
+
+@query(
+    "fuzzy_match_stats",
+    oracle="""
+    WITH canon AS (SELECT DISTINCT p_name AS canon FROM part),
+    dirty AS (
+        SELECT p_partkey,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                         || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+                    ELSE p_name END AS nm
+        FROM part
+    ),
+    scored AS (
+        SELECT d.p_partkey, levenshtein(d.nm, c.canon) AS dist, c.canon
+        FROM dirty d CROSS JOIN canon c
+    ),
+    best AS (
+        SELECT p_partkey, dist, canon FROM (
+            SELECT *, row_number() OVER (PARTITION BY p_partkey
+                                         ORDER BY dist, canon) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    )
+    SELECT dist, count(*) AS n_parts,
+           CAST(count(DISTINCT canon) AS BIGINT) AS n_canon
+    FROM best GROUP BY dist
+    """,
+)
+def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: map dirty strings back to a canonical
+    vocabulary by Levenshtein distance. The corpus has no typos, so a
+    deterministic corruption (delete the (p_partkey mod len)+1-th
+    character from every 3rd part name — a pure function of the row,
+    mirrored by the oracle) plays the dirty input, and every corrupted
+    name is matched to its nearest canonical name (ties → lexicographic)
+    with a per-distance histogram as the checked output.
+
+    Plan at scale: the canonical vocab is distinct-reduced FIRST (name
+    vocabularies grow sublinearly in corpus size — here 64 names over
+    20k parts) and broadcast, so matching is one corpus scan × a tiny
+    build side; the per-row argmin is a map-side-partial min over a
+    (dist, canon) struct — one 1-row-per-part shuffle, NO window over
+    the fanned-out pair stream, and no all-pairs corpus join anywhere.
+    levenshtein() runs JVM-side (whole-stage codegen)."""
+    p = table(spark, sf_dir, "part")
+    canon = F.broadcast(p.select(F.col("p_name").alias("canon")).distinct())
+    pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
+    dirty = p.select(
+        "p_partkey",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.expr("substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
+                F.expr("substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"),
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("nm"),
+    )
+    best = (
+        dirty.crossJoin(canon)
+        .select(
+            "p_partkey",
+            F.struct(
+                F.levenshtein("nm", "canon").alias("dist"), F.col("canon")
+            ).alias("dc"),
+        )
+        .groupBy("p_partkey")
+        .agg(F.min("dc").alias("best"))
+    )
+    return best.groupBy(F.col("best.dist").alias("dist")).agg(
+        F.count("*").alias("n_parts"),
+        F.count_distinct("best.canon").alias("n_canon"),
+    )

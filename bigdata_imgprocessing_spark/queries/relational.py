@@ -920,3 +920,67 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("k").alias("max_k"),
         F.sum(F.coalesce(F.col("k"), F.lit(0))).alias("sum_k"),
     )
+
+
+@query(
+    "lone_problem_supplier",
+    oracle="""
+    WITH l1 AS (
+        SELECT l.l_orderkey, l.l_suppkey
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderstatus = 'F' AND l.l_returnflag = 'R'
+    )
+    SELECT s.s_name, count(*) AS numwait
+    FROM l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_returnflag = 'R')
+    GROUP BY s.s_name
+    """,
+)
+def lone_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who were the ONLY one with returned
+    items in a multi-supplier finished order), adapted to this schema's
+    columns (returnflag = 'R' plays receipt>commit). The ORACLE keeps
+    the literal EXISTS / NOT EXISTS correlated form; the Spark plan is
+    the decorrelated aggregation rewrite — per order, one pass computes
+    (distinct suppliers, distinct returning suppliers, returned rows,
+    the lone returning supplier), and an order qualifies iff it has ≥2
+    suppliers but exactly 1 returning one. Hash-parity between the two
+    forms proves the rewrite preserves semantics.
+
+    Why rewrite instead of two correlated joins: at 100 TB the EXISTS
+    and NOT EXISTS legs are each another fact-fact join against
+    lineitem (three scans + three shuffles of the biggest table); the
+    aggregation form scans lineitem once, shuffles once on l_orderkey
+    (map-side partial), and once more on the winning supplier —
+    lineitem's orderkey bucketing (core/catalog.bucketed_table) would
+    remove the first shuffle entirely."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_returnflag"
+    )
+    o = table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F").select(
+        "o_orderkey"
+    )
+    s = table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    is_r = F.col("l_returnflag") == "R"
+    per_order = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(F.when(is_r, F.col("l_suppkey"))).alias("n_r_supp"),
+            F.sum(is_r.cast("long")).alias("n_r_rows"),
+            F.max(F.when(is_r, F.col("l_suppkey"))).alias("r_supp"),
+        )
+    )
+    lone = per_order.where((F.col("n_supp") >= 2) & (F.col("n_r_supp") == 1))
+    return (
+        lone.join(s, lone.r_supp == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.sum("n_r_rows").alias("numwait"))
+    )
