@@ -115,6 +115,7 @@ HEADLINE = [
     "pii_scrub_stats",
     "fuzzy_match_stats",
     "lone_problem_supplier",
+    "neardup_component_dedup",
 ]
 
 

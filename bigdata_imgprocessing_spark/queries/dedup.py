@@ -180,39 +180,11 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "minhash_lsh_pairs",
-    oracle=f"""
-    WITH sh AS ({_DUCK_SHINGLES}),
-    sig AS (SELECT doc_id, {", ".join(_duck_mh(j) for j in range(_N_HASHES))} FROM sh),
-    bands AS (
-        SELECT doc_id, band,
-               CASE band {" ".join(f"WHEN {b} THEN CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_BANDS))} END AS bkey
-        FROM sig CROSS JOIN (SELECT unnest(range({_BANDS})) AS band) bs
-    ),
-    cand AS (
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
-                                  AND a.doc_id < b.doc_id
-    ),
-    sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
-    verified AS (
-        SELECT doc_a, doc_b,
-               len(list_intersect(sa.ss, sb.ss)) AS inter,
-               len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
-        FROM cand JOIN sets sa ON sa.doc_id = doc_a
-                  JOIN sets sb ON sb.doc_id = doc_b
-    )
-    SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
-    FROM verified WHERE inter * 1.0 / uni >= 0.5
-    """,
-)
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: signature → band-bucket
-    self-join for candidates → exact-Jaccard verification ≥ 0.5.
-    (This synthetic corpus has no near-dups, so an empty result matching
-    the oracle's empty result is the correct outcome; minhash_band_stats
-    carries the non-trivial value parity.)"""
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared MinHash-LSH pipeline: signature → band-bucket self-join →
+    exact-Jaccard verify ≥ 0.5; returns (doc_a, doc_b, jaccard). Used by
+    ``minhash_lsh_pairs`` (emits pairs) and ``neardup_component_dedup``
+    (closes pairs into clusters and applies the survivor policy)."""
     d = table(spark, sf_dir, "documents")
     with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
     sig = _minhash_signatures(d)
@@ -246,8 +218,8 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Verification only touches docs that appear in a candidate pair, so
     # shingle-set materialization is SEMI-JOINED down to candidate ids
     # first — at scale the candidate set is orders of magnitude smaller
-    # than the corpus (here: usually empty), and caching full shingle
-    # arrays for every document was the dominant cost of this query.
+    # than the corpus, and caching full shingle arrays for every document
+    # was the dominant cost of this query.
     # cache(): the pruned sets frame still joins in twice (sa/sb).
     cand = cand.coalesce(cache_parallelism(spark)).cache()
     cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
@@ -271,6 +243,51 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return verified.where(F.col("inter") / F.col("uni") >= 0.5).select(
         "doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard")
     )
+
+
+# Shared CTE chain: shingles → signatures → bands → candidates →
+# exact-Jaccard verified pairs at >= 0.5. Reused by minhash_lsh_pairs
+# (emits the pairs) and neardup_component_dedup (closes them into
+# clusters).
+_DUCK_PAIRS_CTES = f"""sh AS ({_DUCK_SHINGLES}),
+    sig AS (SELECT doc_id, {", ".join(_duck_mh(j) for j in range(_N_HASHES))} FROM sh),
+    bands AS (
+        SELECT doc_id, band,
+               CASE band {" ".join(f"WHEN {b} THEN CAST(mh{2*b} AS VARCHAR) || '_' || CAST(mh{2*b+1} AS VARCHAR)" for b in range(_BANDS))} END AS bkey
+        FROM sig CROSS JOIN (SELECT unnest(range({_BANDS})) AS band) bs
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey
+                                  AND a.doc_id < b.doc_id
+    ),
+    sets AS (SELECT doc_id, list_distinct(sh) AS ss FROM sh),
+    verified AS (
+        SELECT doc_a, doc_b,
+               len(list_intersect(sa.ss, sb.ss)) AS inter,
+               len(sa.ss) + len(sb.ss) - len(list_intersect(sa.ss, sb.ss)) AS uni
+        FROM cand JOIN sets sa ON sa.doc_id = doc_a
+                  JOIN sets sb ON sb.doc_id = doc_b
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, round(inter * 1.0 / uni, 4) AS jaccard
+        FROM verified WHERE inter * 1.0 / uni >= 0.5
+    )"""
+
+
+@query(
+    "minhash_lsh_pairs",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM pairs
+    """,
+)
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → band-bucket
+    self-join for candidates → exact-Jaccard verification ≥ 0.5. The
+    regenerated corpus DOES contain near-dups at every sf, so the
+    verify path is value-checked on real pairs."""
+    return _lsh_verified_pairs(spark, sf_dir)
 
 
 @query(
@@ -631,4 +648,56 @@ def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return best.groupBy(F.col("best.dist").alias("dist")).agg(
         F.count("*").alias("n_parts"),
         F.count_distinct("best.canon").alias("n_canon"),
+    )
+
+
+@query(
+    "neardup_component_dedup",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node)
+    SELECT d.lang,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN c.node IS NULL OR c.comp = d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+           CAST(sum(CASE WHEN c.node IS NOT NULL AND c.comp != d.doc_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    GROUP BY d.lang
+    """,
+)
+def neardup_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup pipeline APPLIED end to end: LSH verified pairs →
+    transitive closure via ``operators/components.connected_components``
+    (min-label propagation with pointer jumping, O(log diameter)
+    rounds) → keep the lowest doc_id per cluster, count survivors and
+    removals per language. The oracle closes the same pairs with a
+    recursive CTE — hash parity checks the ITERATIVE distributed
+    algorithm against an engine-independent fixpoint.
+
+    Scale: pair generation is the LSH path (candidate-bounded, never
+    all-pairs); the closure shuffles only the pair graph (≪ corpus —
+    near-dup graphs are sparse by construction); the survivor policy is
+    one broadcast-sized left join against the component map plus a
+    per-lang rollup."""
+    from ..operators.components import connected_components
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = d.join(comp, d.doc_id == comp.node, "left")
+    survivor = F.col("node").isNull() | (F.col("comp") == F.col("doc_id"))
+    return j.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(survivor.cast("long")).alias("n_survivors"),
+        F.sum((~survivor).cast("long")).alias("n_removed"),
     )
