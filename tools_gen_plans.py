@@ -26,6 +26,12 @@ PICKS = {
     "decontam_ngram_overlap": "Decontamination: gram-hash LeftSemi hash join (16-char keys shuffled, never raw n-grams); all gram building JVM-side.",
     "image_phash_neardup": "Perceptual-hash near-dup: cached hash frame (one decode-UDF pass), banded equi self-join with the id inequality as residual, integer xor/popcount verify.",
     "quantized_ann_recall": "int8 quantization audit: corpus scanned once, 3-row query side broadcast (BNLJ), quantization + integer dot pure JVM expressions.",
+    "minhash_lsh_pairs": "LSH verify: cached band frame probed twice for candidates; shingle sets SEMI-JOINED to candidate ids before the broadcast verify joins -- verify cost scales with candidates, not corpus.",
+    "ivf_search_served": "IVF serving: one Arrow pass each for assignment + probe selection, probe side broadcast into a cell equi-join, top-k as WindowGroupLimit (no global sort).",
+    "heatmap_chart_data": "Chart matrix: 6-row keyword dim broadcast BNLJ, ONE exchange with map-side partial conditional counts -- no pivot distinct-values job.",
+    "lone_problem_supplier": "Q21 decorrelated: EXISTS / NOT EXISTS expressed as one per-order aggregation pass; lineitem scanned once instead of three times.",
+    "fuzzy_match_stats": "Fuzzy matching: distinct-reduced vocab broadcast, JVM levenshtein, per-row argmin as a map-side-partial struct min -- one row per part through the shuffle.",
+    "pii_scrub_stats": "PII scrub: pure JVM regexp map over the scan, one low-cardinality rollup shuffle; no UDF, no join.",
 }
 
 
