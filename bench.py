@@ -116,6 +116,7 @@ HEADLINE = [
     "fuzzy_match_stats",
     "lone_problem_supplier",
     "neardup_component_dedup",
+    "mixture_sample_stats",
 ]
 
 

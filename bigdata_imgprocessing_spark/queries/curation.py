@@ -527,3 +527,80 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np").cast("bigint").alias("n_phones"),
         F.sum("removed").cast("bigint").alias("chars_removed"),
     )
+
+
+@query(
+    "mixture_sample_stats",
+    oracle=f"""
+    WITH srcagg AS (
+        SELECT source,
+               1 + (CAST(substr(source, 4) AS INTEGER) % 4) AS w,
+               count(*) AS n_docs,
+               sum(n_chars) AS toks
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT sum(toks) AS tok_total, sum(w) AS w_total FROM srcagg),
+    rates AS (
+        SELECT source, w, n_docs, toks,
+               least(1.0, 0.5 * tok_total * w / w_total / toks) AS rate
+        FROM srcagg CROSS JOIN tot
+    ),
+    kept AS (
+        SELECT d.source, count(*) AS n_kept, sum(d.n_chars) AS toks_kept
+        FROM documents d JOIN rates r ON d.source = r.source
+        WHERE {_duck_bucket("CAST(doc_id AS VARCHAR) || '_mix'", 1000000)} * 1.0 / 1000000
+              < r.rate
+        GROUP BY d.source
+    )
+    SELECT r.source, r.n_docs, round(r.rate, 6) AS target_rate,
+           coalesce(k.n_kept, 0) AS n_kept,
+           coalesce(k.toks_kept, 0) AS toks_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+)
+def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mixture construction: sample each source toward a target
+    WEIGHT share of a global token budget (here: budget = 50% of corpus
+    tokens, weights 1..4 cycling by source index — a stand-in for the
+    hand-tuned web/books/code mixture every LLM run pins down).
+    Per-source acceptance rate = min(1, budget·w_s/Σw / tokens_s);
+    membership is a pure hash of the stable doc_id, so the sample is
+    reproducible across runs/engines/cluster sizes and an existing doc's
+    keep/drop never flips as the corpus grows — only rates move.
+
+    Scale shape (same as stratified_sample_stats): one per-source
+    aggregation (tiny), rates broadcast back onto the corpus as a plain
+    filter, one accounting rollup. No sort, no reservoir state, no
+    driver-side planning; the heavy path is two corpus scans that a
+    100 TB run would fuse by caching the filtered pass it actually
+    writes out."""
+    d = table(spark, sf_dir, "documents")
+    srcagg = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks")
+    ).withColumn(
+        "w", F.lit(1) + F.substring("source", 4, 10).cast("int") % 4
+    )
+    tot = srcagg.agg(F.sum("toks").alias("tok_total"), F.sum("w").alias("w_total"))
+    rates = srcagg.crossJoin(F.broadcast(tot)).withColumn(
+        "rate",
+        F.least(
+            F.lit(1.0),
+            F.lit(0.5) * F.col("tok_total") * F.col("w") / F.col("w_total") / F.col("toks"),
+        ),
+    )
+    u = _md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_mix")), 1_000_000
+    ) / F.lit(1_000_000.0)
+    kept = (
+        d.join(F.broadcast(rates.select("source", "rate")), "source")
+        .where(u < F.col("rate"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("toks_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n_docs",
+        F.round("rate", 6).alias("target_rate"),
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("toks_kept", F.lit(0)).alias("toks_kept"),
+    )
