@@ -634,17 +634,26 @@ def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.col("p_name"))
         .alias("nm"),
     )
-    best = (
-        dirty.crossJoin(canon)
+    # Distinct-reduce the dirty strings BEFORE the distance computation:
+    # string cardinality ≪ row count (≤ |vocab| + |vocab|·max_len
+    # corruption variants vs 20k parts here; the same holds for real
+    # dirty-entity columns), so the expensive levenshtein fan-out runs
+    # per distinct string and the per-row answer comes back via an
+    # equi-join on the string.
+    best_per_nm = (
+        dirty.select("nm")
+        .distinct()
+        .crossJoin(canon)
         .select(
-            "p_partkey",
+            "nm",
             F.struct(
                 F.levenshtein("nm", "canon").alias("dist"), F.col("canon")
             ).alias("dc"),
         )
-        .groupBy("p_partkey")
+        .groupBy("nm")
         .agg(F.min("dc").alias("best"))
     )
+    best = dirty.join(best_per_nm, "nm")
     return best.groupBy(F.col("best.dist").alias("dist")).agg(
         F.count("*").alias("n_parts"),
         F.count_distinct("best.canon").alias("n_canon"),
