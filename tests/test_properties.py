@@ -172,3 +172,45 @@ def test_pii_regex_cross_engine(spark_prop, s):
     for pat in (email_re, phone_re):
         spark_n = _eval(spark_prop, F.regexp_count(F.lit(s), F.lit(pat)))
         assert spark_n == len(re.findall(pat, s)), (pat, s)
+
+
+# ---------------------------------------------------------------------------
+# Distributed connected components vs a trivial union-find: the
+# min-label-propagation + pointer-jumping loop (operators/components.py,
+# the closure stage of near-dup dedup) must produce exactly the
+# min-node-id component labeling for arbitrary edge lists — including
+# self-loops, duplicate edges, and long chains (worst case for the
+# O(log diameter) doubling).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)), min_size=1, max_size=25
+    )
+)
+def test_connected_components_match_union_find(spark_prop, edges):
+    from bigdata_imgprocessing_spark.operators.components import connected_components
+
+    spark = spark_prop
+    e = spark.createDataFrame(edges, "src int, dst int")
+    got = {
+        (r.node, r.comp) for r in connected_components(e, "src", "dst").collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {(n, find(n)) for n in parent}
+    assert got == expected
