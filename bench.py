@@ -117,6 +117,8 @@ HEADLINE = [
     "lone_problem_supplier",
     "neardup_component_dedup",
     "mixture_sample_stats",
+    "bm25_search",
+    "table_profile_stats",
 ]
 
 

@@ -400,3 +400,59 @@ def approx_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("size_within_5pct"),
         "n_total",
     )
+
+
+_PROFILE_NUM = {"o_orderkey", "o_custkey", "o_totalprice"}
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus",
+    "o_totalprice", "o_orderpriority",
+)
+
+
+@query(
+    "table_profile_stats",
+    oracle=" UNION ALL ".join(
+        f"""SELECT '{c}' AS col_name, count(*) AS n_rows,
+               count(*) - count({c}) AS n_null,
+               count(DISTINCT {c}) AS n_distinct,
+               {f'round(min({c}) * 1.0, 4)' if c in _PROFILE_NUM else 'NULL::DOUBLE'} AS min_num,
+               {f'round(max({c}) * 1.0, 4)' if c in _PROFILE_NUM else 'NULL::DOUBLE'} AS max_num
+        FROM orders"""
+        for c in _PROFILE_COLS
+    ),
+)
+def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (the ANALYZE/summary surface): per-column row
+    count, null count, exact distinct count, and numeric min/max for the
+    orders table, in ONE scan — all per-column metrics are computed in a
+    single aggregation and reshaped to one row per column with an
+    explode (the oracle's UNION-ALL-of-selects form would be |cols|
+    scans). Exact count_distinct is the 100 TB caveat: each adds an
+    expand pass, so a production profiler swaps in
+    approx_count_distinct (see approx_sketch_stats) — stated here
+    because profiling is exactly where sketches earn their keep."""
+    o = table(spark, sf_dir, "orders")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_COLS:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("long")).alias(f"nn_{c}"),
+            F.count_distinct(c).alias(f"nd_{c}"),
+        ]
+        if c in _PROFILE_NUM:
+            aggs += [
+                F.round(F.min(c).cast("double"), 4).alias(f"mn_{c}"),
+                F.round(F.max(c).cast("double"), 4).alias(f"mx_{c}"),
+            ]
+    row = o.agg(*aggs)
+    entries = F.array(*[
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col("n_rows"),
+            F.col(f"nn_{c}").alias("n_null"),
+            F.col(f"nd_{c}").alias("n_distinct"),
+            (F.col(f"mn_{c}") if c in _PROFILE_NUM else F.lit(None).cast("double")).alias("min_num"),
+            (F.col(f"mx_{c}") if c in _PROFILE_NUM else F.lit(None).cast("double")).alias("max_num"),
+        )
+        for c in _PROFILE_COLS
+    ])
+    return row.select(F.explode(entries).alias("e")).select("e.*")

@@ -470,3 +470,79 @@ def heatmap_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
+
+
+_BM25_TERMS = ("spark", "vector", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term,
+               len(string_split(text, ' ')) AS dl
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf, min(dl) AS dl
+        FROM tok WHERE term IN {_BM25_TERMS}
+        GROUP BY doc_id, term
+    ),
+    stats AS (SELECT count(*) AS n, avg(len(string_split(text, ' '))) AS avgdl
+              FROM documents),
+    dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scored AS (
+        SELECT tf.doc_id,
+               ln((n - df + 0.5) / (df + 0.5) + 1)
+               * tf * ({_BM25_K1} + 1)
+               / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+               AS s
+        FROM tf JOIN dfreq USING (term) CROSS JOIN stats
+    )
+    SELECT doc_id, round(sum(s), 4) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 10
+    """,
+)
+def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval for a literal term set — the posting-list
+    search shape (Robertson/Sparck-Jones weighting, k1=1.2 b=0.75) that
+    a corpus-scale search/retrieval layer runs. Tokens explode once and
+    are FILTERED TO THE QUERY TERMS before any shuffle (the posting
+    lists of 3 terms, not the whole vocabulary, move), document-
+    frequency and corpus stats join back as broadcast 1-to-3-row
+    aggregates, and the final top-10 is a TakeOrderedAndProject bounded
+    take — no global sort. Fully tie-broken (score desc, doc_id) and
+    rounded to 4dp for cross-engine ln() parity (same contract as
+    tfidf_top_terms)."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    tok = d.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+    tf = (
+        tok.where(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+    )
+    stats = d.agg(
+        F.count("*").alias("n"), F.avg(F.size(toks)).alias("avgdl")
+    )
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1)
+    denom = F.col("tf") + _BM25_K1 * (
+        1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id", (idf * F.col("tf") * (_BM25_K1 + 1) / denom).alias("s")
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("s"), 4).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), "doc_id")
+        .limit(10)
+    )
