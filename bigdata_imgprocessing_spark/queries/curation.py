@@ -554,7 +554,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.source, r.n_docs, round(r.rate, 6) AS target_rate,
            coalesce(k.n_kept, 0) AS n_kept,
-           coalesce(k.toks_kept, 0) AS toks_kept
+           CAST(coalesce(k.toks_kept, 0) AS BIGINT) AS toks_kept
     FROM rates r LEFT JOIN kept k ON r.source = k.source
     """,
 )
