@@ -119,6 +119,7 @@ HEADLINE = [
     "mixture_sample_stats",
     "bm25_search",
     "table_profile_stats",
+    "zorder_pruned_scan",
 ]
 
 

