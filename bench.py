@@ -120,6 +120,7 @@ HEADLINE = [
     "bm25_search",
     "table_profile_stats",
     "zorder_pruned_scan",
+    "funnel_conversion_stats",
 ]
 
 

@@ -308,3 +308,61 @@ def range_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     counted = e.select("user_id", F.count("*").over(w).alias("burst_size"))
     return counted.groupBy("burst_size").agg(F.count("*").alias("n_events"))
+
+
+@query(
+    "funnel_conversion_stats",
+    oracle="""
+    WITH steps AS (
+        SELECT user_id,
+               min(ts) FILTER (WHERE event_type = 'view') AS t_view,
+               min(ts) FILTER (WHERE event_type = 'click') AS t_click,
+               min(ts) FILTER (WHERE event_type = 'purchase') AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    flags AS (
+        SELECT user_id,
+               (t_view IS NOT NULL) AS s1,
+               (t_view IS NOT NULL AND t_click IS NOT NULL
+                AND t_click > t_view) AS s2,
+               (t_view IS NOT NULL AND t_click IS NOT NULL
+                AND t_click > t_view AND t_purchase IS NOT NULL
+                AND t_purchase > t_click) AS s3
+        FROM steps
+    )
+    SELECT count(*) AS n_users,
+           CAST(sum(CASE WHEN s1 THEN 1 ELSE 0 END) AS BIGINT) AS n_view,
+           CAST(sum(CASE WHEN s2 THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(sum(CASE WHEN s3 THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel,
+           round(sum(CASE WHEN s3 THEN 1 ELSE 0 END) * 1.0
+                 / sum(CASE WHEN s1 THEN 1 ELSE 0 END), 4) AS conversion
+    FROM flags
+    """,
+)
+def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered k-step funnel (view → click → purchase): a user converts
+    a step only if their FIRST occurrence of it is strictly after the
+    first occurrence of the previous step — the standard product-
+    analytics funnel, computed with first-touch semantics so it needs no
+    per-user event ordering beyond three conditional mins.
+
+    Plan at scale: ONE shuffle on user_id with map-side partial
+    conditional mins (no window, no per-user sort, no event-sequence
+    explode — the funnel depth only adds aggregate columns, not
+    passes); the final counts collapse a per-user frame to one row."""
+    e = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    steps = e.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("t_purchase"),
+    )
+    s1 = F.col("t_view").isNotNull()
+    s2 = s1 & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    s3 = s2 & F.col("t_purchase").isNotNull() & (F.col("t_purchase") > F.col("t_click"))
+    return steps.agg(
+        F.count("*").alias("n_users"),
+        F.sum(s1.cast("long")).alias("n_view"),
+        F.sum(s2.cast("long")).alias("n_view_click"),
+        F.sum(s3.cast("long")).alias("n_full_funnel"),
+        F.round(F.sum(s3.cast("long")) / F.sum(s1.cast("long")), 4).alias("conversion"),
+    )
