@@ -121,6 +121,7 @@ HEADLINE = [
     "table_profile_stats",
     "zorder_pruned_scan",
     "funnel_conversion_stats",
+    "jsonl_corrupt_handling",
 ]
 
 

@@ -549,3 +549,44 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.sum(F.col("ts_sec") % 1000).cast("bigint").alias("ts_checksum"),
     )
+
+
+@query(
+    "jsonl_corrupt_handling",
+    oracle="""
+    SELECT lang,
+           count(*) AS n_rows,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id % 13 != 0 GROUP BY lang
+    UNION ALL
+    SELECT NULL AS lang,
+           count(*) AS n_rows,
+           NULL::BIGINT AS total_chars
+    FROM documents WHERE doc_id % 13 = 0
+    """,
+)
+def jsonl_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bad-record tolerance on the JSONL ingest path: every 13th
+    document's JSON line is TRUNCATED mid-object (a pure function of
+    doc_id, reproduced by the oracle), the file is read back in
+    PERMISSIVE mode with an explicit schema, and the aggregation groups
+    corrupt rows into the NULL-lang bucket — real 100 TB ingest always
+    budgets for malformed records, and PERMISSIVE + null-group
+    accounting is the pattern that quarantines them without failing the
+    job (DROPMALFORMED/FAILFAST being the other modes; columnNameOfCorruptRecord
+    would retain the raw line for a quarantine sink)."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    line = F.to_json(F.struct("doc_id", "lang", "text"))
+    corrupted = F.when(
+        F.col("doc_id") % 13 == 0, F.substring(line, 1, 10)
+    ).otherwise(line)
+    out = os.path.join(_root_dir(sf_dir), "docs_jsonl_corrupt")
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        d.select(corrupted.alias("value")).write.mode("overwrite").text(out)
+    back = spark.read.schema("doc_id bigint, lang string, text string").option(
+        "mode", "PERMISSIVE"
+    ).json(out)
+    return back.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.sum(F.length("text")).alias("total_chars"),
+    )
