@@ -214,3 +214,43 @@ def test_connected_components_match_union_find(spark_prop, edges):
             parent[max(ra, rb)] = min(ra, rb)
     expected = {(n, find(n)) for n in parent}
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Letterbox invariants for arbitrary shapes: output is exactly
+# (target_h, target_w, c); the scaled region is aspect-preserving
+# nearest-neighbor (corner pixels map to source corners); everything
+# outside it is the 114 pad; and at least one target dimension is
+# fully used (scale = min of the two ratios).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    th=st.integers(1, 32),
+    tw=st.integers(1, 32),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_letterbox_invariants(h, w, th, tw, seed):
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.transform import PAD_VALUE, letterbox
+
+    rng = np.random.default_rng(seed)
+    # avoid PAD_VALUE in the source so pad vs content is unambiguous
+    img = rng.integers(0, 100, size=(h, w, 3), dtype=np.uint8)
+    out = letterbox(img, th, tw)
+    assert out.shape == (th, tw, 3)
+    scale = min(th / h, tw / w)
+    nh, nw = int(h * scale), int(w * scale)
+    assert nh == th or nw == tw or (nh, nw) == (0, 0)  # one dim saturated
+    if nh and nw:
+        # nearest-neighbor corners map to source corners
+        assert (out[0, 0] == img[0, 0]).all()
+        src_y = min(int((nh - 1) / scale), h - 1)
+        src_x = min(int((nw - 1) / scale), w - 1)
+        assert (out[nh - 1, nw - 1] == img[src_y, src_x]).all()
+    assert (out[nh:, :] == PAD_VALUE).all()
+    assert (out[:, nw:] == PAD_VALUE).all()
