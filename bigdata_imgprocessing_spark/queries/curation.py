@@ -575,10 +575,15 @@ def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB run would fuse by caching the filtered pass it actually
     writes out."""
     d = table(spark, sf_dir, "documents")
-    srcagg = d.groupBy("source").agg(
-        F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks")
-    ).withColumn(
-        "w", F.lit(1) + F.substring("source", 4, 10).cast("int") % 4
+    # cache(): srcagg feeds the totals, the rate table, AND (via rates)
+    # the broadcast filter — without it the per-source corpus scan runs
+    # once per consumer. |sources| rows.
+    srcagg = (
+        d.groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks"))
+        .withColumn("w", F.lit(1) + F.substring("source", 4, 10).cast("int") % 4)
+        .coalesce(1)
+        .cache()
     )
     tot = srcagg.agg(F.sum("toks").alias("tok_total"), F.sum("w").alias("w_total"))
     rates = srcagg.crossJoin(F.broadcast(tot)).withColumn(
@@ -597,7 +602,7 @@ def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count("*").alias("n_kept"), F.sum("n_chars").alias("toks_kept"))
     )
-    return rates.join(kept, "source", "left").select(
+    return rates.join(F.broadcast(kept), "source", "left").select(
         "source",
         "n_docs",
         F.round("rate", 6).alias("target_rate"),

@@ -517,13 +517,20 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     take — no global sort. Fully tie-broken (score desc, doc_id) and
     rounded to 4dp for cross-engine ln() parity (same contract as
     tfidf_top_terms)."""
+    from ..core.session import cache_parallelism
+
     d = table(spark, sf_dir, "documents")
     toks = F.split(F.col("text"), " ")
     tok = d.select("doc_id", F.size(toks).alias("dl"), F.explode(toks).alias("term"))
+    # cache(): tf feeds BOTH document-frequency and scoring — without it
+    # the tokenize/explode corpus scan runs twice (DataFrame DAGs don't
+    # share subplans). The frame is ≤ |docs|·|terms| rows.
     tf = (
         tok.where(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
         .agg(F.count("*").alias("tf"), F.min("dl").alias("dl"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     stats = d.agg(
         F.count("*").alias("n"), F.avg(F.size(toks)).alias("avgdl")
