@@ -20,8 +20,13 @@ from pyspark.sql import functions as F
 
 
 def _spread16(x: Column) -> Column:
-    """Spread a 16-bit int's bits to the even positions of a 32-bit int
-    (0b1111 -> 0b01010101) via the standard mask ladder."""
+    """Spread a 16-bit int's bits to the even positions (0b1111 ->
+    0b01010101) via the standard mask ladder. Computed in LONG: the top
+    source bit lands at position 30, and the subsequent interleave shift
+    puts it at 31 — the sign bit of a 32-bit int, which would flip the
+    key negative and break the Morton ORDER at the dimension midpoint
+    (caught by the hypothesis cross-check against a Python interleave)."""
+    x = x.cast("bigint")
     x = x.bitwiseOR(F.shiftleft(x, 8)).bitwiseAND(F.lit(0x00FF00FF))
     x = x.bitwiseOR(F.shiftleft(x, 4)).bitwiseAND(F.lit(0x0F0F0F0F))
     x = x.bitwiseOR(F.shiftleft(x, 2)).bitwiseAND(F.lit(0x33333333))

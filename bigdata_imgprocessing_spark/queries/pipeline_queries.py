@@ -531,7 +531,7 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")
     )
-    zdir = os.path.join(_root_dir(sf_dir), "events_zorder")
+    zdir = os.path.join(_root_dir(sf_dir), "events_zorder_v2")
     if not os.path.exists(os.path.join(zdir, "_SUCCESS")):
         write_zordered(ev, zdir, "user_id", "ts_sec", n_files=16)
     z = spark.read.parquet(zdir)

@@ -254,3 +254,66 @@ def test_letterbox_invariants(h, w, th, tw, seed):
         assert (out[nh - 1, nw - 1] == img[src_y, src_x]).all()
     assert (out[nh:, :] == PAD_VALUE).all()
     assert (out[:, nw:] == PAD_VALUE).all()
+
+
+# ---------------------------------------------------------------------------
+# Morton key vs a pure-Python bit interleave: the shift-and-mask ladder
+# (operators/zorder.py) must equal interleaving the bits of two 16-bit
+# ints for arbitrary bucket values.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(a=st.integers(0, 65535), b=st.integers(0, 65535))
+def test_morton_key_matches_python_interleave(spark_prop, a, b):
+    from bigdata_imgprocessing_spark.operators.zorder import morton_key
+
+    got = _eval(spark_prop, morton_key(F.lit(a), F.lit(b)))
+    expected = 0
+    for i in range(16):
+        expected |= ((a >> i) & 1) << (2 * i)
+        expected |= ((b >> i) & 1) << (2 * i + 1)
+    assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# MinHash signature vs a pure-Python reference: the md5-derived 40-bit
+# hash and the 16 affine min aggregates (queries/dedup.py) must agree
+# with a direct Python computation for arbitrary documents — this is
+# the arithmetic both the Spark side AND the DuckDB oracles assume.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=15
+    )
+)
+def test_minhash_signature_matches_python(spark_prop, toks):
+    import hashlib as hl
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _N_HASHES,
+        _P,
+        _a,
+        _b,
+        _minhash_signatures,
+        _shingles,  # noqa: F401  (shingling shape shared with the ref below)
+    )
+
+    spark = spark_prop
+    text = " ".join(toks)
+    d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    row = _minhash_signatures(d).collect()[0]
+
+    words = text.split(" ")
+    sh = (
+        [" ".join(words[i : i + 3]) for i in range(len(words) - 2)]
+        if len(words) >= 3
+        else [text]
+    )
+    hs = [int(hl.md5(s.encode()).hexdigest()[:10], 16) for s in set(sh)]
+    for j in range(_N_HASHES):
+        expected = min((_a(j) * h + _b(j)) % _P for h in hs)
+        assert row[f"mh{j}"] == expected, j
