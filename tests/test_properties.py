@@ -317,3 +317,81 @@ def test_minhash_signature_matches_python(spark_prop, toks):
     for j in range(_N_HASHES):
         expected = min((_a(j) * h + _b(j)) % _P for h in hs)
         assert row[f"mh{j}"] == expected, j
+
+
+# ---------------------------------------------------------------------------
+# SimHash bit-vote fingerprint vs a direct Python computation — the
+# same md5-prefix hash and per-bit sign votes both the Spark side and
+# the DuckDB oracle assume (queries/dedup.py simhash_fingerprints).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abcd", min_size=1, max_size=4), min_size=1, max_size=12
+    )
+)
+def test_simhash_matches_python(spark_prop, toks):
+    import hashlib as hl
+
+    spark = spark_prop
+    text = " ".join(toks)
+    d = spark.createDataFrame([(1, text)], "doc_id bigint, text string")
+    # rebuild the exact Spark expression chain used by the query
+    from pyspark.sql import functions as SF
+
+    from bigdata_imgprocessing_spark.queries.dedup import _h40
+
+    tok = d.select("doc_id", SF.explode(SF.split(SF.col("text"), " ")).alias("t"))
+    h = tok.select("doc_id", _h40(SF.col("t")).alias("h"))
+    votes = h.groupBy("doc_id").agg(
+        *[
+            SF.sum(2 * SF.shiftright(SF.col("h"), b).bitwiseAND(1) - 1).alias(f"v{b}")
+            for b in range(16)
+        ]
+    )
+    row = votes.collect()[0]
+
+    hs = [int(hl.md5(t.encode()).hexdigest()[:10], 16) for t in text.split(" ")]
+    expected_hash = 0
+    for bit in range(16):
+        vote = sum(2 * ((x >> bit) & 1) - 1 for x in hs)
+        assert row[f"v{bit}"] == vote, bit
+        if vote >= 0:
+            expected_hash |= 1 << bit
+    got_hash = sum(
+        (1 << b) for b in range(16) if row[f"v{b}"] >= 0
+    )
+    assert got_hash == expected_hash
+
+
+# ---------------------------------------------------------------------------
+# Perceptual hash vs a direct Python reference: mean-threshold bits over
+# arbitrary images, including the flat image (all pixels >= mean → all
+# ones), and hamming distance via xor-popcount as the pair queries
+# compute it.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(1, 4), w=st.integers(1, 4), seed=st.integers(0, 2**31 - 1)
+)
+def test_phash_matches_python(h, w, seed):
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.codec import encode_image
+    from bigdata_imgprocessing_spark.images.fingerprint import _phash
+
+    rng = np.random.default_rng(seed)
+    arr = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    got = _phash(encode_image(arr))
+    flat = arr.reshape(-1).astype(float)
+    mean = flat.sum() / len(flat)
+    expected = sum(1 << i for i, v in enumerate(flat) if v >= mean)
+    assert got == expected
+    # flat image: every pixel == mean → all bits set
+    flat_img = np.full((h, w, 3), 7, dtype=np.uint8)
+    n = h * w * 3
+    assert _phash(encode_image(flat_img)) == (1 << n) - 1
