@@ -122,6 +122,7 @@ HEADLINE = [
     "zorder_pruned_scan",
     "funnel_conversion_stats",
     "jsonl_corrupt_handling",
+    "lateral_topk_customers",
 ]
 
 

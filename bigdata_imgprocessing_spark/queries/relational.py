@@ -984,3 +984,35 @@ def lone_problem_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("n_r_rows").alias("numwait"))
     )
+
+
+@query(
+    "lateral_topk_customers",
+    oracle="""
+    SELECT n.n_name, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (SELECT c_name, c_acctbal FROM customer c
+             WHERE c.c_nationkey = n.n_nationkey
+             ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+    """,
+)
+def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery — per-nation top-2 customers by
+    balance, written as the for-each-row-of-the-outer-table dependent
+    subquery (the SQL:1999 LATERAL operator Spark supports since 3.2
+    and the reference's driver loops approximate by iterating groups).
+    Catalyst DECORRELATES it: the physical plan is a rank-limited
+    window over customer joined back to nation — no per-row re-execution
+    anywhere, which is exactly why the lateral form is safe at 100 TB.
+    Fully tie-broken (balance desc, name) for cross-engine parity."""
+    table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+        LATERAL (SELECT c_name, c_acctbal FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_name LIMIT 2) t
+        """
+    )
