@@ -123,6 +123,7 @@ HEADLINE = [
     "funnel_conversion_stats",
     "jsonl_corrupt_handling",
     "lateral_topk_customers",
+    "schema_evolution_union",
 ]
 
 

@@ -53,7 +53,7 @@ _PRIORITY = [
     "fuzzy_match_stats", "lone_problem_supplier", "neardup_component_dedup",
     "mixture_sample_stats", "bm25_search", "table_profile_stats",
     "zorder_pruned_scan", "funnel_conversion_stats", "jsonl_corrupt_handling",
-    "lateral_topk_customers",
+    "lateral_topk_customers", "schema_evolution_union",
     # (4) standing r2/r3-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

@@ -590,3 +590,47 @@ def jsonl_corrupt_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.sum(F.length("text")).alias("total_chars"),
     )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    WITH merged AS (
+        SELECT doc_id, lang, source, NULL::BIGINT AS n_tokens
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, lang, NULL AS source,
+               len(string_split(text, ' '))::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_rows,
+           count(source) AS n_with_source,
+           count(n_tokens) AS n_with_tokens,
+           CAST(sum(coalesce(n_tokens, 0)) AS BIGINT) AS total_tokens
+    FROM merged GROUP BY lang
+    """,
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across corpus generations: generation 1 carries
+    a ``source`` column, generation 2 dropped it and added ``n_tokens``.
+    ``unionByName(allowMissingColumns=True)`` aligns by NAME and
+    null-fills the gaps in both directions — the operation every
+    long-lived 100 TB corpus needs when upstream schemas drift, and the
+    opposite of positional UNION (which would silently mis-align or
+    fail). The accounting query proves which generation contributed
+    which columns. Pure narrow ops + one rollup shuffle."""
+    d = table(spark, sf_dir, "documents")
+    gen1 = d.select("doc_id", "lang", "source")
+    gen2 = d.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+    )
+    merged = gen1.unionByName(gen2, allowMissingColumns=True)
+    return merged.groupBy("lang").agg(
+        F.count("*").alias("n_rows"),
+        F.count("source").alias("n_with_source"),
+        F.count("n_tokens").alias("n_with_tokens"),
+        F.sum(F.coalesce("n_tokens", F.lit(0))).cast("bigint").alias("total_tokens"),
+    )
