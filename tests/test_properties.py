@@ -395,3 +395,42 @@ def test_phash_matches_python(h, w, seed):
     flat_img = np.full((h, w, 3), 7, dtype=np.uint8)
     n = h * w * 3
     assert _phash(encode_image(flat_img)) == (1 << n) - 1
+
+
+# ---------------------------------------------------------------------------
+# int8 quantization rule (quantized_ann_recall): floor(x*127/max + 0.5)
+# computed by Spark must equal the same arithmetic in Python for
+# arbitrary float vectors — the half-up rounding contract both engines'
+# SQL states explicitly.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    vec=st.lists(
+        st.floats(min_value=-10, max_value=10, allow_nan=False, width=32),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_int8_quantization_matches_python(spark_prop, vec):
+    import math
+
+    spark = spark_prop
+    ma = max(abs(v) for v in vec)
+    if ma == 0:
+        return  # zero vector excluded by the query's norm guard
+    df = spark.createDataFrame([(vec,)], "v array<float>")
+    q = df.select(
+        F.transform(
+            "v",
+            lambda x: F.floor(x.cast("double") * 127 / F.lit(float(ma)) + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("qv")
+    ).collect()[0].qv
+    import numpy as np
+
+    v32 = np.array(vec, dtype=np.float32)  # float column truncates to f32
+    expected = [math.floor(float(x) * 127 / float(ma) + 0.5) for x in v32]
+    assert q == expected
