@@ -426,3 +426,72 @@ def test_stats_to_chart_pipeline(spark, tmp_path):
     write_html_heatmap(back, html_path, index_col="letter")
     doc = open(html_path).read()
     assert doc.count("<tr>") == 3 and ">7</td>" in doc
+
+
+def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
+    """Watermark semantics made observable: run 1 drains a file whose
+    max event time advances the watermark past an old window and
+    CHECKPOINTS it; run 2 (same checkpoint, new file) delivers a row
+    whose event time is older than the persisted watermark. In append
+    mode the closed window was already emitted, and the late row must
+    NOT resurrect it — the eviction contract that bounds streaming
+    state at scale. A third assertion shows the same row IS counted
+    when it arrives within the watermark."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    base = 1704067200  # 2024-01-01T00:00:00Z
+
+    def write_file(name, rows):
+        ts = pa.array(
+            [(base + o) * 1_000_000 for o, _ in rows], pa.int64()
+        ).cast(pa.timestamp("us"))
+        uid = pa.array([u for _, u in rows], pa.int64())
+        pq.write_table(pa.table({"ts": ts, "user_id": uid}), str(src / name))
+
+    out_dir = str(tmp_path / "wm_out")
+
+    def drain():
+        # file sink: the one that actually supports checkpoint RECOVERY
+        # (memory sink refuses to resume), which is the point of the test
+        s = (
+            spark.readStream.schema("ts timestamp, user_id bigint")
+            .parquet(str(src))
+            .withWatermark("ts", "10 seconds")
+            .groupBy(F.window("ts", "10 seconds").alias("w"))
+            .agg(F.count("*").alias("n"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "n")
+        )
+        q = (
+            s.writeStream.format("parquet")
+            .option("path", out_dir)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {r.ws: r.n for r in spark.read.parquet(out_dir).collect()}
+
+    # run 1: two rows in window [0,10), one at +40s → watermark 40-10=30,
+    # closing (and emitting) the first window
+    write_file("a.parquet", [(1, 100), (2, 100), (40, 100)])
+    out1 = drain()
+    assert out1.get(base) == 2  # first window emitted with both rows
+
+    # run 2: a LATE row for the already-closed window (+3s < watermark 30)
+    # and a fresh row advancing time; the closed window must not re-emit
+    write_file("b.parquet", [(3, 100), (80, 100)])
+    out2 = drain()
+    assert out2.get(base) == 2, "late row resurrected a closed window"
+    # the +40s window now closes (watermark 80-10=70) WITHOUT the late row
+    assert out2.get(base + 40) == 1
+
+    # control: a row within the watermark for a still-open window counts
+    write_file("c.parquet", [(81, 100), (120, 100)])
+    out3 = drain()
+    assert out3.get(base + 80) == 2  # 80 and 81 together
