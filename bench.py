@@ -124,6 +124,8 @@ HEADLINE = [
     "jsonl_corrupt_handling",
     "lateral_topk_customers",
     "schema_evolution_union",
+    "outlier_order_stats",
+    "locf_daily_values",
 ]
 
 

@@ -456,3 +456,48 @@ def table_profile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         for c in _PROFILE_COLS
     ])
     return row.select(F.explode(entries).alias("e")).select("e.*")
+
+
+@query(
+    "outlier_order_stats",
+    oracle="""
+    WITH s AS (
+        SELECT o_orderpriority AS priority,
+               avg(o_totalprice) AS mu,
+               stddev_samp(o_totalprice) AS sigma,
+               count(*) AS n_orders
+        FROM orders GROUP BY o_orderpriority
+    )
+    SELECT s.priority, s.n_orders,
+           CAST(count(*) FILTER (WHERE o.o_totalprice > s.mu + 3 * s.sigma)
+                AS BIGINT) AS n_outliers,
+           round(s.mu, 4) AS mean_price
+    FROM orders o JOIN s ON o.o_orderpriority = s.priority
+    GROUP BY s.priority, s.n_orders, s.mu
+    """,
+)
+def outlier_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical outlier flagging (the 3-sigma rule) per group:
+    per-priority mean and sample stddev computed once, broadcast back
+    onto the fact table, rows beyond mu+3sigma counted. Two shuffles
+    total (stats agg + final rollup) with the stats side broadcast —
+    the per-group threshold never routes through a window over the
+    fact table. Comparisons happen on unrounded doubles identically in
+    both engines; only the reported mean is rounded."""
+    o = table(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    s = o.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.avg("o_totalprice").alias("mu"),
+        F.stddev_samp("o_totalprice").alias("sigma"),
+        F.count("*").alias("n_orders"),
+    )
+    j = o.join(F.broadcast(s), o.o_orderpriority == s.priority)
+    return j.groupBy("priority", "n_orders", "mu").agg(
+        F.sum(
+            (F.col("o_totalprice") > F.col("mu") + 3 * F.col("sigma")).cast("long")
+        ).alias("n_outliers"),
+    ).select(
+        "priority",
+        "n_orders",
+        F.col("n_outliers"),
+        F.round("mu", 4).alias("mean_price"),
+    )

@@ -366,3 +366,71 @@ def funnel_conversion_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(s3.cast("long")).alias("n_full_funnel"),
         F.round(F.sum(s3.cast("long")) / F.sum(s1.cast("long")), 4).alias("conversion"),
     )
+
+
+@query(
+    "locf_daily_values",
+    oracle="""
+    WITH bounds AS (
+        SELECT min(date_trunc('day', ts)) AS lo, max(date_trunc('day', ts)) AS hi
+        FROM events
+    ),
+    days AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS d FROM bounds
+    ),
+    users AS (SELECT DISTINCT user_id FROM events WHERE user_id % 50 = 0),
+    daily AS (
+        SELECT user_id, d, v FROM (
+            SELECT user_id, date_trunc('day', ts) AS d, value AS v,
+                   row_number() OVER (PARTITION BY user_id, date_trunc('day', ts)
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events WHERE user_id % 50 = 0
+        ) WHERE rn = 1
+    ),
+    grid AS (
+        SELECT u.user_id, days.d, daily.v
+        FROM users u CROSS JOIN days
+        LEFT JOIN daily ON daily.user_id = u.user_id AND daily.d = days.d
+    )
+    SELECT user_id, strftime(d, '%Y-%m-%d') AS day,
+           round(last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS filled
+    FROM grid
+    """,
+)
+def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-observation-carried-forward: each sampled user's latest
+    daily reading, forward-filled over the full calendar (null until the
+    first observation) — THE standard time-series imputation for sensor
+    / metric feeds. The daily last-reading is max_by over the unique
+    (ts, event_id) order, the user×day grid comes from a generated
+    calendar crossed with the sampled user dim (both broadcast-sized),
+    and the fill itself is ``last(ignorenulls)`` over an unbounded
+    preceding frame — one window shuffle partitioned by user, which at
+    100 TB is exactly one pass per key after the calendar join."""
+    e = table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    daily = e.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("lo"),
+        F.date_trunc("day", F.max("ts")).alias("hi"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
+    )
+    users = e.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days)).join(
+        daily, ["user_id", "d"], "left"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return grid.select(
+        "user_id",
+        F.date_format("d", "yyyy-MM-dd").alias("day"),
+        F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled"),
+    )
