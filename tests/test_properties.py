@@ -245,7 +245,10 @@ def test_letterbox_invariants(h, w, th, tw, seed):
     assert out.shape == (th, tw, 3)
     scale = min(th / h, tw / w)
     nh, nw = int(h * scale), int(w * scale)
-    assert nh == th or nw == tw or (nh, nw) == (0, 0)  # one dim saturated
+    # one dim saturated — up to 1px short, because the reference's own
+    # int(shape * r) truncation (yolox preproc, mirrored exactly) can
+    # land at th-1 when h*(th/h) rounds to 1.9999... in float64
+    assert nh >= th - 1 or nw >= tw - 1 or (nh, nw) == (0, 0)
     if nh and nw:
         # nearest-neighbor corners map to source corners
         assert (out[0, 0] == img[0, 0]).all()
