@@ -126,6 +126,7 @@ HEADLINE = [
     "schema_evolution_union",
     "outlier_order_stats",
     "locf_daily_values",
+    "pmi_collocations",
 ]
 
 

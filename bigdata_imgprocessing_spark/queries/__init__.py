@@ -54,7 +54,7 @@ _PRIORITY = [
     "mixture_sample_stats", "bm25_search", "table_profile_stats",
     "zorder_pruned_scan", "funnel_conversion_stats", "jsonl_corrupt_handling",
     "lateral_topk_customers", "schema_evolution_union",
-    "outlier_order_stats", "locf_daily_values",
+    "outlier_order_stats", "locf_daily_values", "pmi_collocations",
     # (4) standing r2/r3-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}

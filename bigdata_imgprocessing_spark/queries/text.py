@@ -553,3 +553,92 @@ def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(10)
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents),
+    uni AS (
+        SELECT u AS w, count(*) AS c1
+        FROM (SELECT unnest(t) AS u FROM toks) GROUP BY w
+    ),
+    bi AS (
+        SELECT b AS bigram, count(*) AS c2 FROM (
+            SELECT unnest(list_transform(range(len(t) - 1),
+                          i -> t[i+1] || ' ' || t[i+2])) AS b
+            FROM toks WHERE len(t) >= 2
+        ) GROUP BY bigram
+    ),
+    tot AS (
+        SELECT (SELECT CAST(sum(c1) AS BIGINT) FROM uni) AS t1,
+               (SELECT CAST(sum(c2) AS BIGINT) FROM bi) AS t2
+    )
+    SELECT bigram, c2 AS n_pairs,
+           round(ln((c2 * 1.0 / t2)
+                 / ((ua.c1 * 1.0 / t1) * (ub.c1 * 1.0 / t1))), 4) AS pmi
+    FROM bi CROSS JOIN tot
+    JOIN uni ua ON ua.w = string_split(bigram, ' ')[1]
+    JOIN uni ub ON ub.w = string_split(bigram, ' ')[2]
+    WHERE c2 >= 5
+    ORDER BY pmi DESC, bigram LIMIT 15
+    """,
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction by pointwise mutual information —
+    PMI(w1,w2) = ln(p(w1w2) / (p(w1)p(w2))) over adjacent word pairs
+    with a minimum-support cutoff, top-15. The statistical phrase
+    detector corpus pipelines run before vocabulary building (word2vec
+    phrases, tokenizer merges). Bigrams come from the zip-of-shifted-
+    slices construction (split once per row); unigram counts join back
+    as a BROADCAST (vocabulary ≪ corpus); ordering uses the ROUNDED pmi
+    on both engines so the limit-15 cut is cross-engine deterministic.
+    Two count shuffles + one bounded take."""
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    zipped = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+    bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    uni = (
+        d.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c1"))
+    )
+    bi = (
+        d.where(n >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("c2"))
+        .where(F.col("c2") >= 5)
+    )
+    t1 = uni.agg(F.sum("c1").cast("bigint").alias("t1"))
+    # t2 must count ALL bigrams (support cutoff applies to candidates,
+    # not the normalizer) — recompute from the corpus like the oracle
+    t2 = (
+        d.where(n >= 2)
+        .select(F.explode(bigrams).alias("b"))
+        .agg(F.count("*").cast("bigint").alias("t2"))
+    )
+    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
+    ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
+    parts = F.split(F.col("bigram"), " ")
+    scored = (
+        bi.withColumn("w1", parts.getItem(0))
+        .withColumn("w2", parts.getItem(1))
+        .join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .crossJoin(F.broadcast(t1))
+        .crossJoin(F.broadcast(t2))
+        .select(
+            "bigram",
+            F.col("c2").alias("n_pairs"),
+            F.round(
+                F.log(
+                    (F.col("c2") * 1.0 / F.col("t2"))
+                    / ((F.col("c1a") * 1.0 / F.col("t1")) * (F.col("c1b") * 1.0 / F.col("t1")))
+                ),
+                4,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "bigram").limit(15)
