@@ -437,3 +437,41 @@ def test_int8_quantization_matches_python(spark_prop, vec):
     v32 = np.array(vec, dtype=np.float32)  # float column truncates to f32
     expected = [math.floor(float(x) * 127 / float(ma) + 0.5) for x in v32]
     assert q == expected
+
+
+# ---------------------------------------------------------------------------
+# Z-order bucket scaling: for arbitrary numeric ranges (including the
+# degenerate lo==hi column and negative values), buckets stay in
+# [0, 65535], are monotone in the input, and map min→0 / max→65535
+# (max only when the span is nonzero).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(-10_000, 10_000), min_size=1, max_size=12, unique=True
+    )
+)
+def test_zorder_bucket_scaling(spark_prop, vals):
+    from bigdata_imgprocessing_spark.operators.zorder import _bucket16
+
+    spark = spark_prop
+    lo, hi = min(vals), max(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    out = {
+        r.v: r.b
+        for r in df.select(
+            "v", _bucket16(F.col("v"), F.lit(lo), F.lit(hi)).alias("b")
+        ).collect()
+    }
+    assert all(0 <= b <= 65535 for b in out.values())
+    assert out[lo] == 0
+    if hi > lo:
+        assert out[hi] == 65535
+        ordered = sorted(vals)
+        assert all(
+            out[a] <= out[b] for a, b in zip(ordered, ordered[1:])
+        )  # monotone
+    else:
+        assert out[hi] == 0  # degenerate single-value range
