@@ -32,6 +32,10 @@ PICKS = {
     "lone_problem_supplier": "Q21 decorrelated: EXISTS / NOT EXISTS expressed as one per-order aggregation pass; lineitem scanned once instead of three times.",
     "fuzzy_match_stats": "Fuzzy matching: distinct-reduced vocab broadcast, JVM levenshtein, per-row argmin as a map-side-partial struct min -- one row per part through the shuffle.",
     "pii_scrub_stats": "PII scrub: pure JVM regexp map over the scan, one low-cardinality rollup shuffle; no UDF, no join.",
+    "bm25_search": "BM25: query-term posting lists only through the shuffle (cached tf frame feeds df AND scoring), broadcast corpus stats, TakeOrderedAndProject bounded top-10.",
+    "funnel_conversion_stats": "Funnel: ONE user_id shuffle with map-side partial conditional mins; depth adds aggregate columns, not passes.",
+    "lateral_topk_customers": "LATERAL decorrelated: rank-limited window joined back to the outer table -- no per-row subquery re-execution.",
+    "locf_daily_values": "LOCF forward fill: broadcast calendar grid, one window shuffle per user, last(ignorenulls) over unbounded preceding.",
 }
 
 
