@@ -48,14 +48,18 @@ _CLASS = 16  # class-of-interest, mirroring pyspark_stats.py:69 "dog"
 
 
 def _root_dir(sf_dir: str) -> str:
-    """Per-(corpus-version) cache root: the token fingerprints the
-    embeddings parquet (mtime+size), so a regenerated testdata dir gets
-    a FRESH cache instead of stale materialized bytes — the cached
-    corpus/intermediates are pure functions of that file."""
-    st = os.stat(f"{sf_dir}/embeddings.parquet")
-    token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
-    ).hexdigest()[:12]
+    """Per-(corpus-version) cache root: the token fingerprints EVERY
+    source parquet in the sf_dir (mtime+size of each), so regenerating
+    ANY table — not just embeddings — gives a FRESH cache instead of
+    stale materialized bytes (the cached corpus / Z-order layout /
+    corrupt-JSONL fixtures derive from embeddings, events, and
+    documents respectively)."""
+    parts = [sf_dir]
+    for name in sorted(os.listdir(sf_dir)):
+        if name.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, name))
+            parts.append(f"{name}|{st.st_mtime_ns}|{st.st_size}")
+    token = hashlib.md5("||".join(parts).encode()).hexdigest()[:12]
     return f"/tmp/bdip_pipeline_{token}"
 
 
@@ -526,7 +530,6 @@ def zorder_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cache key fingerprints the source parquet so regenerated testdata
     rebuilds the layout."""
     from ..operators.zorder import write_zordered
-    from ..sources.cached import read_or_compute
 
     ev = table(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", F.unix_timestamp("ts").alias("ts_sec")

@@ -409,11 +409,15 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the fill itself is ``last(ignorenulls)`` over an unbounded
     preceding frame — one window shuffle partitioned by user, which at
     100 TB is exactly one pass per key after the calendar join."""
-    e = table(spark, sf_dir, "events").where(F.col("user_id") % 50 == 0)
+    all_events = table(spark, sf_dir, "events")
+    e = all_events.where(F.col("user_id") % 50 == 0)
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
     ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
-    bounds = e.agg(
+    # Calendar bounds deliberately come from the UNFILTERED table: the
+    # fill grid is the global observation window, not the sampled
+    # users' window (which could be narrower on sparser data).
+    bounds = all_events.agg(
         F.date_trunc("day", F.min("ts")).alias("lo"),
         F.date_trunc("day", F.max("ts")).alias("hi"),
     )

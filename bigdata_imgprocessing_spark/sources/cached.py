@@ -7,9 +7,12 @@ checkpoint semantics with a durable, schema-carrying format.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+
+_log = logging.getLogger(__name__)
 
 
 def materialize(df: DataFrame, path: str) -> DataFrame:
@@ -27,6 +30,9 @@ def read_or_compute(
     if not refresh:
         try:
             return spark.read.parquet(path)
-        except Exception:
-            pass
+        except Exception as exc:
+            # missing cache is the normal first-run path, but surface it:
+            # a *corrupt* cache (partial write, perm error) looks identical
+            # here and silence would hide the recompute churn it causes
+            _log.warning("cached read at %s failed (%s); recomputing", path, exc)
     return materialize(compute(), path)

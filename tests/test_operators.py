@@ -391,3 +391,23 @@ def test_zorder_layout_prunes_both_dims(spark, sf_dir, tmp_path):
     zb, _ = _files_touched(zpath, [("user_id", *uband), ("ts_sec", *wide_t)])
     tb, _ = _files_touched(tpath, [("user_id", *uband), ("ts_sec", *wide_t)])
     assert zb < tb, f"2-D box: z-order {zb} vs time-sort {tb}"
+
+
+def test_shingle_hash_collision_free_on_corpus(spark, sf_dir):
+    """ngram_jaccard_hist keys posting lists on xxhash64(shingle) —
+    correct only while the hash is injective on the observed vocabulary
+    (~1e-7 odds documented at queries/dedup.py). This makes a collision
+    LOUD on the test corpus instead of a silent posting-list merge."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries.dedup import _shingles
+
+    d = table(spark, sf_dir, "documents")
+    ex = d.select(F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s0"))
+    row = ex.agg(
+        F.count_distinct("s0").alias("n_shingles"),
+        F.count_distinct(F.xxhash64("s0")).alias("n_hashes"),
+    ).first()
+    assert row.n_shingles == row.n_hashes, (
+        f"xxhash64 collision on shingle vocabulary: "
+        f"{row.n_shingles} shingles -> {row.n_hashes} hashes"
+    )
