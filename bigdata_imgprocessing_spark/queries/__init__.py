@@ -8,14 +8,12 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so the round-4 order is: (1) the two queries that
-# have NEVER had a CORRECTNESS row in any round, (2) every
-# events-dependent query — their r1/r2 green rows predate the testdata
-# regeneration that changed events.ts to timestamp[us], and round 3
-# recorded 6 of them as fail/error before the schema-driven catalog fix
-# (core/catalog.py normalize_event_ts) — all 27 need fresh rows, (3)
-# new round-4 queries, then the standing r2/r3-green rows in
-# registration order.
+# entries per round, so the round-5 order is: (1) queries NEW this
+# round (first CORRECTNESS row pending), (2) the 32 queries whose
+# latest driver row is round 1-2 — the codebase has changed
+# substantially since, so they need a fresh row even though the local
+# parity gate has them green (VERDICT r4 punch-list item 1), (3) the
+# r3/r4-green rows in registration order.
 from . import advanced  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
@@ -29,33 +27,23 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) never had a CORRECTNESS row in any round
-    "xml_roundtrip_stats", "compaction_file_stats",
-    # (2) events-dependent — r1/r2 rows are stale (testdata regenerated
-    # with timestamp[us] ts); r3 recorded the starred ones as
-    # fail/error pre-fix. First the 6 r3 fails:
-    "approx_sketch_stats", "streaming_upsert_latest",
-    "orc_roundtrip_stats", "variant_props_stats", "percentile_stats",
-    "pivot_event_counts",
-    # then the remaining 21 events readers:
-    "json_map_extract", "unpivot_event_counts", "event_histogram",
-    "salted_event_sum", "event_transition_counts",
-    "time_bucket_agg", "sliding_window_agg", "session_windows",
-    "asof_purchase_click", "range_join_funnel", "daily_counts_gapfilled",
-    "range_window_counts",
-    "streaming_event_counts", "streaming_windowed_counts",
-    "streaming_dedup_counts", "streaming_session_windows",
-    "streaming_interval_join", "streaming_foreachbatch_counts",
-    "streaming_kafka_roundtrip", "streaming_replay_dedup",
-    "streaming_enriched_counts",
-    # (3) new round-4 queries — first CORRECTNESS row pending.
-    "heatmap_chart_data", "ivf_search_served", "pii_scrub_stats",
-    "fuzzy_match_stats", "lone_problem_supplier", "neardup_component_dedup",
-    "mixture_sample_stats", "bm25_search", "table_profile_stats",
-    "zorder_pruned_scan", "funnel_conversion_stats", "jsonl_corrupt_handling",
-    "lateral_topk_customers", "schema_evolution_union",
-    "outlier_order_stats", "locf_daily_values", "pmi_collocations",
-    # (4) standing r2/r3-green rows follow in registration order.
+    # (1) new round-5 queries — first CORRECTNESS row pending.
+    "bar_chart_data", "color_chart_data", "image_bmp_ingest",
+    "embedding_batch_scores",
+    # (2) the 32 stale rows (latest driver check r1-r2; VERDICT r4 #1)
+    "ann_ivf_topk", "audio_feature_extract", "bucketed_join_revenue",
+    "cached_predictions_stats", "conditional_agg_ratio",
+    "dedup_incremental_stats", "dedup_keep_best", "detection_class_names",
+    "distinct_counts", "doc_embedding_join_stats", "doc_fingerprints",
+    "doc_pack_stats", "doc_quality_scores", "doc_split_stats",
+    "doc_token_stats", "embedding_lsh_neardup", "embedding_model_scores",
+    "embedding_norm_stats", "jsonl_roundtrip_stats", "keyword_doc_stats",
+    "keyword_lang_stats", "knn_bruteforce", "lang_id_confusion",
+    "minhash_band_stats", "nearest_centroid_counts",
+    "repetition_ngram_stats", "report_text_roundtrip",
+    "stats_pipeline_e2e", "stratified_sample_stats",
+    "streaming_stateful_totals", "tfidf_top_terms", "vocab_top_terms",
+    # (3) r3/r4-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

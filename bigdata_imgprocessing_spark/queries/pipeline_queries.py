@@ -378,6 +378,49 @@ def cached_predictions_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "bar_chart_data",
+    oracle=f"""
+    WITH imgs AS (
+        SELECT CAST(vec_id AS VARCHAR) AS img_id,
+               chr(65 + CAST(vec_id % 26 AS INTEGER)) AS letter
+        FROM embeddings
+    ),
+    dets AS (
+        SELECT letter,
+               CAST(('0x' || substr(md5(img_id || '_' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 80 AS INTEGER) AS class_id,
+               (('0x' || substr(md5(img_id || '_s' || CAST(j + 1 AS VARCHAR)), 1, 10))::UBIGINT % 1000) / 1000.0 AS score
+        FROM imgs CROSS JOIN (SELECT unnest(range(3)) AS j) js
+        WHERE j < ('0x' || substr(md5(img_id), 1, 10))::UBIGINT % 4
+    )
+    SELECT class_id, letter, count(*) AS n_detections
+    FROM dets WHERE score > {SCORE_THRESHOLD}
+    GROUP BY class_id, letter
+    """,
+)
+def bar_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's bar-chart data half — the reference's per-class
+    ``px.bar(letter, count)`` frames (plots.py:14-24: one CSV → one bar
+    chart PER class) produced as ONE long-form query: (class_id, letter,
+    n_detections), where filtering to a class_id yields exactly that
+    class's bar frame for ``sources.html_report.write_html_bar``. One
+    Arrow-batched inference pass and one map-side-combined groupBy over
+    all classes — versus the reference's loop of per-class jobs, the
+    restructuring that matters at 100 TB (80 scans → 1).
+    The letter axis derives deterministically from the image id (the
+    reference's first-letter-of-landmark-name, P1)."""
+    imgs = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").cast("string").alias("img_id"),
+        F.char(F.lit(65) + F.col("vec_id") % 26).alias("letter"),
+    )
+    dets = imgs.select("letter", F.explode(detect_udf("img_id")).alias("det"))
+    return (
+        dets.where(F.col("det.score") > SCORE_THRESHOLD)
+        .groupBy(F.col("det.class_id").alias("class_id"), "letter")
+        .agg(F.count("*").alias("n_detections"))
+    )
+
+
+@query(
     "orc_roundtrip_stats",
     oracle="""
     SELECT event_type,

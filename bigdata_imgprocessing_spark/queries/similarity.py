@@ -324,6 +324,70 @@ def nearest_centroid_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: go.Bar palette of the reference's color plot (plots.py:47)
+_COLOR_NAMES = ("red", "green", "blue", "cyan", "yellow", "magenta")
+
+
+@query(
+    "color_chart_data",
+    oracle=f"""
+    WITH d AS (
+        SELECT {", ".join(f"{_dist_sql(i)} AS d{i}" for i in range(6))}
+        FROM embeddings
+    ), assigned AS (
+        SELECT CASE WHEN d0 <= least(d1, d2, d3, d4, d5) THEN 0
+                    WHEN d1 <= least(d2, d3, d4, d5) THEN 1
+                    WHEN d2 <= least(d3, d4, d5) THEN 2
+                    WHEN d3 <= least(d4, d5) THEN 3
+                    WHEN d4 <= d5 THEN 4
+                    ELSE 5 END AS centroid_idx
+        FROM d
+    )
+    SELECT {list(_COLOR_NAMES)}[centroid_idx + 1] AS primary_color,
+           count(*) AS n_images
+    FROM assigned GROUP BY centroid_idx
+    """,
+)
+def color_chart_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K4's color-plot data half — the reference's closest-primary
+    results frame (primary_color, count) that feeds
+    ``go.Bar(marker_color=colors)`` (plots.py:43-50, reading
+    stats/closest_primary/results.csv). Nearest-centroid assignment is
+    the same pure-SQL argmin as ``nearest_centroid_counts`` (lowest
+    index wins ties, pyspark_dominant.py:115-117), aggregated to one
+    row per primary color with the palette name attached JVM-side —
+    a 6-row result regardless of corpus size.
+    ``sources.html_report.write_html_bar(colors=...)`` renders it."""
+    e = table(spark, sf_dir, "embeddings")
+
+    def dist(i: int):
+        c = _CENTROIDS[i]
+        return sum(
+            (F.element_at("embedding", k + 1).cast("double") - F.lit(c[k])) ** 2
+            for k in range(3)
+        )
+
+    d = e.select(*[dist(i).alias(f"d{i}") for i in range(6)])
+    idx = (
+        F.when(F.col("d0") <= F.least("d1", "d2", "d3", "d4", "d5"), 0)
+        .when(F.col("d1") <= F.least("d2", "d3", "d4", "d5"), 1)
+        .when(F.col("d2") <= F.least("d3", "d4", "d5"), 2)
+        .when(F.col("d3") <= F.least("d4", "d5"), 3)
+        .when(F.col("d4") <= F.col("d5"), 4)
+        .otherwise(5)
+    )
+    names = F.array(*[F.lit(c) for c in _COLOR_NAMES])
+    return (
+        d.select(idx.alias("centroid_idx"))
+        .groupBy("centroid_idx")
+        .agg(F.count("*").alias("n_images"))
+        .select(
+            F.element_at(names, F.col("centroid_idx") + 1).alias("primary_color"),
+            "n_images",
+        )
+    )
+
+
 @query(
     "embedding_norm_stats",
     oracle="""

@@ -1,13 +1,16 @@
-"""K4: driver-local HTML heatmap sink (reference plots.py:27-40,
-dash.html:55-78 — the ``px.imshow(...).write_html`` chart layer).
+"""K4: driver-local HTML chart sinks (reference plots.py — the
+``px.bar``/``px.imshow``/``go.Bar`` ``write_html`` chart layer).
 
-The DATA half of the reference's heatmap (merge per-class frames on the
-index column, transpose to class-rows × index-columns) is a checked
-query (``heatmap_chart_data``); this module is only the egress: render
-an already-pivoted small matrix as a standalone HTML file with an
-inline linear color scale — no plotly/browser dependency, and like K3's
-``write_local_csv`` it collects through Arrow, so it is for small
-RESULT matrices only, never distributed data.
+The DATA halves of the reference's charts are checked queries
+(``heatmap_chart_data``, ``bar_chart_data``, ``color_chart_data``);
+this module is only the egress: render an already-aggregated small
+result frame as a standalone HTML file — no plotly/browser dependency,
+and like K3's ``write_local_csv`` it collects through Arrow, so it is
+for small RESULT frames only, never distributed data.
+
+- ``write_html_heatmap`` ≡ plots.py:27-40 (``px.imshow(text_auto=True)``)
+- ``write_html_bar``     ≡ plots.py:14-24 (per-class ``px.bar(df, x, y)``)
+  and, with ``colors=``, plots.py:43-50 (``go.Bar(marker_color=colors)``)
 """
 
 from __future__ import annotations
@@ -57,6 +60,63 @@ def write_html_heatmap(df: DataFrame, path: str, index_col: str) -> None:
         "<!doctype html><meta charset='utf-8'>"
         "<table style='border-collapse:collapse;font:12px monospace'>"
         f"<tr>{head}</tr>{''.join(rows)}</table>"
+    )
+    with open(path, "w") as f:
+        f.write(doc)
+
+
+def write_html_bar(
+    df: DataFrame,
+    path: str,
+    x: str,
+    y: str,
+    colors: list[str] | None = None,
+) -> None:
+    """Render an (x, y) result frame to ``path`` as a self-contained
+    SVG bar chart — the reference's per-class ``px.bar(df, x=x, y=y)
+    .write_html`` (plots.py:23); with ``colors`` a per-bar palette,
+    the ``go.Bar(marker_color=colors)`` color plot (plots.py:45-50).
+
+    Deterministic output: bars sorted by the x column, heights scaled
+    to the max y over a fixed 640×360 canvas, each bar labeled with its
+    category and value. Driver-local egress like the heatmap sink.
+    """
+    pdf = df.toPandas().sort_values(x).reset_index(drop=True)
+    xs = [str(v) for v in pdf[x]]
+    ys = [float(v) for v in pdf[y]]
+    hi = max([v for v in ys if v > 0], default=1.0)
+    w_canvas, h_canvas, margin = 640, 360, 40
+    n = max(len(xs), 1)
+    slot = (w_canvas - 2 * margin) / n
+    bars = []
+    for i, (xv, yv) in enumerate(zip(xs, ys)):
+        h = (h_canvas - 2 * margin) * max(yv, 0.0) / hi
+        x0 = margin + i * slot + slot * 0.1
+        y0 = h_canvas - margin - h
+        fill = colors[i % len(colors)] if colors else "#1f77b4"
+        label = html.escape(xv)
+        bars.append(
+            f'<rect x="{x0:.1f}" y="{y0:.1f}" width="{slot * 0.8:.1f}" '
+            f'height="{h:.1f}" fill="{html.escape(fill)}">'
+            f"<title>{label}: {yv:g}</title></rect>"
+            f'<text x="{x0 + slot * 0.4:.1f}" y="{h_canvas - margin + 14:.1f}" '
+            f'text-anchor="middle" font-size="10">{label}</text>'
+            f'<text x="{x0 + slot * 0.4:.1f}" y="{y0 - 3:.1f}" '
+            f'text-anchor="middle" font-size="9">{yv:g}</text>'
+        )
+    axis = (
+        f'<line x1="{margin}" y1="{h_canvas - margin}" x2="{w_canvas - margin}" '
+        f'y2="{h_canvas - margin}" stroke="#000"/>'
+        f'<line x1="{margin}" y1="{margin}" x2="{margin}" '
+        f'y2="{h_canvas - margin}" stroke="#000"/>'
+        f'<text x="{margin - 4}" y="{margin + 4}" text-anchor="end" '
+        f'font-size="10">{hi:g}</text>'
+    )
+    doc = (
+        "<!doctype html><meta charset='utf-8'>"
+        f"<svg xmlns='http://www.w3.org/2000/svg' width='{w_canvas}' "
+        f"height='{h_canvas}' font-family='monospace'>"
+        f"{axis}{''.join(bars)}</svg>"
     )
     with open(path, "w") as f:
         f.write(doc)

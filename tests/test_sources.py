@@ -495,3 +495,68 @@ def test_watermark_drops_late_rows_across_restart(spark, tmp_path):
     write_file("c.parquet", [(81, 100), (120, 100)])
     out3 = drain()
     assert out3.get(base + 80) == 2  # 80 and 81 together
+
+
+def test_html_bar_sink(spark, tmp_path):
+    """K4 egress, bar half: an (x, y) frame renders to a standalone SVG
+    bar chart — one rect per category, max bar spanning the full plot
+    height, deterministic sorted-by-x order (plots.py:23 px.bar twin)."""
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_bar
+
+    df = spark.createDataFrame(
+        [("B", 10), ("A", 4), ("C", 0)], "letter string, count bigint"
+    )
+    path = str(tmp_path / "bar.html")
+    write_html_bar(df, path, x="letter", y="count")
+    doc = open(path).read()
+    assert doc.count("<rect") == 3
+    assert 'height="280.0"' in doc  # max bar = full 360 - 2*40 plot height
+    assert 'height="0.0"' in doc  # zero stays zero, not min-clamped
+    assert doc.index(">A</text>") < doc.index(">B</text>") < doc.index(">C</text>")
+    assert 'fill="#1f77b4"' in doc  # default single-color px.bar accent
+
+
+def test_html_bar_sink_palette(spark, tmp_path):
+    """The go.Bar(marker_color=[...]) color-plot twin (plots.py:45-50):
+    each bar takes its own palette entry in x-sorted order."""
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_bar
+
+    df = spark.createDataFrame(
+        [("blue", 5), ("green", 2), ("red", 8)],
+        "primary_color string, n_images bigint",
+    )
+    path = str(tmp_path / "colors.html")
+    write_html_bar(
+        df, path, x="primary_color", y="n_images", colors=["cyan", "lime", "#f00"]
+    )
+    doc = open(path).read()
+    for c in ('fill="cyan"', 'fill="lime"', 'fill="#f00"'):
+        assert c in doc
+    assert 'fill="#1f77b4"' not in doc
+
+
+def test_chart_data_to_bar_pipeline(spark, sf_dir, tmp_path):
+    """Reference hand-off for the bar layer (stats CSV → plots.py
+    px.bar per class): filter ONE class out of bar_chart_data — exactly
+    the per-class frame the reference reads from its per-class CSV —
+    and render it; plus the color plot from color_chart_data with the
+    reference's fixed 6-color palette."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_bar
+
+    bars = QUERIES["bar_chart_data"](spark, sf_dir)
+    one_class = bars.where(F.col("class_id") == bars.first().class_id).select(
+        "letter", "n_detections"
+    )
+    p1 = str(tmp_path / "class_bar.html")
+    write_html_bar(one_class, p1, x="letter", y="n_detections")
+    assert open(p1).read().count("<rect") == one_class.count() > 0
+
+    colors = QUERIES["color_chart_data"](spark, sf_dir)
+    p2 = str(tmp_path / "color_bar.html")
+    write_html_bar(
+        colors, p2, x="primary_color", y="n_images",
+        colors=["red", "green", "blue", "cyan", "yellow", "magenta"],
+    )
+    doc = open(p2).read()
+    assert doc.count("<rect") == colors.count() > 0
