@@ -1,13 +1,14 @@
-"""Deterministic fake image codec — STUB standing in for cv2.imdecode.
+"""Image codec front door: FIMG, real BMP/PNG (stdlib), cv2 fallback.
 
 The reference decodes JPEGs with ``cv2.imdecode(np.frombuffer(...))``
 (pyspark_yolox.py:65-67, pyspark_dominant.py:33-35). This container has
-no cv2/PIL, so images are carried in a trivial deterministic container
-format ("FIMG": magic + h + w + channels + raw uint8 pixels). Everything
-downstream (average color, k-means dominant color, resize) operates on
-the decoded ndarray exactly as it would on a real decode; swapping in
-cv2 means replacing ONLY ``decode_image``/``encode_image`` (they try
-cv2 first when importable).
+no cv2/PIL, so ``decode_image`` dispatches on magic bytes: the trivial
+FIMG container (magic + h + w + channels + raw uint8 pixels) for
+synthetic fixtures, REAL 24-bit BMP and 8-bit PNG via the stdlib-only
+codecs in ``images.formats`` (so a real on-disk format is first-class
+with no native deps), and cv2 for anything else when importable (the
+JPEG slot-in). Everything downstream (average color, k-means dominant
+color, resize) operates on the decoded ndarray identically.
 """
 
 from __future__ import annotations
@@ -37,14 +38,21 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Bytes → uint8 HxWxC ndarray. FIMG natively; real image formats via
-    cv2 when available, else NotImplementedError (documented stub)."""
+    """Bytes → uint8 HxWxC ndarray. FIMG, BMP, and PNG natively (stdlib
+    codecs); other real formats (JPEG) via cv2 when available, else
+    NotImplementedError (documented stub)."""
+    from .formats import BMP_MAGIC, PNG_MAGIC, decode_bmp, decode_png
+
     if buf[:4] == _MAGIC:
         magic, h, w, c = _HEADER.unpack_from(buf)
         return np.frombuffer(buf, dtype=np.uint8, offset=_HEADER.size).reshape(h, w, c)
+    if buf[:2] == BMP_MAGIC:
+        return decode_bmp(buf)
+    if buf[:8] == PNG_MAGIC:
+        return decode_png(buf)
     if _HAS_CV2:  # pragma: no cover
         return cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
     raise NotImplementedError(
-        "real image decode requires cv2/PIL (absent in this container); "
-        "use the FIMG stub format from encode_image()"
+        "JPEG/other decode requires cv2/PIL (absent in this container); "
+        "BMP, PNG, and the FIMG fixture format decode natively"
     )

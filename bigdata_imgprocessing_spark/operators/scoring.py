@@ -42,3 +42,37 @@ def make_linear_scorer(spark: SparkSession, weights: list[int]):
         return score_udf(col)
 
     return scorer
+
+
+def make_batch_scorer(weights: list[int], batch_size: int = 256):
+    """The REAL ``pyspark.ml.functions.predict_batch_udf`` contract —
+    the slot a torch/tf model plugs into (reference: broadcast model +
+    per-image forward, pyspark_yolox.py:49-50,62-87). ``make_predict_fn``
+    runs once per Python worker (the model-load site: here numpy
+    weights, for YOLOX the checkpoint restore), and ``predict`` receives
+    a stacked ``(batch, dim)`` ndarray sliced from the Arrow stream by
+    Spark itself — proving the batching contract with no torch in the
+    container. Left-to-right per-row accumulation keeps scores bit-equal
+    to the SQL oracle (np.dot's pair-summation would drift in the ulp).
+    """
+    from pyspark.ml.functions import predict_batch_udf
+    from pyspark.sql.types import DoubleType
+
+    arr = np.asarray(weights, dtype=np.float64)
+    dim = len(weights)
+
+    def make_predict_fn():
+        w = arr  # per-worker "model load"
+
+        def predict(inputs: np.ndarray) -> np.ndarray:
+            assert inputs.ndim == 2 and inputs.shape[1] == dim, inputs.shape
+            return np.asarray([float(sum(r * w, 0.0)) for r in inputs])
+
+        return predict
+
+    return predict_batch_udf(
+        make_predict_fn,
+        return_type=DoubleType(),
+        batch_size=batch_size,
+        input_tensor_shapes=[[dim]],
+    )

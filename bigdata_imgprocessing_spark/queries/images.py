@@ -53,6 +53,23 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@F.pandas_udf(BinaryType())
+def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
+    """Same deterministic 2x2x3 pixels, but encoded as REAL on-disk
+    formats — 24-bit BMP for even ids, 8-bit RGB PNG for odd — so the
+    decode side exercises the stdlib format codecs, not the FIMG
+    fixture container (P4 real-format leg)."""
+    from ..images.formats import encode_bmp, encode_png
+
+    def enc(row) -> bytes:
+        vid, vec = row
+        v = np.asarray(vec[:12], dtype=np.float64) * 1000.0
+        px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8).reshape(2, 2, 3)
+        return encode_bmp(px) if vid % 2 == 0 else encode_png(px)
+
+    return pd.Series(map(enc, zip(vec_id, emb)))
+
+
 _DUCK_PX = "(abs(trunc(embedding[{i}]::DOUBLE * 1000)::BIGINT) % 256)"
 
 
@@ -130,6 +147,47 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("c0", "c1", "c2")
         .agg(F.count("*").alias("n_images"))
+    )
+
+
+@query(
+    "image_format_ingest",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_images,
+           CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_bmp,
+           CAST(count(*) FILTER (WHERE vec_id % 2 != 0) AS BIGINT) AS n_png,
+           round(avg(({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0), 4) AS avg_c0,
+           round(avg(({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0), 4) AS avg_c1,
+           round(avg(({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0), 4) AS avg_c2
+    FROM embeddings GROUP BY label
+    """,
+)
+def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4 with REAL formats: a mixed corpus of genuine 24-bit BMP and
+    8-bit PNG bytes (stdlib codecs, no cv2 — images/formats.py) flows
+    binary-column → magic-dispatch decode → per-channel means →
+    per-label rollup. Hash parity against the pixel-arithmetic oracle
+    proves both real-format encode→decode round trips are byte-exact
+    (a BGR swap, row-flip, padding, or zlib-filter bug anywhere breaks
+    the values). Mirrors the reference's cv2.imdecode ingest
+    (pyspark_dominant.py:33-35) where formats also vary per file."""
+    e = table(spark, sf_dir, "embeddings")
+    imgs = e.select(
+        "vec_id",
+        "label",
+        _real_format_image_udf("vec_id", "embedding").alias("content"),
+    )
+    avg = imgs.select(
+        "vec_id", "label", average_color_udf("content").alias("avg")
+    )
+    return avg.groupBy("label").agg(
+        F.count("*").alias("n_images"),
+        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_bmp"),
+        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_png"),
+        F.round(F.avg(F.element_at("avg", 1)), 4).alias("avg_c0"),
+        F.round(F.avg(F.element_at("avg", 2)), 4).alias("avg_c1"),
+        F.round(F.avg(F.element_at("avg", 3)), 4).alias("avg_c2"),
     )
 
 

@@ -463,6 +463,49 @@ def embedding_model_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rn", F.row_number().over(Window.orderBy(*order)))
 
 
+@query(
+    "embedding_batch_scores",
+    oracle=f"""
+    WITH w AS (SELECT {str(_W)}::DOUBLE[] AS wv),
+    scored AS (
+        SELECT label,
+               round(list_sum(list_transform(range(64),
+                     i -> embedding[i+1]::DOUBLE * wv[i+1])), 4) AS score
+        FROM embeddings, w
+    )
+    SELECT label,
+           count(*) AS n_vectors,
+           round(min(score), 4) AS min_score,
+           round(max(score), 4) AS max_score,
+           round(sum(score), 2) AS sum_score
+    FROM scored GROUP BY label
+    """,
+)
+def embedding_batch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6 through the genuine ``pyspark.ml.functions.predict_batch_udf``
+    machinery (operators/scoring.make_batch_scorer): the model-load
+    closure runs once per Python worker and the forward pass receives
+    Spark-stacked ``(batch, 64)`` ndarray blocks — the exact contract a
+    real YOLOX/torch checkpoint would plug into (reference broadcast
+    model, pyspark_yolox.py:49-50,62-87), executed here with numpy
+    weights since no torch ships in the container. Per-label score
+    rollup; min/max are order-independent, so parity pins the scorer's
+    arithmetic per row, not just in aggregate."""
+    from ..operators.scoring import make_batch_scorer
+
+    e = table(spark, sf_dir, "embeddings")
+    scorer = make_batch_scorer(_W)
+    scored = e.select(
+        "label", F.round(scorer(F.col("embedding")), 4).alias("score")
+    )
+    return scored.groupBy("label").agg(
+        F.count("*").alias("n_vectors"),
+        F.round(F.min("score"), 4).alias("min_score"),
+        F.round(F.max("score"), 4).alias("max_score"),
+        F.round(F.sum("score"), 2).alias("sum_score"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Scalar (int8) quantization + recall audit — the memory-side half of a
 # 100 TB ANN deployment: 4 bytes/dim float32 -> 1 byte/dim int8 cuts the

@@ -297,3 +297,13 @@ def test_ivf_search_served_probe_join(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
     assert "WindowGroupLimit" in plan
+
+
+def test_embedding_batch_scores_arrow_batched(spark, sf_dir):
+    """P6's predict_batch_udf scorer must run as an Arrow-batched python
+    eval (the vectorized path a real model needs), never row-at-a-time
+    BatchEvalPython, and aggregate with map-side partials."""
+    plan = _formatted(spark, QUERIES["embedding_batch_scores"](spark, sf_dir))
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+    assert "partial_count" in plan or "partial_min" in plan
