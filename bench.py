@@ -127,6 +127,11 @@ HEADLINE = [
     "outlier_order_stats",
     "locf_daily_values",
     "pmi_collocations",
+    # round 5 additions
+    "bar_chart_data",
+    "color_chart_data",
+    "image_format_ingest",
+    "embedding_batch_scores",
 ]
 
 
@@ -174,11 +179,23 @@ def main() -> None:
         spark.sparkContext._jvm.System.gc()
 
     total = round(sum(times.values()), 3)
+    # Streaming entries are dominated by fixed micro-batch drain latency
+    # (trigger polls, state-store commits), not data volume — tag them
+    # separately so batch-query regression tracking isn't muddied by
+    # ~1.5-2 s of constant per-query overhead that won't change with
+    # plan quality (VERDICT r4 item 7).
+    streaming = {n: t for n, t in times.items() if n.startswith("streaming_")}
+    batch = {n: t for n, t in times.items() if n not in streaming}
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "batch_total": round(sum(batch.values()), 3),
+        "batch_n": len(batch),
+        "streaming_total": round(sum(streaming.values()), 3),
+        "streaming_n": len(streaming),
+        "streaming_queries": sorted(streaming),
         "sf": float(sf),
     }
     detail_path = os.path.join(
@@ -196,6 +213,8 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "n_queries": len(times),
+        "batch_sec": round(sum(batch.values()), 3),
+        "streaming_sec": round(sum(streaming.values()), 3),
         "sf": float(sf),
         "detail": "BENCH_DETAIL.json",
     }

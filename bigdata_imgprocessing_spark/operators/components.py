@@ -38,16 +38,22 @@ def connected_components(
     from ..core.session import cache_parallelism
 
     # checkpointed partitioning is frozen for every later round — size it
-    # to cores, not the session's shuffle-partition conf (a default-conf
-    # 200 would cost 200 tasks x stages x rounds)
-    width = cache_parallelism(edges.sparkSession)
+    # to the DATA, capped at cores (a default-conf 200 would cost 200
+    # tasks x stages x rounds; and a sparse few-thousand-edge graph on
+    # one partition turns each round into single-task jobs instead of
+    # paying per-task overhead x cores x rounds — the same
+    # bytes-per-partition sizing rule as spark.sql.files.maxPartitionBytes,
+    # applied to the iteration state)
+    cores = cache_parallelism(edges.sparkSession)
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .coalesce(width)
         .localCheckpoint()
     )
+    n_edges = sym.count()  # free: checkpoint just materialized it
+    width = max(1, min(cores, n_edges // 50_000))
+    sym = sym.coalesce(width)  # narrow on the checkpointed frame
     labels = (
         sym.groupBy("a")
         .agg(F.min("b").alias("min_nbr"))
