@@ -132,6 +132,9 @@ HEADLINE = [
     "color_chart_data",
     "image_format_ingest",
     "embedding_batch_scores",
+    "scd2_user_history",
+    "order_value_position",
+    "udtf_sentence_stats",
 ]
 
 

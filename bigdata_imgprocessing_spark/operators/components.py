@@ -30,11 +30,17 @@ from pyspark.sql import functions as F
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(src, dst) undirected edge list → (node, comp) with comp = min
     node id in the component. Nodes appear iff they occur in an edge;
-    union isolated nodes afterwards if needed."""
+    union isolated nodes afterwards if needed. Pass a dict as ``stats``
+    to receive {n_edges, width, rounds} — the scale-stress harness uses
+    it to verify the O(log diameter) round-count claim empirically."""
     from ..core.session import cache_parallelism
 
     # checkpointed partitioning is frozen for every later round — size it
@@ -62,8 +68,10 @@ def connected_components(
         .localCheckpoint()
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
+    rounds = 0
 
     for _ in range(max_iter):
+        rounds += 1
         nbr = sym.join(labels, sym.b == labels.node).select(
             F.col("a").alias("node"), F.col("comp")
         )
@@ -84,4 +92,6 @@ def connected_components(
         if new_sum == prev_sum:
             break
         prev_sum = new_sum
+    if stats is not None:
+        stats.update(n_edges=n_edges, width=width, rounds=rounds)
     return labels

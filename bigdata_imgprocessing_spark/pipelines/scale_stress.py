@@ -148,4 +148,40 @@ def run_scale_stress(
         "n_test_docs": sum(r.n_test_docs for r in dec),
         "n_contaminated": sum(r.n_contaminated for r in dec),
     }
+
+    # The closure applied end-to-end: LSH pairs → connected components →
+    # survivor policy. Instrumented to verify the O(log diameter) claim:
+    # rounds should stay ~flat while the pair graph grows with the
+    # planted density, and wall time should track the LSH stage, not
+    # explode with corpus size.
+    from ..operators.components import connected_components
+    from ..queries.dedup import _lsh_verified_pairs, neardup_component_dedup
+
+    t0 = time.perf_counter()
+    nd = neardup_component_dedup(spark, scaled_dir).collect()
+    nd_secs = round(time.perf_counter() - t0, 2)
+    cc_stats: dict = {}
+    connected_components(
+        _lsh_verified_pairs(spark, scaled_dir).select("doc_a", "doc_b"),
+        "doc_a",
+        "doc_b",
+        stats=cc_stats,
+    ).count()
+    metrics["neardup_component_dedup"] = {
+        "secs": nd_secs,
+        "n_removed": sum(r.n_removed for r in nd),
+        "cc_edges": cc_stats.get("n_edges", 0),
+        "cc_rounds": cc_stats.get("rounds", 0),
+    }
+
+    # Ranked retrieval: posting lists of 3 literal query terms — time
+    # should scale with the matching postings, not the corpus.
+    from ..queries.text import bm25_search
+
+    t0 = time.perf_counter()
+    bm = bm25_search(spark, scaled_dir).collect()
+    metrics["bm25_search"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_results": len(bm),
+    }
     return metrics

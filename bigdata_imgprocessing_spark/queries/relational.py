@@ -1016,3 +1016,53 @@ def lateral_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ORDER BY c_acctbal DESC, c_name LIMIT 2) t
         """
     )
+
+
+@query(
+    "order_value_position",
+    oracle="""
+    WITH r AS (
+        SELECT o_orderpriority AS priority, o_totalprice,
+               percent_rank() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS pr,
+               cume_dist() OVER (PARTITION BY o_orderpriority
+                                 ORDER BY o_totalprice, o_orderkey) AS cd
+        FROM orders
+    )
+    SELECT priority,
+           count(*) AS n_orders,
+           CAST(count(*) FILTER (WHERE cd <= 0.5) AS BIGINT) AS n_bottom_half,
+           CAST(count(*) FILTER (WHERE pr >= 0.99) AS BIGINT) AS n_top_pct,
+           round(max(CASE WHEN cd <= 0.5 THEN o_totalprice END), 2) AS median_price
+    FROM r GROUP BY priority
+    """,
+)
+def order_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-position windows (percent_rank + cume_dist) — the
+    distribution-position family next to ntile
+    (``customer_balance_deciles``): per priority, how many orders sit in
+    the bottom half (cume_dist) and the top percentile (percent_rank),
+    plus the realized median price (max price of the bottom half — an
+    exact order statistic, no interpolation ambiguity between engines).
+    Ordering includes o_orderkey so ranks are a total order and the
+    0.5/0.99 threshold comparisons are identical rationals in both
+    engines. One window shuffle per priority partition + one rollup;
+    at 100 TB the same shape runs per day-partition (the position of a
+    row within its cohort is the quality-scoring primitive for
+    curriculum ordering)."""
+    o = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    r = o.select(
+        F.col("o_orderpriority").alias("priority"),
+        "o_totalprice",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    return r.groupBy("priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("cd") <= 0.5).cast("long")).alias("n_bottom_half"),
+        F.sum((F.col("pr") >= 0.99).cast("long")).alias("n_top_pct"),
+        F.round(
+            F.max(F.when(F.col("cd") <= 0.5, F.col("o_totalprice"))), 2
+        ).alias("median_price"),
+    )

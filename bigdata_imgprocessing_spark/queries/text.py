@@ -642,3 +642,52 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "bigram").limit(15)
+
+
+@query(
+    "udtf_sentence_stats",
+    oracle="""
+    WITH s AS (
+        SELECT lang, unnest(string_split(text, '. ')) AS sentence
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sentences,
+           CAST(sum(len(string_split(sentence, ' '))) AS BIGINT) AS n_tokens,
+           CAST(max(length(sentence)) AS BIGINT) AS max_sentence_chars
+    FROM s GROUP BY lang
+    """,
+)
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence segmentation through a genuine Spark 4 **Python UDTF**
+    (table function: one doc row in, one row PER SENTENCE out) applied
+    with LATERAL — the API surface for set-returning python logic that
+    ``explode(split(...))`` can't express once segmentation needs real
+    code (abbreviation handling, model-based splitting). Arrow-enabled
+    (``useArrow=True`` → ArrowEvalPythonUDTF, plan-asserted: never
+    row-pickling BatchEvalPythonUDTF), partition-parallel, and the
+    downstream rollup is an ordinary map-side-combined shuffle. The
+    trivial '. ' split rule keeps the oracle expressible; a smarter
+    splitter swaps into ``eval`` without touching the plan shape."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sentence string, n_tokens int", useArrow=True)
+    class SentenceSplit:
+        def eval(self, text: str):
+            for s in text.split(". "):
+                yield s, len(s.split(" "))
+
+    spark.udtf.register("bdip_sentence_split", SentenceSplit)
+    d = table(spark, sf_dir, "documents").select("lang", "text")
+    d.createOrReplaceTempView("bdip_docs_for_udtf")
+    out = spark.sql(
+        """
+        SELECT lang, s.sentence, s.n_tokens
+        FROM bdip_docs_for_udtf, LATERAL bdip_sentence_split(text) AS s
+        """
+    )
+    return out.groupBy("lang").agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.max(F.length("sentence")).cast("bigint").alias("max_sentence_chars"),
+    )

@@ -438,3 +438,52 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("d", "yyyy-MM-dd").alias("day"),
         F.round(F.last("v", ignorenulls=True).over(w), 2).alias("filled"),
     )
+
+
+@query(
+    "scd2_user_history",
+    oracle="""
+    WITH h AS (
+        SELECT user_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS vt
+        FROM events WHERE user_id % 25 = 0
+    )
+    SELECT event_type,
+           count(*) AS n_versions,
+           CAST(sum(CASE WHEN vt IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_current,
+           CAST(sum(vt - vf) AS BIGINT) AS total_duration_sec
+    FROM h GROUP BY event_type
+    """,
+)
+def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension build — the warehouse op that
+    turns an event feed into validity intervals: each user event opens a
+    version valid [its ts, next event's ts), the last version per user
+    stays open (the SCD2 "current" row). One window shuffle partitioned
+    by the dimension key computes every interval (lead over the
+    (epoch-second, event_id) total order — the events determinism
+    contract), then a per-type rollup audits version counts, open rows,
+    and total validity duration. At 100 TB this is the daily dimension
+    rebuild: one shuffle by key, no self-join (the naive
+    "join each row to its successor" doubles the shuffle and explodes
+    on hot keys); incremental maintenance would MERGE the newest
+    partition's rows against current versions (streaming/upsert.py is
+    that path's demo)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    w = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    h = e.select(
+        "user_id",
+        "event_type",
+        "event_id",
+        F.unix_timestamp("ts").alias("vf"),
+    ).withColumn("vt", F.lead("vf").over(w))
+    return h.groupBy("event_type").agg(
+        F.count("*").alias("n_versions"),
+        F.sum(F.col("vt").isNull().cast("long")).alias("n_current"),
+        F.sum(F.col("vt") - F.col("vf")).alias("total_duration_sec"),
+    )

@@ -307,3 +307,22 @@ def test_embedding_batch_scores_arrow_batched(spark, sf_dir):
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_udtf_sentence_stats_arrow_lateral(spark, sf_dir):
+    """The Python UDTF must run Arrow-batched (ArrowEvalPythonUDTF) —
+    never the row-pickling BatchEvalPythonUDTF — with an ordinary
+    partial-agg shuffle above it."""
+    plan = _formatted(spark, QUERIES["udtf_sentence_stats"](spark, sf_dir))
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPythonUDTF" not in plan
+    assert "partial_count" in plan
+
+
+def test_scd2_single_window_shuffle(spark, sf_dir):
+    """SCD2 interval build: exactly one exchange for the per-user window
+    (plus the rollup's) and no self-join — the lead() formulation."""
+    plan = _formatted(spark, QUERIES["scd2_user_history"](spark, sf_dir))
+    assert "Join" not in plan
+    assert _n_nodes(plan, "Exchange") <= 2
+    assert _n_nodes(plan, "Window") == 1
