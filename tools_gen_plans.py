@@ -36,6 +36,10 @@ PICKS = {
     "funnel_conversion_stats": "Funnel: ONE user_id shuffle with map-side partial conditional mins; depth adds aggregate columns, not passes.",
     "lateral_topk_customers": "LATERAL decorrelated: rank-limited window joined back to the outer table -- no per-row subquery re-execution.",
     "locf_daily_values": "LOCF forward fill: broadcast calendar grid, one window shuffle per user, last(ignorenulls) over unbounded preceding.",
+    "bar_chart_data": "Per-class bar frames for ALL classes in ONE Arrow inference pass + one map-side-combined shuffle (vs the reference's 80 per-class jobs).",
+    "embedding_batch_scores": "Real predict_batch_udf: ArrowEvalPython scorer feeding map-side partial aggregates; model loads once per worker.",
+    "scd2_user_history": "SCD2 intervals: lead() over ONE per-user window shuffle, no self-join; rollup reuses nothing wider than event_type.",
+    "udtf_sentence_stats": "Python UDTF via LATERAL: ArrowEvalPythonUDTF (set-returning python, Arrow-batched) under an ordinary partial-agg shuffle.",
 }
 
 
