@@ -135,6 +135,7 @@ HEADLINE = [
     "scd2_user_history",
     "order_value_position",
     "udtf_sentence_stats",
+    "pq_ann_recall",
 ]
 
 
