@@ -136,6 +136,7 @@ HEADLINE = [
     "order_value_position",
     "udtf_sentence_stats",
     "pq_ann_recall",
+    "winnowing_fingerprints",
 ]
 
 

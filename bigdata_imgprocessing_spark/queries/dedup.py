@@ -20,7 +20,7 @@ verify stage joins only candidate pairs, never all pairs.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.catalog import table
@@ -709,4 +709,65 @@ def neardup_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum(survivor.cast("long")).alias("n_survivors"),
         F.sum((~survivor).cast("long")).alias("n_removed"),
+    )
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+        WHERE len(string_split(text, ' ')) >= 3
+    ),
+    sh AS (
+        SELECT doc_id, lang, i AS pos,
+               CAST(('0x' || substr(md5(t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]), 1, 10))::UBIGINT AS BIGINT) AS h
+        FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
+    ),
+    selw AS (
+        SELECT doc_id, lang, h,
+               min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        FROM sh
+    ),
+    perdoc AS (
+        SELECT doc_id, lang, count(DISTINCT h) AS n_fp
+        FROM selw WHERE h = wmin GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(sum(n_fp) AS BIGINT) AS n_fingerprints,
+           round(sum(n_fp) * 1.0 / count(*), 4) AS avg_fp_per_doc
+    FROM perdoc GROUP BY lang
+    """,
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a
+    w=4 window over the hash sequence, and keep a hash iff it is the
+    minimum of its forward window. Guarantees every w-consecutive-gram
+    run contributes >=1 fingerprint while storing only ~2/(w+1) of the
+    hashes — the sampling contract that makes fingerprint stores
+    sublinear in corpus size where ``doc_fingerprints``' whole-doc md5
+    only catches EXACT duplicates. Shingling reuses the CSE-safe
+    ``_shingles`` builder; the window min is ONE per-doc window shuffle
+    (ROWS BETWEEN CURRENT AND 3 FOLLOWING — no self-join of the hash
+    sequence); the per-lang rollup is a second tiny shuffle. At 100 TB
+    the selected (doc, hash) pairs feed the same banded-LSH join as
+    ``minhash_lsh_pairs`` with ~5x fewer rows."""
+    d = table(spark, sf_dir, "documents").where(
+        F.size(F.split("text", " ")) >= 3
+    )
+    sh = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(_shingles(F.col("text"))).alias("pos", "s0"),
+    ).select("doc_id", "lang", "pos", _h40(F.col("s0")).alias("h"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
+    sel = sh.withColumn("wmin", F.min("h").over(w)).where(F.col("h") == F.col("wmin"))
+    perdoc = sel.groupBy("doc_id", "lang").agg(F.count_distinct("h").alias("n_fp"))
+    return perdoc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_fp").alias("n_fingerprints"),
+        F.round(F.sum("n_fp") / F.count("*"), 4).alias("avg_fp_per_doc"),
     )

@@ -475,3 +475,42 @@ def test_zorder_bucket_scaling(spark_prop, vals):
         )  # monotone
     else:
         assert out[hi] == 0  # degenerate single-value range
+
+
+# --------------------------------------------------------------------------
+# Real-format codecs (images/formats.py): any uint8 array must survive
+# the encode→decode round trip bit-exactly — paddings, odd widths, every
+# channel count (no Spark session needed; the codecs are pure).
+# --------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_bmp_roundtrip_property(h, w, seed):
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.formats import decode_bmp, encode_bmp
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3), dtype=np.uint8)
+    assert np.array_equal(decode_bmp(encode_bmp(img)), img)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(min_value=1, max_value=9),
+    w=st.integers(min_value=1, max_value=9),
+    c=st.sampled_from([1, 3, 4]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+def test_png_roundtrip_property(h, w, c, seed):
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.images.formats import decode_png, encode_png
+
+    shape = (h, w) if c == 1 else (h, w, c)
+    img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
+    assert np.array_equal(decode_png(encode_png(img)), img)

@@ -560,3 +560,15 @@ def test_chart_data_to_bar_pipeline(spark, sf_dir, tmp_path):
     )
     doc = open(p2).read()
     assert doc.count("<rect") == colors.count() > 0
+
+
+def test_html_bar_sink_empty_frame(spark, tmp_path):
+    """A filter that matches nothing must still produce a valid (axis
+    only) chart, not a division-by-zero or a crash."""
+    from bigdata_imgprocessing_spark.sources.html_report import write_html_bar
+
+    df = spark.createDataFrame([], "letter string, count bigint")
+    path = str(tmp_path / "empty.html")
+    write_html_bar(df, path, x="letter", y="count")
+    doc = open(path).read()
+    assert "<svg" in doc and doc.count("<rect") == 0
