@@ -137,6 +137,7 @@ HEADLINE = [
     "udtf_sentence_stats",
     "pq_ann_recall",
     "winnowing_fingerprints",
+    "user_erasure_audit",
 ]
 
 

@@ -1066,3 +1066,60 @@ def order_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("cd") <= 0.5, F.col("o_totalprice"))), 2
         ).alias("median_price"),
     )
+
+
+@query(
+    "user_erasure_audit",
+    oracle="""
+    WITH victims AS (SELECT c_custkey FROM customer WHERE c_custkey % 9 = 0),
+    vorders AS (SELECT o_orderkey FROM orders
+                WHERE o_custkey IN (SELECT c_custkey FROM victims))
+    SELECT 'customer' AS table_name, count(*) AS n_rows_to_erase FROM victims
+    UNION ALL
+    SELECT 'orders', count(*) FROM vorders
+    UNION ALL
+    SELECT 'lineitem', count(*) FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM vorders)
+    UNION ALL
+    SELECT 'events', count(*) FROM events
+    WHERE user_id IN (SELECT c_custkey FROM victims)
+    """,
+)
+def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact audit: an erasure request keyed by
+    customer cascades over the FK graph (customer → orders → lineitem,
+    plus the events feed keyed by the same id), counting the rows each
+    table must delete BEFORE any destructive write — the planning pass
+    every GDPR deletion pipeline runs first. Each hop is a left-SEMI
+    join against the (small) victim set — broadcast at any victim
+    cardinality that fits an erasure batch — so non-victim data is
+    never materialized; lineitem is reached through the orders hop
+    (never scanned against raw victim ids, which would miss the FK
+    indirection). At 100 TB the same plan drives the actual
+    delete-rewrite job per partition."""
+    c = table(spark, sf_dir, "customer")
+    victims = c.where(F.col("c_custkey") % 9 == 0).select("c_custkey")
+    o = table(spark, sf_dir, "orders")
+    vorders = o.join(
+        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    li = table(spark, sf_dir, "lineitem")
+    vlines = li.join(
+        F.broadcast(vorders), li.l_orderkey == vorders.o_orderkey, "left_semi"
+    )
+    e = table(spark, sf_dir, "events")
+    vevents = e.join(
+        F.broadcast(victims), e.user_id == victims.c_custkey, "left_semi"
+    )
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_rows_to_erase")).select(
+            F.lit(name).alias("table_name"), "n_rows_to_erase"
+        )
+
+    return (
+        one("customer", victims)
+        .unionByName(one("orders", vorders))
+        .unionByName(one("lineitem", vlines))
+        .unionByName(one("events", vevents))
+    )
