@@ -40,6 +40,9 @@ PICKS = {
     "embedding_batch_scores": "Real predict_batch_udf: ArrowEvalPython scorer feeding map-side partial aggregates; model loads once per worker.",
     "scd2_user_history": "SCD2 intervals: lead() over ONE per-user window shuffle, no self-join; rollup reuses nothing wider than event_type.",
     "udtf_sentence_stats": "Python UDTF via LATERAL: ArrowEvalPythonUDTF (set-returning python, Arrow-batched) under an ordinary partial-agg shuffle.",
+    "pq_ann_recall": "Product quantization: broadcast m*k codebook, linear coding pass, ADC as (sub,cell) equi-join lookups -- 8 bytes of codes read per vector, not 256 of floats.",
+    "winnowing_fingerprints": "Winnowing: one per-doc window shuffle selects window-min hashes (no hash-sequence self-join); ~2/(w+1) of shingles survive to the rollup.",
+    "user_erasure_audit": "Erasure cascade: broadcast LeftSemi FK walk (customer->orders->lineitem + events) -- non-victim rows never materialize.",
 }
 
 
