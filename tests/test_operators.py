@@ -411,3 +411,22 @@ def test_shingle_hash_collision_free_on_corpus(spark, sf_dir):
         f"xxhash64 collision on shingle vocabulary: "
         f"{row.n_shingles} shingles -> {row.n_hashes} hashes"
     )
+
+
+def test_connected_components_stats_round_count(spark):
+    """The stats hook must report >1 pointer-jumping rounds on a long
+    chain (diameter >> 1) and exactly the deduped edge count."""
+    from bigdata_imgprocessing_spark.operators.components import (
+        connected_components,
+    )
+
+    n = 64  # path graph 0-1-2-...-63: diameter 63 -> O(log) rounds, >1
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
+    )
+    stats: dict = {}
+    comp = connected_components(edges, stats=stats)
+    assert {r.comp for r in comp.collect()} == {0}
+    assert stats["n_edges"] == 2 * (n - 1)  # symmetrized, distinct
+    assert 1 < stats["rounds"] <= 8  # log2(63) ~ 6, + convergence confirm
+    assert stats["width"] >= 1

@@ -153,3 +153,28 @@ def test_stats_golden_file_shapes(spark, corpus, dims, tmp_path):
     ppl = _csv_lines(f"{out}/people_in_places_with_people")
     assert ppl[0] == "files considered;avg_detections"
     assert {l.split(";")[0] for l in ppl[1:]} == {"avg_all", "avg_people_places"}
+
+
+def test_cache_root_tracks_every_table(tmp_path, monkeypatch):
+    """The /tmp cache token must change when ANY source parquet changes
+    (r4 advisor: the old token only fingerprinted embeddings, so a
+    regenerated events table silently served a stale Z-order copy)."""
+    import os
+    import shutil
+
+    from bigdata_imgprocessing_spark.queries.pipeline_queries import _root_dir
+
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    for name in ("embeddings", "events", "documents"):
+        (sf / f"{name}.parquet").write_bytes(b"x" * 10)
+    t0 = _root_dir(str(sf))
+    # touch ONLY events (different mtime): token must move
+    os.utime(sf / "events.parquet", (1, 1))
+    t1 = _root_dir(str(sf))
+    assert t0 != t1
+    # size change on documents: token must move again
+    (sf / "documents.parquet").write_bytes(b"y" * 11)
+    t2 = _root_dir(str(sf))
+    assert t2 not in (t0, t1)
+    shutil.rmtree(sf)
