@@ -138,6 +138,8 @@ HEADLINE = [
     "pq_ann_recall",
     "winnowing_fingerprints",
     "user_erasure_audit",
+    "user_erasure_apply",
+    "key_skew_profile",
 ]
 
 

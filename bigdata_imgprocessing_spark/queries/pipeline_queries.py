@@ -680,3 +680,94 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("n_tokens").alias("n_with_tokens"),
         F.sum(F.coalesce("n_tokens", F.lit(0))).cast("bigint").alias("total_tokens"),
     )
+
+
+@query(
+    "user_erasure_apply",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           count(DISTINCT user_id) AS n_users
+    FROM events
+    WHERE user_id NOT IN (SELECT c_custkey FROM customer WHERE c_custkey % 9 = 0)
+    GROUP BY event_type
+    """,
+)
+def user_erasure_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The erasure EXECUTED (the destructive half of
+    ``user_erasure_audit``): rewrite the events table minus the victim
+    users as a parquet copy — the delete-rewrite that engines without
+    row-level deletes (plain parquet lakes) actually run — then
+    aggregate the RE-READ erased copy, so the checked hash proves the
+    rewrite dropped exactly the victim rows and nothing else. Anti-join
+    against the broadcast victim set (never NOT IN's null-trap
+    semantics on the distributed side), one partition-parallel write.
+    At 100 TB the same job runs only on the partitions the audit showed
+    contain victims; the rest of the lake is untouched."""
+    c = table(spark, sf_dir, "customer")
+    victims = c.where(F.col("c_custkey") % 9 == 0).select("c_custkey")
+    e = table(spark, sf_dir, "events")
+    erased = e.join(
+        F.broadcast(victims), e.user_id == victims.c_custkey, "left_anti"
+    ).select("event_id", "user_id", "event_type", "value")
+    out = os.path.join(_root_dir(sf_dir), "events_erased")
+    erased.write.mode("overwrite").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+    )
+
+
+@query(
+    "key_skew_profile",
+    oracle="""
+    WITH pk AS (
+        SELECT user_id, count(*) AS c FROM events GROUP BY user_id
+    ),
+    stats AS (
+        SELECT sum(c) AS total, count(*) AS n_keys,
+               max(c) AS max_c,
+               CAST(round(quantile_cont(c, 0.5), 0) AS BIGINT) AS p50
+        FROM pk
+    ),
+    top AS (
+        SELECT c FROM pk ORDER BY c DESC, user_id LIMIT 5
+    )
+    SELECT n_keys,
+           CAST(total AS BIGINT) AS total_rows,
+           max_c AS max_key_rows,
+           round(max_c * 1.0 / total, 4) AS max_share,
+           round(max_c * 1.0 / p50, 2) AS skew_ratio,
+           CAST((SELECT sum(c) FROM top) AS BIGINT) AS top5_rows
+    FROM stats
+    """,
+)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/agg-key skew profiling — the measurement that decides
+    between a plain shuffle, AQE skew-split, and explicit salting
+    (``salted_event_sum``): per-key counts in one shuffle, then
+    heavy-hitter share (max key / total), skew ratio (max / median key),
+    and the top-5 key mass via a bounded take. The per-key frame is the
+    only corpus-sized stage; everything downstream is O(|keys|) with the
+    top-5 a TakeOrderedAndProject. At 100 TB this runs as the planning
+    pass before any repartition decision — shuffle ONE integer per key,
+    decide the strategy from a 1-row profile."""
+    e = table(spark, sf_dir, "events")
+    pk = e.groupBy("user_id").agg(F.count("*").alias("c"))
+    top5 = pk.orderBy(F.col("c").desc(), "user_id").limit(5)
+    top_sum = top5.agg(F.sum("c").alias("t5"))
+    stats = pk.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").alias("total_rows"),
+        F.max("c").alias("max_key_rows"),
+        F.expr("CAST(round(percentile(c, 0.5), 0) AS BIGINT)").alias("p50"),
+    )
+    return stats.crossJoin(F.broadcast(top_sum)).select(
+        "n_keys",
+        "total_rows",
+        "max_key_rows",
+        F.round(F.col("max_key_rows") / F.col("total_rows"), 4).alias("max_share"),
+        F.round(F.col("max_key_rows") / F.col("p50"), 2).alias("skew_ratio"),
+        F.col("t5").alias("top5_rows"),
+    )
