@@ -140,6 +140,7 @@ HEADLINE = [
     "user_erasure_audit",
     "user_erasure_apply",
     "key_skew_profile",
+    "fixed_size_group_sample",
 ]
 
 

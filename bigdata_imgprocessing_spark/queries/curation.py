@@ -609,3 +609,53 @@ def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         F.coalesce("toks_kept", F.lit(0)).alias("toks_kept"),
     )
+
+
+@query(
+    "fixed_size_group_sample",
+    oracle="""
+    WITH ranked AS (
+        SELECT lang, doc_id, n_chars,
+               row_number() OVER (
+                   PARTITION BY lang
+                   ORDER BY ('0x' || substr(md5('samp' || CAST(doc_id AS VARCHAR)), 1, 10))::UBIGINT,
+                            doc_id
+               ) AS rn
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           CAST(sum(n_chars) AS BIGINT) AS sample_chars,
+           min(doc_id) AS min_doc_id
+    FROM ranked WHERE rn <= 10 GROUP BY lang
+    """,
+)
+def fixed_size_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k per-stratum sampling (k=10 docs per language) — the
+    reservoir-sampling contract, deterministic: rank each doc within its
+    language by a salted hash (a uniform random permutation both engines
+    can replay) and keep rank <= 10. Complements the RATE-based
+    ``stratified_sample_stats``: rates can't promise exact counts on
+    skewed strata; eval sets and few-shot pools need exactly k. The
+    rank-<=-10 window compiles to WindowGroupLimit — per-partition
+    top-k heaps per group, so the corpus never sorts globally and only
+    ~k rows per (group, partition) reach the window shuffle. At 100 TB
+    that is reservoir sampling's merge property, expressed
+    declaratively."""
+    d = table(spark, sf_dir, "documents")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("samp"), F.col("doc_id").cast("string"))), 1, 10),
+        16,
+        10,
+    ).cast("bigint")
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id").asc())
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.where(F.col("rn") <= 10)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("sample_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )

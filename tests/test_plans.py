@@ -326,3 +326,11 @@ def test_scd2_single_window_shuffle(spark, sf_dir):
     assert "Join" not in plan
     assert _n_nodes(plan, "Exchange") <= 2
     assert _n_nodes(plan, "Window") == 1
+
+
+def test_fixed_size_sample_group_limited(spark, sf_dir):
+    """Exact-k sampling must run as WindowGroupLimit (per-group bounded
+    heaps), never a full per-group sort materializing every rank."""
+    plan = _formatted(spark, QUERIES["fixed_size_group_sample"](spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
