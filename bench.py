@@ -141,6 +141,7 @@ HEADLINE = [
     "user_erasure_apply",
     "key_skew_profile",
     "fixed_size_group_sample",
+    "null_safe_reconcile",
 ]
 
 

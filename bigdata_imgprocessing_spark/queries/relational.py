@@ -1123,3 +1123,57 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(one("lineitem", vlines))
         .unionByName(one("events", vevents))
     )
+
+
+@query(
+    "null_safe_reconcile",
+    oracle="""
+    WITH a AS (
+        SELECT nullif(event_type, 'error') AS k,
+               count(*) AS n_a, round(sum(value), 2) AS sum_a
+        FROM events WHERE user_id % 2 = 0 GROUP BY 1
+    ),
+    b AS (
+        SELECT nullif(event_type, 'error') AS k,
+               count(*) AS n_b, round(sum(value), 2) AS sum_b
+        FROM events WHERE user_id % 2 = 1 GROUP BY 1
+    )
+    SELECT coalesce(a.k, b.k, '(null)') AS key_display,
+           coalesce(n_a, 0) AS n_a, coalesce(n_b, 0) AS n_b,
+           round(coalesce(sum_a, 0) + coalesce(sum_b, 0), 2) AS sum_total
+    FROM a FULL JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def null_safe_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe join semantics (``<=>`` / IS NOT DISTINCT FROM) — the
+    reconciliation shape every pipeline audit hits: two halves of a feed
+    aggregated per key where the key itself can be NULL (here a
+    quarantined 'error' type nulled by nullif), full-outer-joined so the
+    NULL groups MATCH each other instead of silently dropping (a plain
+    ``=`` join loses every null-keyed row — the classic reconciliation
+    bug). Both sides are already aggregated (≤|event_types| rows) before
+    the join, so the null-safe full outer is broadcast-trivial at any
+    corpus size; the corpus itself sees only the two grouped passes."""
+    e = table(spark, sf_dir, "events")
+    k = F.nullif("event_type", F.lit("error"))
+    a = (
+        e.where(F.col("user_id") % 2 == 0)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_a"), F.round(F.sum("value"), 2).alias("sum_a"))
+    )
+    b = (
+        e.where(F.col("user_id") % 2 == 1)
+        .groupBy(k.alias("k"))
+        .agg(F.count("*").alias("n_b"), F.round(F.sum("value"), 2).alias("sum_b"))
+    )
+    j = a.alias("a").join(
+        b.alias("b"), F.col("a.k").eqNullSafe(F.col("b.k")), "full_outer"
+    )
+    return j.select(
+        F.coalesce("a.k", "b.k", F.lit("(null)")).alias("key_display"),
+        F.coalesce("n_a", F.lit(0)).alias("n_a"),
+        F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        F.round(
+            F.coalesce("sum_a", F.lit(0.0)) + F.coalesce("sum_b", F.lit(0.0)), 2
+        ).alias("sum_total"),
+    )
