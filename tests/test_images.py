@@ -261,3 +261,29 @@ def test_decode_image_dispatches_on_magic():
     img = np.arange(24, dtype=np.uint8).reshape(2, 4, 3)
     for buf in (encode_image(img), encode_bmp(img), encode_png(img)):
         assert np.array_equal(decode_image(buf), img)
+
+
+def test_format_decoders_reject_garbage_loudly():
+    """Truncated or alien buffers must raise a clear error, never return
+    a silently-wrong array (a 100 TB ingest WILL contain corrupt blobs;
+    the quarantine path needs a reliable exception to catch)."""
+    import pytest as _pytest
+
+    from bigdata_imgprocessing_spark.images.formats import (
+        decode_bmp,
+        decode_png,
+        encode_bmp,
+        encode_png,
+    )
+
+    img = np.arange(12, dtype=np.uint8).reshape(2, 2, 3)
+    with _pytest.raises(Exception):
+        decode_bmp(encode_bmp(img)[:20])  # truncated header/body
+    with _pytest.raises(Exception):
+        decode_png(encode_png(img)[:16])  # truncated past magic
+    with _pytest.raises(ValueError):
+        decode_bmp(b"PK\x03\x04 not a bmp")
+    with _pytest.raises(ValueError):
+        decode_png(b"GIF89a not a png")
+    with _pytest.raises(NotImplementedError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")  # no cv2 here

@@ -334,3 +334,16 @@ def test_fixed_size_sample_group_limited(spark, sf_dir):
     plan = _formatted(spark, QUERIES["fixed_size_group_sample"](spark, sf_dir))
     assert "WindowGroupLimit" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_erasure_cascade_semi_and_anti(spark, sf_dir):
+    """The audit must be a pure LeftSemi FK walk and the apply a
+    LeftAnti rewrite — broadcast victim sets, no full joins."""
+    audit = _formatted(spark, QUERIES["user_erasure_audit"](spark, sf_dir))
+    assert _n_nodes(audit, "BroadcastHashJoin") >= 3
+    assert audit.count("Join type: LeftSemi") >= 3
+    assert "SortMergeJoin" not in audit
+    # apply has a write side effect; plan-check its pre-write frame shape
+    # via the registered query's physical plan (read side of the rewrite)
+    ap = _formatted(spark, QUERIES["user_erasure_apply"](spark, sf_dir))
+    assert "CartesianProduct" not in ap

@@ -43,6 +43,9 @@ PICKS = {
     "pq_ann_recall": "Product quantization: broadcast m*k codebook, linear coding pass, ADC as (sub,cell) equi-join lookups -- 8 bytes of codes read per vector, not 256 of floats.",
     "winnowing_fingerprints": "Winnowing: one per-doc window shuffle selects window-min hashes (no hash-sequence self-join); ~2/(w+1) of shingles survive to the rollup.",
     "user_erasure_audit": "Erasure cascade: broadcast LeftSemi FK walk (customer->orders->lineitem + events) -- non-victim rows never materialize.",
+    "key_skew_profile": "Skew planning pass: one per-key shuffle, then O(|keys|) stats + bounded top-5 take -- one integer per key moves.",
+    "fixed_size_group_sample": "Exact-k sampling: salted-hash rank compiles to WindowGroupLimit per-group heaps -- no global or per-group full sort.",
+    "null_safe_reconcile": "Null-safe reconcile: both sides pre-aggregated to |keys| rows, then eqNullSafe full outer -- the corpus never joins.",
 }
 
 
