@@ -142,6 +142,7 @@ HEADLINE = [
     "key_skew_profile",
     "fixed_size_group_sample",
     "null_safe_reconcile",
+    "streaming_erasure_feed",
 ]
 
 

@@ -8,6 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..core.catalog import table
 from ..core.registry import query
 from ..core.session import ensure_utc
 from ..streaming.jobs import event_stream, run_to_memory
@@ -427,3 +428,56 @@ def streaming_enriched_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "streaming_erasure_feed",
+    oracle="""
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           round(sum(value), 2) AS sum_value
+    FROM events WHERE user_id % 7 != 0
+    GROUP BY event_type
+    """,
+)
+def streaming_erasure_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten as a STREAM (streaming/erasure.py — the
+    governance twin of the MERGE upsert sink): the events table is
+    materialized as the initial keyed state, a live feed of erasure
+    requests (victim keys: user_id % 7 == 0, arriving with duplicates
+    across micro-batches like real repeated requests) drains through
+    ``foreachBatch``, and every batch rewrites state minus that batch's
+    victims — Delta/Iceberg row-level DELETE built by hand on versioned
+    parquet. The checked result aggregates the FINAL re-read state, so
+    the hash proves: duplicates are harmless (deletion idempotence),
+    victims are gone transitively across batch boundaries, and
+    non-victim rows are bit-identical survivors. Per batch: one
+    broadcast anti join + a partition-parallel rewrite; at 100 TB only
+    victim-bearing partitions rewrite (the `user_erasure_audit` pass
+    picks them)."""
+    import shutil as _sh
+
+    from ..streaming.erasure import (
+        init_state,
+        read_final_state,
+        run_foreachbatch_erasure,
+    )
+
+    ensure_utc(spark)
+    out = _fingerprinted_tmp(sf_dir, "bdip_erasure")
+    _sh.rmtree(out, ignore_errors=True)
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    init_state(e, out)
+    requests = event_stream(spark, sf_dir).where(
+        F.col("user_id") % 7 == 0
+    ).select("user_id")
+    run_foreachbatch_erasure(requests, out, key="user_id")
+    state = read_final_state(spark, out)
+    return state.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

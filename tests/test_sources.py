@@ -572,3 +572,54 @@ def test_html_bar_sink_empty_frame(spark, tmp_path):
     write_html_bar(df, path, x="letter", y="count")
     doc = open(path).read()
     assert "<svg" in doc and doc.count("<rect") == 0
+
+
+def test_erasure_sink_multibatch_idempotent_and_restart(spark, tmp_path):
+    """Streaming erasure sink (streaming/erasure.py): victims arriving
+    over multiple micro-batches (with a REPEATED victim — deletion must
+    be idempotent) shrink the state monotonically; a restart drain over
+    an appended request file continues from the checkpoint and erases
+    from the CURRENT state, not the initial one."""
+    from bigdata_imgprocessing_spark.streaming.erasure import (
+        init_state,
+        read_final_state,
+        run_foreachbatch_erasure,
+    )
+
+    state0 = spark.createDataFrame(
+        [(i, i % 5, f"t{i % 3}", float(i)) for i in range(20)],
+        "event_id bigint, user_id bigint, event_type string, value double",
+    )
+    out = str(tmp_path / "erasure_out")
+    init_state(state0, out)
+
+    src = tmp_path / "requests"
+    src.mkdir()
+
+    def write_req(name, users):
+        spark.createDataFrame(
+            [(u,) for u in users], "user_id bigint"
+        ).coalesce(1).write.parquet(str(src / name))
+
+    write_req("r1", [0])
+    write_req("r2", [1, 0])  # 0 repeated — idempotent no-op
+
+    def drain():
+        s = (
+            spark.readStream.schema("user_id bigint")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src) + "/*")
+        )
+        run_foreachbatch_erasure(s, out, key="user_id")
+
+    drain()
+    left = {r.user_id for r in read_final_state(spark, out).collect()}
+    assert left == {2, 3, 4}
+    assert read_final_state(spark, out).count() == 12  # 20 - 2*4
+
+    # restart with a new request file: erases from CURRENT state
+    write_req("r3", [2])
+    drain()
+    final = read_final_state(spark, out)
+    assert {r.user_id for r in final.collect()} == {3, 4}
+    assert final.count() == 8
