@@ -1050,10 +1050,15 @@ def order_value_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the same shape runs per day-partition (the position of a
     row within its cohort is the quality-scoring primitive for
     curriculum ordering)."""
-    o = table(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # alias BEFORE the window so the rollup groups on the same exprId the
+    # window partitioned by — the aggregation then reuses the window's
+    # hash partitioning instead of adding a second corpus shuffle
+    o = table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"), "o_totalprice", "o_orderkey"
+    )
+    w = Window.partitionBy("priority").orderBy("o_totalprice", "o_orderkey")
     r = o.select(
-        F.col("o_orderpriority").alias("priority"),
+        "priority",
         "o_totalprice",
         F.percent_rank().over(w).alias("pr"),
         F.cume_dist().over(w).alias("cd"),

@@ -347,3 +347,12 @@ def test_erasure_cascade_semi_and_anti(spark, sf_dir):
     # via the registered query's physical plan (read side of the rewrite)
     ap = _formatted(spark, QUERIES["user_erasure_apply"](spark, sf_dir))
     assert "CartesianProduct" not in ap
+
+
+def test_order_value_position_single_shuffle(spark, sf_dir):
+    """Relative-position windows + same-key rollup must share ONE
+    exchange (alias applied before the window so the aggregation reuses
+    the window's hash partitioning)."""
+    plan = _formatted(spark, QUERIES["order_value_position"](spark, sf_dir))
+    assert _n_nodes(plan, "Exchange") == 1
+    assert _n_nodes(plan, "Window") == 1
