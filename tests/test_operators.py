@@ -430,3 +430,54 @@ def test_connected_components_stats_round_count(spark):
     assert stats["n_edges"] == 2 * (n - 1)  # symmetrized, distinct
     assert 1 < stats["rounds"] <= 8  # log2(63) ~ 6, + convergence confirm
     assert stats["width"] >= 1
+
+
+def test_observe_metrics_free_audit(spark, sf_dir):
+    """`df.observe()` — pipeline health metrics collected DURING the
+    action (no second scan): row count, null count, and value sum ride
+    along with a real aggregation and must match an explicit recompute.
+    At 100 TB this is the only affordable way to audit every batch (a
+    separate count() doubles the I/O)."""
+    from pyspark.sql import Observation
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    d = table(spark, sf_dir, "documents")
+    obs = Observation("audit")
+    observed = d.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("n_chars").isNull().cast("long")).alias("n_null_chars"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+    out = observed.groupBy("lang").count()
+    out.collect()  # one action drives BOTH the agg and the metrics
+    m = obs.get
+    assert m["n_rows"] == d.count()
+    assert m["n_null_chars"] == 0
+    assert m["total_chars"] == d.agg(F.sum("n_chars")).first()[0]
+
+
+def test_map_in_arrow_batches(spark, sf_dir):
+    """`mapInArrow` — the zero-copy RecordBatch surface under the pandas
+    APIs (multimodal decode uses mapInPandas; this locks the rawer Arrow
+    path too): per-batch vectorized transform with no pandas conversion,
+    output equal to the expression equivalent."""
+    import pyarrow as pa
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    d = table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+
+    def double_chars(batches):
+        for b in batches:
+            yield pa.RecordBatch.from_arrays(
+                [b.column("doc_id"), pa.compute.multiply(b.column("n_chars"), 2)],
+                names=["doc_id", "doubled"],
+            )
+
+    got = (
+        d.mapInArrow(double_chars, "doc_id bigint, doubled bigint")
+        .agg(F.sum("doubled"))
+        .first()[0]
+    )
+    want = d.agg(F.sum(F.col("n_chars") * 2)).first()[0]
+    assert got == want
