@@ -356,3 +356,24 @@ def test_order_value_position_single_shuffle(spark, sf_dir):
     plan = _formatted(spark, QUERIES["order_value_position"](spark, sf_dir))
     assert _n_nodes(plan, "Exchange") == 1
     assert _n_nodes(plan, "Window") == 1
+
+
+def test_join_hints_steer_strategy(spark, sf_dir):
+    """Strategy hints must survive planning — at 100 TB the engine's
+    users steer joins (broadcast a dim AQE mis-sizes, force shuffle-hash
+    to dodge a sort) and a conf regression that silently drops hints
+    changes every plan at once."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_suppkey", "l_quantity"
+    )
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet").select("s_suppkey")
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "merge": "SortMergeJoin",
+    }
+    for hint, node in cases.items():
+        plan = _formatted(
+            spark, li.join(sup.hint(hint), li.l_suppkey == sup.s_suppkey)
+        )
+        assert node in plan, f"hint {hint} did not produce {node}"
