@@ -143,6 +143,7 @@ HEADLINE = [
     "fixed_size_group_sample",
     "null_safe_reconcile",
     "streaming_erasure_feed",
+    "image_corrupt_quarantine",
 ]
 
 

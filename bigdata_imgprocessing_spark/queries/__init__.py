@@ -33,7 +33,7 @@ _PRIORITY = [
     "udtf_sentence_stats", "pq_ann_recall", "winnowing_fingerprints",
     "user_erasure_audit", "user_erasure_apply", "key_skew_profile",
     "fixed_size_group_sample", "null_safe_reconcile",
-    "streaming_erasure_feed",
+    "streaming_erasure_feed", "image_corrupt_quarantine",
     # (2) the 32 stale rows (latest driver check r1-r2; VERDICT r4 #1)
     "ann_ivf_topk", "audio_feature_extract", "bucketed_join_revenue",
     "cached_predictions_stats", "conditional_agg_ratio",

@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import BinaryType
+from pyspark.sql.types import ArrayType, BinaryType, DoubleType
 
 from ..core.catalog import table
 from ..core.registry import query
@@ -421,4 +421,67 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 2)
         .groupBy("hamming")
         .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@F.pandas_udf(ArrayType(DoubleType()))
+def _safe_avg_color_udf(content: pd.Series) -> pd.Series:
+    """Quarantining decode: corrupt buffers yield NULL instead of
+    failing the task — the binary-column twin of the JSON reader's
+    PERMISSIVE mode (``jsonl_corrupt_handling``). Real ingest at 100 TB
+    ALWAYS contains truncated blobs; one bad byte must cost one null
+    row, not a stage retry storm."""
+    from ..images.color import _avg_color
+
+    def safe(buf):
+        try:
+            return _avg_color(buf)
+        except Exception:
+            return None
+
+    return content.map(safe)
+
+
+@query(
+    "image_corrupt_quarantine",
+    oracle=f"""
+    SELECT label,
+           count(*) AS n_images,
+           CAST(count(*) FILTER (WHERE vec_id % 13 = 0) AS BIGINT) AS n_quarantined,
+           round(sum(CASE WHEN vec_id % 13 != 0
+                          THEN ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0
+                     END), 2) AS sum_c0_ok
+    FROM embeddings GROUP BY label
+    """,
+)
+def image_corrupt_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-blob quarantine through the binary path: every 13th
+    image's bytes are truncated mid-payload (a torn upload), the decode
+    UDF returns NULL for them instead of throwing, and the per-label
+    rollup counts quarantined rows next to the aggregate computed over
+    the SURVIVORS only. Hash parity proves the quarantine boundary is
+    exact — no good image dropped, no corrupt image silently averaged
+    in. Mirrors ``jsonl_corrupt_handling``'s PERMISSIVE accounting for
+    the multimodal column."""
+    e = table(spark, sf_dir, "embeddings")
+    raw = e.select(
+        "vec_id", "label", _embedding_to_image_udf("embedding").alias("content")
+    )
+    corrupted = raw.select(
+        "vec_id",
+        "label",
+        F.when(
+            F.col("vec_id") % 13 == 0,
+            F.expr("substring(content, 1, 9)"),  # torn: header + partial pixels
+        )
+        .otherwise(F.col("content"))
+        .alias("content"),
+    )
+    avg = corrupted.select(
+        "vec_id", "label", _safe_avg_color_udf("content").alias("avg")
+    )
+    return avg.groupBy("label").agg(
+        F.count("*").alias("n_images"),
+        F.sum(F.col("avg").isNull().cast("long")).alias("n_quarantined"),
+        F.round(F.sum(F.element_at("avg", 1)), 2).alias("sum_c0_ok"),
     )
