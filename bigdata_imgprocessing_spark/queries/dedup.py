@@ -725,14 +725,18 @@ def neardup_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM toks, UNNEST(range(len(t) - 2)) AS u(i)
     ),
     selw AS (
-        SELECT doc_id, lang, h,
-               min(h) OVER (PARTITION BY doc_id ORDER BY pos
-                            ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+        SELECT doc_id, lang,
+               min(h * 1048576 + (1048575 - pos)) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS packed,
+               count(*) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS n_in_window
         FROM sh
     ),
     perdoc AS (
-        SELECT doc_id, lang, count(DISTINCT h) AS n_fp
-        FROM selw WHERE h = wmin GROUP BY doc_id, lang
+        SELECT doc_id, lang, count(DISTINCT packed) AS n_fp
+        FROM selw WHERE n_in_window = 4 GROUP BY doc_id, lang
     )
     SELECT lang,
            count(*) AS n_docs,
@@ -743,18 +747,22 @@ def neardup_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
-    SIGMOD'03 — the MOSS algorithm): hash every word 3-gram, slide a
-    w=4 window over the hash sequence, and keep a hash iff it is the
-    minimum of its forward window. Guarantees every w-consecutive-gram
-    run contributes >=1 fingerprint while storing only ~2/(w+1) of the
-    hashes — the sampling contract that makes fingerprint stores
-    sublinear in corpus size where ``doc_fingerprints``' whole-doc md5
-    only catches EXACT duplicates. Shingling reuses the CSE-safe
-    ``_shingles`` builder; the window min is ONE per-doc window shuffle
-    (ROWS BETWEEN CURRENT AND 3 FOLLOWING — no self-join of the hash
-    sequence); the per-lang rollup is a second tiny shuffle. At 100 TB
-    the selected (doc, hash) pairs feed the same banded-LSH join as
-    ``minhash_lsh_pairs`` with ~5x fewer rows."""
+    SIGMOD'03 — the MOSS algorithm, exact semantics): hash every word
+    3-gram, slide a w=4 window over the hash sequence, and select each
+    window's RIGHTMOST minimum. That per-window selection is what
+    guarantees every w-consecutive-gram run contributes >=1 fingerprint
+    (density ~2/(w+1)) — the sampling contract that makes fingerprint
+    stores sublinear where ``doc_fingerprints``' whole-doc md5 only
+    catches EXACT duplicates. The rightmost-min-per-window is ONE
+    window aggregate, no self-join: pack (hash, position) into a single
+    integer ordered lexicographically as (h asc, pos desc) —
+    ``h * 2^20 + (2^20-1-pos)`` — take ``min`` over the forward frame,
+    and count distinct packed values per doc (frames shorter than w at
+    the tail are excluded, per the spec; positions bounded < 2^20 ≡ 1M
+    shingles/doc). Validated against a textbook reference
+    implementation over tie-heavy random sequences. At 100 TB the
+    selected (doc, hash) pairs feed the same banded-LSH join as
+    ``minhash_lsh_pairs`` with ~w/2x fewer rows."""
     d = table(spark, sf_dir, "documents").where(
         F.size(F.split("text", " ")) >= 3
     )
@@ -763,9 +771,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.posexplode(_shingles(F.col("text"))).alias("pos", "s0"),
     ).select("doc_id", "lang", "pos", _h40(F.col("s0")).alias("h"))
+    packed = F.col("h") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
-    sel = sh.withColumn("wmin", F.min("h").over(w)).where(F.col("h") == F.col("wmin"))
-    perdoc = sel.groupBy("doc_id", "lang").agg(F.count_distinct("h").alias("n_fp"))
+    sel = sh.select(
+        "doc_id",
+        "lang",
+        F.min(packed).over(w).alias("packed"),
+        F.count(F.lit(1)).over(w).alias("n_in_window"),
+    ).where(F.col("n_in_window") == 4)
+    perdoc = sel.groupBy("doc_id", "lang").agg(
+        F.count_distinct("packed").alias("n_fp")
+    )
     return perdoc.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum("n_fp").alias("n_fingerprints"),
