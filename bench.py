@@ -144,6 +144,13 @@ HEADLINE = [
     "null_safe_reconcile",
     "streaming_erasure_feed",
     "image_corrupt_quarantine",
+    # round 5 second-pass additions
+    "filter_funnel_stats",
+    "unigram_logprob_filter",
+    "source_mixture_drift",
+    "mad_event_outliers",
+    "merge_into_orders",
+    "ann_rerank_topk",
 ]
 
 

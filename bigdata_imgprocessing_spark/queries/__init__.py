@@ -20,6 +20,7 @@ from . import dedup  # noqa: F401
 from . import images  # noqa: F401
 from . import multimodal  # noqa: F401
 from . import pipeline_queries  # noqa: F401
+from . import quality  # noqa: F401
 from . import relational  # noqa: F401
 from . import similarity  # noqa: F401
 from . import streaming_queries  # noqa: F401
@@ -28,6 +29,8 @@ from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
     # (1) new round-5 queries — first CORRECTNESS row pending.
+    "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
+    "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
     "bar_chart_data", "color_chart_data", "image_format_ingest",
     "embedding_batch_scores", "scd2_user_history", "order_value_position",
     "udtf_sentence_stats", "pq_ann_recall", "winnowing_fingerprints",

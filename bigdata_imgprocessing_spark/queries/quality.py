@@ -1,0 +1,420 @@
+"""Data-quality & governance surface: filter-funnel accounting, a
+self-trained unigram-LM (perplexity-proxy) filter, source-mixture drift
+monitoring, robust (median/MAD) outlier detection, and CDC MERGE-INTO
+apply with per-action audit.
+
+These are the curation/monitoring jobs a 100 TB training-data pipeline
+runs daily on top of the operator core (SURVEY.md §2): how much does
+each quality rule reject, which documents look like LM outliers, did
+the source mixture drift between batches, which metric streams have
+heavy-tailed anomalies, and apply-change-batch with a reviewable audit.
+
+Determinism rules follow the repo-wide contract: every computed column
+aliased identically in the Spark plan and the DuckDB oracle, doubles
+rounded before they feed a comparison or the final hash, and rank
+boundaries fully tie-broken. ``ln``/``percentile`` parity notes inline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+
+# ---------------------------------------------------------------------------
+# Quality-filter funnel: the per-rule rejection accounting every corpus
+# curation run reports (which rule removed how much, in cascade order).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "filter_funnel_stats",
+    oracle="""
+    WITH m AS (
+        SELECT len(string_split(text, ' ')) AS nw,
+               (len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' ')) AS mwl,
+               len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')) AS dr
+        FROM documents
+    ), a AS (
+        SELECT count(*) AS n0,
+               CAST(count(*) FILTER (WHERE NOT (nw BETWEEN 20 AND 80))
+                    AS BIGINT) AS rej1,
+               CAST(count(*) FILTER (WHERE nw BETWEEN 20 AND 80
+                    AND NOT (mwl < 4.8)) AS BIGINT) AS rej2,
+               CAST(count(*) FILTER (WHERE nw BETWEEN 20 AND 80
+                    AND mwl < 4.8 AND NOT (dr >= 0.5)) AS BIGINT) AS rej3
+        FROM m
+    )
+    SELECT stage, rule, n_in, n_rejected, n_in - n_rejected AS n_out FROM (
+        SELECT 1 AS stage, 'word_count' AS rule, n0 AS n_in,
+               rej1 AS n_rejected FROM a
+        UNION ALL
+        SELECT 2, 'mean_word_len', n0 - rej1, rej2 FROM a
+        UNION ALL
+        SELECT 3, 'distinct_ratio', n0 - rej1 - rej2, rej3 FROM a
+    )
+    """,
+)
+def filter_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential quality-rule cascade with per-stage accounting — the
+    curation funnel report (rule order matters: each stage's n_in is
+    the previous stage's n_out, so a rule is only charged for documents
+    the earlier rules let through). Rules are the standard cheap text
+    signals (word count bounds, mean word length, distinct-word ratio),
+    all pure JVM expressions.
+
+    Scale: ONE corpus scan computes every per-doc signal map-side, one
+    partial-aggregated count row leaves the executors, and the 3-stage
+    funnel is reshaped from that single row with ``stack`` — no second
+    scan per rule (the naive per-rule ``df.count()`` loop scans the
+    corpus once per rule, k scans for k rules)."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    mwl = (F.length("text") - (nw - F.lit(1))) * F.lit(1.0) / nw
+    dr = F.size(F.array_distinct(words)) * F.lit(1.0) / nw
+    p1 = nw.between(20, 80)
+    p2 = mwl < 4.8
+    p3 = dr >= 0.5
+    a = d.select(
+        p1.alias("p1"), p2.alias("p2"), p3.alias("p3")
+    ).agg(
+        F.count("*").alias("n0"),
+        F.sum((~F.col("p1")).cast("long")).alias("rej1"),
+        F.sum((F.col("p1") & ~F.col("p2")).cast("long")).alias("rej2"),
+        F.sum((F.col("p1") & F.col("p2") & ~F.col("p3")).cast("long")).alias(
+            "rej3"
+        ),
+    )
+    stages = a.select(
+        F.expr(
+            "stack(3,"
+            " 1, 'word_count',     n0,               rej1,"
+            " 2, 'mean_word_len',  n0 - rej1,        rej2,"
+            " 3, 'distinct_ratio', n0 - rej1 - rej2, rej3"
+            ") AS (stage, rule, n_in, n_rejected)"
+        )
+    )
+    return stages.withColumn("n_out", F.col("n_in") - F.col("n_rejected"))
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM negative-log-likelihood filter — the perplexity-proxy
+# quality signal (CCNet-style filtering with the LM trained on the
+# corpus itself; no external model needed).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "unigram_logprob_filter",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, lang, w AS word
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    ), vocab AS (
+        SELECT word, count(*) AS cnt FROM occ GROUP BY word
+    ), tot AS (
+        SELECT count(*) AS tot FROM occ
+    ), nl AS (
+        SELECT word, round(-ln(cnt * 1.0 / tot), 6) AS nll FROM vocab, tot
+    ), pd AS (
+        SELECT o.doc_id, o.lang, round(avg(n.nll), 5) AS avg5
+        FROM occ o JOIN nl n USING (word) GROUP BY o.doc_id, o.lang
+    ), thr AS (
+        SELECT quantile_cont(avg5, 0.75) AS thr FROM pd
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE avg5 > thr) AS BIGINT) AS n_flagged,
+           round(avg(avg5), 4) AS avg_nll
+    FROM pd, thr GROUP BY lang
+    """,
+)
+def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy filtering with a self-trained unigram LM: word
+    frequencies over the whole corpus give p(w); each document scores
+    avg(-ln p(w)) over its token occurrences; documents above the
+    corpus 75th percentile are flagged (the high-surprise tail a CCNet
+    pipeline routes to the "keep/maybe/drop" buckets). Output audits
+    flag rates per language — a flag rate skewed onto one language is
+    the classic symptom of an LM trained on unbalanced data.
+
+    Float parity: per-word nll is rounded to 6dp on both engines before
+    any aggregation (``ln`` is not IEEE-correctly-rounded, so raw libm
+    outputs may differ in the last ulp between JVM and DuckDB); per-doc
+    averages of those identical inputs are rounded to 5dp (absorbing
+    summation-order noise), and the percentile threshold is computed
+    from the already-rounded per-doc values — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the p*(n-1) linear-interpolation
+    definition, so identical inputs give an identical threshold.
+
+    Scale: tokenize+explode is map-side; the vocab count is one
+    word-keyed shuffle with map-side combine (classic wordcount); the
+    occurrences⋈vocab join broadcasts while the vocab fits and degrades
+    to a shuffle hash join when it doesn't (no hint pinned); per-doc
+    re-aggregation is one doc-keyed shuffle. The percentile threshold
+    is a 1-row broadcast, not a driver collect."""
+    d = table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
+    )
+    vocab = occ.groupBy("word").agg(F.count("*").alias("cnt"))
+    tot = occ.agg(F.count("*").alias("tot"))
+    nl = vocab.crossJoin(F.broadcast(tot)).select(
+        "word",
+        F.round(
+            -F.log(F.col("cnt") * F.lit(1.0) / F.col("tot")), 6
+        ).alias("nll"),
+    )
+    pd = (
+        occ.join(nl, "word")
+        .groupBy("doc_id", "lang")
+        .agg(F.round(F.avg("nll"), 5).alias("avg5"))
+    )
+    thr = pd.agg(F.percentile("avg5", F.lit(0.75)).alias("thr"))
+    return (
+        pd.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("avg5") > F.col("thr")).cast("long")).alias(
+                "n_flagged"
+            ),
+            F.round(F.avg("avg5"), 4).alias("avg_nll"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Source-mixture drift: KL divergence of the source distribution
+# between two corpus cohorts (the batch-over-batch mixture monitor).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_mixture_drift",
+    oracle="""
+    WITH c AS (
+        SELECT source,
+               CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+        FROM documents GROUP BY source
+    ), t AS (
+        SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM c
+    )
+    SELECT source, n_a, n_b,
+           round((n_a + 1.0) / (ta + k), 6) AS p_a,
+           round((n_b + 1.0) / (tb + k), 6) AS p_b,
+           round(((n_a + 1.0) / (ta + k))
+                 * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))),
+                 8) AS kl_term
+    FROM c, t
+    """,
+)
+def source_mixture_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixture-drift monitor: split the corpus into two cohorts (even /
+    odd doc_id here — in production, yesterday's batch vs today's),
+    estimate the per-source probability with Laplace add-one smoothing
+    (so a source absent from one cohort yields a finite KL term instead
+    of ln(0)), and emit each source's contribution to KL(A‖B). The sum
+    of kl_term over rows IS the divergence; per-source terms are what
+    the operator actually pages on (which source moved).
+
+    Parity: probabilities are exact-rational doubles computed in the
+    same expression order on both engines; only ``ln`` can wobble in
+    the last ulp, absorbed by the 8dp round on a 20-row result.
+
+    Scale: one corpus scan → one source-keyed partial-agg shuffle
+    (conditional counts computed map-side); the totals row is a 1-row
+    broadcast. Nothing downstream of the first agg sees corpus-sized
+    data."""
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    c = d.groupBy("source").agg(
+        F.sum((F.col("doc_id") % 2 == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("doc_id") % 2 == 1).cast("long")).alias("n_b"),
+    )
+    t = c.agg(
+        F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"),
+        F.count("*").alias("k"),
+    )
+    pa = (F.col("n_a") + F.lit(1.0)) / (F.col("ta") + F.col("k"))
+    pb = (F.col("n_b") + F.lit(1.0)) / (F.col("tb") + F.col("k"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "source", "n_a", "n_b",
+        F.round(pa, 6).alias("p_a"),
+        F.round(pb, 6).alias("p_b"),
+        F.round(pa * F.log(pa / pb), 8).alias("kl_term"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median/MAD flagging per metric stream (the 3-sigma
+# sibling in queries/timeseries.py breaks on heavy tails — MAD doesn't).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mad_event_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type, median(value) AS med FROM events
+        GROUP BY event_type
+    ), s AS (
+        SELECT e.event_type, median(abs(e.value - m.med)) AS mad
+        FROM events e JOIN m USING (event_type) GROUP BY e.event_type
+    )
+    SELECT e.event_type, count(*) AS n_events,
+           round(m.med, 4) AS med, round(s.mad, 4) AS mad,
+           CAST(count(*) FILTER (
+               WHERE abs(e.value - m.med) > 3 * 1.4826 * s.mad
+           ) AS BIGINT) AS n_outliers
+    FROM events e JOIN m USING (event_type) JOIN s USING (event_type)
+    GROUP BY e.event_type, m.med, s.mad
+    """,
+)
+def mad_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust anomaly detection per metric stream: median + MAD (median
+    absolute deviation), flagging |v − med| > 3·1.4826·MAD (1.4826
+    scales MAD to σ under normality). Unlike the mean/stddev 3-sigma
+    variant (``outlier_order_stats``), a few huge anomalies cannot
+    inflate the threshold and mask each other — the estimator the
+    monitor should actually use on heavy-tailed value streams.
+
+    Parity is exact: Spark ``median`` and DuckDB ``median`` both
+    linearly interpolate the middle pair over identical input doubles,
+    and the outlier comparison happens on identically-derived doubles
+    on both sides (no rounding before the comparison, same expression
+    shape), so the strict ``>`` cannot disagree.
+
+    Scale: medians are exact (two type-keyed shuffles over (type,
+    value) pairs — at 100 TB swap in approx_percentile(.., 0.5) for
+    one-pass sketched medians; kept exact here for the oracle); the
+    5-row stats frames broadcast back onto the scan, so the corpus is
+    never shuffled whole."""
+    e = table(spark, sf_dir, "events").select("event_type", "value")
+    m = e.groupBy("event_type").agg(F.median("value").alias("med"))
+    d = e.join(F.broadcast(m), "event_type").withColumn(
+        "adev", F.abs(F.col("value") - F.col("med"))
+    )
+    s = d.groupBy("event_type").agg(F.median("adev").alias("mad"))
+    return (
+        d.join(F.broadcast(s), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.first("med"), 4).alias("med"),
+            F.round(F.first("mad"), 4).alias("mad"),
+            F.sum(
+                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+            ).alias("n_outliers"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# CDC MERGE-INTO apply: the change-batch application every warehouse
+# runs nightly, expressed as one outer join + per-action audit
+# (sibling of the SCD2 build in queries/timeseries.py and the erasure
+# delete-rewrite in queries/pipeline_queries.py).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_into_orders",
+    oracle="""
+    WITH mx AS (
+        SELECT max(o_orderkey) AS mxk FROM orders
+    ), chg AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 13 = 3 THEN 'delete'
+                    WHEN o_orderkey % 7 = 0 THEN 'update' END AS action
+        FROM orders
+        WHERE o_orderkey % 13 = 3 OR o_orderkey % 7 = 0
+    ), ins AS (
+        SELECT o.o_orderkey + mx.mxk + 1 AS k, 'insert' AS action,
+               o.o_totalprice * 0.5 AS price
+        FROM orders o, mx WHERE o.o_orderkey % 11 = 5
+    ), merged AS (
+        SELECT o.o_orderstatus AS o_orderstatus,
+               coalesce(c.action, 'keep') AS action,
+               CASE WHEN c.action = 'update'
+                    THEN o.o_totalprice * 1.1
+                    ELSE o.o_totalprice END AS price
+        FROM orders o LEFT JOIN chg c ON o.o_orderkey = c.k
+        UNION ALL
+        SELECT 'X' AS o_orderstatus, action, price FROM ins
+    )
+    SELECT o_orderstatus, action, count(*) AS n_rows,
+           round(sum(price), 2) AS sum_price
+    FROM merged GROUP BY o_orderstatus, action
+    """,
+)
+def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE-INTO semantics applied as a relational plan: a change
+    batch (updates for key%7=0, deletes for key%13=3 — delete wins on
+    overlap, exactly MERGE's first-matching-clause rule — inserts
+    re-keyed past max(o_orderkey)) merged into ``orders`` with a
+    per-(status × action) audit of row counts and price mass. 'delete'
+    rows are reported, not carried — the final table is
+    keep ∪ update ∪ insert; the audit row is what a reviewer checks
+    before the swap.
+
+    Parity: updated/inserted prices stay UNROUNDED until the final
+    2dp-rounded sum — per-row round(x·1.1, 2) is engine-divergent on
+    ulp-boundary rows (Spark rounds the double's decimal expansion,
+    DuckDB rounds x·100), and those ±0.01 flips survive into a summed
+    audit; rounding once at the aggregate absorbs them.
+
+    Scale: the change batch is derived-from/keyed-like the target, so
+    the merge is ONE key-equi left join — broadcast while the batch is
+    small (the nightly-CDC norm), shuffle-on-key when it isn't; with
+    the target bucketed by key (sources/bucketed demo) the join is
+    exchange-free. Inserts union in without touching matched rows. At
+    100 TB you additionally prune to the partitions the batch touches
+    (the delete-rewrite in ``user_erasure_apply`` demonstrates exactly
+    that file-level rewrite accounting)."""
+    o = table(spark, sf_dir, "orders")
+    mx = o.agg(F.max("o_orderkey").alias("mxk"))
+    chg = o.where(
+        (F.col("o_orderkey") % 13 == 3) | (F.col("o_orderkey") % 7 == 0)
+    ).select(
+        F.col("o_orderkey").alias("k"),
+        F.when(F.col("o_orderkey") % 13 == 3, F.lit("delete"))
+        .otherwise(F.lit("update"))
+        .alias("action"),
+    )
+    ins = (
+        o.where(F.col("o_orderkey") % 11 == 5)
+        .crossJoin(F.broadcast(mx))
+        .select(
+            (F.col("o_orderkey") + F.col("mxk") + 1).alias("k"),
+            F.lit("insert").alias("action"),
+            (F.col("o_totalprice") * 0.5).alias("price"),
+        )
+    )
+    merged = (
+        o.join(F.broadcast(chg), o.o_orderkey == chg.k, "left")
+        .select(
+            "o_orderstatus",
+            F.coalesce("action", F.lit("keep")).alias("action"),
+            F.when(
+                F.col("action") == "update",
+                F.col("o_totalprice") * 1.1,
+            )
+            .otherwise(F.col("o_totalprice"))
+            .alias("price"),
+        )
+        .unionByName(
+            ins.select(
+                F.lit("X").alias("o_orderstatus"), "action", "price"
+            )
+        )
+    )
+    return merged.groupBy("o_orderstatus", "action").agg(
+        F.count("*").alias("n_rows"),
+        F.round(F.sum("price"), 2).alias("sum_price"),
+    )

@@ -900,3 +900,126 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.col("p.vec_id")).alias("n_overlap"),
         F.round(F.count(F.col("p.vec_id")) / 5.0, 2).alias("recall_at_5"),
     )
+
+
+@query(
+    "ann_rerank_topk",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id, embedding,
+               list_transform(embedding,
+                   x -> CAST(floor(x::DOUBLE * 127 / ma + 0.5) AS BIGINT)) AS qv
+        FROM (
+            SELECT vec_id, embedding,
+                   greatest(list_max(list_transform(embedding,
+                       x -> abs(x::DOUBLE))), 1e-30) AS ma
+            FROM embeddings
+        )
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe, qv AS qqv
+        FROM qz WHERE vec_id IN {_QUERY_IDS}
+    ), cand AS (
+        SELECT query_id, vec_id, embedding, qe FROM (
+            SELECT q.query_id, e.vec_id, e.embedding, q.qe,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY list_sum(list_transform(range(len(e.qv)),
+                                 i -> e.qv[i+1] * q.qqv[i+1])) DESC,
+                                e.vec_id) AS prn
+            FROM qz e CROSS JOIN q WHERE e.vec_id != q.query_id
+        ) WHERE prn <= 20
+    )
+    SELECT query_id, vec_id, cos_sim, rn FROM (
+        SELECT query_id, vec_id,
+               round(list_sum(list_transform(range(len(embedding)),
+                         i -> embedding[i+1]::DOUBLE * qe[i+1]::DOUBLE))
+                 / (sqrt(list_sum(list_transform(range(len(embedding)),
+                         i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)))
+                  * sqrt(list_sum(list_transform(range(len(qe)),
+                         i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))), 6)
+                   AS cos_sim,
+               row_number() OVER (PARTITION BY query_id
+                   ORDER BY round(list_sum(list_transform(range(len(embedding)),
+                             i -> embedding[i+1]::DOUBLE * qe[i+1]::DOUBLE))
+                     / (sqrt(list_sum(list_transform(range(len(embedding)),
+                             i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)))
+                      * sqrt(list_sum(list_transform(range(len(qe)),
+                             i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))), 6) DESC,
+                            vec_id) AS rn
+        FROM cand
+    ) WHERE rn <= 5
+    """,
+)
+def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN serving path: a CHEAP integer scorer (per-vector
+    symmetric int8 quantization, quantized dot product) builds a wide
+    candidate pool (top-20 per query), then exact float cosine re-ranks
+    only that pool down to the served top-5 — the production pattern
+    that buys quantized-index speed without serving quantized ranks
+    (``quantized_ann_recall`` measures the error this rerank removes).
+
+    Determinism: quantization uses floor(z + 0.5) half-up on both
+    engines; the integer candidate ranking tie-breaks on vec_id (ties
+    are COMMON after int8 quantization), and the rerank orders by the
+    6dp-rounded cosine + vec_id, so neither stage's cut boundary can
+    flip between engines.
+
+    Scale: stage 1 streams the corpus once map-side (query side is a
+    3-row broadcast) and keeps only integer dots through its top-k —
+    with the index IVF-partitioned this probes one cell per query
+    (``ivf_search_served``); stage 2 touches 20 rows per query, so
+    exact float work is candidate-bounded, never corpus-bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    based = e.select(
+        "vec_id",
+        "embedding",
+        F.greatest(
+            F.aggregate(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+                F.lit(0.0),
+                lambda acc, x: F.greatest(acc, x),
+            ),
+            F.lit(1e-30),
+        ).alias("ma"),
+    )
+    qz = based.select(
+        "vec_id",
+        "embedding",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127 / F.col("ma") + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+        norm(F.col("embedding")).alias("en"),
+    )
+    q = F.broadcast(
+        qz.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("qv").alias("qqv"),
+            F.col("en").alias("qn"),
+        )
+    )
+    idot = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("qqv"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    w_q = Window.partitionBy("query_id").orderBy(F.col("qdot").desc(), "vec_id")
+    cand = (
+        qz.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", "embedding", "en", "qe", "qn",
+                idot.alias("qdot"))
+        .withColumn("prn", F.row_number().over(w_q))
+        .where(F.col("prn") <= 20)
+    )
+    rer = cand.select(
+        "query_id",
+        "vec_id",
+        F.round(
+            dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+        ).alias("cos_sim"),
+    )
+    w_e = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return rer.withColumn("rn", F.row_number().over(w_e)).where(F.col("rn") <= 5)

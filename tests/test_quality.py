@@ -1,0 +1,74 @@
+"""Semantic invariants for the quality/governance queries — properties
+the oracle hash can't express (funnel conservation, MERGE row
+accounting, rerank containment in the exact ranking).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_imgprocessing_spark.core.catalog import table
+from bigdata_imgprocessing_spark.queries import QUERIES
+
+
+def test_filter_funnel_conserves_rows(spark, sf_dir):
+    rows = {r["stage"]: r for r in QUERIES["filter_funnel_stats"](spark, sf_dir).collect()}
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert rows[1]["n_in"] == n_docs
+    for s in (1, 2, 3):
+        assert rows[s]["n_out"] == rows[s]["n_in"] - rows[s]["n_rejected"]
+        assert 0 <= rows[s]["n_rejected"] <= rows[s]["n_in"]
+    assert rows[2]["n_in"] == rows[1]["n_out"]
+    assert rows[3]["n_in"] == rows[2]["n_out"]
+
+
+def test_merge_into_accounts_every_target_row(spark, sf_dir):
+    out = QUERIES["merge_into_orders"](spark, sf_dir).collect()
+    o = table(spark, sf_dir, "orders")
+    n_target = o.count()
+    by_action: dict[str, int] = {}
+    for r in out:
+        by_action[r["action"]] = by_action.get(r["action"], 0) + r["n_rows"]
+    # keep + update + delete partition the target exactly
+    assert by_action["keep"] + by_action["update"] + by_action["delete"] == n_target
+    assert by_action["insert"] == o.where(F.col("o_orderkey") % 11 == 5).count()
+    # delete wins on update/delete overlap: updates never include %13==3 keys
+    n_del_expected = o.where(F.col("o_orderkey") % 13 == 3).count()
+    assert by_action["delete"] == n_del_expected
+
+
+def test_mad_outliers_bounded(spark, sf_dir):
+    for r in QUERIES["mad_event_outliers"](spark, sf_dir).collect():
+        assert r["mad"] >= 0.0
+        # MAD flags a minority by construction (threshold ≈ 4.45 scaled MADs)
+        assert 0 <= r["n_outliers"] < r["n_events"] / 2
+
+
+def test_unigram_flag_rate_is_quartile(spark, sf_dir):
+    rows = QUERIES["unigram_logprob_filter"](spark, sf_dir).collect()
+    n = sum(r["n_docs"] for r in rows)
+    flagged = sum(r["n_flagged"] for r in rows)
+    # strict > the 75th percentile flags at most 25% (ties fall below)
+    assert flagged <= n * 0.25 + 1
+    assert flagged >= n * 0.10  # and the tail is not degenerate
+
+
+def test_mixture_drift_kl_nonnegative(spark, sf_dir):
+    rows = QUERIES["source_mixture_drift"](spark, sf_dir).collect()
+    assert abs(sum(r["p_a"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["p_b"] for r in rows) - 1.0) < 1e-3
+    assert sum(r["kl_term"] for r in rows) >= -1e-8  # KL(A‖B) ≥ 0
+
+
+def test_rerank_topk_contained_in_candidates_and_sorted(spark, sf_dir):
+    out = QUERIES["ann_rerank_topk"](spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in out:
+        per_q.setdefault(r["query_id"], []).append(r)
+    assert set(per_q) == {0, 1, 2}
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r["cos_sim"] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+        assert all(r["vec_id"] != q for r in rows)
