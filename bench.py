@@ -151,6 +151,8 @@ HEADLINE = [
     "mad_event_outliers",
     "merge_into_orders",
     "ann_rerank_topk",
+    "dup_ngram_coverage",
+    "sliding_distinct_users",
 ]
 
 

@@ -787,3 +787,118 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_fp").alias("n_fingerprints"),
         F.round(F.sum("n_fp") / F.count("*"), 4).alias("avg_fp_per_doc"),
     )
+
+
+@query(
+    "dup_ngram_coverage",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS w FROM documents
+    ), g AS (
+        SELECT doc_id, i AS pos,
+               array_to_string(w[i+1:i+5], ' ') AS gram
+        FROM d, UNNEST(range(len(w) - 4)) AS t(i)
+    ), dup AS (
+        SELECT gram FROM g GROUP BY gram
+        HAVING count(DISTINCT doc_id) >= 2
+    ), h AS (
+        SELECT doc_id, pos, pos + 4 AS e FROM g JOIN dup USING (gram)
+    ), isl AS (
+        SELECT doc_id, pos, e,
+               CASE WHEN max(e) OVER pw IS NULL OR pos > max(e) OVER pw
+                    THEN 1 ELSE 0 END AS ni
+        FROM h
+        WINDOW pw AS (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ), isl2 AS (
+        SELECT doc_id, pos, e,
+               sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS iid
+        FROM isl
+    ), seg AS (
+        SELECT doc_id, iid, max(e) - min(pos) + 1 AS len
+        FROM isl2 GROUP BY doc_id, iid
+    ), cov AS (
+        SELECT doc_id, sum(len) AS covered FROM seg GROUP BY doc_id
+    ), f AS (
+        SELECT d.doc_id, d.lang, len(d.w) AS nw,
+               coalesce(c.covered, 0) AS covered
+        FROM d LEFT JOIN cov c USING (doc_id)
+    )
+    SELECT lang, count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE covered > 0) AS BIGINT)
+               AS n_docs_with_dup,
+           round(avg(covered * 1.0 / nw), 4) AS avg_dup_frac
+    FROM f GROUP BY lang
+    """,
+)
+def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicated-n-gram coverage (the RefinedWeb/Gopher "fraction of
+    tokens inside a cross-document duplicated n-gram" quality signal):
+    every word 5-gram appearing in ≥2 distinct documents marks its
+    5-token span; per document the UNION of those spans (overlaps
+    merged via gaps-and-islands, so nested repeats aren't
+    double-counted) over the token count is the dup fraction, audited
+    per language.
+
+    Scale: gram extraction is map-side array HOFs (no per-gram
+    explode-of-explode); the duplicated-gram set is one gram-keyed
+    shuffle with map-side partial distinct; marking is a semi-shaped
+    inner join on the gram key (production would join on the 40-bit
+    md5 scheme used by the minhash family to keep shuffle keys narrow
+    — raw grams here keep the oracle exactly parity-checkable); the
+    island merge is ONE window shuffle keyed by doc_id over only the
+    HIT positions (duplicated grams), not the full token stream."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    g = d.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, size(w) - 5),"
+                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
+            )
+        ).alias("pos", "gram"),
+    )
+    dup = (
+        g.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gram")
+    )
+    h = g.join(dup, "gram").select(
+        "doc_id", "pos", (F.col("pos") + 4).alias("e")
+    )
+    pw = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cw = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prev_e = F.max("e").over(pw)
+    isl = h.withColumn(
+        "ni",
+        F.when(prev_e.isNull() | (F.col("pos") > prev_e), 1).otherwise(0),
+    ).withColumn("iid", F.sum("ni").over(cw))
+    seg = isl.groupBy("doc_id", "iid").agg(
+        (F.max("e") - F.min("pos") + 1).alias("len")
+    )
+    cov = seg.groupBy("doc_id").agg(F.sum("len").alias("covered"))
+    f = d.select("doc_id", "lang", F.size("w").alias("nw")).join(
+        cov, "doc_id", "left"
+    ).select(
+        "lang", "nw", F.coalesce("covered", F.lit(0)).alias("covered")
+    )
+    return f.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum((F.col("covered") > 0).cast("long")).alias("n_docs_with_dup"),
+        F.round(
+            F.avg(F.col("covered") * F.lit(1.0) / F.col("nw")), 4
+        ).alias("avg_dup_frac"),
+    )

@@ -487,3 +487,62 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("vt").isNull().cast("long")).alias("n_current"),
         F.sum(F.col("vt") - F.col("vf")).alias("total_duration_sec"),
     )
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), b AS (
+        SELECT max(date_trunc('day', ts)) AS mx FROM events
+    ), fan AS (
+        SELECT DISTINCT user_id,
+               d + to_days(CAST(i AS INTEGER)) AS we
+        FROM ud, UNNEST(range(7)) AS t(i), b
+        WHERE d + to_days(CAST(i AS INTEGER)) <= b.mx
+    )
+    SELECT strftime(we, '%Y-%m-%d') AS day, count(*) AS n_users
+    FROM fan GROUP BY we
+    """,
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the DAU/WAU-style
+    metric whose aggregate (COUNT DISTINCT) is NOT sum-decomposable
+    across sliding windows, so a plain sliding sum of daily counts
+    over-counts returning users. The scalable exact form used here:
+    collapse the raw stream to distinct (user, day) pairs FIRST (one
+    shuffle with map-side partial distinct — events:(user,day) is the
+    heavy reduction), then fan each pair out to the ≤7 window-ends it
+    belongs to (bounded, k× the already-tiny pair set), re-distinct on
+    (window, user), and count per window. At 100 TB the alternative —
+    a range self-join or collect_set window over raw events — shuffles
+    the full stream per window; this shuffles only user-day pairs.
+    Trailing partial windows past max(day) are clipped (1-row
+    broadcast bound); leading windows are naturally partial, as the
+    metric's consumers expect."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select(
+        "user_id", F.date_trunc("day", "ts").alias("d")
+    ).distinct()
+    mx = e.agg(F.max(F.date_trunc("day", "ts")).alias("mx"))
+    fan = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "d",
+                    F.col("d") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("we"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("we") <= F.col("mx"))
+        .select("user_id", "we")
+        .distinct()
+    )
+    return fan.groupBy("we").agg(F.count("*").alias("n_users")).select(
+        F.date_format("we", "yyyy-MM-dd").alias("day"), "n_users"
+    )

@@ -72,3 +72,41 @@ def test_rerank_topk_contained_in_candidates_and_sorted(spark, sf_dir):
         sims = [r["cos_sim"] for r in rows]
         assert sims == sorted(sims, reverse=True)
         assert all(r["vec_id"] != q for r in rows)
+
+
+def test_dup_ngram_coverage_fraction_bounded(spark, sf_dir):
+    rows = QUERIES["dup_ngram_coverage"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r["avg_dup_frac"] <= 1.0
+        assert 0 <= r["n_docs_with_dup"] <= r["n_docs"]
+    # synthetic corpus repeats vocabulary heavily — some dup must exist
+    assert sum(r["n_docs_with_dup"] for r in rows) > 0
+
+
+def test_sliding_distinct_users_dominates_daily(spark, sf_dir):
+    from bigdata_imgprocessing_spark.core.session import ensure_utc
+
+    ensure_utc(spark)
+    sliding = {
+        r["day"]: r["n_users"]
+        for r in QUERIES["sliding_distinct_users"](spark, sf_dir).collect()
+    }
+    e = table(spark, sf_dir, "events")
+    daily = {
+        r["day"]: r["n"]
+        for r in e.select(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total_users = e.select("user_id").distinct().count()
+    assert set(daily) == set(sliding)
+    for day, n in sliding.items():
+        # a 7-day window can only add users over its last day
+        assert n >= daily[day]
+        assert n <= total_users
