@@ -184,4 +184,26 @@ def run_scale_stress(
         "secs": round(time.perf_counter() - t0, 2),
         "n_results": len(bm),
     }
+    # Quality surface over the scaled corpus: duplicated-n-gram span
+    # coverage (gram-keyed shuffle + islands over hit positions only)
+    # and the self-trained unigram-LM filter (wordcount + occurrence
+    # join). Both should grow near-linearly with corpus size; coverage
+    # additionally RISES with planted near-dups (they are cross-doc
+    # duplicated text by construction) — a built-in sanity signal.
+    from ..queries.dedup import dup_ngram_coverage
+    from ..queries.quality import unigram_logprob_filter
+
+    t0 = time.perf_counter()
+    dc = dup_ngram_coverage(spark, scaled_dir).collect()
+    metrics["dup_ngram_coverage"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_docs_with_dup": sum(r.n_docs_with_dup for r in dc),
+    }
+
+    t0 = time.perf_counter()
+    ug = unigram_logprob_filter(spark, scaled_dir).collect()
+    metrics["unigram_logprob_filter"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_flagged": sum(r.n_flagged for r in ug),
+    }
     return metrics

@@ -157,23 +157,43 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     occurrences⋈vocab join broadcasts while the vocab fits and degrades
     to a shuffle hash join when it doesn't (no hint pinned); per-doc
     re-aggregation is one doc-keyed shuffle. The percentile threshold
-    is a 1-row broadcast, not a driver collect."""
+    is a 1-row broadcast, not a driver collect. The two dual-use
+    SMALL frames (vocab, per-doc scores) are cached so their shuffles
+    run once — measured 26s vs 34s at the 100× stress corpus
+    (SCALING.md); at toy scale the cache materialization costs ~0.5s
+    more than it saves, the right side of that trade."""
+    from ..core.session import cache_parallelism
+
     d = table(spark, sf_dir, "documents")
     occ = d.select(
         "doc_id", "lang", F.explode(F.split("text", " ")).alias("word")
     )
-    vocab = occ.groupBy("word").agg(F.count("*").alias("cnt"))
-    tot = occ.agg(F.count("*").alias("tot"))
+    # cache(): vocab feeds the nll projection AND the corpus total
+    # (derived from vocab as sum(cnt), so the wordcount shuffle runs
+    # once, not once per consumer — DataFrame DAGs don't share
+    # subplans). occ is deliberately NOT cached: its two uses are
+    # map-side re-derivations (explode), the scale-correct recompute.
+    vocab = (
+        occ.groupBy("word")
+        .agg(F.count("*").alias("cnt"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    tot = vocab.agg(F.sum("cnt").alias("tot"))
     nl = vocab.crossJoin(F.broadcast(tot)).select(
         "word",
         F.round(
             -F.log(F.col("cnt") * F.lit(1.0) / F.col("tot")), 6
         ).alias("nll"),
     )
+    # cache(): per-doc scores feed the percentile threshold AND the
+    # final rollup; one row per doc, tiny next to the corpus.
     pd = (
         occ.join(nl, "word")
         .groupBy("doc_id", "lang")
         .agg(F.round(F.avg("nll"), 5).alias("avg5"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     thr = pd.agg(F.percentile("avg5", F.lit(0.75)).alias("thr"))
     return (

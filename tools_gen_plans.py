@@ -46,6 +46,13 @@ PICKS = {
     "key_skew_profile": "Skew planning pass: one per-key shuffle, then O(|keys|) stats + bounded top-5 take -- one integer per key moves.",
     "fixed_size_group_sample": "Exact-k sampling: salted-hash rank compiles to WindowGroupLimit per-group heaps -- no global or per-group full sort.",
     "null_safe_reconcile": "Null-safe reconcile: both sides pre-aggregated to |keys| rows, then eqNullSafe full outer -- the corpus never joins.",
+    "filter_funnel_stats": "Filter funnel: ONE corpus scan computes every rule signal map-side; the 3-stage cascade reshapes a single partial-agg row via stack -- no per-rule re-scan.",
+    "unigram_logprob_filter": "Unigram-LM filter: wordcount shuffle with map-side combine, occurrence-vocab hash join, 1-row percentile threshold broadcast -- no driver collect.",
+    "merge_into_orders": "MERGE-INTO: change batch broadcast into ONE key-equi left join, inserts union in; per-action audit is one low-cardinality shuffle.",
+    "mad_event_outliers": "Median/MAD outliers: two exact-median shuffles over (type,value); 5-row stats frames broadcast back -- the stream is never shuffled whole.",
+    "dup_ngram_coverage": "Dup-n-gram coverage: map-side gram HOFs, gram-keyed partial-distinct shuffle, islands window over HIT positions only (not the token stream).",
+    "sliding_distinct_users": "Sliding COUNT DISTINCT: distinct (user,day) pairs FIRST, bounded 7x fan-out, re-distinct -- the raw stream shuffles once, not once per window.",
+    "ann_rerank_topk": "Two-stage ANN: int8 dot candidate top-20 via per-query heaps, exact cosine only on the 20 survivors -- float work candidate-bounded.",
 }
 
 
