@@ -153,6 +153,7 @@ HEADLINE = [
     "ann_rerank_topk",
     "dup_ngram_coverage",
     "sliding_distinct_users",
+    "cohort_retention",
 ]
 
 

@@ -31,7 +31,7 @@ _PRIORITY = [
     # (1) new round-5 queries — first CORRECTNESS row pending.
     "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
     "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
-    "dup_ngram_coverage", "sliding_distinct_users",
+    "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",
     "bar_chart_data", "color_chart_data", "image_format_ingest",
     "embedding_batch_scores", "scd2_user_history", "order_value_position",
     "udtf_sentence_stats", "pq_ann_recall", "winnowing_fingerprints",

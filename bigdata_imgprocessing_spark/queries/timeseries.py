@@ -546,3 +546,69 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fan.groupBy("we").agg(F.count("*").alias("n_users")).select(
         F.date_format("we", "yyyy-MM-dd").alias("day"), "n_users"
     )
+
+
+@query(
+    "cohort_retention",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), first_seen AS (
+        SELECT user_id, min(d) AS cd FROM ud GROUP BY user_id
+    ), sized AS (
+        SELECT cd, count(*) AS n_cohort FROM first_seen GROUP BY cd
+    ), act AS (
+        SELECT f.cd, CAST(date_diff('day', f.cd, u.d) AS BIGINT) AS offset_d,
+               u.user_id
+        FROM ud u JOIN first_seen f USING (user_id)
+        WHERE date_diff('day', f.cd, u.d) <= 13
+    )
+    SELECT strftime(a.cd, '%Y-%m-%d') AS cohort_day, a.offset_d,
+           count(*) AS n_active,
+           round(count(*) * 1.0 / s.n_cohort, 4) AS retention
+    FROM act a JOIN sized s USING (cd)
+    GROUP BY a.cd, a.offset_d, s.n_cohort
+    """,
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix — the product-analytics staple: users
+    cohorted by first-seen day, and for each (cohort, day-offset ≤ 13)
+    the count and fraction of the cohort active that day. Day-0
+    retention is 1.0 by construction (a free self-check the oracle
+    hash covers).
+
+    Scale: the raw stream collapses to distinct (user, day) pairs in
+    one shuffle (map-side partial distinct); first-seen is a min-agg
+    over those pairs keyed by user — the SAME key the pairs shuffle
+    already produced, so Catalyst reuses the partitioning instead of
+    re-exchanging; the pairs⋈first-seen join is user-keyed (co-
+    partitioned with both inputs), and cohort sizes are a tiny
+    per-day frame joined at the end. Nothing wider than user-day
+    pairs ever shuffles, and the 14-offset cap bounds the output."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("cd"))
+    sized = first_seen.groupBy("cd").agg(F.count("*").alias("n_cohort"))
+    act = (
+        ud.join(first_seen, "user_id")
+        .select(
+            "cd",
+            F.datediff("d", "cd").cast("long").alias("offset_d"),
+            "user_id",
+        )
+        .where(F.col("offset_d") <= 13)
+    )
+    return (
+        act.groupBy("cd", "offset_d")
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(sized), "cd")
+        .select(
+            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+            "offset_d",
+            "n_active",
+            F.round(
+                F.col("n_active") * F.lit(1.0) / F.col("n_cohort"), 4
+            ).alias("retention"),
+        )
+    )

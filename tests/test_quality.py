@@ -110,3 +110,14 @@ def test_sliding_distinct_users_dominates_daily(spark, sf_dir):
         # a 7-day window can only add users over its last day
         assert n >= daily[day]
         assert n <= total_users
+
+
+def test_cohort_retention_day0_is_full(spark, sf_dir):
+    rows = QUERIES["cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict[str, dict[int, float]] = {}
+    for r in rows:
+        assert 0.0 < r["retention"] <= 1.0
+        by_cohort.setdefault(r["cohort_day"], {})[r["offset_d"]] = r["retention"]
+    for day, offs in by_cohort.items():
+        assert offs[0] == 1.0  # everyone is active on their first day
