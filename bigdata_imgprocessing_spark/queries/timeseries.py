@@ -577,38 +577,36 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     retention is 1.0 by construction (a free self-check the oracle
     hash covers).
 
-    Scale: the raw stream collapses to distinct (user, day) pairs in
-    one shuffle (map-side partial distinct); first-seen is a min-agg
-    over those pairs keyed by user — the SAME key the pairs shuffle
-    already produced, so Catalyst reuses the partitioning instead of
-    re-exchanging; the pairs⋈first-seen join is user-keyed (co-
-    partitioned with both inputs), and cohort sizes are a tiny
-    per-day frame joined at the end. Nothing wider than user-day
-    pairs ever shuffles, and the 14-offset cap bounds the output."""
+    Scale (single-scan shape): the raw stream collapses to distinct
+    (user, day) pairs in one shuffle (map-side partial distinct); the
+    first-seen day comes from a min() WINDOW over the user partition —
+    not a self-join back onto the pairs, which would scan and shuffle
+    the stream twice (the first draft did; the plan audit caught it).
+    Because every user is active on their own day 0, the cohort size
+    IS the offset-0 count, so the denominator is a window max over the
+    already-tiny (cohort × offset) count matrix instead of another
+    join. Three data-sized exchanges total, one corpus scan."""
     ensure_utc(spark)
     e = table(spark, sf_dir, "events")
     ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    first_seen = ud.groupBy("user_id").agg(F.min("d").alias("cd"))
-    sized = first_seen.groupBy("cd").agg(F.count("*").alias("n_cohort"))
+    uw = Window.partitionBy("user_id")
     act = (
-        ud.join(first_seen, "user_id")
+        ud.withColumn("cd", F.min("d").over(uw))
         .select(
-            "cd",
-            F.datediff("d", "cd").cast("long").alias("offset_d"),
-            "user_id",
+            "cd", F.datediff("d", "cd").cast("long").alias("offset_d")
         )
         .where(F.col("offset_d") <= 13)
     )
-    return (
-        act.groupBy("cd", "offset_d")
-        .agg(F.count("*").alias("n_active"))
-        .join(F.broadcast(sized), "cd")
-        .select(
-            F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
-            "offset_d",
-            "n_active",
-            F.round(
-                F.col("n_active") * F.lit(1.0) / F.col("n_cohort"), 4
-            ).alias("retention"),
-        )
+    counts = act.groupBy("cd", "offset_d").agg(F.count("*").alias("n_active"))
+    cw = Window.partitionBy("cd")
+    n_cohort = F.max(
+        F.when(F.col("offset_d") == 0, F.col("n_active"))
+    ).over(cw)
+    return counts.select(
+        F.date_format("cd", "yyyy-MM-dd").alias("cohort_day"),
+        "offset_d",
+        "n_active",
+        F.round(F.col("n_active") * F.lit(1.0) / n_cohort, 4).alias(
+            "retention"
+        ),
     )

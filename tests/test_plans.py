@@ -377,3 +377,16 @@ def test_join_hints_steer_strategy(spark, sf_dir):
             spark, li.join(sup.hint(hint), li.l_suppkey == sup.s_suppkey)
         )
         assert node in plan, f"hint {hint} did not produce {node}"
+
+
+def test_cohort_retention_single_scan_no_join(spark, sf_dir):
+    """Cohort retention must stay the single-scan window shape: the
+    first draft joined distinct pairs back to a first-seen aggregate,
+    scanning and shuffling the event stream twice; the window rewrite
+    reads events ONCE and plans no join at all (the cohort denominator
+    is the offset-0 count, a window over the tiny count matrix)."""
+    plan = _formatted(spark, QUERIES["cohort_retention"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    for join_op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
+                    "BroadcastNestedLoopJoin"):
+        assert _n_nodes(plan, join_op) == 0, join_op
