@@ -154,6 +154,8 @@ HEADLINE = [
     "dup_ngram_coverage",
     "sliding_distinct_users",
     "cohort_retention",
+    "split_leakage_audit",
+    "epoch_shuffle_order",
 ]
 
 

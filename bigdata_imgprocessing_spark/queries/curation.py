@@ -659,3 +659,145 @@ def fixed_size_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc_id"),
         )
     )
+
+
+_SPLIT_CASE_A = f"""CASE WHEN {_duck_bucket("CAST(doc_a AS VARCHAR) || '_split'", 100)} < 90 THEN 'train'
+                 WHEN {_duck_bucket("CAST(doc_a AS VARCHAR) || '_split'", 100)} < 95 THEN 'val'
+                 ELSE 'test' END"""
+_SPLIT_CASE_B = f"""CASE WHEN {_duck_bucket("CAST(doc_b AS VARCHAR) || '_split'", 100)} < 90 THEN 'train'
+                 WHEN {_duck_bucket("CAST(doc_b AS VARCHAR) || '_split'", 100)} < 95 THEN 'val'
+                 ELSE 'test' END"""
+
+
+def _split_of(col: Column) -> Column:
+    b = _md5_bucket(F.concat(col.cast("string"), F.lit("_split")), 100)
+    return (
+        F.when(b < 90, F.lit("train"))
+        .when(b < 95, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _register_split_leakage() -> None:
+    # deferred so curation.py doesn't import dedup at module-load time
+    # inside the registration package's own import sequence
+    from .dedup import _DUCK_PAIRS_CTES, _lsh_verified_pairs
+
+    @query(
+        "split_leakage_audit",
+        oracle=f"""
+        WITH {_DUCK_PAIRS_CTES}
+        SELECT least({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_lo,
+               greatest({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_hi,
+               count(*) AS n_pairs,
+               round(sum(jaccard), 4) AS sum_jaccard
+        FROM pairs GROUP BY split_lo, split_hi
+        """,
+    )
+    def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train/val/test leakage audit: MinHash-LSH verified near-dup
+        pairs (the `minhash_lsh_pairs` pipeline) bucketed by which
+        splits their endpoints land in under the SAME hash split as
+        `doc_split_stats` — a (train, test) row is evaluation
+        contamination the split hash can't prevent (near-dups hash
+        independently). This is the audit every pipeline should run
+        between splitting and training; `decontam_ngram_overlap` is
+        the exact-overlap sibling, this is the near-dup one.
+
+        The split is a pure function of doc_id (md5 bucket), so the
+        pair endpoints are labeled with a projection — no join back to
+        the corpus; the expensive part is the LSH pair generation the
+        audit shares with the dedup path (at scale: run once, feed
+        both). Pair categories are least/greatest-normalized so
+        (test, train) and (train, test) are one row. The similarity
+        mass column is a SUM of the per-pair 4dp jaccards, not their
+        mean: averaging already-rounded values lands exactly on .00005
+        decimal boundaries where the engines' round() implementations
+        legitimately disagree (observed at sf0.01), while sums of 4dp
+        multiples have no boundary to disagree on."""
+        pairs = _lsh_verified_pairs(spark, sf_dir)
+        sa = _split_of(F.col("doc_a"))
+        sb = _split_of(F.col("doc_b"))
+        return (
+            pairs.select(
+                F.least(sa, sb).alias("split_lo"),
+                F.greatest(sa, sb).alias("split_hi"),
+                "jaccard",
+            )
+            .groupBy("split_lo", "split_hi")
+            .agg(
+                F.count("*").alias("n_pairs"),
+                F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+            )
+        )
+
+
+_register_split_leakage()
+
+
+@query(
+    "epoch_shuffle_order",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 10))::UBIGINT
+                   AS hv
+        FROM documents
+    ), sharded AS (
+        SELECT doc_id, hv, CAST(hv % 8 AS BIGINT) AS shard,
+               row_number() OVER (PARTITION BY hv % 8
+                                  ORDER BY hv, doc_id) AS rn
+        FROM h
+    )
+    SELECT shard, count(*) AS n_docs,
+           string_agg(CASE WHEN rn <= 3 THEN CAST(doc_id AS VARCHAR) END,
+                      ',' ORDER BY rn) AS head_docs
+    FROM sharded GROUP BY shard
+    """,
+)
+def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch shuffle — the training-order randomization
+    every run must be able to REPRODUCE: global order = seeded hash of
+    the stable doc id (seed 42 here; a new epoch is a new seed, giving
+    an independent permutation with zero state), sharded for parallel
+    readers. The audit emits per-shard sizes plus the first three doc
+    ids in shard order, which pins the exact permutation into the
+    correctness hash — a nondeterministic shuffle fails the driver
+    check by construction.
+
+    Scale: the hash is a map-side projection; shard assignment is its
+    low bits, so writing shards is one hash-partitioned exchange and
+    the within-shard sort is per-partition (range-partition on the
+    hash for globally-sorted output files). No global coordination,
+    no RNG state to checkpoint — re-running any shard reproduces
+    byte-identical order."""
+    d = table(spark, sf_dir, "documents")
+    hv = F.conv(
+        F.substring(
+            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42"))),
+            1,
+            10,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    h = d.select("doc_id", hv.alias("hv"), (hv % 8).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    sharded = h.withColumn("rn", F.row_number().over(w))
+    return sharded.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rn") <= 3,
+                            F.struct("rn", F.col("doc_id").cast("string").alias("sid")),
+                        )
+                    )
+                ),
+                lambda s: s.sid,
+            ),
+            ",",
+        ).alias("head_docs"),
+    )

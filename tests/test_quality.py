@@ -121,3 +121,24 @@ def test_cohort_retention_day0_is_full(spark, sf_dir):
         by_cohort.setdefault(r["cohort_day"], {})[r["offset_d"]] = r["retention"]
     for day, offs in by_cohort.items():
         assert offs[0] == 1.0  # everyone is active on their first day
+
+
+def test_split_leakage_pairs_partition_lsh_pairs(spark, sf_dir):
+    audit = QUERIES["split_leakage_audit"](spark, sf_dir).collect()
+    n_pairs_total = QUERIES["minhash_lsh_pairs"](spark, sf_dir).count()
+    assert sum(r["n_pairs"] for r in audit) == n_pairs_total
+    for r in audit:
+        assert r["split_lo"] in {"train", "val", "test"}
+        assert r["split_hi"] in {"train", "val", "test"}
+        assert r["split_lo"] <= r["split_hi"]
+
+
+def test_epoch_shuffle_order_deterministic_partition(spark, sf_dir):
+    a = sorted(map(tuple, QUERIES["epoch_shuffle_order"](spark, sf_dir).collect()))
+    b = sorted(map(tuple, QUERIES["epoch_shuffle_order"](spark, sf_dir).collect()))
+    assert a == b  # byte-identical permutation on re-run
+    assert [r[0] for r in a] == list(range(8))
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r[1] for r in a) == n_docs
+    for r in a:
+        assert len(r[2].split(",")) == min(3, r[1])
