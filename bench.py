@@ -156,6 +156,7 @@ HEADLINE = [
     "cohort_retention",
     "split_leakage_audit",
     "epoch_shuffle_order",
+    "backfill_partition_overwrite",
 ]
 
 

@@ -771,3 +771,70 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("max_key_rows") / F.col("p50"), 2).alias("skew_ratio"),
         F.col("t5").alias("top5_rows"),
     )
+
+
+_BACKFILL_DAY = "2024-01-05"
+
+
+@query(
+    "backfill_partition_overwrite",
+    oracle=f"""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, value
+        FROM events
+    )
+    SELECT day, count(*) AS n_events,
+           round(sum(CASE WHEN day = '{_BACKFILL_DAY}'
+                          THEN value * 2 ELSE value END), 2) AS sum_value
+    FROM d GROUP BY day
+    """,
+)
+def backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-partitioned lake write + DYNAMIC partition-overwrite
+    backfill — the nightly warehouse correction: the events stream is
+    laid out ``day=YYYY-MM-DD/`` (the layout every time-partitioned
+    100 TB table uses), then ONE day is recomputed (values doubled
+    here, standing in for a late-data or bugfix backfill) and written
+    with ``partitionOverwriteMode=dynamic``, which atomically replaces
+    only the partitions present in the incoming frame. The checked
+    hash re-reads the WHOLE table and audits every day — proving the
+    backfilled day changed and, just as important, that the other 29
+    days were untouched (STATIC overwrite mode would have deleted
+    them; the classic data-loss bug this mode exists to prevent).
+
+    Idempotent: the backfill recomputes from the SOURCE table, not
+    from the written copy, so re-runs converge to the same bytes.
+    Scale: day partitions write in parallel (one task per partition
+    per executor), the backfill touches one directory regardless of
+    table size, and downstream day-filtered readers get partition
+    pruning for free (asserted in tests/test_layout.py).
+
+    Reference analog: pyspark_yolox.py:178-183 re-writes its full
+    predictions CSV on every run — whole-table rewrite is exactly
+    what partition overwrite replaces at scale."""
+    from ..core.session import ensure_utc
+
+    ensure_utc(spark)
+    out = os.path.join(_root_dir(sf_dir), "events_by_day")
+    e = table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    try:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        corrected = e.where(F.col("day") == _BACKFILL_DAY).withColumn(
+            "value", F.col("value") * 2
+        )
+        corrected.write.partitionBy("day").mode("overwrite").parquet(out)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    r = spark.read.parquet(out)
+    return r.groupBy(F.col("day").cast("string").alias("day")).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )

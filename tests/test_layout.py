@@ -217,3 +217,41 @@ def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
         for k, v in olds.items():
             if v is not None:
                 spark.conf.set(k, v)
+
+
+def test_backfill_overwrites_only_target_partition(spark, sf_dir):
+    """Dynamic partition overwrite must replace ONLY the backfilled
+    day: its sum doubles vs source, a sibling day's bytes survive the
+    overwrite untouched, and a day-filtered re-read prunes to the one
+    directory."""
+    from pyspark.sql import functions as F
+
+    from bigdata_imgprocessing_spark.queries.pipeline_queries import (
+        _BACKFILL_DAY,
+        _root_dir,
+        backfill_partition_overwrite,
+    )
+    from bigdata_imgprocessing_spark.core.catalog import table
+
+    rows = {
+        r["day"]: r for r in backfill_partition_overwrite(spark, sf_dir).collect()
+    }
+    src = {
+        r["day"]: r
+        for r in table(spark, sf_dir, "events")
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("s"))
+        .collect()
+    }
+    assert abs(rows[_BACKFILL_DAY]["sum_value"] - round(2 * src[_BACKFILL_DAY]["s"], 2)) < 0.05
+    other = sorted(d for d in src if d != _BACKFILL_DAY)[0]
+    assert rows[other]["sum_value"] == src[other]["s"]
+    assert rows[other]["n_events"] == src[other]["n"]
+
+    out = f"{_root_dir(sf_dir)}/events_by_day"
+    pruned = spark.read.parquet(out).where(F.col("day") == F.lit(_BACKFILL_DAY))
+    mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = pruned._jdf.queryExecution().explainString(mode)
+    assert "PartitionFilters" in plan and "day" in plan
