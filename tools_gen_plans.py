@@ -53,6 +53,9 @@ PICKS = {
     "dup_ngram_coverage": "Dup-n-gram coverage: map-side gram HOFs, gram-keyed partial-distinct shuffle, islands window over HIT positions only (not the token stream).",
     "sliding_distinct_users": "Sliding COUNT DISTINCT: distinct (user,day) pairs FIRST, bounded 7x fan-out, re-distinct -- the raw stream shuffles once, not once per window.",
     "ann_rerank_topk": "Two-stage ANN: int8 dot candidate top-20 via per-query heaps, exact cosine only on the 20 survivors -- float work candidate-bounded.",
+    "cohort_retention": "Cohort retention: ONE corpus scan; first-seen via window min (no self-join); denominator = offset-0 count via window over the tiny matrix.",
+    "epoch_shuffle_order": "Epoch shuffle: seeded-hash permutation is a map-side projection; shard assignment from its low bits; per-shard order via one window shuffle.",
+    "split_leakage_audit": "Split leakage: LSH verified pairs relabeled by a PROJECTION of the split hash -- no corpus join on top of the shared pair pipeline.",
 }
 
 
