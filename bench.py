@@ -157,6 +157,7 @@ HEADLINE = [
     "split_leakage_audit",
     "epoch_shuffle_order",
     "backfill_partition_overwrite",
+    "sliding_users_sketch",
 ]
 
 

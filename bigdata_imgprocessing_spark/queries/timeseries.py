@@ -610,3 +610,85 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention"
         ),
     )
+
+
+@query(
+    "sliding_users_sketch",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), b AS (
+        SELECT max(date_trunc('day', ts)) AS mx FROM events
+    ), fan AS (
+        SELECT DISTINCT user_id,
+               d + to_days(CAST(i AS INTEGER)) AS we
+        FROM ud, UNNEST(range(7)) AS t(i), b
+        WHERE d + to_days(CAST(i AS INTEGER)) <= b.mx
+    )
+    SELECT strftime(we, '%Y-%m-%d') AS day, count(*) AS n_exact,
+           TRUE AS within_tol
+    FROM fan GROUP BY we
+    """,
+)
+def sliding_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MERGEABLE-SKETCH form of the rolling 7-day distinct-users
+    metric: one HLL sketch per day (`hll_sketch_agg`), rolling value =
+    `hll_union_agg` of the 7 daily sketches, estimated with
+    `hll_sketch_estimate` — the 100 TB shape, because yesterday's
+    sketches are immutable kilobyte-sized state that NEVER re-scans
+    raw events (the exact fan-out in ``sliding_distinct_users``
+    re-shuffles the user-day pairs every day; this re-merges 7 tiny
+    sketches). The exact value is computed alongside and the checked
+    hash pins ``within_tol`` (|est − exact| ≤ 5% of exact, comfortably
+    above HLL lgk=12's ~1.6% rse) to TRUE per window — same
+    audit-the-sketch contract as ``approx_sketch_stats``; the raw
+    estimate itself is engine-specific and deliberately not emitted."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    mx = e.agg(F.max(F.date_trunc("day", "ts")).alias("mx"))
+    daily_sk = ud.groupBy("d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    fan_sk = (
+        daily_sk.select(
+            "sk",
+            F.explode(
+                F.sequence(
+                    "d",
+                    F.col("d") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("we"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("we") <= F.col("mx"))
+        .groupBy("we")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        ud.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    "d",
+                    F.col("d") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("we"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("we") <= F.col("mx"))
+        .select("user_id", "we")
+        .distinct()
+        .groupBy("we")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(fan_sk, "we").select(
+        F.date_format("we", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_tol"),
+    )

@@ -142,3 +142,51 @@ def test_epoch_shuffle_order_deterministic_partition(spark, sf_dir):
     assert sum(r[1] for r in a) == n_docs
     for r in a:
         assert len(r[2].split(",")) == min(3, r[1])
+
+
+def test_dup_ngram_coverage_matches_python_bruteforce(spark, sf_dir):
+    """Independent reference: the oracle runs the SAME islands
+    algorithm in DuckDB, so a shared algorithmic bug would pass
+    parity. This recomputes coverage from raw text in pure Python
+    (set-of-covered-positions, no interval logic at all) and compares
+    the per-lang aggregates exactly."""
+    import collections
+
+    import duckdb
+
+    docs = duckdb.connect().execute(
+        f"SELECT doc_id, lang, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    gram_docs: dict[tuple, set] = collections.defaultdict(set)
+    words = {}
+    for doc_id, lang, text in docs:
+        w = text.split(" ")
+        words[doc_id] = (lang, w)
+        for i in range(len(w) - 4):
+            gram_docs[tuple(w[i : i + 5])].add(doc_id)
+    dup = {g for g, ds in gram_docs.items() if len(ds) >= 2}
+    per_lang = collections.defaultdict(list)
+    for doc_id, (lang, w) in words.items():
+        covered: set[int] = set()
+        for i in range(len(w) - 4):
+            if tuple(w[i : i + 5]) in dup:
+                covered.update(range(i, i + 5))
+        per_lang[lang].append(len(covered) / len(w))
+    rows = {r["lang"]: r for r in QUERIES["dup_ngram_coverage"](spark, sf_dir).collect()}
+    assert set(rows) == set(per_lang)
+    for lang, fracs in per_lang.items():
+        assert rows[lang]["n_docs"] == len(fracs)
+        assert rows[lang]["n_docs_with_dup"] == sum(1 for f in fracs if f > 0)
+        assert abs(rows[lang]["avg_dup_frac"] - round(sum(fracs) / len(fracs), 4)) <= 1e-4
+
+
+def test_sliding_sketch_tracks_exact(spark, sf_dir):
+    rows = QUERIES["sliding_users_sketch"](spark, sf_dir).collect()
+    exact = {
+        r["day"]: r["n_users"]
+        for r in QUERIES["sliding_distinct_users"](spark, sf_dir).collect()
+    }
+    assert {r["day"] for r in rows} == set(exact)
+    for r in rows:
+        assert r["within_tol"] is True
+        assert r["n_exact"] == exact[r["day"]]
