@@ -158,6 +158,7 @@ HEADLINE = [
     "epoch_shuffle_order",
     "backfill_partition_overwrite",
     "sliding_users_sketch",
+    "corpus_diff_stats",
 ]
 
 

@@ -801,3 +801,90 @@ def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("head_docs"),
     )
+
+
+@query(
+    "corpus_diff_stats",
+    oracle="""
+    WITH v2 AS (
+        SELECT doc_id, lang,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END
+                   AS text
+        FROM documents WHERE doc_id % 17 != 3
+        UNION ALL
+        SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents) AS doc_id,
+               lang, text || ' new'
+        FROM documents WHERE doc_id % 11 = 5
+    ), d AS (
+        SELECT coalesce(a.lang, b.lang) AS lang,
+               CASE WHEN a.doc_id IS NULL THEN 'added'
+                    WHEN b.doc_id IS NULL THEN 'removed'
+                    WHEN md5(a.text) != md5(b.text) THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM documents a FULL OUTER JOIN v2 b ON a.doc_id = b.doc_id
+    )
+    SELECT lang, status, count(*) AS n_docs FROM d GROUP BY lang, status
+    """,
+)
+def corpus_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-release diff — what changed between corpus v1 and v2:
+    full outer join on the stable id, content equality via md5 of the
+    text (at 100 TB you diff HASHES, never the payloads — the join
+    carries 16 bytes per side, not documents), rows classified
+    added / removed / changed / unchanged and audited per language.
+    The v2 corpus is derived deterministically here (drops, edits, and
+    re-keyed additions) so the whole diff sits under the correctness
+    hash; in production v2 is last release's manifest.
+
+    Scale: one id-keyed shuffle join between two narrow
+    (id, lang, hash) projections; hashing is map-side; the audit agg
+    is low-cardinality. Nothing content-sized crosses the network —
+    the reason manifest diffs of 100 TB corpora finish in minutes."""
+    d = table(spark, sf_dir, "documents")
+    mx = d.agg((F.max("doc_id") + 1).alias("mxk"))
+    v2 = (
+        d.where(F.col("doc_id") % 17 != 3)
+        .select(
+            "doc_id",
+            "lang",
+            F.when(
+                F.col("doc_id") % 5 == 0, F.concat("text", F.lit(" v2"))
+            )
+            .otherwise(F.col("text"))
+            .alias("text"),
+        )
+        .unionByName(
+            d.where(F.col("doc_id") % 11 == 5)
+            .crossJoin(F.broadcast(mx))
+            .select(
+                (F.col("doc_id") + F.col("mxk")).alias("doc_id"),
+                "lang",
+                F.concat("text", F.lit(" new")).alias("text"),
+            )
+        )
+    )
+    a = d.select(
+        F.col("doc_id").alias("id_a"),
+        F.col("lang").alias("lang_a"),
+        F.md5("text").alias("h_a"),
+    )
+    b = v2.select(
+        F.col("doc_id").alias("id_b"),
+        F.col("lang").alias("lang_b"),
+        F.md5("text").alias("h_b"),
+    )
+    j = a.join(b, a.id_a == b.id_b, "full_outer")
+    status = (
+        F.when(F.col("id_a").isNull(), F.lit("added"))
+        .when(F.col("id_b").isNull(), F.lit("removed"))
+        .when(F.col("h_a") != F.col("h_b"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce("lang_a", "lang_b").alias("lang"),
+            status.alias("status"),
+        )
+        .groupBy("lang", "status")
+        .agg(F.count("*").alias("n_docs"))
+    )

@@ -190,3 +190,17 @@ def test_sliding_sketch_tracks_exact(spark, sf_dir):
     for r in rows:
         assert r["within_tol"] is True
         assert r["n_exact"] == exact[r["day"]]
+
+
+def test_corpus_diff_partitions_both_versions(spark, sf_dir):
+    rows = QUERIES["corpus_diff_stats"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    by_status: dict[str, int] = {}
+    for r in rows:
+        by_status[r["status"]] = by_status.get(r["status"], 0) + r["n_docs"]
+    # v1 rows partition into removed/changed/unchanged; added is v2-only
+    assert (
+        by_status["removed"] + by_status["changed"] + by_status["unchanged"]
+        == n_docs
+    )
+    assert by_status["added"] > 0 and by_status["changed"] > 0
