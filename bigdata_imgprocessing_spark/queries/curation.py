@@ -678,61 +678,61 @@ def _split_of(col: Column) -> Column:
     )
 
 
-def _register_split_leakage() -> None:
-    # deferred so curation.py doesn't import dedup at module-load time
-    # inside the registration package's own import sequence
-    from .dedup import _DUCK_PAIRS_CTES, _lsh_verified_pairs
+# dedup loads here as an import side effect (it registers its own
+# queries first; there is no cycle — dedup never imports curation)
+from .dedup import _DUCK_PAIRS_CTES, _lsh_verified_pairs  # noqa: E402
 
-    @query(
-        "split_leakage_audit",
-        oracle=f"""
-        WITH {_DUCK_PAIRS_CTES}
-        SELECT least({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_lo,
-               greatest({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_hi,
-               count(*) AS n_pairs,
-               round(sum(jaccard), 4) AS sum_jaccard
-        FROM pairs GROUP BY split_lo, split_hi
-        """,
-    )
-    def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Train/val/test leakage audit: MinHash-LSH verified near-dup
-        pairs (the `minhash_lsh_pairs` pipeline) bucketed by which
-        splits their endpoints land in under the SAME hash split as
-        `doc_split_stats` — a (train, test) row is evaluation
-        contamination the split hash can't prevent (near-dups hash
-        independently). This is the audit every pipeline should run
-        between splitting and training; `decontam_ngram_overlap` is
-        the exact-overlap sibling, this is the near-dup one.
 
-        The split is a pure function of doc_id (md5 bucket), so the
-        pair endpoints are labeled with a projection — no join back to
-        the corpus; the expensive part is the LSH pair generation the
-        audit shares with the dedup path (at scale: run once, feed
-        both). Pair categories are least/greatest-normalized so
-        (test, train) and (train, test) are one row. The similarity
-        mass column is a SUM of the per-pair 4dp jaccards, not their
-        mean: averaging already-rounded values lands exactly on .00005
-        decimal boundaries where the engines' round() implementations
-        legitimately disagree (observed at sf0.01), while sums of 4dp
-        multiples have no boundary to disagree on."""
-        pairs = _lsh_verified_pairs(spark, sf_dir)
-        sa = _split_of(F.col("doc_a"))
-        sb = _split_of(F.col("doc_b"))
-        return (
-            pairs.select(
-                F.least(sa, sb).alias("split_lo"),
-                F.greatest(sa, sb).alias("split_hi"),
-                "jaccard",
-            )
-            .groupBy("split_lo", "split_hi")
-            .agg(
-                F.count("*").alias("n_pairs"),
-                F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
-            )
+@query(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT least({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_lo,
+           greatest({_SPLIT_CASE_A}, {_SPLIT_CASE_B}) AS split_hi,
+           count(*) AS n_pairs,
+           round(sum(jaccard), 4) AS sum_jaccard
+    FROM pairs GROUP BY split_lo, split_hi
+    """,
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test leakage audit: MinHash-LSH verified near-dup
+    pairs (the `minhash_lsh_pairs` pipeline) bucketed by which
+    splits their endpoints land in under the SAME hash split as
+    `doc_split_stats` — a (train, test) row is evaluation
+    contamination the split hash can't prevent (near-dups hash
+    independently). This is the audit every pipeline should run
+    between splitting and training; `decontam_ngram_overlap` is
+    the exact-overlap sibling, this is the near-dup one.
+
+    The split is a pure function of doc_id (md5 bucket), so the
+    pair endpoints are labeled with a projection — no join back to
+    the corpus; the expensive part is the LSH pair generation the
+    audit shares with the dedup path (at scale: run once, feed
+    both). Pair categories are least/greatest-normalized so
+    (test, train) and (train, test) are one row. The similarity
+    mass column is a SUM of the per-pair 4dp jaccards, not their
+    mean: averaging already-rounded values lands exactly on .00005
+    decimal boundaries where the engines' round() implementations
+    legitimately disagree (observed at sf0.01), while sums of 4dp
+    multiples have no boundary to disagree on."""
+    pairs = _lsh_verified_pairs(spark, sf_dir)
+    sa = _split_of(F.col("doc_a"))
+    sb = _split_of(F.col("doc_b"))
+    return (
+        pairs.select(
+            F.least(sa, sb).alias("split_lo"),
+            F.greatest(sa, sb).alias("split_hi"),
+            "jaccard",
         )
+        .groupBy("split_lo", "split_hi")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum("jaccard"), 4).alias("sum_jaccard"),
+        )
+    )
 
 
-_register_split_leakage()
+
 
 
 @query(

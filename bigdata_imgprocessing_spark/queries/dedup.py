@@ -829,7 +829,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT lang, count(*) AS n_docs,
            CAST(count(*) FILTER (WHERE covered > 0) AS BIGINT)
                AS n_docs_with_dup,
-           round(avg(covered * 1.0 / nw), 4) AS avg_dup_frac
+           round(sum(round(covered * 1.0 / nw, 6)), 6) AS sum_dup_frac
     FROM f GROUP BY lang
     """,
 )
@@ -856,9 +856,14 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = d.select(
         "doc_id",
         F.posexplode(
+            # guard: sequence(0, n) DESCENDS for n < 0, so a <5-word doc
+            # would hit slice(w, 0, 5) and throw — emit no grams instead
+            # (the oracle's range(len-4) is naturally empty there)
             F.expr(
-                "transform(sequence(0, size(w) - 5),"
+                "CASE WHEN size(w) >= 5 THEN"
+                " transform(sequence(0, size(w) - 5),"
                 " i -> concat_ws(' ', slice(w, i + 1, 5)))"
+                " ELSE array() END"
             )
         ).alias("pos", "gram"),
     )
@@ -895,10 +900,16 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "lang", "nw", F.coalesce("covered", F.lit(0)).alias("covered")
     )
+    # Hash-parity rounding: the per-doc fraction is rounded to the 1e-6
+    # grid FIRST, and the emitted aggregate is the grid-aligned SUM
+    # rounded at grid precision — an averaged (÷n) value sits off-grid
+    # where a .00005-style decimal boundary can flip between engines
+    # (the split_leakage_audit lesson); a sum of grid multiples has no
+    # interior boundary to disagree on.
     return f.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
         F.sum((F.col("covered") > 0).cast("long")).alias("n_docs_with_dup"),
         F.round(
-            F.avg(F.col("covered") * F.lit(1.0) / F.col("nw")), 4
-        ).alias("avg_dup_frac"),
+            F.sum(F.round(F.col("covered") * F.lit(1.0) / F.col("nw"), 6)), 6
+        ).alias("sum_dup_frac"),
     )

@@ -122,15 +122,17 @@ def filter_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), nl AS (
         SELECT word, round(-ln(cnt * 1.0 / tot), 6) AS nll FROM vocab, tot
     ), pd AS (
-        SELECT o.doc_id, o.lang, round(avg(n.nll), 5) AS avg5
+        SELECT o.doc_id, o.lang,
+               round(sum(n.nll), 6) AS s6,
+               count(*) AS nw
         FROM occ o JOIN nl n USING (word) GROUP BY o.doc_id, o.lang
     ), thr AS (
-        SELECT quantile_cont(avg5, 0.75) AS thr FROM pd
+        SELECT quantile_cont(s6 / nw, 0.75) AS thr FROM pd
     )
     SELECT lang,
            count(*) AS n_docs,
-           CAST(count(*) FILTER (WHERE avg5 > thr) AS BIGINT) AS n_flagged,
-           round(avg(avg5), 4) AS avg_nll
+           CAST(count(*) FILTER (WHERE s6 / nw > thr) AS BIGINT) AS n_flagged,
+           round(sum(s6), 6) AS total_nll
     FROM pd, thr GROUP BY lang
     """,
 )
@@ -143,14 +145,19 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag rates per language — a flag rate skewed onto one language is
     the classic symptom of an LM trained on unbalanced data.
 
-    Float parity: per-word nll is rounded to 6dp on both engines before
-    any aggregation (``ln`` is not IEEE-correctly-rounded, so raw libm
-    outputs may differ in the last ulp between JVM and DuckDB); per-doc
-    averages of those identical inputs are rounded to 5dp (absorbing
-    summation-order noise), and the percentile threshold is computed
-    from the already-rounded per-doc values — Spark ``percentile`` and
-    DuckDB ``quantile_cont`` share the p*(n-1) linear-interpolation
-    definition, so identical inputs give an identical threshold.
+    Float parity (the load-bearing design): per-word nll is rounded to
+    the 1e-6 grid on both engines (``ln`` is not IEEE-correctly-rounded
+    — raw libm outputs may differ in the last ulp between JVM and
+    DuckDB); the per-doc state is the grid-aligned SUM of those values
+    re-rounded at grid precision (a sum of grid multiples sits ON the
+    grid, so summation-order noise ~1e-13 cannot move it), and the
+    per-doc score is the UNROUNDED quotient s6/nw — two bit-identical
+    operands give a bit-identical IEEE quotient, leaving no rounding
+    boundary anywhere before the comparison. Rounding an off-grid
+    average (the first draft's round(avg(..), 5)) put ~1-per-500-docs
+    on a .000005 decimal boundary where the engines' round()
+    implementations disagree — caught when a grid-aligned SUM of those
+    values exposed a single-doc flip at sf0.01.
 
     Scale: tokenize+explode is map-side; the vocab count is one
     word-keyed shuffle with map-side combine (classic wordcount); the
@@ -191,20 +198,22 @@ def unigram_logprob_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     pd = (
         occ.join(nl, "word")
         .groupBy("doc_id", "lang")
-        .agg(F.round(F.avg("nll"), 5).alias("avg5"))
+        .agg(
+            F.round(F.sum("nll"), 6).alias("s6"),
+            F.count("*").alias("nw"),
+        )
         .coalesce(cache_parallelism(spark))
         .cache()
     )
-    thr = pd.agg(F.percentile("avg5", F.lit(0.75)).alias("thr"))
+    score = F.col("s6") / F.col("nw")  # unrounded: bit-identical quotient
+    thr = pd.agg(F.percentile(score, F.lit(0.75)).alias("thr"))
     return (
         pd.crossJoin(F.broadcast(thr))
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
-            F.sum((F.col("avg5") > F.col("thr")).cast("long")).alias(
-                "n_flagged"
-            ),
-            F.round(F.avg("avg5"), 4).alias("avg_nll"),
+            F.sum((score > F.col("thr")).cast("long")).alias("n_flagged"),
+            F.round(F.sum("s6"), 6).alias("total_nll"),
         )
     )
 
@@ -416,8 +425,12 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("o_totalprice") * 0.5).alias("price"),
         )
     )
+    # no broadcast hint on chg: it is a fixed FRACTION of the target
+    # (~18% of orders), not a fixed size, so pinning BroadcastHashJoin
+    # would OOM at the scale the docstring targets — AQE picks
+    # broadcast while it fits and degrades to a shuffle join after.
     merged = (
-        o.join(F.broadcast(chg), o.o_orderkey == chg.k, "left")
+        o.join(chg, o.o_orderkey == chg.k, "left")
         .select(
             "o_orderstatus",
             F.coalesce("action", F.lit("keep")).alias("action"),

@@ -489,6 +489,28 @@ def scd2_user_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fan_7day_windows(df, mx):
+    """Fan each (…, d) row out to the ≤7 daily window-ends [d, d+6] it
+    belongs to, clipped at the corpus max day (1-row broadcast bound).
+    Shared by the exact and sketch forms of the rolling-distinct metric
+    so the window semantics live in exactly one place."""
+    return (
+        df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    "d",
+                    F.col("d") + F.expr("INTERVAL 6 DAY"),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("we"),
+        )
+        .crossJoin(F.broadcast(mx))
+        .where(F.col("we") <= F.col("mx"))
+        .drop("d", "mx")
+    )
+
+
 @query(
     "sliding_distinct_users",
     oracle="""
@@ -521,28 +543,20 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     Trailing partial windows past max(day) are clipped (1-row
     broadcast bound); leading windows are naturally partial, as the
     metric's consumers expect."""
+    from ..core.session import cache_parallelism
+
     ensure_utc(spark)
     e = table(spark, sf_dir, "events")
-    ud = e.select(
-        "user_id", F.date_trunc("day", "ts").alias("d")
-    ).distinct()
-    mx = e.agg(F.max(F.date_trunc("day", "ts")).alias("mx"))
-    fan = (
-        ud.select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    "d",
-                    F.col("d") + F.expr("INTERVAL 6 DAY"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("we"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("we") <= F.col("mx"))
-        .select("user_id", "we")
+    # cache(): the distinct pairs feed the fan-out AND the max-day bound
+    # (derived from the pairs, not a second corpus scan).
+    ud = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("d"))
         .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
+    mx = ud.agg(F.max("d").alias("mx"))
+    fan = _fan_7day_windows(ud, mx).distinct()
     return fan.groupBy("we").agg(F.count("*").alias("n_users")).select(
         F.date_format("we", "yyyy-MM-dd").alias("day"), "n_users"
     )
@@ -643,43 +657,29 @@ def sliding_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     above HLL lgk=12's ~1.6% rse) to TRUE per window — same
     audit-the-sketch contract as ``approx_sketch_stats``; the raw
     estimate itself is engine-specific and deliberately not emitted."""
+    from ..core.session import cache_parallelism
+
     ensure_utc(spark)
     e = table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    mx = e.agg(F.max(F.date_trunc("day", "ts")).alias("mx"))
+    # cache(): the pairs feed the sketch path, the exact path, and the
+    # max-day bound — one corpus scan instead of three.
+    ud = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("d"))
+        .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    mx = ud.agg(F.max("d").alias("mx"))
     daily_sk = ud.groupBy("d").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
     fan_sk = (
-        daily_sk.select(
-            "sk",
-            F.explode(
-                F.sequence(
-                    "d",
-                    F.col("d") + F.expr("INTERVAL 6 DAY"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("we"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("we") <= F.col("mx"))
+        _fan_7day_windows(daily_sk, mx)
         .groupBy("we")
         .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
     )
     exact = (
-        ud.select(
-            "user_id",
-            F.explode(
-                F.sequence(
-                    "d",
-                    F.col("d") + F.expr("INTERVAL 6 DAY"),
-                    F.expr("INTERVAL 1 DAY"),
-                )
-            ).alias("we"),
-        )
-        .crossJoin(F.broadcast(mx))
-        .where(F.col("we") <= F.col("mx"))
-        .select("user_id", "we")
+        _fan_7day_windows(ud, mx)
         .distinct()
         .groupBy("we")
         .agg(F.count("*").alias("n_exact"))

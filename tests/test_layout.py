@@ -247,7 +247,9 @@ def test_backfill_overwrites_only_target_partition(spark, sf_dir):
     }
     assert abs(rows[_BACKFILL_DAY]["sum_value"] - round(2 * src[_BACKFILL_DAY]["s"], 2)) < 0.05
     other = sorted(d for d in src if d != _BACKFILL_DAY)[0]
-    assert rows[other]["sum_value"] == src[other]["s"]
+    # tolerance: both sides are 2dp-rounded double sums accumulated in
+    # different partition orders — exact equality flakes near .005
+    assert abs(rows[other]["sum_value"] - src[other]["s"]) < 0.05
     assert rows[other]["n_events"] == src[other]["n"]
 
     out = f"{_root_dir(sf_dir)}/events_by_day"

@@ -78,7 +78,7 @@ def test_dup_ngram_coverage_fraction_bounded(spark, sf_dir):
     rows = QUERIES["dup_ngram_coverage"](spark, sf_dir).collect()
     assert rows
     for r in rows:
-        assert 0.0 <= r["avg_dup_frac"] <= 1.0
+        assert 0.0 <= r["sum_dup_frac"] <= r["n_docs"]
         assert 0 <= r["n_docs_with_dup"] <= r["n_docs"]
     # synthetic corpus repeats vocabulary heavily — some dup must exist
     assert sum(r["n_docs_with_dup"] for r in rows) > 0
@@ -177,7 +177,9 @@ def test_dup_ngram_coverage_matches_python_bruteforce(spark, sf_dir):
     for lang, fracs in per_lang.items():
         assert rows[lang]["n_docs"] == len(fracs)
         assert rows[lang]["n_docs_with_dup"] == sum(1 for f in fracs if f > 0)
-        assert abs(rows[lang]["avg_dup_frac"] - round(sum(fracs) / len(fracs), 4)) <= 1e-4
+        assert abs(
+            rows[lang]["sum_dup_frac"] - sum(round(f, 6) for f in fracs)
+        ) <= 1e-5
 
 
 def test_sliding_sketch_tracks_exact(spark, sf_dir):
