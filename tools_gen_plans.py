@@ -56,6 +56,9 @@ PICKS = {
     "cohort_retention": "Cohort retention: ONE corpus scan; first-seen via window min (no self-join); denominator = offset-0 count via window over the tiny matrix.",
     "epoch_shuffle_order": "Epoch shuffle: seeded-hash permutation is a map-side projection; shard assignment from its low bits; per-shard order via one window shuffle.",
     "split_leakage_audit": "Split leakage: LSH verified pairs relabeled by a PROJECTION of the split hash -- no corpus join on top of the shared pair pipeline.",
+    "sliding_users_sketch": "Mergeable-sketch rolling distinct: per-day HLL sketches union-merged per window -- kB of immutable daily state instead of re-scanning raw events.",
+    "corpus_diff_stats": "Release diff: full outer on stable id comparing md5 hashes -- 16 bytes per side cross the shuffle, never payloads.",
+    "backfill_partition_overwrite": "Dynamic partition overwrite: backfill touches ONE day=... directory; re-read audits the 29 untouched partitions under the hash.",
 }
 
 
