@@ -159,6 +159,7 @@ HEADLINE = [
     "backfill_partition_overwrite",
     "sliding_users_sketch",
     "corpus_diff_stats",
+    "streaming_sketch_rollup",
 ]
 
 

@@ -481,3 +481,87 @@ def streaming_erasure_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("n_users"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "streaming_sketch_rollup",
+    oracle="""
+    WITH ud AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS d FROM events
+    ), b AS (
+        SELECT max(date_trunc('day', ts)) AS mx FROM events
+    ), fan AS (
+        SELECT DISTINCT user_id,
+               d + to_days(CAST(i AS INTEGER)) AS we
+        FROM ud, UNNEST(range(7)) AS t(i), b
+        WHERE d + to_days(CAST(i AS INTEGER)) <= b.mx
+    )
+    SELECT strftime(we, '%Y-%m-%d') AS day, count(*) AS n_exact,
+           TRUE AS within_tol
+    FROM fan GROUP BY we
+    """,
+)
+def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained sketch state under a STREAM: the event
+    feed is staged as 4 files and drained with maxFilesPerTrigger=1,
+    so the per-day HLL sketch state (streaming/sketch_state.py) is
+    built across MULTIPLE micro-batches — each batch's day-sketches
+    union-merge into the persistent state, proving the sketch update
+    is segmentation-independent (hll_union_agg is associative and
+    commutative; however the stream is sliced, the final state is the
+    batch answer). The rolling 7-day estimate then re-merges 7 daily
+    sketches per window — kilobytes of immutable state instead of a
+    raw re-scan — and the hash pins |est − exact| ≤ 5% per window,
+    the same audit contract as the batch twin
+    (``sliding_users_sketch``). A test additionally asserts the drain
+    really produced >1 state version (cross-batch merge exercised, not
+    vacuously one-shot)."""
+    import os
+    import shutil as _sh
+
+    from ..queries.timeseries import _fan_7day_windows
+    from ..streaming.sketch_state import (
+        read_final_sketches,
+        run_sketch_maintenance,
+    )
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_skst")
+    feed = f"{root}/feed"
+    state = f"{root}/state"
+    if not os.path.exists(os.path.join(feed, "_SUCCESS")):
+        table(spark, sf_dir, "events").select(
+            "user_id", F.date_trunc("day", "ts").alias("d")
+        ).repartition(4).write.mode("overwrite").parquet(feed)
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_sketch_maintenance(stream, state)
+    sk = read_final_sketches(spark, state)
+
+    e = table(spark, sf_dir, "events")
+    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
+    mx = ud.agg(F.max("d").alias("mx"))
+    est = (
+        _fan_7day_windows(sk, mx)
+        .groupBy("we")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        _fan_7day_windows(ud, mx)
+        .distinct()
+        .groupBy("we")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(est, "we").select(
+        F.date_format("we", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_tol"),
+    )

@@ -206,3 +206,23 @@ def test_corpus_diff_partitions_both_versions(spark, sf_dir):
         == n_docs
     )
     assert by_status["added"] > 0 and by_status["changed"] > 0
+
+
+def test_streaming_sketch_builds_multibatch_state(spark, sf_dir):
+    rows = QUERIES["streaming_sketch_rollup"](spark, sf_dir).collect()
+    from bigdata_imgprocessing_spark.queries.streaming_queries import (
+        _fingerprinted_tmp,
+    )
+    from bigdata_imgprocessing_spark.streaming.sketch_state import (
+        n_state_versions,
+    )
+
+    # cross-batch merge must actually have been exercised
+    assert n_state_versions(_fingerprinted_tmp(sf_dir, "bdip_skst") + "/state") > 1
+    assert all(r["within_tol"] for r in rows)
+    # stream ≡ batch: exact counts agree with the batch twin
+    batch = {
+        r["day"]: r["n_exact"]
+        for r in QUERIES["sliding_users_sketch"](spark, sf_dir).collect()
+    }
+    assert {r["day"]: r["n_exact"] for r in rows} == batch
