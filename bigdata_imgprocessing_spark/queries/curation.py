@@ -534,7 +534,7 @@ def pii_scrub_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH srcagg AS (
         SELECT source,
-               1 + (CAST(substr(source, 4) AS INTEGER) % 4) AS w,
+               1 + (COALESCE(TRY_CAST(substr(source, 4) AS INTEGER), 0) % 4) AS w,
                count(*) AS n_docs,
                sum(n_chars) AS toks
         FROM documents GROUP BY source
@@ -581,7 +581,17 @@ def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcagg = (
         d.groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks"))
-        .withColumn("w", F.lit(1) + F.substring("source", 4, 10).cast("int") % 4)
+        # try_cast: source names are generator-controlled; a regenerated
+        # corpus with a non-numeric suffix (e.g. 'srcNEW') must get the
+        # fallback weight, not crash the ANSI cast (variant-corpus net)
+        .withColumn(
+            "w",
+            F.lit(1)
+            + F.coalesce(
+                F.substring("source", 4, 10).try_cast("int"), F.lit(0)
+            )
+            % 4,
+        )
         .coalesce(1)
         .cache()
     )

@@ -1,0 +1,112 @@
+"""Regeneration-drift net: re-run the documents-family oracle parity on
+a VARIANT corpus containing the edge shapes a regenerated testdata set
+could legally contain — 1-to-4-word documents (below the 5-gram
+window), an all-identical-words document (distinct ratio 1/n), and a
+document from a brand-new source present in only one drift cohort
+(exercises the Laplace guard in source_mixture_drift).
+
+Round 3 died to exactly this class (generator drift the fixed corpus
+never exercised); the short-doc crash in dup_ngram_coverage was found
+by review, not by data. This test keeps such shapes permanently in the
+gate. Parity is data-independent by construction — if a query only
+matches its oracle on the shapes the current generator happens to emit,
+that is a bug this file exists to catch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import shutil
+
+import duckdb
+import pytest
+
+from bigdata_imgprocessing_spark.core.catalog import TABLES
+from bigdata_imgprocessing_spark.queries import ORACLES, QUERIES
+
+from conftest import SF_DIR
+
+_VARIANT = "/tmp/bdip_variant_corpus"
+
+_EXTRA_DOCS = [
+    # (doc_id_offset, text, lang, source)
+    (1, "hello", "en", "src0"),                     # 1 word
+    (2, "spark scale join", "en", "src1"),          # 3 words < 5-gram
+    (3, "a b c d", "de", "src2"),                   # 4 words, boundary
+    (4, " ".join(["dup"] * 30), "fr", "src3"),      # zero distinct variety
+    (5, "wholly novel source cohort document row", "es", "srcNEW"),  # odd id
+]
+
+
+@pytest.fixture(scope="module")
+def variant_dir(spark):
+    if os.path.exists(_VARIANT):
+        shutil.rmtree(_VARIANT)
+    os.makedirs(_VARIANT)
+    for t in TABLES:
+        if t != "documents":
+            shutil.copy(f"{SF_DIR}/{t}.parquet", f"{_VARIANT}/{t}.parquet")
+    con = duckdb.connect()
+    mx = con.execute(
+        f"SELECT max(doc_id) FROM '{SF_DIR}/documents.parquet'"
+    ).fetchone()[0]
+    values = ", ".join(
+        # odd ids (mx odd/even unknown — force odd for the srcNEW row)
+        f"({mx + off * 2 + 1}, '{text}', '{lang}', '{src}', {len(text)})"
+        for off, text, lang, src in _EXTRA_DOCS
+    )
+    con.execute(
+        f"""
+        COPY (
+            SELECT * FROM '{SF_DIR}/documents.parquet'
+            UNION ALL
+            SELECT * FROM (VALUES {values})
+                v(doc_id, text, lang, source, n_chars)
+        ) TO '{_VARIANT}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    return _VARIANT
+
+
+def _doc_family():
+    return sorted(
+        n for n, sql in ORACLES.items()
+        if "documents" in sql and not n.startswith("streaming_")
+    )
+
+
+def _norm(v):
+    if v is None:
+        return "n:"  # tagged + sortable (tuples with None can't sort)
+    if isinstance(v, bool):
+        return f"i:{int(v)}"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"f:{round(v, 9)!r}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    return str(v)
+
+
+def _canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+
+
+@pytest.mark.parametrize("name", _doc_family())
+def test_variant_parity(spark, variant_dir, name):
+    sdf = QUERIES[name](spark, variant_dir)
+    scols = sdf.columns
+    srows = [tuple(r) for r in sdf.collect()]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{variant_dir}/{t}.parquet'"
+        )
+    res = con.execute(ORACLES[name])
+    dcols = [d[0] for d in res.description]
+    drows = res.fetchall()
+    assert sorted(scols) == sorted(dcols), name
+    assert _canon(srows, scols) == _canon(drows, dcols), name
