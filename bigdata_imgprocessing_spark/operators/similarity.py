@@ -23,7 +23,10 @@ def dot(a: Column, b: Column) -> Column:
 
 
 def norm(a: Column) -> Column:
-    return F.sqrt(dot(a, a))
+    # floored at 1e-30 so a zero vector yields cosine 0 instead of an
+    # engine-divergent 0/0 (Spark NaN vs DuckDB NULL) — every oracle
+    # denominator mirrors greatest(sqrt(...), 1e-30)
+    return F.greatest(F.sqrt(dot(a, a)), F.lit(1e-30))
 
 
 def cosine(a: Column, b: Column) -> Column:

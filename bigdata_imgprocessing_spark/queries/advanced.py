@@ -224,8 +224,8 @@ def _plane_dot_sql(j: int) -> str:
         SELECT x.vec_id AS va, y.vec_id AS vb,
                round(
                  list_sum(list_transform(range({_DIM}), i -> x.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE))
-                 / (sqrt(list_sum(list_transform(range({_DIM}), i -> x.embedding[i+1]::DOUBLE * x.embedding[i+1]::DOUBLE)))
-                    * sqrt(list_sum(list_transform(range({_DIM}), i -> y.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE)))), 6) AS cos_sim
+                 / (greatest(sqrt(list_sum(list_transform(range({_DIM}), i -> x.embedding[i+1]::DOUBLE * x.embedding[i+1]::DOUBLE))), 1e-30)
+                    * greatest(sqrt(list_sum(list_transform(range({_DIM}), i -> y.embedding[i+1]::DOUBLE * y.embedding[i+1]::DOUBLE))), 1e-30)), 6) AS cos_sim
         FROM b x JOIN b y ON x.bucket = y.bucket AND x.vec_id < y.vec_id
     )
     SELECT (SELECT count(*) FROM buckets)                              AS n_buckets,

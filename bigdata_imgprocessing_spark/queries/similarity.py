@@ -29,8 +29,8 @@ _QUERY_IDS = (0, 1, 2)
 _DUCK_COS = """
     round(
       list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))
-      / (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
-         * sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)))), 6)
+      / (greatest(sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))), 1e-30)
+         * greatest(sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))), 1e-30)), 6)
 """
 
 
@@ -515,8 +515,8 @@ def embedding_batch_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DUCK_QCOS = """
     round(
       list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))
-      / (sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE)))
-         * sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)))), 6)
+      / (greatest(sqrt(list_sum(list_transform(range(len(e.embedding)), i -> e.embedding[i+1]::DOUBLE * e.embedding[i+1]::DOUBLE))), 1e-30)
+         * greatest(sqrt(list_sum(list_transform(range(len(q.qe)), i -> q.qe[i+1]::DOUBLE * q.qe[i+1]::DOUBLE))), 1e-30)), 6)
 """
 
 
@@ -932,18 +932,18 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, vec_id,
                round(list_sum(list_transform(range(len(embedding)),
                          i -> embedding[i+1]::DOUBLE * qe[i+1]::DOUBLE))
-                 / (sqrt(list_sum(list_transform(range(len(embedding)),
-                         i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)))
-                  * sqrt(list_sum(list_transform(range(len(qe)),
-                         i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))), 6)
+                 / (greatest(sqrt(list_sum(list_transform(range(len(embedding)),
+                         i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30)
+                  * greatest(sqrt(list_sum(list_transform(range(len(qe)),
+                         i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE))), 1e-30)), 6)
                    AS cos_sim,
                row_number() OVER (PARTITION BY query_id
                    ORDER BY round(list_sum(list_transform(range(len(embedding)),
                              i -> embedding[i+1]::DOUBLE * qe[i+1]::DOUBLE))
-                     / (sqrt(list_sum(list_transform(range(len(embedding)),
-                             i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE)))
-                      * sqrt(list_sum(list_transform(range(len(qe)),
-                             i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE)))), 6) DESC,
+                     / (greatest(sqrt(list_sum(list_transform(range(len(embedding)),
+                             i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30)
+                      * greatest(sqrt(list_sum(list_transform(range(len(qe)),
+                             i -> qe[i+1]::DOUBLE * qe[i+1]::DOUBLE))), 1e-30)), 6) DESC,
                             vec_id) AS rn
         FROM cand
     ) WHERE rn <= 5

@@ -45,7 +45,7 @@ def variant_dir(spark):
         shutil.rmtree(_VARIANT)
     os.makedirs(_VARIANT)
     for t in TABLES:
-        if t != "documents":
+        if t not in ("documents", "embeddings"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{_VARIANT}/{t}.parquet")
     con = duckdb.connect()
     mx = con.execute(
@@ -66,13 +66,40 @@ def variant_dir(spark):
         ) TO '{_VARIANT}/documents.parquet' (FORMAT PARQUET)
         """
     )
+    # embeddings variant: a zero vector (cosine 0-division hazard), an
+    # exact duplicate of query vector 0 (rank-tie hazard), and a
+    # constant vector — ids past the max, dim preserved
+    con.execute(
+        f"""
+        COPY (
+            WITH base AS (
+                SELECT * FROM '{SF_DIR}/embeddings.parquet'
+            ), mx AS (SELECT max(vec_id) AS m FROM base)
+            SELECT * FROM base
+            UNION ALL
+            SELECT m + 1,
+                   CAST(list_transform(range(64), i -> 0.0) AS FLOAT[]),
+                   3
+            FROM mx
+            UNION ALL
+            SELECT m + 2, (SELECT embedding FROM base WHERE vec_id = 0), 4
+            FROM mx
+            UNION ALL
+            SELECT m + 3,
+                   CAST(list_transform(range(64), i -> 0.25) AS FLOAT[]),
+                   5
+            FROM mx
+        ) TO '{_VARIANT}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
     return _VARIANT
 
 
 def _doc_family():
     return sorted(
         n for n, sql in ORACLES.items()
-        if "documents" in sql and not n.startswith("streaming_")
+        if ("documents" in sql or "embeddings" in sql)
+        and not n.startswith("streaming_")
     )
 
 
