@@ -45,7 +45,7 @@ def variant_dir(spark):
         shutil.rmtree(_VARIANT)
     os.makedirs(_VARIANT)
     for t in TABLES:
-        if t not in ("documents", "embeddings"):
+        if t not in ("documents", "embeddings", "events"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{_VARIANT}/{t}.parquet")
     con = duckdb.connect()
     mx = con.execute(
@@ -92,13 +92,42 @@ def variant_dir(spark):
         ) TO '{_VARIANT}/embeddings.parquet' (FORMAT PARQUET)
         """
     )
+    # events variant: a brand-new event_type, negative values, a user id
+    # beyond the customer range, and timestamps
+    # extending past the current max day (re-tests every dynamic-bounds
+    # window/gap-fill query; ts re-encodes as TIMESTAMP(US), the OTHER
+    # leg of the dual-encoding contract)
+    con.execute(
+        f"""
+        COPY (
+            WITH base AS (
+                SELECT * FROM '{SF_DIR}/events.parquet'
+            ), mx AS (
+                SELECT max(event_id) AS mid, max(ts) AS mts FROM base
+            )
+            SELECT * FROM base
+            UNION ALL
+            SELECT mid + 1, mts + INTERVAL 1 DAY, 999999, 'refund',
+                   -42.5, '{{"k": 0}}'
+            FROM mx
+            UNION ALL
+            SELECT mid + 2, mts + INTERVAL 2 DAY + INTERVAL 3 HOUR,
+                   1, 'refund', -0.01, '{{"k": 7}}'
+            FROM mx
+            UNION ALL
+            SELECT mid + 3, mts + INTERVAL 3 DAY, 2, 'click', 0.0,
+                   '{{"k": 99}}'
+            FROM mx
+        ) TO '{_VARIANT}/events.parquet' (FORMAT PARQUET)
+        """
+    )
     return _VARIANT
 
 
 def _doc_family():
     return sorted(
         n for n, sql in ORACLES.items()
-        if ("documents" in sql or "embeddings" in sql)
+        if ("documents" in sql or "embeddings" in sql or "events" in sql)
         and not n.startswith("streaming_")
     )
 
