@@ -160,6 +160,8 @@ HEADLINE = [
     "sliding_users_sketch",
     "corpus_diff_stats",
     "streaming_sketch_rollup",
+    "hard_negative_mining",
+    "bloom_prefilter_stats",
 ]
 
 

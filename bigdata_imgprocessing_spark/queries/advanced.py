@@ -510,3 +510,75 @@ def outlier_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_outliers"),
         F.round("mu", 4).alias("mean_price"),
     )
+
+
+@query(
+    "bloom_prefilter_stats",
+    oracle="""
+    WITH purch AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (
+               WHERE EXISTS (SELECT 1 FROM purch p
+                             WHERE p.user_id = e.user_id)
+           ) AS BIGINT) AS n_member_exact,
+           true AS no_false_negatives,
+           true AS fp_rate_within_bound
+    FROM events e GROUP BY e.event_type
+    """,
+)
+def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate-membership pre-filter as a DATA op (the optimizer's
+    runtime bloom join is plan-level and not user-callable — its
+    injection is plan-asserted in tests/test_layout.py; this is the
+    explicit primitive a pipeline builds once and ships to many
+    consumers): a 1-hash Bloom — the distinct xxhash64-bucket set of
+    the purchaser keys over a 2^17 slot space — probes every event
+    row. The hash pins the two properties that make such filters
+    usable: ZERO false negatives (every exact member is flagged; the
+    structural guarantee, checked not assumed) and a false-positive
+    rate under the sizing bound (≤~5k used slots of 131072 ⇒ p(fp) ≈
+    4%, gated at 10%). Raw probe-hit counts stay out of the hash
+    (hash-layout specific).
+
+    Scale: the filter is ONE aggregated row (sorted bucket array, ~kB
+    per 1k keys) broadcast to the probe scan — membership testing
+    costs a hash + array binary search per row, no shuffle and no
+    semi-join of the big side; the exact semi-join here exists only
+    to audit the filter. That swap (broadcast AMQ probe instead of a
+    semi-join shuffle) is the standard 100 TB pre-filter before an
+    expensive join or dedup pass; with k independent hashes the same
+    construction is a general Bloom filter."""
+    _M = 131072  # 2^17 slots
+    e = table(spark, sf_dir, "events")
+    bucket = F.pmod(F.xxhash64("user_id"), F.lit(_M))
+    purch = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+    )
+    sketch = purch.select(bucket.alias("b")).agg(
+        F.sort_array(F.collect_set("b")).alias("bset")
+    )
+    probed = e.select("event_type", "user_id").crossJoin(
+        F.broadcast(sketch)
+    ).withColumn("bloom_hit", F.array_contains("bset", bucket))
+    exact = probed.join(
+        purch.withColumn("is_member", F.lit(True)), "user_id", "left"
+    ).withColumn("is_member", F.coalesce("is_member", F.lit(False)))
+    return exact.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("is_member").cast("long")).alias("n_member_exact"),
+        # bloom guarantee: member ⇒ hit (no false negatives)
+        (
+            F.sum((F.col("is_member") & ~F.col("bloom_hit")).cast("long"))
+            == 0
+        ).alias("no_false_negatives"),
+        # sizing bound: fp among true non-members < 10%
+        (
+            F.sum((~F.col("is_member") & F.col("bloom_hit")).cast("long"))
+            <= 0.1 * F.sum((~F.col("is_member")).cast("long")) + 1
+        ).alias("fp_rate_within_bound"),
+    )

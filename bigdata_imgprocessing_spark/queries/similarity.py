@@ -1023,3 +1023,65 @@ def ann_rerank_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w_e = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return rer.withColumn("rn", F.row_number().over(w_e)).where(F.col("rn") <= 5)
+
+
+@query(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, label AS qlabel, embedding AS qe
+               FROM embeddings WHERE vec_id IN {_QUERY_IDS}),
+    scored AS (
+        SELECT q.query_id, e.vec_id, e.label, {_DUCK_COS} AS cos_sim
+        FROM embeddings e CROSS JOIN q
+        WHERE e.vec_id != q.query_id AND e.label != q.qlabel
+    )
+    SELECT query_id, vec_id, label AS neg_label, cos_sim, rn FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cos_sim DESC, vec_id) AS rn
+        FROM scored
+    ) WHERE rn <= 5
+    """,
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per anchor, the
+    top-5 most-similar vectors with a DIFFERENT label — the negatives
+    that actually move an embedding model (random negatives are too
+    easy; nearest same-label ones are positives). Exactly the batch
+    job a retrieval-training pipeline runs per epoch over the corpus.
+
+    Plan shape: label filter applied DURING the scoring pass (no
+    post-rank filtering, which under-fills k when near neighbors share
+    the anchor's label), anchors broadcast, corpus scanned once,
+    per-anchor top-k via rank window with the usual rounded-score +
+    vec_id tie-break. At index scale the scoring pass probes an IVF
+    cell list instead (``ivf_search_served``) and this query is its
+    re-rank tail; the semantics here are the exact-scoring contract
+    that variant must match."""
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("qlabel"),
+            F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
+        )
+    )
+    scored = (
+        e.crossJoin(q)
+        .where(
+            (F.col("vec_id") != F.col("query_id"))
+            & (F.col("label") != F.col("qlabel"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            F.round(
+                dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
+    return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)

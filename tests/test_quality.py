@@ -226,3 +226,23 @@ def test_streaming_sketch_builds_multibatch_state(spark, sf_dir):
         for r in QUERIES["sliding_users_sketch"](spark, sf_dir).collect()
     }
     assert {r["day"]: r["n_exact"] for r in rows} == batch
+
+
+def test_hard_negatives_exclude_anchor_label(spark, sf_dir):
+    rows = QUERIES["hard_negative_mining"](spark, sf_dir).collect()
+    e = {
+        r["vec_id"]: r["label"]
+        for r in table(spark, sf_dir, "embeddings").select("vec_id", "label").collect()
+    }
+    for r in rows:
+        assert r["neg_label"] == e[r["vec_id"]]
+        assert r["neg_label"] != e[r["query_id"]]
+        assert 1 <= r["rn"] <= 5
+
+
+def test_bloom_prefilter_guarantees(spark, sf_dir):
+    rows = QUERIES["bloom_prefilter_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["no_false_negatives"] is True
+        assert r["fp_rate_within_bound"] is True
