@@ -59,6 +59,8 @@ PICKS = {
     "sliding_users_sketch": "Mergeable-sketch rolling distinct: per-day HLL sketches union-merged per window -- kB of immutable daily state instead of re-scanning raw events.",
     "corpus_diff_stats": "Release diff: full outer on stable id comparing md5 hashes -- 16 bytes per side cross the shuffle, never payloads.",
     "backfill_partition_overwrite": "Dynamic partition overwrite: backfill touches ONE day=... directory; re-read audits the 29 untouched partitions under the hash.",
+    "hard_negative_mining": "Hard negatives: label filter INSIDE the scoring pass (k never under-fills), anchors broadcast, corpus scanned once, per-anchor top-k heaps.",
+    "bloom_prefilter_stats": "AMQ pre-filter: 1-row bucket-set broadcast onto the probe scan -- membership costs a hash + binary search per row, no semi-join shuffle of the big side.",
 }
 
 
