@@ -516,7 +516,8 @@ def outlier_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bloom_prefilter_stats",
     oracle="""
     WITH purch AS (
-        SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase' AND user_id % 3 = 0
     )
     SELECT e.event_type,
            count(*) AS n_events,
@@ -555,7 +556,9 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(_M))
     purch = (
-        e.where(F.col("event_type") == "purchase")
+        e.where(
+            (F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0)
+        )
         .select("user_id")
         .distinct()
     )

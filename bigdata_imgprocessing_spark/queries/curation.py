@@ -581,14 +581,17 @@ def mixture_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     srcagg = (
         d.groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("toks"))
-        # try_cast: source names are generator-controlled; a regenerated
-        # corpus with a non-numeric suffix (e.g. 'srcNEW') must get the
-        # fallback weight, not crash the ANSI cast (variant-corpus net)
+        # try_cast of the FULL suffix: source names are generator-
+        # controlled; a non-numeric suffix (e.g. 'srcNEW') must get the
+        # fallback weight, not crash the ANSI cast (variant-corpus
+        # net), and the tail must not be length-truncated — a truncated
+        # Spark substring would cast where the oracle's full-tail
+        # TRY_CAST overflows to NULL, diverging the weights
         .withColumn(
             "w",
             F.lit(1)
             + F.coalesce(
-                F.substring("source", 4, 10).try_cast("int"), F.lit(0)
+                F.expr("try_cast(substr(source, 4) AS int)"), F.lit(0)
             )
             % 4,
         )

@@ -519,7 +519,6 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil as _sh
 
-    from ..queries.timeseries import _fan_7day_windows
     from ..streaming.sketch_state import (
         read_final_sketches,
         run_sketch_maintenance,
@@ -543,25 +542,16 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_sketch_maintenance(stream, state)
     sk = read_final_sketches(spark, state)
 
+    from ..core.session import cache_parallelism
+    from ..queries.timeseries import _rolling_sketch_audit
+
     e = table(spark, sf_dir, "events")
-    ud = e.select("user_id", F.date_trunc("day", "ts").alias("d")).distinct()
-    mx = ud.agg(F.max("d").alias("mx"))
-    est = (
-        _fan_7day_windows(sk, mx)
-        .groupBy("we")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-    )
-    exact = (
-        _fan_7day_windows(ud, mx)
+    # cache(): ud feeds the max-day bound and the exact fan — same
+    # dual-use rule as the batch twin
+    ud = (
+        e.select("user_id", F.date_trunc("day", "ts").alias("d"))
         .distinct()
-        .groupBy("we")
-        .agg(F.count("*").alias("n_exact"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
-    return exact.join(est, "we").select(
-        F.date_format("we", "yyyy-MM-dd").alias("day"),
-        "n_exact",
-        (
-            F.abs(F.col("est") - F.col("n_exact"))
-            <= 0.05 * F.col("n_exact")
-        ).alias("within_tol"),
-    )
+    return _rolling_sketch_audit(ud, sk)

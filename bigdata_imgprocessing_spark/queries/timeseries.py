@@ -626,6 +626,35 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _rolling_sketch_audit(ud, daily_sk):
+    """Shared audit tail of the mergeable-sketch rolling-distinct metric
+    (batch ``sliding_users_sketch`` and streaming
+    ``streaming_sketch_rollup``): per-window HLL union-estimate joined
+    to the exact fan-out count, emitting the 5%-tolerance boolean the
+    hash pins. Single-sourced so the window semantics and the tolerance
+    contract cannot diverge between the twins."""
+    mx = ud.agg(F.max("d").alias("mx"))
+    est = (
+        _fan_7day_windows(daily_sk, mx)
+        .groupBy("we")
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
+    )
+    exact = (
+        _fan_7day_windows(ud, mx)
+        .distinct()
+        .groupBy("we")
+        .agg(F.count("*").alias("n_exact"))
+    )
+    return exact.join(est, "we").select(
+        F.date_format("we", "yyyy-MM-dd").alias("day"),
+        "n_exact",
+        (
+            F.abs(F.col("est") - F.col("n_exact"))
+            <= 0.05 * F.col("n_exact")
+        ).alias("within_tol"),
+    )
+
+
 @query(
     "sliding_users_sketch",
     oracle="""
@@ -669,26 +698,7 @@ def sliding_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(cache_parallelism(spark))
         .cache()
     )
-    mx = ud.agg(F.max("d").alias("mx"))
     daily_sk = ud.groupBy("d").agg(
         F.hll_sketch_agg("user_id").alias("sk")
     )
-    fan_sk = (
-        _fan_7day_windows(daily_sk, mx)
-        .groupBy("we")
-        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"))
-    )
-    exact = (
-        _fan_7day_windows(ud, mx)
-        .distinct()
-        .groupBy("we")
-        .agg(F.count("*").alias("n_exact"))
-    )
-    return exact.join(fan_sk, "we").select(
-        F.date_format("we", "yyyy-MM-dd").alias("day"),
-        "n_exact",
-        (
-            F.abs(F.col("est") - F.col("n_exact"))
-            <= 0.05 * F.col("n_exact")
-        ).alias("within_tol"),
-    )
+    return _rolling_sketch_audit(ud, daily_sk)

@@ -246,3 +246,8 @@ def test_bloom_prefilter_guarantees(spark, sf_dir):
     for r in rows:
         assert r["no_false_negatives"] is True
         assert r["fp_rate_within_bound"] is True
+    # falsifiability: the member cohort must be a PROPER subset, else
+    # the fp gate is vacuous (zero non-member rows to misclassify)
+    assert sum(r["n_events"] for r in rows) > sum(
+        r["n_member_exact"] for r in rows
+    )

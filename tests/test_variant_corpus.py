@@ -15,7 +15,6 @@ that is a bug this file exists to catch.
 
 from __future__ import annotations
 
-import math
 import os
 import shutil
 
@@ -51,9 +50,11 @@ def variant_dir(spark):
     mx = con.execute(
         f"SELECT max(doc_id) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
+    # force genuinely ODD ids regardless of mx parity (srcNEW must land
+    # in the doc_id%2==1 drift cohort so the other cohort has it absent)
+    start = mx + 1 + (mx % 2)
     values = ", ".join(
-        # odd ids (mx odd/even unknown — force odd for the srcNEW row)
-        f"({mx + off * 2 + 1}, '{text}', '{lang}', '{src}', {len(text)})"
+        f"({start + off * 2}, '{text}', '{lang}', '{src}', {len(text)})"
         for off, text, lang, src in _EXTRA_DOCS
     )
     con.execute(
@@ -132,23 +133,10 @@ def _doc_family():
     )
 
 
-def _norm(v):
-    if v is None:
-        return "n:"  # tagged + sortable (tuples with None can't sort)
-    if isinstance(v, bool):
-        return f"i:{int(v)}"
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return f"f:{round(v, 9)!r}"
-    if isinstance(v, int):
-        return f"i:{v}"
-    return str(v)
-
-
-def _canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    return sorted(tuple(_norm(r[i]) for i in order) for r in rows)
+# canonicalization shared with the primary gate — one source of truth
+# for the driver-hash-compatible cell normalization (round-1 lesson:
+# int/float type tags), so the two parity gates cannot drift apart
+from test_oracle_parity import _normalize as _canon  # noqa: E402
 
 
 @pytest.mark.parametrize("name", _doc_family())
