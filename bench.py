@@ -162,6 +162,8 @@ HEADLINE = [
     "streaming_sketch_rollup",
     "hard_negative_mining",
     "bloom_prefilter_stats",
+    "ab_test_zscore",
+    "neardup_triangle_stats",
 ]
 
 

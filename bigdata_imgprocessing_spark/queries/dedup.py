@@ -913,3 +913,85 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.round(F.col("covered") * F.lit(1.0) / F.col("nw"), 6)), 6
         ).alias("sum_dup_frac"),
     )
+
+
+@query(
+    "neardup_triangle_stats",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    wedges AS (
+        SELECT p1.doc_a AS a, p1.doc_b AS b, p2.doc_b AS c
+        FROM pairs p1 JOIN pairs p2 ON p1.doc_b = p2.doc_a
+    ),
+    tri AS (
+        SELECT count(*) AS n FROM wedges w
+        JOIN pairs p3 ON w.a = p3.doc_a AND w.c = p3.doc_b
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pairs) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM wedges) AS n_wedges,
+           (SELECT CAST(n AS BIGINT) FROM tri) AS n_triangles,
+           CASE WHEN (SELECT count(*) FROM wedges) = 0 THEN 0.0
+                ELSE round((SELECT n FROM tri) * 1.0
+                           / (SELECT count(*) FROM wedges), 6)
+           END AS wedge_closure
+    """,
+)
+def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle census of the near-dup pair graph — the graph-analytics
+    step after pair generation: a high wedge-closure rate means near-dup
+    relations are transitive on this corpus (clusters are cliques, and
+    keep-one-per-component dedup is safe); a low rate means chains of
+    borderline pairs (A≈B≈C but A≉C), where component-collapse
+    over-merges and a threshold bump or verification pass is warranted.
+
+    Algorithm: the classic sorted-orientation count — edges already
+    stored low→high id, wedges from chaining (a<b)⋈(b<c) so every
+    triangle is counted exactly once via its middle vertex, closed by
+    one more join to the (a,c) edge. The orientation is the scale
+    trick: join fan-out is bounded by OUT-degree under the total
+    order, which caps the hub-explosion a naive undirected wedge join
+    hits on skewed graphs (Schank/Wagner; Cohen's MapReduce form).
+    Three joins over the SPARSE pair graph only — the corpus is
+    touched exactly once, inside the shared LSH pair pipeline."""
+    from ..core.session import cache_parallelism
+
+    # cache(): the pair graph feeds the edge count, both wedge sides,
+    # and the closure join — without it the whole LSH pipeline re-runs
+    # per consumer.
+    pairs = (
+        _lsh_verified_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    p1, p2 = pairs.alias("p1"), pairs.alias("p2")
+    wedges = p1.join(
+        p2, F.col("p1.doc_b") == F.col("p2.doc_a")
+    ).select(
+        F.col("p1.doc_a").alias("a"),
+        F.col("p1.doc_b").alias("b"),
+        F.col("p2.doc_b").alias("c"),
+    )
+    tri = wedges.join(
+        pairs,
+        (F.col("a") == F.col("doc_a")) & (F.col("c") == F.col("doc_b")),
+    )
+    ne = pairs.agg(F.count("*").alias("n_edges"))
+    nw = wedges.agg(F.count("*").alias("n_wedges"))
+    nt = tri.agg(F.count("*").alias("n_triangles"))
+    return (
+        ne.crossJoin(F.broadcast(nw))
+        .crossJoin(F.broadcast(nt))
+        .select(
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.when(F.col("n_wedges") == 0, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.col("n_triangles") * F.lit(1.0) / F.col("n_wedges"), 6
+                )
+            )
+            .alias("wedge_closure"),
+        )
+    )

@@ -451,3 +451,94 @@ def merge_into_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_rows"),
         F.round(F.sum("price"), 2).alias("sum_price"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Experiment analysis: two-proportion z-test — the A/B readout.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ab_test_zscore",
+    oracle="""
+    WITH assign AS (
+        SELECT user_id, user_id % 2 AS grp,
+               max(CASE WHEN event_type = 'purchase' AND value > 95
+                        THEN 1 ELSE 0 END) AS converted
+        FROM events GROUP BY user_id
+    ), g AS (
+        SELECT CAST(count(*) FILTER (WHERE grp = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE grp = 1) AS BIGINT) AS n_b,
+               CAST(sum(converted) FILTER (WHERE grp = 0) AS BIGINT) AS c_a,
+               CAST(sum(converted) FILTER (WHERE grp = 1) AS BIGINT) AS c_b
+        FROM assign
+    )
+    SELECT n_a, n_b, c_a, c_b,
+           round(c_a * 1.0 / n_a, 6) AS rate_a,
+           round(c_b * 1.0 / n_b, 6) AS rate_b,
+           CASE WHEN zden <= 0 THEN 0.0
+                ELSE round((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                           / sqrt(zden), 4) END AS z_score,
+           CASE WHEN zden <= 0 THEN false
+                ELSE abs((c_a * 1.0 / n_a - c_b * 1.0 / n_b)
+                         / sqrt(zden)) > 1.96 END AS significant_95
+    FROM (
+        SELECT *,
+               ((c_a + c_b) * 1.0 / (n_a + n_b))
+               * (1 - (c_a + c_b) * 1.0 / (n_a + n_b))
+               * (1.0 / n_a + 1.0 / n_b) AS zden
+        FROM g
+    )
+    """,
+)
+def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experiment readout: users split into control/treatment by the
+    stable id (in production, the experiment-assignment hash), per-user
+    conversion = any high-value purchase (value > 95 — plain
+    any-purchase saturates to 100% on this corpus, making the pooled
+    variance 0 and z undefined; the guard below also pins z = 0 /
+    not-significant when conversion IS degenerate, on both engines
+    identically, instead of an ANSI divide-by-zero), and the
+    two-proportion z-test
+    under the pooled null — the significance number every A/B platform
+    computes. The comparison to 1.96 happens on bit-identical doubles
+    (counts → IEEE divisions and a correctly-rounded sqrt in the same
+    expression order on both engines; nothing pre-rounded feeds it),
+    so the boolean cannot flip between engines; z itself is emitted at
+    4dp (an irrational, measure-zero boundary risk).
+
+    Scale: one user-keyed shuffle collapses the stream to per-user
+    conversion flags (max of indicators, map-side partial), then a
+    single global conditional-count row — the corpus never moves
+    again. Variant metrics (means, ratios) swap the indicator; CUPED
+    or sequential corrections compose on the same per-user frame."""
+    e = table(spark, sf_dir, "events")
+    assign = e.groupBy("user_id").agg(
+        F.max(
+            (
+                (F.col("event_type") == "purchase") & (F.col("value") > 95)
+            ).cast("int")
+        ).alias("converted")
+    ).withColumn("grp", F.col("user_id") % 2)
+    g = assign.agg(
+        F.sum((F.col("grp") == 0).cast("long")).alias("n_a"),
+        F.sum((F.col("grp") == 1).cast("long")).alias("n_b"),
+        F.sum(F.when(F.col("grp") == 0, F.col("converted")).otherwise(0).cast("long")).alias("c_a"),
+        F.sum(F.when(F.col("grp") == 1, F.col("converted")).otherwise(0).cast("long")).alias("c_b"),
+    )
+    ra = F.col("c_a") * F.lit(1.0) / F.col("n_a")
+    rb = F.col("c_b") * F.lit(1.0) / F.col("n_b")
+    pp = (F.col("c_a") + F.col("c_b")) * F.lit(1.0) / (F.col("n_a") + F.col("n_b"))
+    zden = pp * (1 - pp) * (
+        F.lit(1.0) / F.col("n_a") + F.lit(1.0) / F.col("n_b")
+    )
+    z = (ra - rb) / F.sqrt(zden)
+    return g.select(
+        "n_a", "n_b", "c_a", "c_b",
+        F.round(ra, 6).alias("rate_a"),
+        F.round(rb, 6).alias("rate_b"),
+        F.when(zden <= 0, F.lit(0.0)).otherwise(F.round(z, 4)).alias("z_score"),
+        F.when(zden <= 0, F.lit(False))
+        .otherwise(F.abs(z) > 1.96)
+        .alias("significant_95"),
+    )

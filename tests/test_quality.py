@@ -251,3 +251,22 @@ def test_bloom_prefilter_guarantees(spark, sf_dir):
     assert sum(r["n_events"] for r in rows) > sum(
         r["n_member_exact"] for r in rows
     )
+
+
+def test_ab_test_consistent_counts(spark, sf_dir):
+    r = QUERIES["ab_test_zscore"](spark, sf_dir).collect()
+    assert len(r) == 1
+    row = r[0]
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert row["n_a"] + row["n_b"] == n_users
+    assert 0 <= row["c_a"] <= row["n_a"] and 0 <= row["c_b"] <= row["n_b"]
+    assert isinstance(row["significant_95"], bool)
+
+
+def test_triangle_census_bounds(spark, sf_dir):
+    r = QUERIES["neardup_triangle_stats"](spark, sf_dir).collect()[0]
+    assert r["n_triangles"] <= r["n_wedges"]
+    assert 0.0 <= r["wedge_closure"] <= 1.0
+    # every triangle needs at least 3 edges
+    if r["n_triangles"] > 0:
+        assert r["n_edges"] >= 3
