@@ -206,4 +206,18 @@ def run_scale_stress(
         "secs": round(time.perf_counter() - t0, 2),
         "n_flagged": sum(r.n_flagged for r in ug),
     }
+
+    # Graph analytics over the pair graph: triangle census cost must
+    # track the SPARSE edge set (wedges bounded by out-degree under the
+    # sorted orientation), not the corpus — the same bound as the CC
+    # closure above.
+    from ..queries.dedup import neardup_triangle_stats
+
+    t0 = time.perf_counter()
+    tr = neardup_triangle_stats(spark, scaled_dir).collect()[0]
+    metrics["neardup_triangle_stats"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_edges": tr.n_edges,
+        "n_triangles": tr.n_triangles,
+    }
     return metrics
