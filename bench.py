@@ -164,6 +164,7 @@ HEADLINE = [
     "bloom_prefilter_stats",
     "ab_test_zscore",
     "neardup_triangle_stats",
+    "bm25_ndcg_eval",
 ]
 
 

@@ -477,10 +477,10 @@ _BM25_K1 = 1.2
 _BM25_B = 0.75
 
 
-@query(
-    "bm25_search",
-    oracle=f"""
-    WITH tok AS (
+# Shared CTE chain: tokens → query-term tf → corpus stats → BM25 doc
+# scores. Reused by bm25_search (emits the top-10) and bm25_ndcg_eval
+# (grades that top-10 against term-count relevance).
+_DUCK_BM25_CTES = f"""tok AS (
         SELECT doc_id, unnest(string_split(text, ' ')) AS term,
                len(string_split(text, ' ')) AS dl
         FROM documents
@@ -500,10 +500,19 @@ _BM25_B = 0.75
                / (tf + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
                AS s
         FROM tf JOIN dfreq USING (term) CROSS JOIN stats
-    )
-    SELECT doc_id, round(sum(s), 4) AS bm25
-    FROM scored GROUP BY doc_id
-    ORDER BY bm25 DESC, doc_id LIMIT 10
+    ),
+    ranked10 AS (
+        SELECT doc_id, round(sum(s), 4) AS bm25
+        FROM scored GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT 10
+    )"""
+
+
+@query(
+    "bm25_search",
+    oracle=f"""
+    WITH {_DUCK_BM25_CTES}
+    SELECT doc_id, bm25 FROM ranked10
     """,
 )
 def bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -690,4 +699,96 @@ def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_sentences"),
         F.sum("n_tokens").alias("n_tokens"),
         F.max(F.length("sentence")).cast("bigint").alias("max_sentence_chars"),
+    )
+
+
+@query(
+    "bm25_ndcg_eval",
+    oracle=f"""
+    WITH {_DUCK_BM25_CTES},
+    rel AS (
+        SELECT doc_id,
+               len(list_filter(string_split(text, ' '),
+                   t -> t IN {_BM25_TERMS})) AS rel
+        FROM documents
+    ),
+    hits AS (
+        SELECT r.rel,
+               row_number() OVER (ORDER BY k.bm25 DESC, k.doc_id) AS rnk
+        FROM ranked10 k JOIN rel r USING (doc_id)
+    ),
+    ideal AS (
+        SELECT rel, row_number() OVER (ORDER BY rel DESC, doc_id) AS rnk
+        FROM rel ORDER BY rel DESC, doc_id LIMIT 10
+    ),
+    d AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS dcg FROM hits),
+    i AS (SELECT sum((pow(2, rel) - 1) / log2(rnk + 1)) AS idcg FROM ideal)
+    SELECT CAST((SELECT count(*) FROM hits) AS BIGINT) AS n_retrieved,
+           round(d.dcg, 6) AS dcg,
+           round(i.idcg, 6) AS idcg,
+           round(d.dcg / i.idcg, 6) AS ndcg
+    FROM d, i
+    """,
+)
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-quality evaluation of the retrieval layer: NDCG@10 of
+    the BM25 top-10 against graded relevance (relevance = query-term
+    occurrence count — the label a search-eval pipeline would source
+    from judgments; here a pure function of the text so the whole
+    metric sits under the correctness hash). DCG uses the standard
+    (2^rel − 1)/log2(rank+1) gains; IDCG ranks the WHOLE corpus by
+    relevance (an ideal ranking the retriever never saw), so ndcg < 1
+    genuinely measures ranking loss, not a self-graded tautology.
+
+    Parity: gains are exact integers over both engines; only log2 can
+    wobble a final ulp, absorbed by the 6dp round of three scalars.
+    Ties in the ideal ranking don't affect IDCG (same gain multiset in
+    any tie order).
+
+    Scale: the scored/candidate side is the shared BM25 pipeline
+    (posting lists of the query terms only); relevance is a map-side
+    array filter; both top-10s are bounded takes (TakeOrderedAndProject
+    / per-partition heaps), and the windows that assign ranks see 10
+    rows each. Evaluation cost is retrieval cost + O(k)."""
+    from pyspark.sql import Window
+
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    # cache(): relevance feeds the retrieved join AND the ideal top-10
+    rel = (
+        d.select(
+            "doc_id",
+            F.size(
+                F.filter(
+                    F.split("text", " "),
+                    lambda t: t.isin(*_BM25_TERMS),
+                )
+            ).alias("rel"),
+        )
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    top10 = bm25_search(spark, sf_dir)
+    wq = Window.orderBy(F.col("bm25").desc(), "doc_id")
+    hits = top10.join(rel, "doc_id").withColumn("rnk", F.row_number().over(wq))
+    wi = Window.orderBy(F.col("rel").desc(), "doc_id")
+    ideal = (
+        rel.orderBy(F.col("rel").desc(), "doc_id")
+        .limit(10)
+        .withColumn("rnk", F.row_number().over(wi))
+    )
+    gain = lambda: (F.pow(F.lit(2.0), F.col("rel")) - 1) / F.log2(F.col("rnk") + 1)  # noqa: E731
+    dcg = hits.agg(F.sum(gain()).alias("dcg"))
+    idcg = ideal.agg(F.sum(gain()).alias("idcg"))
+    nret = hits.agg(F.count("*").alias("n_retrieved"))
+    return (
+        nret.crossJoin(F.broadcast(dcg))
+        .crossJoin(F.broadcast(idcg))
+        .select(
+            "n_retrieved",
+            F.round("dcg", 6).alias("dcg"),
+            F.round("idcg", 6).alias("idcg"),
+            F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
+        )
     )

@@ -270,3 +270,10 @@ def test_triangle_census_bounds(spark, sf_dir):
     # every triangle needs at least 3 edges
     if r["n_triangles"] > 0:
         assert r["n_edges"] >= 3
+
+
+def test_ndcg_bounded_and_consistent(spark, sf_dir):
+    r = QUERIES["bm25_ndcg_eval"](spark, sf_dir).collect()[0]
+    assert r["n_retrieved"] == 10
+    assert 0.0 < r["ndcg"] <= 1.0
+    assert r["dcg"] <= r["idcg"]
