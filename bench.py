@@ -165,6 +165,7 @@ HEADLINE = [
     "ab_test_zscore",
     "neardup_triangle_stats",
     "bm25_ndcg_eval",
+    "score_calibration_bins",
 ]
 
 

@@ -37,6 +37,7 @@ _PRIORITY = [
     "corpus_diff_stats", "streaming_sketch_rollup",
     "hard_negative_mining", "bloom_prefilter_stats",
     "ab_test_zscore", "neardup_triangle_stats", "bm25_ndcg_eval",
+    "score_calibration_bins",
     "bar_chart_data", "color_chart_data", "image_format_ingest",
     "embedding_batch_scores", "scd2_user_history", "order_value_position",
     "udtf_sentence_stats", "pq_ann_recall", "winnowing_fingerprints",

@@ -1085,3 +1085,76 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 5)
+
+
+@query(
+    "score_calibration_bins",
+    oracle=f"""
+    WITH w AS (SELECT {str(_W)}::DOUBLE[] AS wv),
+    scored AS (
+        SELECT vec_id, label,
+               round(list_sum(list_transform(range(64),
+                     i -> embedding[i+1]::DOUBLE * wv[i+1])), 4) AS score
+        FROM embeddings, w
+    ),
+    b AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+    binned AS (
+        SELECT least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT),
+                     9) AS bin,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM scored, b
+    )
+    SELECT bin, count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           round(sum(pos) * 1.0 / count(*), 4) AS frac_pos,
+           round(abs((bin + 0.5) / 10.0 - sum(pos) * 1.0 / count(*)), 4)
+               AS gap
+    FROM binned GROUP BY bin
+    """,
+)
+def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration audit of a model scoring pass — the reliability
+    diagram in table form: scores min-max-normalized to [0,1], decile
+    bins, and per-bin positive rate vs the bin's nominal probability
+    (midpoint). Large per-bin gaps mean the score is NOT usable as a
+    probability without recalibration (Platt/isotonic) — the check a
+    pipeline runs before thresholding model scores for data filtering.
+    The untrained linear scorer here is (deliberately) miscalibrated;
+    the audit MEASURING that is the tested behavior.
+
+    Parity: bin assignment floors a double both engines compute from
+    identical operands in identical order (4dp-grid scores, shared
+    min/max) — same double, same floor; positive-rate ratios are
+    int/int, exact in binary whenever they terminate, so the 4dp round
+    cannot straddle engines.
+
+    Scale: one scoring scan (at 100 TB the Arrow predict_batch_udf
+    path of ``embedding_batch_scores``), a 1-row min/max broadcast, one
+    10-group aggregation — the audit is a rounding error on top of the
+    scoring job it monitors."""
+    e = table(spark, sf_dir, "embeddings")
+    scorer = make_linear_scorer(spark, _W)
+    scored = e.select(
+        "label", F.round(scorer(F.col("embedding")), 4).alias("score")
+    )
+    b = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    frac = F.sum("pos") * F.lit(1.0) / F.count("*")
+    return binned.groupBy("bin").agg(
+        F.count("*").alias("n"),
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.round(frac, 4).alias("frac_pos"),
+        F.round(
+            F.abs((F.col("bin") + 0.5) / 10.0 - frac), 4
+        ).alias("gap"),
+    )

@@ -277,3 +277,14 @@ def test_ndcg_bounded_and_consistent(spark, sf_dir):
     assert r["n_retrieved"] == 10
     assert 0.0 < r["ndcg"] <= 1.0
     assert r["dcg"] <= r["idcg"]
+
+
+def test_calibration_bins_partition_corpus(spark, sf_dir):
+    rows = QUERIES["score_calibration_bins"](spark, sf_dir).collect()
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert sum(r["n"] for r in rows) == n_vec
+    for r in rows:
+        assert 0 <= r["bin"] <= 9
+        assert 0 <= r["n_pos"] <= r["n"]
+        assert 0.0 <= r["frac_pos"] <= 1.0
+        assert 0.0 <= r["gap"] <= 1.0
