@@ -1158,3 +1158,143 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs((F.col("bin") + 0.5) / 10.0 - frac), 4
         ).alias("gap"),
     )
+
+
+_SEMDEDUP_TAU = 0.35
+
+
+@query(
+    "semdedup_prune",
+    oracle=f"""
+    WITH flat AS (
+        SELECT label, i AS pos, embedding[i+1]::DOUBLE AS x
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS cell, list(round(c, 3) ORDER BY pos) AS cv
+        FROM (SELECT label, pos, avg(x) AS c FROM flat GROUP BY label, pos)
+        GROUP BY cell
+    ),
+    dists AS (
+        SELECT e.vec_id, e.embedding, c.cell,
+               round(list_sum(list_transform(range(len(e.embedding)),
+                     i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+                        * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))), 6) AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cell FROM (
+            SELECT vec_id, embedding, cell,
+                   row_number() OVER (PARTITION BY vec_id
+                                      ORDER BY dist, cell) AS arn
+            FROM dists
+        ) WHERE arn = 1
+    ),
+    nrm AS (
+        SELECT vec_id, cell, embedding,
+               greatest(sqrt(list_sum(list_transform(range(len(embedding)),
+                     i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30) AS nn
+        FROM assigned
+    ),
+    removed AS (
+        SELECT cell, rid FROM (
+            SELECT a.cell, b.vec_id AS rid
+            FROM nrm a JOIN nrm b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE round(
+                list_sum(list_transform(range(len(a.embedding)),
+                    i -> a.embedding[i+1]::DOUBLE * b.embedding[i+1]::DOUBLE))
+                / (a.nn * b.nn), 6) >= {_SEMDEDUP_TAU}
+        ) GROUP BY cell, rid
+    ),
+    rem_per_cell AS (SELECT cell, count(*) AS n_removed FROM removed GROUP BY cell)
+    SELECT a.cell,
+           count(*) AS n_vecs,
+           coalesce(any_value(r.n_removed), 0) AS n_removed,
+           count(*) - coalesce(any_value(r.n_removed), 0) AS n_kept,
+           round(coalesce(any_value(r.n_removed), 0) * 1.0 / count(*), 4)
+               AS pct_removed
+    FROM assigned a LEFT JOIN rem_per_cell r ON a.cell = r.cell
+    GROUP BY a.cell
+    """,
+)
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) — semantic dedup scoped to k-means
+    clusters: cluster the corpus with a coarse quantizer, then ONLY
+    within each cluster mark every vector that has a lower-id neighbor
+    with cosine >= tau as a semantic duplicate (deterministic greedy
+    keep-first, the paper's keep-one-per-epsilon-ball with id order as
+    the tiebreak). Reports the per-cluster prune ledger. Cross-cluster
+    near-dups are invisible by design — that recall/cost trade IS the
+    algorithm; the LSH family (``embedding_lsh_neardup``) is the
+    complementary blocking scheme.
+
+    Centroids are the SQL-reproducible per-label means (one Lloyd step
+    from the label init, as ``ivf_search_served``) so assignment, pair
+    scoring, and the prune ledger are all value-checked against the
+    oracle; the production path swaps in ``build_ivf_index``'s learned
+    KMeans model with zero plan change (same ``assign_cells`` operator).
+
+    Scale: the whole point of SemDeDup is that clusters BOUND the
+    quadratic — k grows with the corpus (~sqrt(N) cells) so per-cell
+    pair work stays constant; after one repartition on cell the verify
+    is cluster-local (equi-join on cell, never all-pairs), and the
+    centroid collect is k rows (quantizer-bounded, like
+    ``clusterCenters()``). Reference analogue: dedup-by-content-key at
+    pyspark_stats.py:21 is the exact-hash end of the same spectrum."""
+    from ..operators.ivf import assign_cells
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    cent = (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"], 3),
+            ).alias("cv")
+        )
+    )
+    rows = cent.collect()  # k rows — quantizer-bounded, like clusterCenters()
+    centers = [r.cv for r in sorted(rows, key=lambda r: r.label)]
+    indexed = assign_cells(e.select("vec_id", "embedding"), centers).select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    # dual-use frame (both sides of the self-join + the per-cell census):
+    # cache so the Arrow assignment pass runs once, as the minhash family
+    # caches its candidate frames (queries/dedup.py).
+    indexed = indexed.cache()
+    a = indexed.select(
+        F.col("vec_id").alias("aid"), "cell",
+        F.col("embedding").alias("ae"), F.col("en").alias("an"),
+    )
+    b = indexed.select(
+        F.col("vec_id").alias("rid"), F.col("cell").alias("bcell"),
+        F.col("embedding").alias("be"), F.col("en").alias("bn"),
+    )
+    removed = (
+        a.join(b, (F.col("cell") == F.col("bcell")) & (F.col("aid") < F.col("rid")))
+        .where(
+            F.round(
+                dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
+            ) >= F.lit(_SEMDEDUP_TAU)
+        )
+        .select("cell", "rid")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    census = indexed.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        census.join(removed, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)) * F.lit(1.0) / F.col("n_vecs"), 4
+            ).alias("pct_removed"),
+        )
+    )

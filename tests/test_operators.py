@@ -481,3 +481,20 @@ def test_map_in_arrow_batches(spark, sf_dir):
     )
     want = d.agg(F.sum(F.col("n_chars") * 2)).first()[0]
     assert got == want
+
+
+def test_semdedup_prune_ledger_consistent(spark, sf_dir):
+    """SemDeDup invariants: every corpus vector lands in exactly one
+    cluster ledger row, kept + removed = census, a removed vector always
+    has a KEPT lower-id neighbor in-cell (greedy keep-first can never
+    empty a ball), and at least one semantic duplicate exists in the
+    generated corpus."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries.similarity import semdedup_prune
+
+    rows = semdedup_prune(spark, sf_dir).collect()
+    n_corpus = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_corpus
+    assert all(r.n_kept + r.n_removed == r.n_vecs for r in rows)
+    assert all(r.n_kept >= 1 for r in rows)  # a ball keeps its anchor
+    assert sum(r.n_removed for r in rows) > 0
