@@ -585,3 +585,145 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.1 * F.sum((~F.col("is_member")).cast("long")) + 1
         ).alias("fp_rate_within_bound"),
     )
+
+
+def _order_fill_fn(key, orders_pdf, items_pdf):
+    """Cogrouped reconciliation: one (orders-side, lineitem-side) pandas
+    frame pair per orderkey. Money sums round at
+    the 2dp grid (inputs are 2dp multiples, so the true sum sits ON the
+    grid — pandas HALF_EVEN vs SQL HALF_UP cannot diverge there)."""
+    import pandas as pd
+
+    if orders_pdf.empty:  # items whose order is missing: not emitted
+        return pd.DataFrame(
+            columns=["o_orderstatus", "o_totalprice", "n_items", "item_sum"]
+        )
+    n_items = len(items_pdf)
+    item_sum = round(float(items_pdf["l_extendedprice"].sum()), 2) if n_items else 0.0
+    return pd.DataFrame(
+        {
+            "o_orderstatus": [orders_pdf["o_orderstatus"].iloc[0]],
+            "o_totalprice": [float(orders_pdf["o_totalprice"].iloc[0])],
+            "n_items": [n_items],
+            "item_sum": [item_sum],
+        }
+    )
+
+
+@query(
+    "cogroup_order_fill",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice,
+               count(l.l_orderkey) AS n_items,
+               coalesce(round(sum(l.l_extendedprice), 2), 0.0) AS item_sum
+        FROM orders o LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_orderstatus, o.o_totalprice
+    )
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CAST(sum(CASE WHEN n_items = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_unfilled,
+           CAST(sum(n_items) AS BIGINT) AS n_items,
+           round(sum(item_sum), 2) AS billed_total,
+           round(sum(o_totalprice - item_sum), 2) AS total_gap
+    FROM per_order GROUP BY o_orderstatus
+    """,
+)
+def cogroup_order_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cogrouped-map UDF surface (``groupBy(...).cogroup(...)
+    .applyInPandas``) — the last pandas-API shape the repo lacked: both
+    relations shuffle ONCE on the key and arrive at the same task as
+    per-key pandas frame PAIRS, the natural home for per-entity
+    reconciliation logic too imperative for a join (here: order-fill
+    audit — billed lineitem total vs the order header, per-status
+    rollup, orders with zero lineitems surfacing as the left-only
+    cogroup branch the generated data really contains).
+
+    Parity: the pandas logic is deliberately SQL-expressible (LEFT JOIN
+    + groupBy oracle) — the surface under test is the cogroup
+    execution, value-checked end to end; per-order and per-status money
+    sums are 2dp-grid re-rounds (grid-sum rule), int counts exact.
+
+    Scale: cogroup is exactly one co-partitioning shuffle of each side
+    (plan shows FlatMapCoGroupsInPandas over two Exchanges on the key)
+    — same cost shape as a shuffle join; Arrow-batched, no driver
+    collect, and the per-status rollup is a 3-group agg."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    per_order = (
+        o.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            _order_fill_fn,
+            "o_orderstatus string, o_totalprice double, "
+            "n_items bigint, item_sum double",
+        )
+    )
+    return per_order.groupBy("o_orderstatus").agg(
+        F.count("*").alias("n_orders"),
+        F.sum((F.col("n_items") == 0).cast("int")).cast("bigint").alias("n_unfilled"),
+        F.sum("n_items").cast("bigint").alias("n_items"),
+        F.round(F.sum("item_sum"), 2).alias("billed_total"),
+        F.round(F.sum(F.col("o_totalprice") - F.col("item_sum")), 2).alias("total_gap"),
+    )
+
+
+@query(
+    "heavy_hitters_topk",
+    oracle="""
+    WITH words AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    )
+    SELECT rnk, word, n_occ, n_exact, exact_match FROM (
+        SELECT row_number() OVER (ORDER BY c DESC, w) AS rnk,
+               w AS word, c AS n_occ, c AS n_exact, TRUE AS exact_match
+        FROM words
+    ) WHERE rnk <= 10
+    """,
+)
+def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters over the token stream via the Spark-4 sketch
+    aggregate ``approx_top_k`` — the mergeable map-side-combine answer
+    to "top tokens over 100 TB" (each partition keeps a bounded item
+    map, merge is map-union; nothing wider than the sketch crosses the
+    shuffle — same audit contract as the HLL family).
+
+    Audited in the EXACT regime: maxItemsTracked (65536) and the
+    requested k (200) both exceed the corpus vocabulary, so the sketch
+    must return precise counts for every token. The full-outer join
+    against exact wordcounts pins that: any dropped token, phantom
+    token, or count drift yields a null/False row and fails the driver
+    hash. Membership boundary ties (the generated corpus really has a
+    946=946 tie at rank 10-11 at sf0.01) are neutralized by ranking
+    AFTER the join with the deterministic (count DESC, word) order —
+    never by trusting the sketch's own tie choice."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+    )
+    sketch = (
+        words.agg(F.expr("approx_top_k(w, 200, 65536)").alias("tk"))
+        .select(F.explode("tk").alias("s"))
+        .select(F.col("s.item").alias("word"), F.col("s.count").alias("n_occ"))
+    )
+    exact = words.groupBy(F.col("w").alias("word")).agg(
+        F.count("*").alias("n_exact")
+    )
+    joined = sketch.join(exact, "word", "full").select(
+        "word",
+        "n_occ",
+        "n_exact",
+        (F.col("n_occ").eqNullSafe(F.col("n_exact"))).alias("exact_match"),
+    )
+    w_rank = Window.orderBy(F.col("n_exact").desc(), "word")
+    return (
+        joined.withColumn("rnk", F.row_number().over(w_rank))
+        .where(F.col("rnk") <= 10)
+        .select("rnk", "word", "n_occ", "n_exact", "exact_match")
+    )

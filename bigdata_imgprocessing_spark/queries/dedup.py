@@ -995,3 +995,111 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("wedge_closure"),
         )
     )
+
+
+def _duck_pr_iter(prev: str, out: str) -> str:
+    """One unrolled PageRank iteration as a DuckDB CTE pair. Every
+    float step is grid-aligned (see the NOTES.md grid-sum rule): edge
+    contributions round to the 1e-9 grid BEFORE the order-nondeterministic
+    sum, the sum re-rounds at grid precision, and the damped update is
+    single IEEE ops over bit-identical operands on both engines."""
+    return f"""{out}_s AS (
+        SELECT e.dst AS doc_id, round(sum(round(p.pr / p.deg, 9)), 9) AS s
+        FROM edges e JOIN {prev} p ON e.src = p.doc_id GROUP BY e.dst
+    ),
+    {out} AS (
+        SELECT v.doc_id, v.deg,
+               round(0.15::DOUBLE / (SELECT n FROM nn)
+                     + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE), 9) AS pr
+        FROM deg_nodes v LEFT JOIN {out}_s s USING (doc_id)
+    )"""
+
+
+@query(
+    "pagerank_neardup",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+              UNION ALL
+              SELECT doc_b AS src, doc_a AS dst FROM pairs),
+    deg_nodes AS (SELECT src AS doc_id, count(*) AS deg
+                  FROM edges GROUP BY src),
+    nn AS (SELECT count(*) AS n FROM deg_nodes),
+    pr0 AS (SELECT doc_id, deg,
+                   round(1.0::DOUBLE / (SELECT n FROM nn), 9) AS pr
+            FROM deg_nodes),
+    {_duck_pr_iter("pr0", "pr1")},
+    {_duck_pr_iter("pr1", "pr2")},
+    {_duck_pr_iter("pr2", "pr3")}
+    SELECT doc_id, deg, pr, rnk, (SELECT n FROM nn) AS n_nodes FROM (
+        SELECT doc_id, deg, pr,
+               row_number() OVER (ORDER BY pr DESC, doc_id) AS rnk
+        FROM pr3
+    ) WHERE rnk <= 15
+    """,
+)
+def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (3 damped iterations, d=0.85) over the near-dup pair
+    graph — centrality-ranked canonical candidates: the highest-PR doc
+    in a near-dup neighborhood is the one most corroborated by other
+    duplicates, a better survivor-policy signal than lowest-id when
+    sources disagree. Also the repo's iterative-dataflow witness beyond
+    pointer-jumping CC: rank state joins against a static edge frame
+    each round instead of mutating per-node state.
+
+    Scale: each iteration shuffles only the SPARSE pair graph (edges ⋈
+    rank on src, then a dst-keyed sum) — the corpus is touched once
+    inside the shared LSH pipeline; at 1000 executors the edge frame
+    partitions on src and iterations reuse that partitioning. Fixed
+    iteration count keeps lineage bounded (production loops past ~10
+    rounds localCheckpoint per round like operators/components.py).
+    The node-count collect is one scalar (like the BPE best-pair and
+    centroid fetches — driver state, shipped back as a literal).
+
+    Parity: the ONLY order-nondeterministic float step is the per-node
+    contribution sum; addends are pre-rounded to the 1e-9 grid so the
+    true sum sits ON the grid and re-rounding at grid precision erases
+    summation-order noise (NOTES.md grid-sum rule); everything else is
+    single IEEE ops over bit-identical operands, unrolled identically
+    in the oracle."""
+    from ..core.session import cache_parallelism
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .coalesce(cache_parallelism(spark))
+        .cache()  # static per-iteration join side (and the degree census)
+    )
+    nodes = (
+        edges.groupBy("src")
+        .agg(F.count("*").alias("deg"))
+        .select(F.col("src").alias("doc_id"), "deg")
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    n = nodes.count()  # one scalar — the |V| every PR formulation needs
+    pr = nodes.select(
+        "doc_id", "deg", F.round(F.lit(1.0) / F.lit(n), 9).alias("pr")
+    )
+    for _ in range(3):
+        contrib = edges.join(pr, edges.src == pr.doc_id).select(
+            F.col("dst").alias("doc_id"),
+            F.round(F.col("pr") / F.col("deg"), 9).alias("c"),
+        )
+        s = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 9).alias("s"))
+        pr = nodes.join(s, "doc_id", "left").select(
+            "doc_id",
+            "deg",
+            F.round(
+                F.lit(0.15) / F.lit(n)
+                + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
+                9,
+            ).alias("pr"),
+        )
+    w = Window.orderBy(F.col("pr").desc(), "doc_id")
+    return (
+        pr.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 15)
+        .select("doc_id", "deg", "pr", "rnk", F.lit(n).alias("n_nodes"))
+    )

@@ -792,3 +792,106 @@ def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("dcg") / F.col("idcg"), 6).alias("ndcg"),
         )
     )
+
+
+@query(
+    "bpe_merge_pairs",
+    oracle="""
+    WITH words AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    r1 AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM (
+            SELECT substr(w, i + 1, 2) AS pair, c
+            FROM words, UNNEST(range(len(w) - 1)) AS t(i)
+        ) GROUP BY pair
+    ),
+    best AS (SELECT pair FROM r1 ORDER BY n_occ DESC, pair LIMIT 1),
+    merged AS (SELECT replace(w, (SELECT pair FROM best), 'A') AS w, c
+               FROM words),
+    r2 AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM (
+            SELECT substr(w, i + 1, 2) AS pair, c
+            FROM merged, UNNEST(range(len(w) - 1)) AS t(i)
+        ) GROUP BY pair
+    ),
+    top1 AS (SELECT 1 AS round, pair, n_occ,
+                    row_number() OVER (ORDER BY n_occ DESC, pair) AS rn
+             FROM r1),
+    top2 AS (SELECT 2 AS round, pair, n_occ,
+                    row_number() OVER (ORDER BY n_occ DESC, pair) AS rn
+             FROM r2)
+    SELECT round, rn, pair, n_occ FROM top1 WHERE rn <= 10
+    UNION ALL
+    SELECT round, rn, pair, n_occ FROM top2 WHERE rn <= 10
+    """,
+)
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer training on-cluster — the first two merge rounds.
+
+    The scale trick is the published one (Sennrich et al. 2016 impl
+    note): pair statistics are computed over the DISTINCT-WORD table
+    weighted by word frequency, never by rescanning the corpus — one
+    corpus-wide wordcount shuffle up front, then every merge round
+    touches only |vocab| rows (~1e5-1e6 regardless of corpus size, the
+    100 TB invariant). Round 2 re-counts after applying the best round-1
+    merge with left-to-right non-overlapping `replace` (both engines'
+    replace semantics — exactly BPE's greedy merge order); the merged
+    pair becomes the single symbol 'A' (absent from the lowercase
+    corpus) so adjacent-symbol pairs stay char-bigrams.
+
+    The driver-bounded 1-row collect of the best pair mirrors what a
+    real BPE trainer does per round (the merge table IS driver state —
+    it ships to executors as a literal, like broadcast centroids).
+
+    Parity: integer counts only; ranking is (count DESC, pair) — fully
+    tie-broken; both top-10 cuts happen after identical ranks."""
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    # dual-use across both rounds: cache so the corpus wordcount shuffle
+    # runs once (the trainer keeps vocab resident between merge rounds).
+    words = words.cache()
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        return (
+            # length guard BEFORE sequence(): for a 1-char word
+            # sequence(0, -1) would generate a DESCENDING range
+            wdf.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.length("w") - 2),
+                        lambda i: F.col("w").substr(i + 1, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("n_occ"))
+        )
+
+    r1 = pair_counts(words).cache()
+    best = r1.orderBy(F.col("n_occ").desc(), "pair").limit(1).collect()[0].pair
+    merged = words.select(F.replace("w", F.lit(best), F.lit("A")).alias("w"), "c")
+    r2 = pair_counts(merged)
+    from pyspark.sql import Window
+
+    w_rank = Window.orderBy(F.col("n_occ").desc(), "pair")
+    top1 = (
+        r1.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .select(F.lit(1).alias("round"), "rn", "pair", "n_occ")
+    )
+    top2 = (
+        r2.withColumn("rn", F.row_number().over(w_rank))
+        .where(F.col("rn") <= 10)
+        .select(F.lit(2).alias("round"), "rn", "pair", "n_occ")
+    )
+    return top1.unionAll(top2)

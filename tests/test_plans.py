@@ -390,3 +390,30 @@ def test_cohort_retention_single_scan_no_join(spark, sf_dir):
     for join_op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin",
                     "BroadcastNestedLoopJoin"):
         assert _n_nodes(plan, join_op) == 0, join_op
+
+
+def test_cogroup_order_fill_plan(spark, sf_dir):
+    """cogroup: both relations co-partition on the key feeding ONE
+    FlatMapCoGroupsInPandas (Arrow cogrouped-map, never BatchEvalPython),
+    plus the 3-group rollup — at most 3 exchanges total."""
+    plan = _formatted(spark, QUERIES["cogroup_order_fill"](spark, sf_dir))
+    assert _n_nodes(plan, "FlatMapCoGroupsInPandas") == 1
+    assert _n_nodes(plan, "Exchange") <= 3
+    assert "BatchEvalPython" not in plan
+
+
+def test_heavy_hitters_sketch_partial_merge(spark, sf_dir):
+    """approx_top_k: the sketch aggregate must show a partial (map-side)
+    phase before the single-row final merge — only sketches cross the
+    shuffle, never the token stream."""
+    plan = _formatted(spark, QUERIES["heavy_hitters_topk"](spark, sf_dir))
+    assert "partial_approx_top_k" in plan
+
+
+def test_pagerank_shuffles_edges_not_corpus(spark, sf_dir):
+    """pagerank: corpus-side scans appear only inside the (cached) LSH
+    pair pipeline; the 3 iterations join rank state to the cached edge
+    frame (InMemoryTableScan), so per-round cost is the sparse graph."""
+    plan = _formatted(spark, QUERIES["pagerank_neardup"](spark, sf_dir))
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
