@@ -166,6 +166,16 @@ HEADLINE = [
     "neardup_triangle_stats",
     "bm25_ndcg_eval",
     "score_calibration_bins",
+    # round 5 third-pass additions
+    "semdedup_prune",
+    "bpe_merge_pairs",
+    "pagerank_neardup",
+    "cogroup_order_fill",
+    "heavy_hitters_topk",
+    "streaming_outer_join",
+    "dsir_select",
+    "streaming_pysource_counts",
+    "doc_entropy_stats",
 ]
 
 

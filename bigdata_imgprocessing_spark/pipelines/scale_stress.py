@@ -221,3 +221,109 @@ def run_scale_stress(
         "n_triangles": tr.n_triangles,
     }
     return metrics
+
+
+def run_scale_stress_r5c(
+    spark: SparkSession, scaled_dir: str
+) -> dict[str, dict[str, float]]:
+    """Round-5 third-pass growth curves over the scaled DOCUMENT corpus:
+    PageRank (per-iteration cost must track the sparse pair graph, like
+    the CC closure and triangle census) and BPE pair counting (cost must
+    track |vocab|, which the suffixed replicas inflate by ~factor —
+    the harness's worst case; real corpora grow vocab sublinearly)."""
+    from ..queries.dedup import pagerank_neardup
+    from ..queries.text import bpe_merge_pairs
+
+    metrics: dict[str, dict[str, float]] = {}
+
+    t0 = time.perf_counter()
+    pr = pagerank_neardup(spark, scaled_dir).collect()
+    metrics["pagerank_neardup"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "n_nodes": pr[0].n_nodes if pr else 0,
+        "top_pr": pr[0].pr if pr else 0.0,
+    }
+
+    t0 = time.perf_counter()
+    bp = bpe_merge_pairs(spark, scaled_dir).collect()
+    metrics["bpe_merge_pairs"] = {
+        "secs": round(time.perf_counter() - t0, 2),
+        "top_pair_occ": max(r.n_occ for r in bp),
+    }
+    return metrics
+
+
+def build_scaled_embeddings(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    factor: int = 10,
+    plant_every: int = 20,
+    dim: int = 64,
+) -> int:
+    """Write ``out_dir/embeddings.parquet`` at ``factor``× the base
+    corpus: replica r=0 keeps the original vector; r>0 replicas are
+    FRESH deterministic pseudo-random vectors (xxhash64(vec_id, rep, d)
+    mapped to [-0.5, 0.5] — covering the base marginal, near-zero
+    expected cosine to everything, so scaled-corpus neighbor structure
+    mirrors the base instead of degenerating into clone balls). Every
+    ``plant_every``-th base vector additionally gets ONE planted
+    near-dup (vector + 1% of itself on the first dim → cosine ≈ 1).
+    Labels hash-distribute over the base label alphabet. Returns the
+    scaled row count."""
+    emb = table(spark, sf_dir, "embeddings")
+    stride = factor + 1
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("rep"))
+    dims = F.sequence(F.lit(0), F.lit(dim - 1))
+    fresh = F.transform(
+        dims,
+        lambda d: (
+            (F.xxhash64(F.col("vec_id"), F.col("rep"), d) % 50001) / 100000.0
+        ).cast("float"),
+    )
+    scaled = emb.crossJoin(F.broadcast(reps)).select(
+        (F.col("vec_id") * stride + F.col("rep")).alias("vec_id"),
+        F.when(F.col("rep") == 0, F.col("embedding")).otherwise(fresh).alias(
+            "embedding"
+        ),
+        F.when(F.col("rep") == 0, F.col("label"))
+        .otherwise((F.abs(F.xxhash64(F.col("vec_id"), F.col("rep"))) % 10).cast("int"))
+        .alias("label"),
+    )
+    planted = emb.where(F.col("vec_id") % plant_every == 0).select(
+        (F.col("vec_id") * stride + F.lit(factor)).alias("vec_id"),
+        F.transform(
+            F.col("embedding"),
+            lambda x, i: F.when(i == 0, (x * 1.01).cast("float")).otherwise(x),
+        ).alias("embedding"),
+        "label",
+    )
+    out = scaled.unionByName(planted)
+    out.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
+    return out.count()
+
+
+def run_semdedup_scale(
+    spark: SparkSession, emb_dir: str, k_cells: int
+) -> dict[str, float]:
+    """SemDeDup prune cost on a (scaled) embeddings corpus with a
+    LEARNED k-cell quantizer — the k ~ sqrt(N) knob is the whole scale
+    story: per-cell pair work is (N/k)^2 * k = N^2/k, so growing k with
+    the corpus keeps the quadratic bounded while fixed k lets it
+    explode. Returns wall seconds plus the prune ledger facts."""
+    from ..operators.ivf import build_ivf_index
+    from ..queries.similarity import semdedup_ledger
+
+    emb = spark.read.parquet(os.path.join(emb_dir, "embeddings.parquet"))
+    t0 = time.perf_counter()
+    indexed, _model = build_ivf_index(emb, k=k_cells)
+    indexed = indexed.select("vec_id", "cell", "embedding")
+    ledger = semdedup_ledger(indexed).collect()
+    secs = round(time.perf_counter() - t0, 2)
+    return {
+        "secs": secs,
+        "k_cells": k_cells,
+        "n_vecs": sum(r.n_vecs for r in ledger),
+        "n_removed": sum(r.n_removed for r in ledger),
+        "max_cell": max(r.n_vecs for r in ledger),
+    }

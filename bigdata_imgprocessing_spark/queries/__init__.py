@@ -30,7 +30,8 @@ from . import timeseries  # noqa: F401  (registration side effect)
 _PRIORITY = [
     # (1) new round-5 queries — first CORRECTNESS row pending.
     "semdedup_prune", "bpe_merge_pairs", "pagerank_neardup",
-    "cogroup_order_fill", "heavy_hitters_topk",
+    "cogroup_order_fill", "heavy_hitters_topk", "streaming_outer_join",
+    "dsir_select", "streaming_pysource_counts", "doc_entropy_stats",
     "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
     "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
     "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",

@@ -542,3 +542,219 @@ def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.abs(z) > 1.96)
         .alias("significant_95"),
     )
+
+
+@query(
+    "dsir_select",
+    oracle="""
+    WITH occ AS (
+        SELECT doc_id, source, w AS word
+        FROM documents, UNNEST(string_split(text, ' ')) AS t(w)
+    ), vocab AS (
+        SELECT word, count(*) AS cnt_r FROM occ GROUP BY word
+    ), tvocab AS (
+        SELECT word, count(*) AS cnt_t FROM occ WHERE source = 'src0'
+        GROUP BY word
+    ), consts AS (
+        SELECT (SELECT CAST(sum(cnt_r) AS BIGINT) FROM vocab) AS tot_r,
+               (SELECT CAST(count(*) AS BIGINT) FROM occ WHERE source = 'src0') AS tot_t,
+               (SELECT count(*) AS v FROM vocab) AS v
+    ), delta AS (
+        SELECT vocab.word,
+               round(ln((coalesce(tvocab.cnt_t, 0) + 1) * 1.0 / (tot_t + v)), 6)
+               - round(ln((cnt_r + 1) * 1.0 / (tot_r + v)), 6) AS d
+        FROM vocab LEFT JOIN tvocab USING (word), consts
+    ), pd AS (
+        SELECT o.doc_id, o.source,
+               round(sum(d.d), 6) AS s6,
+               count(*) AS nw
+        FROM occ o JOIN delta d USING (word) GROUP BY o.doc_id, o.source
+    ), thr AS (
+        SELECT quantile_cont(s6 / nw, 0.75) AS thr FROM pd
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE s6 / nw > thr) AS BIGINT) AS n_selected,
+           round(sum(s6), 6) AS total_logweight
+    FROM pd, thr GROUP BY source
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023, deterministic
+    variant): importance weights from a target-domain unigram LM vs the
+    raw-corpus LM — per-word log-ratio ln p_target(w) − ln p_raw(w)
+    (both Laplace-smoothed over the shared vocabulary), per-doc score =
+    mean log-ratio over token occurrences, keep the top quartile. The
+    paper resamples with Gumbel noise; the deterministic top-fraction
+    cut is what an oracle can check, and the noise is a one-line add at
+    the sampling site. Target domain here: source 'src0' — the
+    per-source selection-rate audit makes the method's behavior visible
+    (the target source should over-select; a flat rate means the LMs
+    collapsed together).
+
+    Float parity: exactly the ``unigram_logprob_filter`` contract —
+    each libm ln() rounds to the 1e-6 grid before any combination, the
+    per-doc SUM of grid deltas re-rounds at grid precision, and the
+    doc score is the unrounded s6/nw quotient of bit-identical
+    operands; no off-grid value is ever rounded.
+
+    Scale: two wordcount shuffles (corpus + target — the target one
+    touches only target occurrences), one broadcastable |vocab|-row
+    delta table joined back onto occurrences map-side, one doc-keyed
+    shuffle, a 1-row percentile broadcast. At 100 TB the delta table is
+    the only state that grows with vocabulary, not corpus."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    occ = d.select(
+        "doc_id", "source", F.explode(F.split("text", " ")).alias("word")
+    )
+    # cache(): vocab feeds tot_r, V, and the delta projection (one
+    # wordcount shuffle, three consumers); tvocab likewise.
+    vocab = (
+        occ.groupBy("word")
+        .agg(F.count("*").alias("cnt_r"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    tvocab = (
+        occ.where(F.col("source") == "src0")
+        .groupBy("word")
+        .agg(F.count("*").alias("cnt_t"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    consts = (
+        vocab.agg(
+            F.sum("cnt_r").alias("tot_r"), F.count("*").alias("v")
+        )
+        .crossJoin(F.broadcast(tvocab.agg(F.sum("cnt_t").alias("tot_t"))))
+    )
+    delta = (
+        vocab.join(tvocab, "word", "left")
+        .crossJoin(F.broadcast(consts))
+        .select(
+            "word",
+            (
+                F.round(
+                    F.log(
+                        (F.coalesce("cnt_t", F.lit(0)) + 1)
+                        * F.lit(1.0)
+                        / (F.col("tot_t") + F.col("v"))
+                    ),
+                    6,
+                )
+                - F.round(
+                    F.log(
+                        (F.col("cnt_r") + 1) * F.lit(1.0)
+                        / (F.col("tot_r") + F.col("v"))
+                    ),
+                    6,
+                )
+            ).alias("d"),
+        )
+    )
+    pd = (
+        occ.join(delta, "word")
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.sum("d"), 6).alias("s6"), F.count("*").alias("nw"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    score = F.col("s6") / F.col("nw")  # unrounded: bit-identical quotient
+    thr = pd.agg(F.percentile(score, F.lit(0.75)).alias("thr"))
+    return (
+        pd.crossJoin(F.broadcast(thr))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((score > F.col("thr")).cast("int")).cast("bigint").alias(
+                "n_selected"
+            ),
+            F.round(F.sum("s6"), 6).alias("total_logweight"),
+        )
+    )
+
+
+@query(
+    "doc_entropy_stats",
+    oracle="""
+    WITH ch AS (
+        SELECT doc_id, lang, c, count(*) AS cnt
+        FROM (SELECT doc_id, lang, unnest(string_split(text, '')) AS c
+              FROM documents)
+        WHERE c <> '' GROUP BY doc_id, lang, c
+    ), pd AS (
+        SELECT doc_id, lang,
+               CAST(sum(cnt) AS BIGINT) AS n,
+               round(sum(cnt * round(ln(cnt), 6)), 6) AS s6
+        FROM ch GROUP BY doc_id, lang
+    ), h AS (
+        SELECT doc_id, lang,
+               round(round(ln(n), 6) - s6 / n, 6) AS h6
+        FROM pd
+    ), thr AS (SELECT quantile_cont(h6, 0.25) AS thr FROM h)
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE h6 < thr) AS BIGINT) AS n_low_entropy,
+           round(sum(h6), 6) AS total_entropy,
+           round(min(h6), 6) AS min_entropy,
+           round(max(h6), 6) AS max_entropy
+    FROM h, thr GROUP BY lang
+    """,
+)
+def doc_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal (the Gopher-rule family's
+    repetition detector): per-document Shannon entropy over the char
+    distribution, H = ln(n) − (Σ c·ln c)/n — boilerplate and
+    template-stamped docs sit in the low tail; docs below the corpus
+    25th percentile are flagged, rolled up per language with the
+    entropy range.
+
+    Float parity: each libm ln rounds to the 1e-6 grid; Σ c·ln6(c) is a
+    sum of integer multiples of grid values re-rounded at grid
+    precision (grid-sum rule); per-doc H re-rounds the single IEEE
+    combination of bit-identical operands, making H itself grid for the
+    lang-level SUM; the percentile threshold interpolates between grid
+    values identically on both engines.
+
+    Scale: one corpus scan; the (doc, char) census explodes ≤ |alphabet|
+    rows per doc (bounded fan-out, unlike token explosion); per-doc and
+    per-lang rollups are two narrow shuffles; threshold is a 1-row
+    broadcast."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    ch = (
+        d.select("doc_id", "lang", F.explode(F.split("text", "")).alias("c"))
+        .where(F.col("c") != "")
+        .groupBy("doc_id", "lang", "c")
+        .agg(F.count("*").alias("cnt"))
+    )
+    pd = ch.groupBy("doc_id", "lang").agg(
+        F.sum("cnt").alias("n"),
+        F.round(
+            F.sum(F.col("cnt") * F.round(F.log("cnt"), 6)), 6
+        ).alias("s6"),
+    )
+    h = pd.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.round(F.log("n"), 6) - F.col("s6") / F.col("n"), 6
+        ).alias("h6"),
+    ).coalesce(cache_parallelism(spark)).cache()  # feeds threshold + rollup
+    thr = h.agg(F.percentile("h6", F.lit(0.25)).alias("thr"))
+    return (
+        h.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum((F.col("h6") < F.col("thr")).cast("int")).cast("bigint").alias(
+                "n_low_entropy"
+            ),
+            F.round(F.sum("h6"), 6).alias("total_entropy"),
+            F.round(F.min("h6"), 6).alias("min_entropy"),
+            F.round(F.max("h6"), 6).alias("max_entropy"),
+        )
+    )

@@ -1163,6 +1163,56 @@ def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SEMDEDUP_TAU = 0.35
 
 
+def semdedup_ledger(indexed: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame:
+    """Core SemDeDup prune over a cell-assigned corpus: ``indexed`` needs
+    (vec_id, cell, embedding). Within each cell, a vector with any
+    lower-id neighbor at cosine >= tau is a semantic duplicate; returns
+    the per-cell ledger (cell, n_vecs, n_removed, n_kept, pct_removed).
+    Shared by the oracle-checked ``semdedup_prune`` (SQL-reproducible
+    per-label centroids) and the scale-stress harness (learned KMeans
+    quantizer with k ~ sqrt(N) — the knob that bounds the quadratic)."""
+    indexed = indexed.select(
+        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    # dual-use frame (both sides of the self-join + the per-cell census):
+    # cache so the assignment pass runs once, as the minhash family
+    # caches its candidate frames (queries/dedup.py).
+    indexed = indexed.cache()
+    a = indexed.select(
+        F.col("vec_id").alias("aid"), "cell",
+        F.col("embedding").alias("ae"), F.col("en").alias("an"),
+    )
+    b = indexed.select(
+        F.col("vec_id").alias("rid"), F.col("cell").alias("bcell"),
+        F.col("embedding").alias("be"), F.col("en").alias("bn"),
+    )
+    removed = (
+        a.join(b, (F.col("cell") == F.col("bcell")) & (F.col("aid") < F.col("rid")))
+        .where(
+            F.round(
+                dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
+            ) >= F.lit(tau)
+        )
+        .select("cell", "rid")
+        .distinct()
+        .groupBy("cell")
+        .agg(F.count("*").alias("n_removed"))
+    )
+    census = indexed.groupBy("cell").agg(F.count("*").alias("n_vecs"))
+    return (
+        census.join(removed, "cell", "left")
+        .select(
+            "cell",
+            "n_vecs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
+            F.round(
+                F.coalesce("n_removed", F.lit(0)) * F.lit(1.0) / F.col("n_vecs"), 4
+            ).alias("pct_removed"),
+        )
+    )
+
+
 @query(
     "semdedup_prune",
     oracle=f"""
@@ -1258,43 +1308,5 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rows = cent.collect()  # k rows — quantizer-bounded, like clusterCenters()
     centers = [r.cv for r in sorted(rows, key=lambda r: r.label)]
-    indexed = assign_cells(e.select("vec_id", "embedding"), centers).select(
-        "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("en")
-    )
-    # dual-use frame (both sides of the self-join + the per-cell census):
-    # cache so the Arrow assignment pass runs once, as the minhash family
-    # caches its candidate frames (queries/dedup.py).
-    indexed = indexed.cache()
-    a = indexed.select(
-        F.col("vec_id").alias("aid"), "cell",
-        F.col("embedding").alias("ae"), F.col("en").alias("an"),
-    )
-    b = indexed.select(
-        F.col("vec_id").alias("rid"), F.col("cell").alias("bcell"),
-        F.col("embedding").alias("be"), F.col("en").alias("bn"),
-    )
-    removed = (
-        a.join(b, (F.col("cell") == F.col("bcell")) & (F.col("aid") < F.col("rid")))
-        .where(
-            F.round(
-                dot(F.col("ae"), F.col("be")) / (F.col("an") * F.col("bn")), 6
-            ) >= F.lit(_SEMDEDUP_TAU)
-        )
-        .select("cell", "rid")
-        .distinct()
-        .groupBy("cell")
-        .agg(F.count("*").alias("n_removed"))
-    )
-    census = indexed.groupBy("cell").agg(F.count("*").alias("n_vecs"))
-    return (
-        census.join(removed, "cell", "left")
-        .select(
-            "cell",
-            "n_vecs",
-            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
-            (F.col("n_vecs") - F.coalesce("n_removed", F.lit(0))).alias("n_kept"),
-            F.round(
-                F.coalesce("n_removed", F.lit(0)) * F.lit(1.0) / F.col("n_vecs"), 4
-            ).alias("pct_removed"),
-        )
-    )
+    indexed = assign_cells(e.select("vec_id", "embedding"), centers)
+    return semdedup_ledger(indexed)

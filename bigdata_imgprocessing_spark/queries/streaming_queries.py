@@ -555,3 +555,159 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     return _rolling_sketch_audit(ud, sk)
+
+
+@query(
+    "streaming_outer_join",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+           CAST(floor(epoch(date_trunc('second', p.ts))) -
+                floor(epoch(date_trunc('second', c.ts))) AS BIGINT) AS secs_between,
+           p.event_id IS NOT NULL AS matched
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click'
+    """,
+)
+def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the half of two-stream
+    joins ``streaming_interval_join`` doesn't cover: matched rows emit
+    immediately, but an UNMATCHED click may only emit (with nulls) once
+    the join watermark proves no future purchase can pair with it.
+    That proof never arrives on a quiesced finite feed — the classic
+    last-batch outer-join pitfall — so the feed stages two trailing
+    sentinel batches (far-future click+purchase, user_id -1, mtime-
+    ordered under maxFilesPerTrigger=1): sentinel batch 1 advances each
+    side's max event time, and because watermarks take effect one
+    micro-batch later, sentinel batch 2 is what evicts the expired left
+    state and flushes the null-padded rows. Sentinels flow through the
+    watermark operators AND the join (they pair only with each other)
+    and are dropped from the drained batch result — filtering them
+    pre-join is NOT possible: Catalyst pushes such a filter below
+    EventTimeWatermark, pinning the watermark at real-data max.
+    Drained, the result must equal the batch LEFT JOIN (oracle) —
+    missing outer rows fail the row count.
+
+    Scale: both watermarks + the time-range predicate bound the join
+    state exactly as in the inner variant; the sentinel trick is
+    test-harness-only (a production feed keeps advancing on its own)."""
+    import os as _os
+    import shutil as _sh
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_soj")
+    feed = f"{root}/feed"
+    if not _os.path.exists(_os.path.join(feed, "_STAGED")):
+        _sh.rmtree(feed, ignore_errors=True)
+        _os.makedirs(feed, exist_ok=True)
+        real = (
+            table(spark, sf_dir, "events")
+            .where(F.col("event_type").isin("click", "purchase"))
+            .select("event_id", "user_id", "event_type", "ts")
+        )
+        tmp = f"{root}/stage"
+        real.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/real")
+        sent = spark.createDataFrame(
+            [(-1, -1, "click", "2099-01-01 00:00:00"),
+             (-2, -1, "purchase", "2099-01-01 00:00:00")],
+            "event_id long, user_id long, event_type string, ts_s string",
+        ).select("event_id", "user_id", "event_type",
+                 F.to_timestamp("ts_s").alias("ts"))
+        sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent1")
+        sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent2")
+        t0 = 1_700_000_000
+        for i, part in enumerate(("real", "sent1", "sent2")):
+            src = next(
+                f for f in _os.listdir(f"{tmp}/{part}") if f.endswith(".parquet")
+            )
+            dst = _os.path.join(feed, f"{i}_{part}.parquet")
+            _sh.copyfile(_os.path.join(tmp, part, src), dst)
+            _os.utime(dst, (t0 + 60 * i, t0 + 60 * i))  # mtime = batch order
+        _sh.rmtree(tmp, ignore_errors=True)
+        open(_os.path.join(feed, "_STAGED"), "w").close()
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    clicks = (
+        stream.where(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "1 hour")
+    )
+    purchases = (
+        stream.where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "1 hour")
+    )
+    j = clicks.join(
+        purchases,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    )
+    out = j.select(
+        "click_id",
+        "purchase_id",
+        (
+            F.unix_timestamp(F.date_trunc("second", "purchase_ts"))
+            - F.unix_timestamp(F.date_trunc("second", "click_ts"))
+        ).alias("secs_between"),
+        F.col("purchase_id").isNotNull().alias("matched"),
+    )
+    # Sentinels flow through the watermark operators AND the join (a
+    # pre-join filter would be pushed below EventTimeWatermark by
+    # Catalyst, silently pinning the watermark at real-data max — the 4
+    # youngest unmatched clicks never flushed until this was moved
+    # post-drain); the pair of 2099 rows match each other and are
+    # dropped here from the materialized batch result.
+    return run_to_memory(out, mode="append").where(F.col("click_id") >= 0)
+
+
+@query(
+    "streaming_pysource_counts",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The custom Python STREAMING data source end-to-end
+    (sources/pystream_source.py): a row-group-offset tail over the
+    events parquet drains through the full micro-batch machinery into a
+    grouped aggregation, and the result must equal batch SQL over the
+    same table — offsets, partition planning, executor-side row-group
+    reads, and Arrow row transport all value-checked in one hash. The
+    distributed ``DataSourceStreamReader`` protocol is the surface
+    under test; see the module docstring for the availableNow
+    single-batch fallback note."""
+    from ..sources.pystream_source import EventTailDataSource
+
+    ensure_utc(spark)
+    try:  # idempotent across repeated query invocations in one session
+        spark.dataSource.register(EventTailDataSource)
+    except Exception:
+        pass
+    s = (
+        spark.readStream.format("eventtail")
+        .option("path", f"{sf_dir}/events.parquet")
+        .load()
+    )
+    agg = s.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, mode="complete")

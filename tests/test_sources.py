@@ -623,3 +623,59 @@ def test_erasure_sink_multibatch_idempotent_and_restart(spark, tmp_path):
     final = read_final_state(spark, out)
     assert {r.user_id for r in final.collect()} == {3, 4}
     assert final.count() == 8
+
+
+def test_pystream_source_rowgroup_offsets(spark, sf_dir):
+    """The streaming Python source's offset/partition protocol directly:
+    initial offset 0, latest = row-group count, one partition per row
+    group in a sub-range, and a partition read returns exactly that row
+    group's rows."""
+    import pyarrow.parquet as pq
+
+    from bigdata_imgprocessing_spark.sources.pystream_source import (
+        EventTailStreamReader,
+    )
+
+    path = f"{sf_dir}/events.parquet"
+    r = EventTailStreamReader(path)
+    n_rg = pq.ParquetFile(path).metadata.num_row_groups
+    assert r.initialOffset() == {"rg": 0}
+    assert r.latestOffset() == {"rg": n_rg}
+    parts = r.partitions({"rg": 0}, {"rg": n_rg})
+    assert len(parts) == n_rg
+    rows = list(r.read(parts[0]))
+    assert len(rows) == pq.ParquetFile(path).metadata.row_group(0).num_rows
+    assert len(rows[0]) == 4  # (event_id, user_id, event_type, value)
+
+
+def test_bpe_pair_counts_match_python_reference(spark):
+    """BPE round-1 pair statistics vs a plain-Python reference on a tiny
+    vocabulary, including the weighting by word frequency and the 1-char
+    word guard."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    words = [("hash", 3), ("sash", 2), ("a", 5), ("hh", 1)]
+    ref = Counter()
+    for w, c in words:
+        for i in range(len(w) - 1):
+            ref[w[i : i + 2]] += c
+
+    wdf = spark.createDataFrame(words, "w string, c long")
+    got = (
+        wdf.where(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.length("w") - 2),
+                    lambda i: F.col("w").substr(i + 1, F.lit(2)),
+                )
+            ).alias("pair"),
+            "c",
+        )
+        .groupBy("pair")
+        .agg(F.sum("c").alias("n"))
+        .collect()
+    )
+    assert {r.pair: r.n for r in got} == dict(ref)
