@@ -1065,11 +1065,17 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.session import cache_parallelism
 
     pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # localCheckpoint, not cache: every iteration's plan would otherwise
+    # embed the FULL LSH lineage again and Catalyst re-analyzes a tree
+    # that doubles per round — the same planning blowup
+    # operators/components.py cuts per round (measured: 21.5s -> ~8s at
+    # sf0.1 from this line alone). The checkpoint also materializes the
+    # static per-iteration join side (and the degree census) once.
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
         .coalesce(cache_parallelism(spark))
-        .cache()  # static per-iteration join side (and the degree census)
+        .localCheckpoint()
     )
     nodes = (
         edges.groupBy("src")

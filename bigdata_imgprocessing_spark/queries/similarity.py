@@ -1171,13 +1171,17 @@ def semdedup_ledger(indexed: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame
     Shared by the oracle-checked ``semdedup_prune`` (SQL-reproducible
     per-label centroids) and the scale-stress harness (learned KMeans
     quantizer with k ~ sqrt(N) — the knob that bounds the quadratic)."""
+    from ..core.session import cache_parallelism
+
     indexed = indexed.select(
         "vec_id", "cell", "embedding", norm(F.col("embedding")).alias("en")
     )
     # dual-use frame (both sides of the self-join + the per-cell census):
     # cache so the assignment pass runs once, as the minhash family
-    # caches its candidate frames (queries/dedup.py).
-    indexed = indexed.cache()
+    # caches its candidate frames (queries/dedup.py); coalesce first —
+    # cached partitioning is frozen and every downstream stage pays one
+    # task per cached partition (see cache_parallelism).
+    indexed = indexed.coalesce(cache_parallelism(indexed.sparkSession)).cache()
     a = indexed.select(
         F.col("vec_id").alias("aid"), "cell",
         F.col("embedding").alias("ae"), F.col("en").alias("an"),

@@ -87,9 +87,10 @@ class EventTailStreamReader(DataSourceStreamReader):
         tbl = pq.ParquetFile(partition.path).read_row_group(
             partition.rg, columns=_COLS
         )
-        for batch in tbl.to_batches():
-            cols = [batch.column(i).to_pylist() for i in range(batch.num_columns)]
-            yield from zip(*cols)
+        # yield Arrow RecordBatches directly (the Python DataSource API
+        # accepts them in place of tuple iterators): column-oriented
+        # zero-copy transport instead of per-row pickling
+        yield from tbl.to_batches()
 
     def commit(self, end):
         pass  # replayable source: nothing to release

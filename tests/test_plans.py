@@ -411,9 +411,12 @@ def test_heavy_hitters_sketch_partial_merge(spark, sf_dir):
 
 
 def test_pagerank_shuffles_edges_not_corpus(spark, sf_dir):
-    """pagerank: corpus-side scans appear only inside the (cached) LSH
-    pair pipeline; the 3 iterations join rank state to the cached edge
-    frame (InMemoryTableScan), so per-round cost is the sparse graph."""
+    """pagerank: the edge frame is localCheckpoint-ed so every
+    iteration's plan starts from an ExistingRDD scan of the sparse
+    graph (NOT a re-analysis of the whole LSH lineage — the iterative
+    planning blowup components.py also cuts); the degree census is the
+    cached node frame (InMemoryTableScan)."""
     plan = _formatted(spark, QUERIES["pagerank_neardup"](spark, sf_dir))
-    assert "InMemoryTableScan" in plan
+    assert "ExistingRDD" in plan  # checkpointed edges, lineage cut
+    assert "InMemoryTableScan" in plan  # cached nodes
     assert "CartesianProduct" not in plan

@@ -643,9 +643,11 @@ def test_pystream_source_rowgroup_offsets(spark, sf_dir):
     assert r.latestOffset() == {"rg": n_rg}
     parts = r.partitions({"rg": 0}, {"rg": n_rg})
     assert len(parts) == n_rg
-    rows = list(r.read(parts[0]))
-    assert len(rows) == pq.ParquetFile(path).metadata.row_group(0).num_rows
-    assert len(rows[0]) == 4  # (event_id, user_id, event_type, value)
+    batches = list(r.read(parts[0]))  # Arrow RecordBatches, not rows
+    assert sum(b.num_rows for b in batches) == pq.ParquetFile(
+        path
+    ).metadata.row_group(0).num_rows
+    assert batches[0].num_columns == 4  # event_id, user_id, event_type, value
 
 
 def test_bpe_pair_counts_match_python_reference(spark):

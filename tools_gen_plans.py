@@ -61,6 +61,13 @@ PICKS = {
     "backfill_partition_overwrite": "Dynamic partition overwrite: backfill touches ONE day=... directory; re-read audits the 29 untouched partitions under the hash.",
     "hard_negative_mining": "Hard negatives: label filter INSIDE the scoring pass (k never under-fills), anchors broadcast, corpus scanned once, per-anchor top-k heaps.",
     "bloom_prefilter_stats": "AMQ pre-filter: 1-row bucket-set broadcast onto the probe scan -- membership costs a hash + binary search per row, no semi-join shuffle of the big side.",
+    "semdedup_prune": "SemDeDup: one Arrow assignment pass, cached cell-indexed frame probed by both sides of the cell equi self-join -- the quadratic verify is cluster-local, never all-pairs.",
+    "bpe_merge_pairs": "BPE pair counts: ONE corpus wordcount shuffle cached across both merge rounds; per-round pair explosion runs over the distinct-word table only.",
+    "pagerank_neardup": "PageRank: localCheckpoint-ed sparse edge frame (lineage cut -- no LSH re-analysis per round), dst-keyed partial-agg sums; per-round cost is the pair graph.",
+    "cogroup_order_fill": "Cogroup: both relations exchange ONCE on a 64-way key bucket into FlatMapCoGroupsInPandas (per-entity logic vectorized inside pandas -- bucketing beats per-key calls 45x), then a 3-group rollup.",
+    "heavy_hitters_topk": "approx_top_k: partial sketch per partition (partial_approx_top_k), only sketches cross the shuffle; exact-regime audit joins the sketch against exact counts.",
+    "dsir_select": "DSIR: two wordcount shuffles (corpus + target-only), broadcast |vocab|-row delta table joined map-side onto occurrences, 1-row percentile broadcast.",
+    "doc_entropy_stats": "Char entropy: bounded |alphabet| fan-out per doc (not token explosion), two narrow shuffles, 1-row threshold broadcast.",
 }
 
 
