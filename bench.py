@@ -176,6 +176,8 @@ HEADLINE = [
     "dsir_select",
     "streaming_pysource_counts",
     "doc_entropy_stats",
+    "try_arithmetic_audit",
+    "streaming_dedup_within_watermark",
 ]
 
 

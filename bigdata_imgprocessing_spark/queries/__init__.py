@@ -32,6 +32,7 @@ _PRIORITY = [
     "semdedup_prune", "bpe_merge_pairs", "pagerank_neardup",
     "cogroup_order_fill", "heavy_hitters_topk", "streaming_outer_join",
     "dsir_select", "streaming_pysource_counts", "doc_entropy_stats",
+    "try_arithmetic_audit", "streaming_dedup_within_watermark",
     "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
     "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
     "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",

@@ -750,3 +750,64 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 10)
         .select("rnk", "word", "n_occ", "n_exact", "exact_match")
     )
+
+
+@query(
+    "try_arithmetic_audit",
+    oracle="""
+    WITH e AS (
+        SELECT event_type,
+               value,
+               CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        FROM events
+    ), x AS (
+        SELECT event_type, value, k,
+               value / nullif(k - 50, 0) AS safe_div,
+               TRY_CAST(CASE WHEN k % 3 = 0 THEN 'x' || CAST(k AS VARCHAR)
+                             ELSE CAST(k AS VARCHAR) END AS BIGINT) AS cast_k
+        FROM e
+    )
+    SELECT event_type,
+           count(*) AS n_events,
+           CAST(count(*) FILTER (WHERE safe_div IS NULL) AS BIGINT)
+               AS n_div_null,
+           round(sum(safe_div), 4) AS sum_safe_div,
+           CAST(count(*) FILTER (WHERE cast_k IS NULL) AS BIGINT)
+               AS n_bad_cast,
+           CAST(sum(cast_k) AS BIGINT) AS sum_cast_k
+    FROM x GROUP BY event_type
+    """,
+)
+def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The error-safe expression family (``try_divide``/``try_cast``) —
+    the ingest-hardening surface: a zero denominator or malformed
+    numeric yields NULL instead of killing the 100-TB job at task
+    40,000 of 40,001. Semantics pinned against ANSI equivalents the
+    oracle can state exactly: try_divide(x, d) ≡ x / NULLIF(d, 0) for
+    finite inputs, try_cast ≡ TRY_CAST; null-accounting columns prove
+    the failures actually occurred in the data (k=50 rows for the
+    divide, k%3=0 rows for the cast) rather than passing vacuously."""
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    x = e.select(
+        "event_type",
+        F.try_divide("value", F.col("k") - 50).alias("safe_div"),
+        F.when((F.col("k") % 3) == 0, F.concat(F.lit("x"), F.col("k")))
+        .otherwise(F.col("k").cast("string"))
+        .try_cast("bigint")
+        .alias("cast_k"),
+    )
+    return x.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("safe_div").isNull().cast("int")).cast("bigint").alias(
+            "n_div_null"
+        ),
+        F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
+        F.sum(F.col("cast_k").isNull().cast("int")).cast("bigint").alias(
+            "n_bad_cast"
+        ),
+        F.sum("cast_k").cast("bigint").alias("sum_cast_k"),
+    )

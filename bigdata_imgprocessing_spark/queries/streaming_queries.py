@@ -711,3 +711,69 @@ def streaming_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+@query(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_type, count(*) AS n_events,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dropDuplicatesWithinWatermark`` — the state-BOUNDED streaming
+    dedup (plain dropDuplicates keeps every key forever; the
+    within-watermark variant evicts keys once the watermark passes
+    them, the only sustainable form for an unbounded replay stream).
+    The feed stages the corpus plus a duplicated 1-in-5-user subset as
+    a LATER file (maxFilesPerTrigger=1 → the duplicates arrive in a
+    separate micro-batch, exercising real cross-batch dedup state).
+    The watermark delay (40 days) exceeds the corpus' 30-day event
+    span, so no dedup state can expire mid-drain and the result must
+    equal plain per-type stats over the ORIGINAL events (oracle) — any
+    re-emitted duplicate inflates a count and fails the hash. In a
+    continuous deployment the delay is the dup-arrival SLA, and state
+    size is (keys within delay), not (all keys ever)."""
+    import os as _os
+    import shutil as _sh
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_ddww")
+    feed = f"{root}/feed"
+    if not _os.path.exists(_os.path.join(feed, "_STAGED")):
+        _sh.rmtree(feed, ignore_errors=True)
+        _os.makedirs(feed, exist_ok=True)
+        e = table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts", "value"
+        )
+        tmp = f"{root}/stage"
+        e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/full")
+        e.where(F.col("user_id") % 5 == 0).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp}/dups")
+        t0 = 1_700_000_000
+        for i, part in enumerate(("full", "dups")):
+            src = next(
+                f for f in _os.listdir(f"{tmp}/{part}") if f.endswith(".parquet")
+            )
+            dst = _os.path.join(feed, f"{i}_{part}.parquet")
+            _sh.copyfile(_os.path.join(tmp, part, src), dst)
+            _os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
+        _sh.rmtree(tmp, ignore_errors=True)
+        open(_os.path.join(feed, "_STAGED"), "w").close()
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "*.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    deduped = stream.withWatermark("ts", "40 days").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    agg = deduped.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    return run_to_memory(agg, mode="complete")
