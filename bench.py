@@ -178,6 +178,8 @@ HEADLINE = [
     "doc_entropy_stats",
     "try_arithmetic_audit",
     "streaming_dedup_within_watermark",
+    "grouped_agg_udaf",
+    "sql_udf_price_bands",
 ]
 
 

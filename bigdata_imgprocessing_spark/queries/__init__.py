@@ -33,6 +33,7 @@ _PRIORITY = [
     "cogroup_order_fill", "heavy_hitters_topk", "streaming_outer_join",
     "dsir_select", "streaming_pysource_counts", "doc_entropy_stats",
     "try_arithmetic_audit", "streaming_dedup_within_watermark",
+    "grouped_agg_udaf", "sql_udf_price_bands",
     "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
     "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
     "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",

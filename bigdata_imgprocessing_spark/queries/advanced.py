@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import hashlib
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -810,4 +811,107 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bad_cast"
         ),
         F.sum("cast_k").cast("bigint").alias("sum_cast_k"),
+    )
+
+
+def _udaf_pair():
+    """Build the grouped-agg pandas UDFs lazily: ``F.pandas_udf`` with a
+    DDL return type resolves against the ACTIVE SparkSession, so a
+    module-level decorator would make importing this package require a
+    running session (it broke plain `import` in a fresh interpreter).
+    ``pandas`` must be imported at MODULE level: with
+    ``from __future__ import annotations`` the ``pd.Series`` hint is a
+    string that typing resolves against module globals."""
+
+    @F.pandas_udf("long")
+    def count_udaf(v: pd.Series) -> int:
+        # companion grouped-agg UDF: pandas and non-pandas aggregates
+        # cannot mix in one agg() (INVALID_PANDAS_UDF_PLACEMENT)
+        return len(v)
+
+    @F.pandas_udf("double")
+    def trimmed_sum_udaf(v: pd.Series) -> float:
+        # sum minus the extremes; all-grid 2dp arithmetic — exact parity
+        if len(v) == 0:
+            return 0.0
+        s = float(v.sum())
+        if len(v) >= 3:
+            s -= float(v.min()) + float(v.max())
+        return round(s, 2)
+
+    return count_udaf, trimmed_sum_udaf
+
+
+@query(
+    "grouped_agg_udaf",
+    oracle="""
+    SELECT o_orderstatus,
+           count(*) AS n_orders,
+           CASE WHEN count(*) >= 3
+                THEN round(sum(o_totalprice) - min(o_totalprice)
+                           - max(o_totalprice), 2)
+                ELSE round(sum(o_totalprice), 2)
+           END AS trimmed_spend
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def grouped_agg_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The grouped-aggregate pandas UDF — Python's UDAF: the function
+    receives each group's column as ONE pandas Series and returns a
+    scalar, usable directly inside ``groupBy().agg`` (and over
+    unbounded windows). Here a trimmed sum (drop the extremes) — an
+    aggregate whose imperative form is natural in numpy and whose SQL
+    equivalent the oracle states exactly, so the Arrow aggregate path
+    is value-checked, not just smoke-run.
+
+    Scale: grouped-agg UDFs shuffle each group to one task like any
+    hash aggregate but without map-side partial aggregation (the UDF is
+    a black box to Catalyst) — the trade to document: use built-ins
+    when partial-agg matters, use this surface when the per-group logic
+    doesn't decompose."""
+    count_udaf, trimmed_sum_udaf = _udaf_pair()
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        count_udaf("o_totalprice").alias("n_orders"),
+        trimmed_sum_udaf("o_totalprice").alias("trimmed_spend"),
+    )
+
+
+@query(
+    "sql_udf_price_bands",
+    oracle="""
+    SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS band,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders GROUP BY band
+    """,
+)
+def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined scalar function (``CREATE TEMPORARY FUNCTION ...
+    RETURNS ... RETURN expr`` — the Spark-4 catalog-function surface):
+    the banding logic lives as a named catalog object and INLINES into
+    the plan (pure Catalyst expression — zero UDF overhead, full
+    codegen/pushdown), which is why this beats a Python UDF for any
+    logic expressible as SQL. Idempotent via OR REPLACE; the oracle
+    states the inlined expression."""
+    spark.sql(
+        """
+        CREATE OR REPLACE TEMPORARY FUNCTION price_band(p DOUBLE)
+        RETURNS STRING
+        RETURN CASE WHEN p < 50000 THEN 'low'
+                    WHEN p < 150000 THEN 'mid'
+                    ELSE 'high' END
+        """
+    )
+    o = table(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT price_band(o_totalprice) AS band,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM {o} GROUP BY band
+        """,
+        o=o,
     )
