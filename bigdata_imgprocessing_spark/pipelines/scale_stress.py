@@ -327,3 +327,48 @@ def run_semdedup_scale(
         "n_removed": sum(r.n_removed for r in ledger),
         "max_cell": max(r.n_vecs for r in ledger),
     }
+
+
+def build_scaled_facts(
+    spark: SparkSession, sf_dir: str, out_dir: str, factor: int = 10
+) -> None:
+    """Write a ``factor``×-replicated copy of the FACT tables (lineitem,
+    orders, events) with remapped primary keys; dimension tables copy
+    through unchanged — the realistic growth shape (more transactions
+    per customer/part/supplier, not more customers). Gives the
+    relational/window/as-of headline queries an sf1-equivalent corpus:
+    orderkey → okey*stride+rep keeps orders⋈lineitem referential
+    integrity WITHIN each replica; event ts shifts by rep·7s so
+    windows/sessions see denser, interleaved activity, not clones."""
+    import shutil as _sh
+
+    stride = factor + 1
+    reps = spark.range(factor).select(F.col("id").cast("int").alias("rep"))
+    os.makedirs(out_dir, exist_ok=True)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "documents", "embeddings"):
+        src = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(src):
+            _sh.copyfile(src, os.path.join(out_dir, f"{t}.parquet"))
+
+    o = table(spark, sf_dir, "orders")
+    o.crossJoin(F.broadcast(reps)).select(
+        (F.col("o_orderkey") * stride + F.col("rep")).alias("o_orderkey"),
+        "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+        "o_orderpriority",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "orders.parquet"))
+
+    li = table(spark, sf_dir, "lineitem")
+    li.crossJoin(F.broadcast(reps)).select(
+        (F.col("l_orderkey") * stride + F.col("rep")).alias("l_orderkey"),
+        "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+        "l_linestatus", "l_shipdate",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "lineitem.parquet"))
+
+    e = table(spark, sf_dir, "events")
+    e.crossJoin(F.broadcast(reps)).select(
+        (F.col("event_id") * stride + F.col("rep")).alias("event_id"),
+        (F.col("ts") + F.make_interval(secs=F.col("rep") * 7)).alias("ts"),
+        "user_id", "event_type", "value", "props",
+    ).write.mode("overwrite").parquet(os.path.join(out_dir, "events.parquet"))
