@@ -68,6 +68,9 @@ PICKS = {
     "heavy_hitters_topk": "approx_top_k: partial sketch per partition (partial_approx_top_k), only sketches cross the shuffle; exact-regime audit joins the sketch against exact counts.",
     "dsir_select": "DSIR: two wordcount shuffles (corpus + target-only), broadcast |vocab|-row delta table joined map-side onto occurrences, 1-row percentile broadcast.",
     "doc_entropy_stats": "Char entropy: bounded |alphabet| fan-out per doc (not token explosion), two narrow shuffles, 1-row threshold broadcast.",
+    "grouped_agg_udaf": "Python UDAF: AggregateInPandas over one key shuffle -- no map-side partial agg (UDF is a black box to Catalyst), the documented trade vs built-ins.",
+    "sql_udf_price_bands": "SQL-defined function INLINES to a pure Catalyst CASE expression -- full codegen, zero UDF boundary in the plan.",
+    "try_arithmetic_audit": "try_divide/try_cast stay whole-stage-codegen JVM expressions -- error-safety without leaving the codegen span.",
 }
 
 
