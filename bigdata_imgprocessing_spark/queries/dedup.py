@@ -997,20 +997,24 @@ def neardup_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_SCALE = 1_000_000_000_000  # rank mass in 1e-12 units (fits BIGINT: 85*SCALE << 2^63)
+
+
 def _duck_pr_iter(prev: str, out: str) -> str:
-    """One unrolled PageRank iteration as a DuckDB CTE pair. Every
-    float step is grid-aligned (see the NOTES.md grid-sum rule): edge
-    contributions round to the 1e-9 grid BEFORE the order-nondeterministic
-    sum, the sum re-rounds at grid precision, and the damped update is
-    single IEEE ops over bit-identical operands on both engines."""
+    """One unrolled fixed-point PageRank iteration as a DuckDB CTE pair.
+    ALL arithmetic is BIGINT (rank mass in 1e-12 units, integer division
+    everywhere): sums are exact and order-free, so there is no float
+    rounding boundary anywhere for the engines to disagree on — the
+    property test caught the float formulation diverging at 9th-decimal
+    halves (pr/2 of an odd-last-digit grid value) before this."""
     return f"""{out}_s AS (
-        SELECT e.dst AS doc_id, round(sum(round(p.pr / p.deg, 9)), 9) AS s
+        SELECT e.dst AS doc_id, sum(p.pr // p.deg) AS s
         FROM edges e JOIN {prev} p ON e.src = p.doc_id GROUP BY e.dst
     ),
     {out} AS (
         SELECT v.doc_id, v.deg,
-               round(0.15::DOUBLE / (SELECT n FROM nn)
-                     + 0.85::DOUBLE * coalesce(s.s, 0.0::DOUBLE), 9) AS pr
+               CAST((15 * {_PR_SCALE} // (100 * (SELECT n FROM nn)))
+                    + (85 * coalesce(s.s, 0) // 100) AS BIGINT) AS pr
         FROM deg_nodes v LEFT JOIN {out}_s s USING (doc_id)
     )"""
 
@@ -1026,7 +1030,7 @@ def _duck_pr_iter(prev: str, out: str) -> str:
                   FROM edges GROUP BY src),
     nn AS (SELECT count(*) AS n FROM deg_nodes),
     pr0 AS (SELECT doc_id, deg,
-                   round(1.0::DOUBLE / (SELECT n FROM nn), 9) AS pr
+                   CAST({_PR_SCALE} // (SELECT n FROM nn) AS BIGINT) AS pr
             FROM deg_nodes),
     {_duck_pr_iter("pr0", "pr1")},
     {_duck_pr_iter("pr1", "pr2")},
@@ -1056,12 +1060,14 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     The node-count collect is one scalar (like the BPE best-pair and
     centroid fetches — driver state, shipped back as a literal).
 
-    Parity: the ONLY order-nondeterministic float step is the per-node
-    contribution sum; addends are pre-rounded to the 1e-9 grid so the
-    true sum sits ON the grid and re-rounding at grid precision erases
-    summation-order noise (NOTES.md grid-sum rule); everything else is
-    single IEEE ops over bit-identical operands, unrolled identically
-    in the oracle."""
+    Parity: FIXED-POINT — rank mass is a BIGINT in 1e-12 units and
+    every step is integer division/multiplication/sum, so results are
+    exact and summation-order-free with NO float rounding boundary
+    anywhere. (The first draft used grid-rounded doubles; the property
+    test found 9th-decimal halves — pr/2 of an odd-last-digit grid
+    value — where Spark's BigDecimal-HALF_UP and DuckDB's
+    multiply-round-divide can disagree. Integers make the class
+    impossible rather than improbable.)"""
     from ..core.session import cache_parallelism
 
     pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
@@ -1086,22 +1092,22 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = nodes.count()  # one scalar — the |V| every PR formulation needs
     pr = nodes.select(
-        "doc_id", "deg", F.round(F.lit(1.0) / F.lit(n), 9).alias("pr")
+        "doc_id", "deg", F.lit(_PR_SCALE // n).alias("pr")
     )
+    teleport = (15 * _PR_SCALE) // (100 * n)  # exact ints, both engines
     for _ in range(3):
         contrib = edges.join(pr, edges.src == pr.doc_id).select(
             F.col("dst").alias("doc_id"),
-            F.round(F.col("pr") / F.col("deg"), 9).alias("c"),
+            F.expr("pr DIV deg").alias("c"),
         )
-        s = contrib.groupBy("doc_id").agg(F.round(F.sum("c"), 9).alias("s"))
+        s = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
         pr = nodes.join(s, "doc_id", "left").select(
             "doc_id",
             "deg",
-            F.round(
-                F.lit(0.15) / F.lit(n)
-                + F.lit(0.85) * F.coalesce("s", F.lit(0.0)),
-                9,
-            ).alias("pr"),
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(s, 0L) DIV 100")
+            ).cast("bigint").alias("pr"),
         )
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     return (

@@ -514,3 +514,146 @@ def test_png_roundtrip_property(h, w, c, seed):
     shape = (h, w) if c == 1 else (h, w, c)
     img = np.random.default_rng(seed).integers(0, 256, shape, dtype=np.uint8)
     assert np.array_equal(decode_png(encode_png(img)), img)
+
+
+# ---------------------------------------------------------------------------
+# PageRank iteration vs a plain-Python reference on arbitrary small
+# undirected graphs — same damped update, same per-step 1e-9 grid
+# rounding, so results must match EXACTLY (the grid contract is part of
+# the operator's semantics, not a tolerance).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 7)).filter(
+            lambda e: e[0] < e[1]
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+)
+def test_pagerank_matches_python_reference(spark_prop, edges):
+    """Fixed-point PageRank vs a plain-Python integer reference on
+    arbitrary small undirected graphs: all-BIGINT arithmetic means
+    EXACT equality, no tolerance. (The float formulation this replaced
+    diverged from both python round() [banker's] and Decimal-exact
+    rounding at 9th-decimal halves — rank mass in 1e-12 integer units
+    makes the whole rounding-semantics class impossible.)"""
+    from bigdata_imgprocessing_spark.queries.dedup import _PR_SCALE
+
+    spark = spark_prop
+    adj: dict[int, list[int]] = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    nodes = sorted(adj)
+    n = len(nodes)
+    pr = {v: _PR_SCALE // n for v in nodes}
+    teleport = (15 * _PR_SCALE) // (100 * n)
+    for _ in range(3):
+        contrib: dict[int, int] = {v: 0 for v in nodes}
+        for u in nodes:
+            c = pr[u] // len(adj[u])
+            for v in adj[u]:
+                contrib[v] += c
+        pr = {v: teleport + (85 * contrib[v]) // 100 for v in nodes}
+
+    pairs = spark.createDataFrame(edges, "a int, b int")
+    e = pairs.selectExpr("a as src", "b as dst").union(
+        pairs.selectExpr("b as src", "a as dst")
+    ).localCheckpoint()
+    nd = e.groupBy("src").agg(F.count("*").alias("deg")).selectExpr(
+        "src as v", "deg"
+    ).cache()
+    p = nd.select("v", "deg", F.lit(_PR_SCALE // n).alias("pr"))
+    for _ in range(3):
+        c = e.join(p, e.src == p.v).select(
+            F.col("dst").alias("v"), F.expr("pr DIV deg").alias("c")
+        )
+        s = c.groupBy("v").agg(F.sum("c").alias("s"))
+        p = nd.join(s, "v", "left").select(
+            "v", "deg",
+            (F.lit(teleport) + F.expr("85 * coalesce(s, 0L) DIV 100"))
+            .cast("bigint").alias("pr"),
+        )
+    got = {r.v: r.pr for r in p.collect()}
+    assert got == pr
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup greedy rule vs brute force: a vector is removed iff it has a
+# lower-id same-cell neighbor with cosine >= tau.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    vecs=st.lists(
+        st.tuples(
+            st.integers(0, 1),  # cell
+            st.lists(
+                st.integers(-3, 3).map(float), min_size=3, max_size=3
+            ),
+        ),
+        min_size=2,
+        max_size=10,
+    )
+)
+def test_semdedup_ledger_matches_bruteforce(spark_prop, vecs):
+    import math
+
+    from bigdata_imgprocessing_spark.queries.similarity import semdedup_ledger
+
+    spark = spark_prop
+    tau = 0.35
+    rows = [(i, c, v) for i, (c, v) in enumerate(vecs)]
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = max(math.sqrt(sum(x * x for x in a)), 1e-30)
+        nb = max(math.sqrt(sum(x * x for x in b)), 1e-30)
+        return round(d / (na * nb), 6)
+
+    removed = set()
+    for i, ci, vi in rows:
+        for j, cj, vj in rows:
+            if j < i and cj == ci and cos(vj, vi) >= tau:
+                removed.add(i)
+                break
+    expect = {}
+    for i, c, v in rows:
+        n_vecs, n_rem = expect.get(c, (0, 0))
+        expect[c] = (n_vecs + 1, n_rem + (1 if i in removed else 0))
+
+    df = spark.createDataFrame(
+        rows, "vec_id long, cell int, embedding array<float>"
+    )
+    got = {
+        r.cell: (r.n_vecs, r.n_removed)
+        for r in semdedup_ledger(df, tau=tau).collect()
+    }
+    assert got == expect
+
+
+def test_bpe_merge_replace_overlap_semantics(spark_prop):
+    """BPE greedy merge = left-to-right non-overlapping replace: 'aaaa'
+    with pair 'aa' must become 'AA' (two merges), 'aaa' must become
+    'Aa' (one merge + leftover) — identical in Spark, DuckDB, and
+    Python's str.replace (the reference semantics)."""
+    import duckdb
+
+    spark = spark_prop
+    cases = ["aaaa", "aaa", "ababa", "aa"]
+    got = {
+        r.w: r.m
+        for r in spark.createDataFrame([(w,) for w in cases], "w string")
+        .select("w", F.replace("w", F.lit("aa"), F.lit("A")).alias("m"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for w in cases:
+        duck = con.execute("SELECT replace(?, 'aa', 'A')", [w]).fetchone()[0]
+        assert got[w] == duck == w.replace("aa", "A")
