@@ -240,8 +240,9 @@ def run_scale_stress_r5c(
     pr = pagerank_neardup(spark, scaled_dir).collect()
     metrics["pagerank_neardup"] = {
         "secs": round(time.perf_counter() - t0, 2),
+        # collect() does not guarantee rank order — take max/any, not [0]
         "n_nodes": pr[0].n_nodes if pr else 0,
-        "top_pr": pr[0].pr if pr else 0.0,
+        "top_pr": max(r.pr for r in pr) if pr else 0,
     }
 
     t0 = time.perf_counter()
@@ -299,8 +300,11 @@ def build_scaled_embeddings(
         "label",
     )
     out = scaled.unionByName(planted)
-    out.write.mode("overwrite").parquet(os.path.join(out_dir, "embeddings.parquet"))
-    return out.count()
+    path = os.path.join(out_dir, "embeddings.parquet")
+    out.write.mode("overwrite").parquet(path)
+    # count the WRITTEN files (footer metadata) — re-counting `out`
+    # would re-execute the whole generation DAG a second time
+    return spark.read.parquet(path).count()
 
 
 def run_semdedup_scale(

@@ -772,7 +772,10 @@ def heavy_hitters_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
            count(*) AS n_events,
            CAST(count(*) FILTER (WHERE safe_div IS NULL) AS BIGINT)
                AS n_div_null,
-           round(sum(safe_div), 4) AS sum_safe_div,
+           CAST(sum(CAST(floor(safe_div) AS BIGINT)) AS BIGINT)
+               AS sum_div_floor,
+           round(sum(CASE WHEN safe_div IS NOT NULL THEN value END), 2)
+               AS divisible_value,
            CAST(count(*) FILTER (WHERE cast_k IS NULL) AS BIGINT)
                AS n_bad_cast,
            CAST(sum(cast_k) AS BIGINT) AS sum_cast_k
@@ -795,6 +798,7 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     x = e.select(
         "event_type",
+        "value",
         F.try_divide("value", F.col("k") - 50).alias("safe_div"),
         F.when((F.col("k") % 3) == 0, F.concat(F.lit("x"), F.col("k")))
         .otherwise(F.col("k").cast("string"))
@@ -806,7 +810,16 @@ def try_arithmetic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("safe_div").isNull().cast("int")).cast("bigint").alias(
             "n_div_null"
         ),
-        F.round(F.sum("safe_div"), 4).alias("sum_safe_div"),
+        # NO decimal rounding of quotients anywhere: value/(k-50) with
+        # 2dp values and small integer denominators lands EXACTLY on
+        # decimal halves often enough that Spark's and DuckDB's round()
+        # implementations visibly diverge (one row flipped at sf0.01).
+        # floor() is a pure function of the binary double — exact parity
+        # — and the divisible-value total is a 2dp grid sum.
+        F.sum(F.floor("safe_div")).cast("bigint").alias("sum_div_floor"),
+        F.round(
+            F.sum(F.when(F.col("safe_div").isNotNull(), F.col("value"))), 2
+        ).alias("divisible_value"),
         F.sum(F.col("cast_k").isNull().cast("int")).cast("bigint").alias(
             "n_bad_cast"
         ),

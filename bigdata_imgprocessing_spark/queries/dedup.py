@@ -1019,6 +1019,34 @@ def _duck_pr_iter(prev: str, out: str) -> str:
     )"""
 
 
+def pagerank_fixed_point(
+    edges: DataFrame, nodes: DataFrame, n: int, rounds: int = 3
+) -> DataFrame:
+    """The fixed-point PageRank iteration itself — shared by the
+    oracle-checked query and the property test so the tested loop IS
+    the production loop. ``edges``: (src, dst) directed frame (already
+    checkpointed/cached by the caller); ``nodes``: (doc_id, deg);
+    ``n``: |V|. All arithmetic BIGINT in 1e-12 rank-mass units —
+    exact, summation-order-free, no float rounding boundary."""
+    teleport = (15 * _PR_SCALE) // (100 * n)  # exact ints, both engines
+    pr = nodes.select("doc_id", "deg", F.lit(_PR_SCALE // n).alias("pr"))
+    for _ in range(rounds):
+        contrib = edges.join(pr, edges.src == pr.doc_id).select(
+            F.col("dst").alias("doc_id"),
+            F.expr("pr DIV deg").alias("c"),
+        )
+        s = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
+        pr = nodes.join(s, "doc_id", "left").select(
+            "doc_id",
+            "deg",
+            (
+                F.lit(teleport)
+                + F.expr("85 * coalesce(s, 0L) DIV 100")
+            ).cast("bigint").alias("pr"),
+        )
+    return pr
+
+
 @query(
     "pagerank_neardup",
     oracle=f"""
@@ -1091,24 +1119,7 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cache()
     )
     n = nodes.count()  # one scalar — the |V| every PR formulation needs
-    pr = nodes.select(
-        "doc_id", "deg", F.lit(_PR_SCALE // n).alias("pr")
-    )
-    teleport = (15 * _PR_SCALE) // (100 * n)  # exact ints, both engines
-    for _ in range(3):
-        contrib = edges.join(pr, edges.src == pr.doc_id).select(
-            F.col("dst").alias("doc_id"),
-            F.expr("pr DIV deg").alias("c"),
-        )
-        s = contrib.groupBy("doc_id").agg(F.sum("c").alias("s"))
-        pr = nodes.join(s, "doc_id", "left").select(
-            "doc_id",
-            "deg",
-            (
-                F.lit(teleport)
-                + F.expr("85 * coalesce(s, 0L) DIV 100")
-            ).cast("bigint").alias("pr"),
-        )
+    pr = pagerank_fixed_point(edges, nodes, n, rounds=3)
     w = Window.orderBy(F.col("pr").desc(), "doc_id")
     return (
         pr.withColumn("rnk", F.row_number().over(w))

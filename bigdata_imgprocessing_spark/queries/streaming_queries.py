@@ -254,6 +254,39 @@ def _fingerprinted_tmp(sf_dir: str, prefix: str) -> str:
     return f"/tmp/{prefix}_{token}"
 
 
+def _stage_feed(root: str, parts: list) -> str:
+    """Stage an ORDERED multi-batch file feed under ``root/feed``:
+    ``parts`` is [(name, DataFrame), ...]; each frame writes to one
+    parquet file whose mtime encodes its batch order (the file source
+    with maxFilesPerTrigger=1 picks files in mtime order). Idempotent
+    via a _STAGED marker keyed by the fingerprinted root. Shared by
+    streaming_outer_join (real + two sentinel batches) and
+    streaming_dedup_within_watermark (corpus + duplicated subset)."""
+    import os as _os
+    import shutil as _sh
+
+    feed = f"{root}/feed"
+    if not _os.path.exists(_os.path.join(feed, "_STAGED")):
+        _sh.rmtree(feed, ignore_errors=True)
+        _os.makedirs(feed, exist_ok=True)
+        tmp = f"{root}/stage"
+        try:
+            t0 = 1_700_000_000
+            for i, (name, df) in enumerate(parts):
+                df.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/{name}")
+                src = next(
+                    f for f in _os.listdir(f"{tmp}/{name}")
+                    if f.endswith(".parquet")
+                )
+                dst = _os.path.join(feed, f"{i}_{name}.parquet")
+                _sh.copyfile(_os.path.join(tmp, name, src), dst)
+                _os.utime(dst, (t0 + 60 * i, t0 + 60 * i))  # mtime = order
+        finally:
+            _sh.rmtree(tmp, ignore_errors=True)
+        open(_os.path.join(feed, "_STAGED"), "w").close()
+    return feed
+
+
 @query(
     "streaming_kafka_roundtrip",
     oracle="""
@@ -592,40 +625,20 @@ def streaming_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: both watermarks + the time-range predicate bound the join
     state exactly as in the inner variant; the sentinel trick is
     test-harness-only (a production feed keeps advancing on its own)."""
-    import os as _os
-    import shutil as _sh
-
     ensure_utc(spark)
     root = _fingerprinted_tmp(sf_dir, "bdip_soj")
-    feed = f"{root}/feed"
-    if not _os.path.exists(_os.path.join(feed, "_STAGED")):
-        _sh.rmtree(feed, ignore_errors=True)
-        _os.makedirs(feed, exist_ok=True)
-        real = (
-            table(spark, sf_dir, "events")
-            .where(F.col("event_type").isin("click", "purchase"))
-            .select("event_id", "user_id", "event_type", "ts")
-        )
-        tmp = f"{root}/stage"
-        real.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/real")
-        sent = spark.createDataFrame(
-            [(-1, -1, "click", "2099-01-01 00:00:00"),
-             (-2, -1, "purchase", "2099-01-01 00:00:00")],
-            "event_id long, user_id long, event_type string, ts_s string",
-        ).select("event_id", "user_id", "event_type",
-                 F.to_timestamp("ts_s").alias("ts"))
-        sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent1")
-        sent.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/sent2")
-        t0 = 1_700_000_000
-        for i, part in enumerate(("real", "sent1", "sent2")):
-            src = next(
-                f for f in _os.listdir(f"{tmp}/{part}") if f.endswith(".parquet")
-            )
-            dst = _os.path.join(feed, f"{i}_{part}.parquet")
-            _sh.copyfile(_os.path.join(tmp, part, src), dst)
-            _os.utime(dst, (t0 + 60 * i, t0 + 60 * i))  # mtime = batch order
-        _sh.rmtree(tmp, ignore_errors=True)
-        open(_os.path.join(feed, "_STAGED"), "w").close()
+    real = (
+        table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("click", "purchase"))
+        .select("event_id", "user_id", "event_type", "ts")
+    )
+    sent = spark.createDataFrame(
+        [(-1, -1, "click", "2099-01-01 00:00:00"),
+         (-2, -1, "purchase", "2099-01-01 00:00:00")],
+        "event_id long, user_id long, event_type string, ts_s string",
+    ).select("event_id", "user_id", "event_type",
+             F.to_timestamp("ts_s").alias("ts"))
+    feed = _stage_feed(root, [("real", real), ("sent1", sent), ("sent2", sent)])
     schema = spark.read.parquet(feed).schema
     stream = (
         spark.readStream.schema(schema)
@@ -735,33 +748,14 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     re-emitted duplicate inflates a count and fails the hash. In a
     continuous deployment the delay is the dup-arrival SLA, and state
     size is (keys within delay), not (all keys ever)."""
-    import os as _os
-    import shutil as _sh
-
     ensure_utc(spark)
     root = _fingerprinted_tmp(sf_dir, "bdip_ddww")
-    feed = f"{root}/feed"
-    if not _os.path.exists(_os.path.join(feed, "_STAGED")):
-        _sh.rmtree(feed, ignore_errors=True)
-        _os.makedirs(feed, exist_ok=True)
-        e = table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "ts", "value"
-        )
-        tmp = f"{root}/stage"
-        e.coalesce(1).write.mode("overwrite").parquet(f"{tmp}/full")
-        e.where(F.col("user_id") % 5 == 0).coalesce(1).write.mode(
-            "overwrite"
-        ).parquet(f"{tmp}/dups")
-        t0 = 1_700_000_000
-        for i, part in enumerate(("full", "dups")):
-            src = next(
-                f for f in _os.listdir(f"{tmp}/{part}") if f.endswith(".parquet")
-            )
-            dst = _os.path.join(feed, f"{i}_{part}.parquet")
-            _sh.copyfile(_os.path.join(tmp, part, src), dst)
-            _os.utime(dst, (t0 + 60 * i, t0 + 60 * i))
-        _sh.rmtree(tmp, ignore_errors=True)
-        open(_os.path.join(feed, "_STAGED"), "w").close()
+    e = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts", "value"
+    )
+    feed = _stage_feed(
+        root, [("full", e), ("dups", e.where(F.col("user_id") % 5 == 0))]
+    )
     schema = spark.read.parquet(feed).schema
     stream = (
         spark.readStream.schema(schema)

@@ -855,9 +855,12 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w")
         .agg(F.count("*").alias("c"))
     )
+    from ..core.session import cache_parallelism
+
     # dual-use across both rounds: cache so the corpus wordcount shuffle
-    # runs once (the trainer keeps vocab resident between merge rounds).
-    words = words.cache()
+    # runs once (the trainer keeps vocab resident between merge rounds);
+    # coalesce first — cached partitioning is frozen (cache_parallelism).
+    words = words.coalesce(cache_parallelism(spark)).cache()
 
     def pair_counts(wdf: DataFrame) -> DataFrame:
         return (
@@ -877,7 +880,7 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.sum("c").cast("bigint").alias("n_occ"))
         )
 
-    r1 = pair_counts(words).cache()
+    r1 = pair_counts(words).coalesce(cache_parallelism(spark)).cache()
     best = r1.orderBy(F.col("n_occ").desc(), "pair").limit(1).collect()[0].pair
     merged = words.select(F.replace("w", F.lit(best), F.lit("A")).alias("w"), "c")
     r2 = pair_counts(merged)
