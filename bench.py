@@ -180,6 +180,8 @@ HEADLINE = [
     "streaming_dedup_within_watermark",
     "grouped_agg_udaf",
     "sql_udf_price_bands",
+    "recursive_calendar_revenue",
+    "pipe_syntax_summary",
 ]
 
 

@@ -1182,3 +1182,36 @@ def null_safe_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("sum_a", F.lit(0.0)) + F.coalesce("sum_b", F.lit(0.0)), 2
         ).alias("sum_total"),
     )
+
+
+@query(
+    "pipe_syntax_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_price,
+           count(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pipe_syntax_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (``|>`` — the Spark-4 linear-composition SQL
+    dialect): scan |> filter |> aggregate, reading top-to-bottom the
+    way the DataFrame API does. Semantically identical to the classic
+    form (the oracle states it), and it PLANS identically — pipe
+    operators are pure syntax, Catalyst sees the same logical plan, so
+    pushdown/pruning/codegen are unchanged."""
+    li = table(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+        FROM {li}
+        |> WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+        |> AGGREGATE CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                     round(sum(l_extendedprice), 2) AS sum_price,
+                     count(*) AS n_rows
+           GROUP BY l_returnflag, l_linestatus
+        """,
+        li=li,
+    )

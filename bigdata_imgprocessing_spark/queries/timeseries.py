@@ -702,3 +702,71 @@ def sliding_users_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.hll_sketch_agg("user_id").alias("sk")
     )
     return _rolling_sketch_audit(ud, daily_sk)
+
+
+@query(
+    "recursive_calendar_revenue",
+    oracle="""
+    WITH RECURSIVE bounds AS (
+        SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+               CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+        FROM events
+    ),
+    days(d) AS (
+        SELECT lo FROM bounds
+        UNION ALL
+        SELECT CAST(d + INTERVAL 1 DAY AS DATE)
+        FROM days, bounds WHERE d < hi
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+               count(*) AS c, round(sum(value), 2) AS rev
+        FROM events WHERE event_type = 'purchase' GROUP BY d
+    )
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           coalesce(daily.c, 0) AS n_purchases,
+           coalesce(daily.rev, 0.0) AS revenue
+    FROM days LEFT JOIN daily ON days.d = daily.d
+    """,
+)
+def recursive_calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (``WITH RECURSIVE`` — the Spark-4 iterative-SQL
+    surface): the gap-fill calendar is generated by LINEAR recursion
+    (seed = min day, step = +1 day while < max) instead of sequence(),
+    then sparse daily purchase revenue left-joins in with zero-fill —
+    the same declarative recursion DuckDB runs in the oracle.
+
+    Scope note (measured, not assumed): Spark's recursion supports
+    UNION ALL only (UNION_NOT_SUPPORTED_IN_RECURSIVE_CTE), so cyclic
+    transitive closures still need the pointer-jumping operator
+    (operators/components.py) — recursion fits acyclic, bounded-depth
+    generation like this calendar (depth = day span). Each recursion
+    step is a micro-batch-like materialization; for a ~30-row calendar
+    that's fine, for large series sequence() stays the scale path."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    return spark.sql(
+        """
+        WITH RECURSIVE bounds AS (
+            SELECT CAST(min(date_trunc('day', ts)) AS DATE) AS lo,
+                   CAST(max(date_trunc('day', ts)) AS DATE) AS hi
+            FROM {e}
+        ),
+        days(d) AS (
+            SELECT lo FROM bounds
+            UNION ALL
+            SELECT CAST(d + INTERVAL 1 DAY AS DATE)
+            FROM days, bounds WHERE d < hi
+        ),
+        daily AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS d,
+                   count(*) AS c, round(sum(value), 2) AS rev
+            FROM {e} WHERE event_type = 'purchase' GROUP BY d
+        )
+        SELECT date_format(days.d, 'yyyy-MM-dd') AS day,
+               coalesce(daily.c, 0) AS n_purchases,
+               coalesce(daily.rev, 0.0) AS revenue
+        FROM days LEFT JOIN daily ON days.d = daily.d
+        """,
+        e=e,
+    )
