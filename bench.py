@@ -182,6 +182,8 @@ HEADLINE = [
     "sql_udf_price_bands",
     "recursive_calendar_revenue",
     "pipe_syntax_summary",
+    "pit_join_features",
+    "dq_expectations",
 ]
 
 

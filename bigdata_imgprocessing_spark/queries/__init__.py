@@ -36,6 +36,7 @@ _PRIORITY = [
     "grouped_agg_udaf", "sql_udf_price_bands",
     # (1b) added after the 50-slot window filled — first row lands in r6
     "recursive_calendar_revenue", "pipe_syntax_summary",
+    "pit_join_features", "dq_expectations",
     "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
     "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
     "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",

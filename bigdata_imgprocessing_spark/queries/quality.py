@@ -758,3 +758,89 @@ def doc_entropy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("h6"), 6).alias("max_entropy"),
         )
     )
+
+
+@query(
+    "dq_expectations",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS rule,
+           (SELECT count(*) FROM orders) AS n_checked,
+           (SELECT count(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey)) AS n_failed
+    UNION ALL
+    SELECT 'event_id_unique',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) - count(DISTINCT event_id) FROM events)
+    UNION ALL
+    SELECT 'lineitem_qty_range',
+           (SELECT count(*) FROM lineitem),
+           (SELECT count(*) FROM lineitem
+            WHERE l_quantity < 1 OR l_quantity > 50)
+    UNION ALL
+    SELECT 'documents_nchars_consistent',
+           (SELECT count(*) FROM documents),
+           (SELECT count(*) FROM documents
+            WHERE text IS NULL OR n_chars != length(text))
+    UNION ALL
+    SELECT 'events_value_present',
+           (SELECT count(*) FROM events),
+           (SELECT count(*) FROM events
+            WHERE value IS NULL OR isnan(value))
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality expectations suite (the dbt-test / Great-
+    Expectations shape): each rule yields (rule, n_checked, n_failed) —
+    FK orphan count, key uniqueness, value-range conformance, derived-
+    column consistency, null/NaN presence — unioned into one ledger a
+    pipeline gates deploys on. Failure COUNTS, not booleans, so the
+    hash pins the exact violation volume (today: zero across all five
+    rules — and a regenerated corpus that breaks one fails loudly with
+    the count of rows to triage).
+
+    Scale: each rule is one scan with map-side aggregation (the FK
+    check a broadcast anti-join); rules over the same table share a
+    scan under one observe()-style pass in a production harness —
+    kept separate here so each rule's cost is independently visible."""
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    e = table(spark, sf_dir, "events")
+    li = table(spark, sf_dir, "lineitem")
+    d = table(spark, sf_dir, "documents")
+
+    def rule(name: str, checked: DataFrame, failed: DataFrame) -> DataFrame:
+        nc = checked.agg(F.count("*").alias("n_checked"))
+        nf = failed.agg(F.count("*").alias("n_failed"))
+        return nc.crossJoin(F.broadcast(nf)).select(
+            F.lit(name).alias("rule"), "n_checked", "n_failed"
+        )
+
+    fk_orphans = o.join(
+        c, o.o_custkey == c.c_custkey, "left_anti"
+    )
+    dup_events = e.agg(
+        (F.count("*") - F.count_distinct("event_id")).alias("n_failed")
+    )
+    r_fk = rule("orders_custkey_fk", o, fk_orphans)
+    r_uniq = e.agg(F.count("*").alias("n_checked")).crossJoin(
+        F.broadcast(dup_events)
+    ).select(F.lit("event_id_unique").alias("rule"), "n_checked", "n_failed")
+    r_range = rule(
+        "lineitem_qty_range",
+        li,
+        li.where((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50)),
+    )
+    r_cons = rule(
+        "documents_nchars_consistent",
+        d,
+        d.where(
+            F.col("text").isNull() | (F.col("n_chars") != F.length("text"))
+        ),
+    )
+    r_nan = rule(
+        "events_value_present",
+        e,
+        e.where(F.col("value").isNull() | F.isnan("value")),
+    )
+    return r_fk.unionAll(r_uniq).unionAll(r_range).unionAll(r_cons).unionAll(r_nan)

@@ -770,3 +770,86 @@ def recursive_calendar_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         e=e,
     )
+
+
+@query(
+    "pit_join_features",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id,
+               value AS feature,
+               CAST(floor(epoch(ts)) AS BIGINT) AS vf,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id
+               ) AS vt
+        FROM events WHERE user_id % 25 = 0 AND event_type = 'click'
+    ),
+    facts AS (
+        SELECT event_id AS purchase_id, user_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS p_ts
+        FROM events WHERE user_id % 25 = 0 AND event_type = 'purchase'
+    )
+    SELECT f.purchase_id, f.user_id,
+           d.feature,
+           d.vf AS feature_as_of,
+           d.feature IS NOT NULL AS has_feature
+    FROM facts f LEFT JOIN dim d
+      ON d.user_id = f.user_id
+     AND f.p_ts >= d.vf
+     AND (d.vt IS NULL OR f.p_ts < d.vt)
+    """,
+)
+def pit_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join — the feature-store correctness pattern: each
+    fact (purchase) joins the feature VERSION that was valid at the
+    fact's own timestamp (the click-stream value as an SCD2 dimension,
+    same interval build as ``scd2_user_history``), never a later one —
+    the train-time leakage a naive latest-value join causes. Purchases
+    before any version keep a NULL feature (left join — the cold-start
+    row the training pipeline must see, not silently drop).
+
+    Uniqueness by construction: versions partition each user's
+    timeline ([vf, vt) half-open, lead over the (epoch-second,
+    event_id) total order; same-second versions produce empty
+    intervals), so every fact matches at most one version and the
+    output is exactly one row per fact.
+
+    Scale: one window shuffle builds the dimension, then a single
+    user-keyed interval join — at warehouse scale the dim is
+    range-partitioned by (key, vf) and the join stays key-local; no
+    per-fact subquery, no latest-snapshot shortcut."""
+    ensure_utc(spark)
+    sampled = table(spark, sf_dir, "events").where(F.col("user_id") % 25 == 0)
+    secs = F.floor(F.unix_timestamp("ts")).cast("bigint")
+    w = Window.partitionBy("user_id").orderBy("vf", "event_id")
+    dim = (
+        sampled.where(F.col("event_type") == "click")
+        .select(
+            "user_id", F.col("value").alias("feature"),
+            secs.alias("vf"), "event_id",
+        )
+        .withColumn("vt", F.lead("vf").over(w))
+        .drop("event_id")
+    )
+    facts = sampled.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        secs.alias("p_ts"),
+    )
+    d = dim.alias("d")
+    f = facts.alias("f")
+    joined = f.join(
+        d,
+        (F.col("d.user_id") == F.col("f.user_id"))
+        & (F.col("f.p_ts") >= F.col("d.vf"))
+        & (F.col("d.vt").isNull() | (F.col("f.p_ts") < F.col("d.vt"))),
+        "left",
+    )
+    return joined.select(
+        "purchase_id",
+        F.col("f.user_id").alias("user_id"),
+        "feature",
+        F.col("d.vf").alias("feature_as_of"),
+        F.col("feature").isNotNull().alias("has_feature"),
+    )
