@@ -184,6 +184,21 @@ HEADLINE = [
     "pipe_syntax_summary",
     "pit_join_features",
     "dq_expectations",
+    # round 6 additions
+    "listagg_order_lines",
+    "collation_group_names",
+    "mode_per_group",
+    "bitmap_distinct_users",
+    "m4_downsample",
+    "pareto_front_orders",
+    "chi2_lang_source",
+    "ks_score_drift",
+    "gini_revenue_concentration",
+    "cusum_changepoint",
+    "interval_merge_coverage",
+    "rfm_segmentation",
+    "weighted_doc_sample",
+    "ngram_containment_hist",
 ]
 
 

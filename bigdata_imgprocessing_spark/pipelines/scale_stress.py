@@ -249,7 +249,7 @@ def run_scale_stress_r5c(
     bp = bpe_merge_pairs(spark, scaled_dir).collect()
     metrics["bpe_merge_pairs"] = {
         "secs": round(time.perf_counter() - t0, 2),
-        "top_pair_occ": max(r.n_occ for r in bp),
+        "top_pair_occ": max((r.n_occ for r in bp), default=0),
     }
     return metrics
 

@@ -8,13 +8,14 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so the round-5 order is: (1) queries NEW this
-# round (first CORRECTNESS row pending), (2) the 32 queries whose
-# latest driver row is round 1-2 — the codebase has changed
-# substantially since, so they need a fresh row even though the local
-# parity gate has them green (VERDICT r4 punch-list item 1), (3) the
-# r3/r4-green rows in registration order.
+# entries per round, so the round-6 order is: (1) the 14 queries NEW
+# this round (first CORRECTNESS row pending), (1b) the 4 round-5
+# queries that fell just outside round 5's 50-slot window, (2) the 32
+# queries whose latest driver row is round 1-2 (VERDICT r4 punch-list
+# item 1 — local parity has them green, but the driver row is the hard
+# signal), (3) everything else in registration order. 14+4+32 = 50.
 from . import advanced  # noqa: F401
+from . import analytics  # noqa: F401
 from . import curation  # noqa: F401
 from . import dedup  # noqa: F401
 from . import images  # noqa: F401
@@ -28,28 +29,13 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) new round-5 queries — first CORRECTNESS row pending.
-    "semdedup_prune", "bpe_merge_pairs", "pagerank_neardup",
-    "cogroup_order_fill", "heavy_hitters_topk", "streaming_outer_join",
-    "dsir_select", "streaming_pysource_counts", "doc_entropy_stats",
-    "try_arithmetic_audit", "streaming_dedup_within_watermark",
-    "grouped_agg_udaf", "sql_udf_price_bands",
-    # (1b) added after the 50-slot window filled — first row lands in r6
-    "recursive_calendar_revenue", "pipe_syntax_summary",
-    "pit_join_features", "dq_expectations",
-    "filter_funnel_stats", "unigram_logprob_filter", "source_mixture_drift",
-    "mad_event_outliers", "merge_into_orders", "ann_rerank_topk",
-    "dup_ngram_coverage", "sliding_distinct_users", "cohort_retention",
-    "split_leakage_audit", "epoch_shuffle_order",
-    "backfill_partition_overwrite", "sliding_users_sketch",
-    "corpus_diff_stats", "streaming_sketch_rollup",
-    "hard_negative_mining", "bloom_prefilter_stats",
-    "ab_test_zscore", "neardup_triangle_stats", "bm25_ndcg_eval",
-    "score_calibration_bins",
-    "bar_chart_data", "color_chart_data", "image_format_ingest",
-    "embedding_batch_scores", "scd2_user_history", "order_value_position",
-    "udtf_sentence_stats", "pq_ann_recall", "winnowing_fingerprints",
-    "user_erasure_audit", "user_erasure_apply", "key_skew_profile",
+    # (1) new round-6 queries — first CORRECTNESS row pending.
+    "listagg_order_lines", "collation_group_names", "mode_per_group",
+    "bitmap_distinct_users", "m4_downsample", "pareto_front_orders",
+    "chi2_lang_source", "ks_score_drift", "gini_revenue_concentration",
+    "cusum_changepoint", "interval_merge_coverage", "rfm_segmentation",
+    "weighted_doc_sample", "ngram_containment_hist",
+    # (1b) round-5 queries that fell outside round 5's 50-slot window
     "fixed_size_group_sample", "null_safe_reconcile",
     "streaming_erasure_feed", "image_corrupt_quarantine",
     # (2) the 32 stale rows (latest driver check r1-r2; VERDICT r4 #1)

@@ -1,0 +1,768 @@
+"""Warehouse-analytics surface (round 6): distribution statistics,
+skyline/segmentation operators, exact-distinct bitmap aggregation, and
+the Spark-4 dialect features (LISTAGG ... WITHIN GROUP, collated
+grouping, deterministic MODE) the reference's stats queries would grow
+into on a real cluster.
+
+Design rules shared by every query here:
+
+- **Exact-integer outputs wherever a ratio could terminate.** The
+  round-5 lesson (NOTES.md "grid-sum rule") is applied from the start:
+  KS / Gini / CUSUM emit integer-scaled statistics (numerators,
+  denominators, integer floor-divisions) instead of rounded quotients,
+  so cross-engine parity is exact rather than probabilistic.
+- **Windows only over bounded domains.** Global windows appear only on
+  dimension-sized frames (distinct prices, value domains, customers,
+  days); every fact-sized pass is a grouped aggregation. Where a global
+  sort would not survive 100 TB, the scalable two-phase form is
+  implemented (see ``pareto_front_orders``) or documented as the scale
+  path in the docstring.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..core.catalog import table
+from ..core.registry import query
+from ..core.session import ensure_utc
+from .curation import _duck_bucket, _md5_bucket
+
+# ---------------------------------------------------------------------------
+# Spark-4 SQL dialect surfaces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "listagg_order_lines",
+    oracle="""
+    SELECT o_orderpriority,
+           string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+           count(*) AS n_orders,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def listagg_order_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark-4 ``LISTAGG(DISTINCT ...) WITHIN GROUP`` (SQL:2023 ordered
+    string aggregation) — the per-group status roll-up the reference
+    prints driver-side (``pyspark_stats.py`` report strings) expressed
+    as one grouped aggregation. DISTINCT bounds the list at the status
+    domain (3 values), so the agg state stays O(domain) per group.
+
+    The customer count is a SEPARATE agg joined back (5-row broadcast):
+    combining ``listagg(DISTINCT) WITHIN GROUP`` with a second DISTINCT
+    aggregate in one GROUP BY trips a Spark 4.1 planner bug
+    (RewriteDistinctAggregates casts the WITHIN GROUP SortOrder to
+    AttributeReference → ClassCastException), so the split is a
+    correctness requirement, not a style choice."""
+    table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(
+        """
+        SELECT l.o_orderpriority, l.statuses, l.n_orders, c.n_customers
+        FROM (
+            SELECT o_orderpriority,
+                   listagg(DISTINCT o_orderstatus, ',')
+                     WITHIN GROUP (ORDER BY o_orderstatus) AS statuses,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_orderpriority
+        ) l
+        JOIN (
+            SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_customers
+            FROM orders GROUP BY o_orderpriority
+        ) c USING (o_orderpriority)
+        """
+    )
+
+
+@query(
+    "collation_group_names",
+    oracle=f"""
+    WITH t AS (
+        SELECT CASE WHEN {_duck_bucket("w", 2)} = 0 THEN upper(w) ELSE w END AS w2
+        FROM (SELECT string_split(text, ' ')[1] AS w FROM documents)
+    )
+    SELECT lower(w2) AS word,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT w2) AS BIGINT) AS n_variants
+    FROM t GROUP BY lower(w2)
+    """,
+)
+def collation_group_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via a Spark-4 COLLATION
+    (``UTF8_LCASE``), not via a lower() projection: the grouping key
+    itself carries the collation, which is what lets the same plan
+    serve collation-aware joins/sorts at scale. Case variance is
+    synthesized deterministically (md5-parity uppercase of each doc's
+    first word) so ``n_variants`` > 1 proves the ci-merge actually
+    happened; the emitted key is ``lower()`` of the group (constant
+    across a ci-group, unlike the arbitrary group representative)."""
+    d = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ").getItem(0)
+    w2 = F.when(_md5_bucket(w, 2) == 0, F.upper(w)).otherwise(w)
+    return (
+        d.select(w2.alias("w2"))
+        .groupBy(F.collate(F.col("w2"), "UTF8_LCASE").alias("wc"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count_distinct(F.col("w2")).alias("n_variants"),
+        )
+        .select(
+            F.collate(F.lower(F.col("wc")), "UTF8_BINARY").alias("word"),
+            "n_docs",
+            "n_variants",
+        )
+    )
+
+
+@query(
+    "mode_per_group",
+    oracle="""
+    WITH c AS (
+        SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+               o_orderpriority, count(*) AS cnt
+        FROM orders GROUP BY month, o_orderpriority
+    ),
+    r AS (
+        SELECT month, o_orderpriority,
+               sum(cnt) OVER (PARTITION BY month) AS n_orders,
+               row_number() OVER (PARTITION BY month
+                                  ORDER BY cnt DESC, o_orderpriority) AS rk
+        FROM c
+    )
+    SELECT month, o_orderpriority AS modal_priority,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM r WHERE rk = 1
+    """,
+)
+def mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-month modal order priority via Spark's ``mode(col,
+    deterministic=true)`` (lowest value on frequency ties — the only
+    tie rule an oracle can replicate; DuckDB's own ``mode()`` tie-break
+    is unspecified, so the oracle derives the mode from counts +
+    ``row_number`` instead). One grouped agg, no window on the fact."""
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM").alias("month")
+    ).agg(
+        F.mode("o_orderpriority", True).alias("modal_priority"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact-distinct at scale: bitmap aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "bitmap_distinct_users",
+    oracle="""
+    SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           count(*) AS n_events
+    FROM events GROUP BY day
+    """,
+)
+def bitmap_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-day distinct users via Spark's bitmap aggregates
+    (``bitmap_construct_agg`` over ``bitmap_bit_position`` per
+    ``bitmap_bucket_number`` bucket, then ``bitmap_count`` summed per
+    day). Unlike ``count(DISTINCT)``, the bitmap state is MERGEABLE:
+    partials combine map-side and the shuffle carries fixed-width
+    bitmaps keyed by (day, bucket) instead of every raw user_id — the
+    same two-level shape that lets a 1000-executor cluster compute
+    exact uniques without a distinct-expand shuffle. The oracle is the
+    plain COUNT DISTINCT the bitmaps must equal."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    )
+    per_bucket = e.groupBy(
+        "day", F.bitmap_bucket_number("user_id").alias("bkt")
+    ).agg(
+        F.bitmap_construct_agg(F.bitmap_bit_position("user_id")).alias("bm"),
+        F.count("*").alias("cnt"),
+    )
+    return per_bucket.groupBy("day").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_users"),
+        F.sum("cnt").cast("bigint").alias("n_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Time-series M4 downsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m4_downsample",
+    oracle="""
+    WITH t AS (
+        SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS bucket,
+               ts, value, event_id
+        FROM events
+    ),
+    r AS (
+        SELECT bucket, value,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY ts, value, event_id) AS ra,
+               row_number() OVER (PARTITION BY bucket
+                                  ORDER BY ts DESC, value DESC, event_id DESC) AS rd
+        FROM t
+    )
+    SELECT bucket,
+           round(min(value), 4) AS v_min,
+           round(max(value), 4) AS v_max,
+           round(max(CASE WHEN ra = 1 THEN value END), 4) AS v_first,
+           round(max(CASE WHEN rd = 1 THEN value END), 4) AS v_last,
+           count(*) AS n_rows
+    FROM r GROUP BY bucket
+    """,
+)
+def m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 time-series downsampling (min/max/first/last per pixel-bucket
+    — the error-free line-chart reduction from the M4 paper, VLDB'14):
+    what a 100 TB events table must be reduced to before any chart sink
+    like ``sources/html_report``. One shuffle on the bucket; first/last
+    are rank-1 rows under a TOTAL order (ts, value, event_id) so
+    same-timestamp ties cannot flip parity. Emitted values are raw row
+    values (no cross-row float arithmetic) — rounding is presentational
+    only."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:00:00").alias(
+            "bucket"
+        ),
+        "ts",
+        "value",
+        "event_id",
+    )
+    wa = Window.partitionBy("bucket").orderBy("ts", "value", "event_id")
+    wd = Window.partitionBy("bucket").orderBy(
+        F.desc("ts"), F.desc("value"), F.desc("event_id")
+    )
+    r = e.withColumn("ra", F.row_number().over(wa)).withColumn(
+        "rd", F.row_number().over(wd)
+    )
+    return r.groupBy("bucket").agg(
+        F.round(F.min("value"), 4).alias("v_min"),
+        F.round(F.max("value"), 4).alias("v_max"),
+        F.round(F.max(F.when(F.col("ra") == 1, F.col("value"))), 4).alias("v_first"),
+        F.round(F.max(F.when(F.col("rd") == 1, F.col("value"))), 4).alias("v_last"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Skyline (Pareto front)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pareto_front_orders",
+    oracle="""
+    WITH c AS (
+        SELECT o_totalprice AS price, max(o_orderdate) AS bd
+        FROM orders GROUP BY price
+    ),
+    r AS (
+        SELECT price, bd,
+               max(bd) OVER (ORDER BY price DESC
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM c
+    )
+    SELECT round(price, 2) AS price, strftime(bd, '%Y-%m-%d') AS front_date
+    FROM r WHERE pm IS NULL OR bd > pm
+    """,
+)
+def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-d skyline (Pareto front) of orders maximizing (totalprice,
+    orderdate): an order is on the front iff no other order has both a
+    strictly higher price and a later-or-equal date. Implemented in the
+    DISTRIBUTED three-phase shape (local skyline per price-bucket →
+    cross-bucket prune against higher buckets' max date → exact global
+    pass over the tiny survivor set), because a skyline IS mergeable:
+    pruning can never remove a true front point. Only the final window
+    is global, and it runs over O(front) rows, not O(orders). The
+    oracle is the direct one-window formulation over distinct prices."""
+    from ..core.session import cache_parallelism
+
+    o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
+    # cache the dimension-sized candidate frame: it feeds BOTH the local
+    # skyline and the bucket-max prune, and without the cache each leg
+    # re-scans the orders fact (2 fact passes for a 1-pass algorithm)
+    cand = (
+        o.groupBy("o_totalprice")
+        .agg(F.max("o_orderdate").alias("bd"))
+        .withColumn("bkt", F.floor(F.col("o_totalprice") / 10000).cast("bigint"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    # phase 1: local skyline inside each price bucket (parallel windows)
+    wl = (
+        Window.partitionBy("bkt")
+        .orderBy(F.desc("o_totalprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = (
+        cand.withColumn("pm", F.max("bd").over(wl))
+        .where(F.col("pm").isNull() | (F.col("bd") > F.col("pm")))
+        .drop("pm")
+    )
+    # phase 2: prune against the running max date of strictly higher buckets
+    bmax = cand.groupBy("bkt").agg(F.max("bd").alias("bmax"))
+    wb = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    hib = bmax.withColumn("hmax", F.max("bmax").over(wb)).select("bkt", "hmax")
+    pruned = local.join(F.broadcast(hib), "bkt").where(
+        F.col("hmax").isNull() | (F.col("bd") > F.col("hmax"))
+    )
+    # phase 3: exact skyline over the surviving candidates (tiny)
+    wg = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    front = pruned.withColumn("pm", F.max("bd").over(wg)).where(
+        F.col("pm").isNull() | (F.col("bd") > F.col("pm"))
+    )
+    return front.select(
+        F.round("o_totalprice", 2).alias("price"),
+        F.date_format("bd", "yyyy-MM-dd").alias("front_date"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution statistics: chi-square, KS drift, Gini, CUSUM
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi2_lang_source",
+    oracle="""
+    WITH cells AS (
+        SELECT lang, source, count(*) AS o FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, sum(o) AS rl FROM cells GROUP BY lang),
+    ct AS (SELECT source, sum(o) AS cs FROM cells GROUP BY source),
+    tot AS (SELECT sum(o) AS n, count(DISTINCT lang) AS nl,
+                   count(DISTINCT source) AS ns
+            FROM cells)
+    SELECT round(sum(
+               (CAST(o * n - rl * cs AS DOUBLE) * CAST(o * n - rl * cs AS DOUBLE))
+               / (CAST(n AS DOUBLE) * rl * cs)), 4) AS chi2,
+           CAST((nl - 1) * (ns - 1) AS BIGINT) AS dof,
+           CAST(n AS BIGINT) AS n
+    FROM cells JOIN rt USING (lang) JOIN ct USING (source) CROSS JOIN tot
+    GROUP BY nl, ns, n
+    """,
+)
+def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test for the documents ``lang × source``
+    contingency table — the mixture-drift detector a corpus-governance
+    pipeline runs per release. One fact-scan groupBy builds the cell
+    table; everything after runs on the O(langs × sources) frame with
+    broadcast joins. Each term is computed as
+    ``(o·n − rl·cs)² / (n·rl·cs)`` with the numerator difference exact
+    in BIGINT and promoted to double only for the final
+    multiply/divide, so per-term values are bit-identical cross-engine
+    (only the sum's addition order differs — far below the 4 dp
+    rounding)."""
+    d = table(spark, sf_dir, "documents")
+    cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
+    rt = cells.groupBy("lang").agg(F.sum("o").alias("rl"))
+    ct = cells.groupBy("source").agg(F.sum("o").alias("cs"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("lang").alias("nl"),
+        F.count_distinct("source").alias("ns"),
+    )
+    diff = F.col("o") * F.col("n") - F.col("rl") * F.col("cs")
+    term = (diff.cast("double") * diff.cast("double")) / (
+        F.col("n").cast("double") * F.col("rl") * F.col("cs")
+    )
+    joined = (
+        cells.join(F.broadcast(rt), "lang")
+        .join(F.broadcast(ct), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    return joined.groupBy("nl", "ns", "n").agg(
+        F.round(F.sum(term), 4).alias("chi2")
+    ).select(
+        "chi2",
+        ((F.col("nl") - 1) * (F.col("ns") - 1)).cast("bigint").alias("dof"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@query(
+    "ks_score_drift",
+    oracle="""
+    WITH sc AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    r AS (SELECT source, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, source) AS rk
+          FROM sc),
+    top2 AS (SELECT * FROM r WHERE rk <= 2),
+    t AS (SELECT rk, n_chars FROM documents JOIN top2 USING (source)),
+    pv AS (SELECT n_chars,
+                  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS d1,
+                  sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS d2
+           FROM t GROUP BY n_chars),
+    cum AS (SELECT sum(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c1,
+                   sum(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c2
+            FROM pv),
+    tt AS (SELECT max(CASE WHEN rk = 1 THEN source END) AS src_a,
+                  max(CASE WHEN rk = 2 THEN source END) AS src_b,
+                  max(CASE WHEN rk = 1 THEN cnt END) AS n1,
+                  max(CASE WHEN rk = 2 THEN cnt END) AS n2
+           FROM top2)
+    SELECT src_a, src_b, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+           CAST(max(abs(c1 * n2 - c2 * n1)) * 1000000 // (n1 * n2) AS BIGINT)
+               AS ks_e6
+    FROM cum CROSS JOIN tt
+    GROUP BY src_a, src_b, n1, n2
+    """,
+)
+def ks_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov statistic between the doc-length
+    distributions of the two largest sources (count desc, name asc —
+    deterministic pick). The KS sup-gap is computed in EXACT integer
+    arithmetic: ``d_num = max |c1·n2 − c2·n1|`` over the union of
+    observed lengths, with ``KS = d_num/(n1·n2)`` emitted as an integer
+    floor-division (``ks_e6``) — no float quotient ever rounds. The
+    cumulative window runs over the distinct length DOMAIN (bounded),
+    not the corpus; the per-length counts come from one grouped scan."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    # ONE fact scan: collapse to the (source, length) contingency frame
+    # and derive both the per-source totals and the per-length counts
+    # from it (cached — it is domain-sized, |sources| × |lengths|).
+    base = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count("*").alias("c"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    sc = base.groupBy("source").agg(F.sum("c").alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), "source")  # tiny frame: one row/source
+    top2 = sc.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= 2)
+    t = base.join(F.broadcast(top2), "source").select("rk", "n_chars", "c")
+    pv = t.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("rk") == 1, F.col("c")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("rk") == 2, F.col("c")).otherwise(0)).alias("d2"),
+    )
+    wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    cum = pv.select(
+        F.sum("d1").over(wv).alias("c1"), F.sum("d2").over(wv).alias("c2")
+    )
+    tt = top2.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("source"))).alias("src_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("source"))).alias("src_b"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("n1"),
+        F.max(F.when(F.col("rk") == 2, F.col("cnt"))).alias("n2"),
+    )
+    dd = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tt))
+        .groupBy("src_a", "src_b", "n1", "n2")
+        .agg(F.max(dd).alias("d_num"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            "d_num",
+            F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("ks_e6"),
+        )
+    )
+
+
+@query(
+    "gini_revenue_concentration",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey, CAST(round(round(sum(o_totalprice), 2) * 100) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    rk AS (SELECT cents,
+                  row_number() OVER (ORDER BY cents, o_custkey) AS i
+           FROM per),
+    a AS (SELECT count(*) AS n, sum(cents) AS s, sum(i * cents) AS w FROM rk)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(s AS BIGINT) AS total_cents,
+           CAST(2 * w - (n + 1) * s AS BIGINT) AS g_num,
+           CAST(n * s AS BIGINT) AS g_den,
+           CAST(CASE WHEN n * s >= 1000000
+                     THEN (2 * w - (n + 1) * s) // ((n * s) // 1000000)
+                     ELSE NULL END AS BIGINT) AS gini_ppm
+    FROM a
+    """,
+)
+def gini_revenue_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue concentration (the
+    train-data analogue: how skewed is the corpus toward a few heavy
+    sources/customers). Revenue is converted to integer CENTS (sums of
+    the 2 dp grid sit on the grid, so the conversion is exact), ranked,
+    and the Gini ``(2Σi·xᵢ − (n+1)Σxᵢ) / (nΣxᵢ)`` is emitted as exact
+    BIGINT numerator/denominator plus an integer parts-per-million
+    floor-division — zero float arithmetic anywhere. The rank window is
+    over the customer DIMENSION; at fact scale the rank would come from
+    a range-partitioned sort (repartitionByRange + per-partition offset
+    scan), which preserves the same exact integers."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.round(F.round(F.sum("o_totalprice"), 2) * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("cents", "o_custkey")
+    rk = per.select("cents", F.row_number().over(w).alias("i"))
+    a = rk.agg(
+        F.count("*").alias("n"),
+        F.sum("cents").alias("s"),
+        F.sum(F.col("i") * F.col("cents")).alias("w"),
+    )
+    # integer DIV (not /): both engines floor-divide; operands are
+    # non-negative (gini >= 0) so floor == truncate cross-engine.
+    return a.selectExpr(
+        "CAST(n AS BIGINT) AS n",
+        "CAST(s AS BIGINT) AS total_cents",
+        "CAST(2 * w - (n + 1) * s AS BIGINT) AS g_num",
+        "CAST(n * s AS BIGINT) AS g_den",
+        "CAST(CASE WHEN n * s >= 1000000 "
+        "     THEN (2 * w - (n + 1) * s) DIV ((n * s) DIV 1000000) "
+        "     ELSE NULL END AS BIGINT) AS gini_ppm",
+    )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH daily AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day, count(*) AS x
+        FROM events GROUP BY day
+    ),
+    tot AS (SELECT CAST(sum(x) AS BIGINT) AS t, count(*) AS d_days FROM daily),
+    c AS (
+        SELECT day,
+               CAST(d_days * sum(x) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)
+                    - row_number() OVER (ORDER BY day) * t AS BIGINT) AS c_scaled,
+               d_days, t
+        FROM daily CROSS JOIN tot
+    )
+    SELECT day, c_scaled, CAST(d_days AS BIGINT) AS d_days,
+           CAST(t AS BIGINT) AS total
+    FROM c ORDER BY abs(c_scaled) DESC, day LIMIT 1
+    """,
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on the daily event-count series:
+    the day where the cumulative deviation from the global mean peaks.
+    The CUSUM is carried SCALED BY THE DAY COUNT
+    (``c_i = D·Σx_j − i·T``, all BIGINT) so the statistic is exact
+    integer arithmetic — the mean never materializes as a float. The
+    cumulative window runs over the day DOMAIN (bounded); the argmax is
+    a bounded take (orderBy + limit → TakeOrderedAndProject)."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events").select(
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day")
+    )
+    daily = e.groupBy("day").agg(F.count("*").alias("x"))
+    tot = daily.agg(
+        F.sum("x").cast("bigint").alias("t"), F.count("*").alias("d_days")
+    )
+    wv = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    wi = Window.orderBy("day")
+    c = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn("cum", F.sum("x").over(wv))
+        .withColumn("i", F.row_number().over(wi))
+        .select(
+            "day",
+            (F.col("d_days") * F.col("cum") - F.col("i") * F.col("t"))
+            .cast("bigint")
+            .alias("c_scaled"),
+            F.col("d_days").cast("bigint").alias("d_days"),
+            F.col("t").cast("bigint").alias("total"),
+        )
+    )
+    return c.orderBy(F.abs(F.col("c_scaled")).desc(), "day").limit(1)
+
+
+# ---------------------------------------------------------------------------
+# Customer-entity analytics: interval coverage + RFM segmentation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "interval_merge_coverage",
+    oracle="""
+    WITH o AS (
+        SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS s
+        FROM orders
+    ),
+    i AS (SELECT o_custkey, s, s + 30 AS e FROM o),
+    m AS (
+        SELECT o_custkey, s, e,
+               max(e) OVER (PARTITION BY o_custkey ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM i
+    ),
+    f AS (SELECT o_custkey, s, e,
+                 CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS ni
+          FROM m),
+    g AS (SELECT o_custkey, s, e,
+                 sum(ni) OVER (PARTITION BY o_custkey ORDER BY s
+                               ROWS UNBOUNDED PRECEDING) AS isl
+          FROM f),
+    isl AS (SELECT o_custkey, isl, date_diff('day', min(s), max(e)) AS days
+            FROM g GROUP BY o_custkey, isl),
+    pc AS (SELECT o_custkey, count(*) AS n_islands, sum(days) AS covered
+           FROM isl GROUP BY o_custkey)
+    SELECT CAST(n_islands AS BIGINT) AS n_islands,
+           count(*) AS n_customers,
+           CAST(sum(covered) AS BIGINT) AS sum_covered_days
+    FROM pc GROUP BY n_islands
+    """,
+)
+def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-overlapping-intervals (gaps-and-islands): each order opens
+    a 30-day activity interval; overlapping intervals per customer are
+    merged and the total covered days distribution is emitted. The
+    running-max-end window is per-customer (partitioned — parallel at
+    any scale) and a new island starts when an interval begins strictly
+    after every prior interval's end. Pure date/integer arithmetic —
+    exact parity. Same shape as SCD2/PIT interval logic but for the
+    union-of-intervals aggregation the reference never needed at its
+    single-node scale."""
+    o = table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date(F.date_trunc("day", "o_orderdate")).alias("s")
+    )
+    i = o.select("o_custkey", "s", F.date_add("s", 30).alias("e"))
+    wp = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wc = (
+        Window.partitionBy("o_custkey")
+        .orderBy("s")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    m = i.withColumn("pm", F.max("e").over(wp))
+    f = m.withColumn(
+        "ni", F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
+    )
+    g = f.withColumn("isl", F.sum("ni").over(wc))
+    isl = g.groupBy("o_custkey", "isl").agg(
+        F.datediff(F.max("e"), F.min("s")).alias("days")
+    )
+    pc = isl.groupBy("o_custkey").agg(
+        F.count("*").alias("n_islands"), F.sum("days").alias("covered")
+    )
+    return pc.groupBy(F.col("n_islands").cast("bigint").alias("n_islands")).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("covered").cast("bigint").alias("sum_covered_days"),
+    )
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH per AS (
+        SELECT o_custkey, max(date_trunc('day', o_orderdate)) AS r,
+               count(*) AS fcnt, round(sum(o_totalprice), 2) AS m
+        FROM orders GROUP BY o_custkey
+    ),
+    seg AS (
+        SELECT m,
+               ntile(4) OVER (ORDER BY r, o_custkey) AS rq,
+               ntile(4) OVER (ORDER BY fcnt, o_custkey) AS fq,
+               ntile(4) OVER (ORDER BY m, o_custkey) AS mq
+        FROM per
+    )
+    SELECT rq::VARCHAR || '-' || fq::VARCHAR || '-' || mq::VARCHAR AS segment,
+           count(*) AS n_customers,
+           round(sum(m), 2) AS sum_monetary
+    FROM seg GROUP BY segment
+    """,
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM (recency/frequency/monetary) quartile segmentation — the
+    classic entity-scoring shape (same as doc-quality stratification
+    over a corpus). One fact scan collapses orders to the customer
+    dimension; the three ``ntile(4)`` windows run over that dimension
+    with a TOTAL order (metric, custkey) so quartile boundaries are
+    deterministic cross-engine. Monetary is round(sum, 2) of 2 dp grid
+    values — on-grid, and segment sums of those grid values re-round
+    exactly (grid-sum rule). At fact scale the quartile cutpoints would
+    come from approx_percentile instead of a global ntile sort; the
+    dimension-sized form here is the exact-parity variant."""
+    o = table(spark, sf_dir, "orders")
+    per = o.groupBy("o_custkey").agg(
+        F.max(F.date_trunc("day", "o_orderdate")).alias("r"),
+        F.count("*").alias("fcnt"),
+        F.round(F.sum("o_totalprice"), 2).alias("m"),
+    )
+    wr = Window.orderBy("r", "o_custkey")
+    wf = Window.orderBy("fcnt", "o_custkey")
+    wm = Window.orderBy("m", "o_custkey")
+    seg = per.select(
+        "m",
+        F.ntile(4).over(wr).alias("rq"),
+        F.ntile(4).over(wf).alias("fq"),
+        F.ntile(4).over(wm).alias("mq"),
+    )
+    return seg.groupBy(
+        F.concat_ws("-", "rq", "fq", "mq").alias("segment")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.sum("m"), 2).alias("sum_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted sampling (Efraimidis–Spirakis)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_doc_sample",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(doc_id::VARCHAR || '_wsample'), 1, 10))::UBIGINT
+                    % 1048576 AS BIGINT) AS h_int
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT doc_id, n_chars, h_int
+    FROM t
+    ORDER BY ln((h_int + 1) / 1048577.0) / n_chars DESC, doc_id
+    LIMIT 20
+    """,
+)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-ES): key = u^(1/w) with u a deterministic md5-derived uniform and
+    w = n_chars; the top-k keys ARE a w-weighted sample. Ordering uses
+    the monotone-equivalent ``ln(u)/w`` (avoids pow()'s cross-library
+    last-ulp variance); keys are random-spaced ~1e-5 apart so a 1-ulp
+    ln() difference can never flip the order. The OUTPUT carries only
+    exact integers (doc_id, weight, the hash) — the float key exists
+    solely inside the TakeOrderedAndProject ordering. This is the
+    scale-correct corpus sampler: one scan, one bounded top-k, no
+    global sort materialized."""
+    d = table(spark, sf_dir, "documents").where(F.col("n_chars") > 0)
+    h = _md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_wsample")), 1 << 20
+    )
+    t = d.select("doc_id", "n_chars", h.alias("h_int"))
+    key = F.ln((F.col("h_int") + 1) / F.lit(float((1 << 20) + 1))) / F.col("n_chars")
+    return (
+        t.orderBy(key.desc(), "doc_id")
+        .limit(20)
+        .select("doc_id", "n_chars", "h_int")
+    )

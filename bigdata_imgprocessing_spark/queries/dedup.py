@@ -1126,3 +1126,92 @@ def pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rnk") <= 15)
         .select("doc_id", "deg", "pr", "rnk", F.lit(n).alias("n_nodes"))
     )
+
+
+@query(
+    "ngram_containment_hist",
+    oracle=f"""
+    WITH sh AS ({_DUCK_SHINGLES}),
+    ex_all AS (SELECT DISTINCT doc_id, unnest(sh) AS s FROM sh),
+    ok AS (SELECT s FROM ex_all GROUP BY s HAVING count(*) <= 50),
+    ex AS (SELECT doc_id, ex_all.s FROM ex_all JOIN ok ON ex_all.s = ok.s),
+    sizes AS (SELECT doc_id, count(*) AS sz FROM ex GROUP BY doc_id),
+    pair_inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+        FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    j AS (
+        SELECT inter, least(sa.sz, sb.sz) AS msz
+        FROM pair_inter JOIN sizes sa ON sa.doc_id = doc_a
+                        JOIN sizes sb ON sb.doc_id = doc_b
+    )
+    SELECT CAST(inter * 10 // msz AS INTEGER) AS containment_decile,
+           count(*) AS n_pairs,
+           CAST(sum(CASE WHEN inter = msz THEN 1 ELSE 0 END) AS BIGINT) AS n_full
+    FROM j GROUP BY containment_decile
+    """,
+)
+def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram CONTAINMENT (|A∩B| / min(|A|,|B|)) histogram over the
+    same DF-pruned inverted index as ``ngram_jaccard_hist``. Containment
+    is the asymmetric near-dup metric Jaccard misses: a short document
+    fully embedded in a long one scores ~|A|/|B| on Jaccard (low) but
+    1.0 on containment — the sub-document duplication case (quote
+    farms, boilerplate wrappers) a training-corpus dedup must catch.
+    ``containment_decile = 10`` rows (``n_full``) are exact full
+    containments. Same scale posture as the Jaccard variant: stop-
+    shingle prune bounds candidates, posting lists generate pairs
+    JVM-side, integer arithmetic end-to-end."""
+    cutoff = 50
+    d = table(spark, sf_dir, "documents")
+    sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
+    ex = sets.select("doc_id", F.explode("ss").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
+    from ..core.session import cache_parallelism
+
+    groups = (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= cutoff)
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    sizes = groups.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
+        F.count("*").alias("sz")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x: F.transform(
+                F.filter(F.col("ds"), lambda y: y > x),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
+        )
+    )
+    pair_inter = (
+        groups.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    j = (
+        pair_inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("inter", F.least(F.col("sa.sz"), F.col("sb.sz")).alias("msz"))
+    )
+    return (
+        j.groupBy(
+            F.floor(F.col("inter") * 10 / F.col("msz"))
+            .cast("int")
+            .alias("containment_decile")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.when(F.col("inter") == F.col("msz"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_full"),
+        )
+    )

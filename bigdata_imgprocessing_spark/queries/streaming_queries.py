@@ -712,8 +712,9 @@ def streaming_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ensure_utc(spark)
     try:  # idempotent across repeated query invocations in one session
         spark.dataSource.register(EventTailDataSource)
-    except Exception:
-        pass
+    except Exception as exc:  # swallow ONLY the already-registered case
+        if "exist" not in str(exc).lower():
+            raise
     s = (
         spark.readStream.format("eventtail")
         .option("path", f"{sf_dir}/events.parquet")

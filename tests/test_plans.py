@@ -420,3 +420,56 @@ def test_pagerank_shuffles_edges_not_corpus(spark, sf_dir):
     assert "ExistingRDD" in plan  # checkpointed edges, lineage cut
     assert "InMemoryTableScan" in plan  # cached nodes
     assert "CartesianProduct" not in plan
+
+
+def test_bitmap_distinct_is_mergeable_two_level(spark, sf_dir):
+    """bitmap_distinct_users: exact distinct WITHOUT the distinct-expand
+    shape — no Expand node, and the shuffle carries (day, bucket)-keyed
+    bitmaps through at most two exchanges. This is the contract that
+    makes the count mergeable on a real cluster."""
+    plan = _formatted(spark, QUERIES["bitmap_distinct_users"](spark, sf_dir))
+    assert _n_nodes(plan, "Expand") == 0
+    assert _n_nodes(plan, "Exchange") <= 2
+    assert "bitmap_construct_agg" in plan
+
+
+def test_weighted_sample_is_bounded_take(spark, sf_dir):
+    """weighted_doc_sample: the A-ES top-k must plan as
+    TakeOrderedAndProject over a single scan — no global sort, no
+    shuffle at all (per-partition top-20 + driver merge)."""
+    plan = _formatted(spark, QUERIES["weighted_doc_sample"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert _n_nodes(plan, "Exchange") == 0
+    assert _n_nodes(plan, "Scan parquet") == 1
+
+
+def test_m4_downsample_single_shuffle(spark, sf_dir):
+    """m4_downsample: both rank windows and the final agg share ONE
+    bucket shuffle — the M4 reduction is a single-pass operator."""
+    plan = _formatted(spark, QUERIES["m4_downsample"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Exchange") <= 2  # bucket shuffle (+AQE wrapper)
+
+
+def test_ks_drift_single_fact_scan(spark, sf_dir):
+    """ks_score_drift: the documents fact is scanned ONCE into the
+    (source, length) contingency frame; totals, top-2 pick, and the
+    CDF comparison all derive from the cached domain-sized frame."""
+    df = QUERIES["ks_score_drift"](spark, sf_dir)
+    df.collect()  # populate the cache so InMemoryTableScan materializes
+    plan = _formatted(spark, df)
+    assert _n_nodes(plan, "Scan parquet") <= 1
+    assert "InMemoryTableScan" in plan
+
+
+def test_pareto_front_prunes_before_global_window(spark, sf_dir):
+    """pareto_front_orders: the skyline caches the candidate frame (one
+    fact scan feeding both prune legs) and broadcasts the bucket-max
+    frame — never a shuffled join of the fact."""
+    df = QUERIES["pareto_front_orders"](spark, sf_dir)
+    df.collect()
+    plan = _formatted(spark, df)
+    assert _n_nodes(plan, "Scan parquet") <= 1
+    assert "InMemoryTableScan" in plan
+    assert "BroadcastHashJoin" in plan
+    assert _n_nodes(plan, "SortMergeJoin") == 0

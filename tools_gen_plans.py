@@ -71,6 +71,13 @@ PICKS = {
     "grouped_agg_udaf": "Python UDAF: AggregateInPandas over one key shuffle -- no map-side partial agg (UDF is a black box to Catalyst), the documented trade vs built-ins.",
     "sql_udf_price_bands": "SQL-defined function INLINES to a pure Catalyst CASE expression -- full codegen, zero UDF boundary in the plan.",
     "try_arithmetic_audit": "try_divide/try_cast stay whole-stage-codegen JVM expressions -- error-safety without leaving the codegen span.",
+    "bitmap_distinct_users": "Bitmap exact-distinct: (day,bucket)-keyed mergeable bitmaps through <=2 exchanges, zero Expand nodes -- never a distinct-expand of raw user_ids.",
+    "m4_downsample": "M4: both rank windows and the final agg share ONE bucket shuffle; first/last are rank-1 rows under a total order.",
+    "weighted_doc_sample": "A-ES weighted sample: TakeOrderedAndProject per-partition heaps over a single scan -- ZERO exchanges; the float key exists only inside the ordering.",
+    "pareto_front_orders": "Skyline: cached candidate frame (one fact scan) feeds local per-bucket skylines + broadcast bucket-max prune; the global window sees only O(front) survivors.",
+    "ks_score_drift": "KS drift: one fact scan into a cached (source,length) contingency frame; totals, top-2 pick, and the CDF windows all run on the domain, not the corpus.",
+    "cusum_changepoint": "CUSUM: day-domain cumulative window over the daily-count frame, 1-row totals broadcast, argmax as a bounded take -- all-BIGINT statistic.",
+    "ngram_containment_hist": "Containment: same DF-pruned posting-list self-pairing as the Jaccard op -- candidates bounded by the stop-shingle cutoff, integer deciles end-to-end.",
 }
 
 

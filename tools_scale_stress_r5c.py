@@ -46,13 +46,15 @@ def main() -> None:
 
     print("== embedding-corpus growth (semdedup fixed-k vs sqrt-N k) ==",
           flush=True)
-    base_n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
     res = []
     for factor in (10, 30):
         out = f"/tmp/bdip_scale_emb_{factor}x"
         if not os.path.exists(os.path.join(out, "embeddings.parquet")):
             build_scaled_embeddings(spark, sf_dir, out, factor=factor)
-        n = base_n * (factor + 1) + base_n // 20
+        # count the scaled parquet itself (cheap metadata-only count) —
+        # exact in both the fresh-build and skip-if-exists branches
+        # (ADVICE r5: the old closed-form overstated N by base_n).
+        n = spark.read.parquet(os.path.join(out, "embeddings.parquet")).count()
         # fixed k=10 measured at 10x only: its cost is ~N^2/10 and the
         # 30x run would be ~1h — the sqrt-N curve is the claim under test
         ks = (10, int(math.sqrt(n))) if factor == 10 else (int(math.sqrt(n)),)
