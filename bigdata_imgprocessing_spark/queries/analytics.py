@@ -287,48 +287,21 @@ def pareto_front_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass over the tiny survivor set), because a skyline IS mergeable:
     pruning can never remove a true front point. Only the final window
     is global, and it runs over O(front) rows, not O(orders). The
-    oracle is the direct one-window formulation over distinct prices."""
-    from ..core.session import cache_parallelism
+    oracle is the direct one-window formulation over distinct prices.
+    Core algorithm in ``operators/skyline.py`` (property-tested vs a
+    brute-force dominance check)."""
+    from ..operators.skyline import pareto_front_2d
 
     o = table(spark, sf_dir, "orders").select("o_totalprice", "o_orderdate")
-    # cache the dimension-sized candidate frame: it feeds BOTH the local
-    # skyline and the bucket-max prune, and without the cache each leg
-    # re-scans the orders fact (2 fact passes for a 1-pass algorithm)
-    cand = (
-        o.groupBy("o_totalprice")
-        .agg(F.max("o_orderdate").alias("bd"))
-        .withColumn("bkt", F.floor(F.col("o_totalprice") / 10000).cast("bigint"))
-        .coalesce(cache_parallelism(spark))
-        .cache()
-    )
-    # phase 1: local skyline inside each price bucket (parallel windows)
-    wl = (
-        Window.partitionBy("bkt")
-        .orderBy(F.desc("o_totalprice"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    local = (
-        cand.withColumn("pm", F.max("bd").over(wl))
-        .where(F.col("pm").isNull() | (F.col("bd") > F.col("pm")))
-        .drop("pm")
-    )
-    # phase 2: prune against the running max date of strictly higher buckets
-    bmax = cand.groupBy("bkt").agg(F.max("bd").alias("bmax"))
-    wb = Window.orderBy(F.desc("bkt")).rowsBetween(Window.unboundedPreceding, -1)
-    hib = bmax.withColumn("hmax", F.max("bmax").over(wb)).select("bkt", "hmax")
-    pruned = local.join(F.broadcast(hib), "bkt").where(
-        F.col("hmax").isNull() | (F.col("bd") > F.col("hmax"))
-    )
-    # phase 3: exact skyline over the surviving candidates (tiny)
-    wg = Window.orderBy(F.desc("o_totalprice")).rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    front = pruned.withColumn("pm", F.max("bd").over(wg)).where(
-        F.col("pm").isNull() | (F.col("bd") > F.col("pm"))
+    front = pareto_front_2d(
+        o,
+        x="o_totalprice",
+        y="o_orderdate",
+        bucket=F.floor(F.col("o_totalprice") / 10000).cast("bigint"),
     )
     return front.select(
         F.round("o_totalprice", 2).alias("price"),
-        F.date_format("bd", "yyyy-MM-dd").alias("front_date"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("front_date"),
     )
 
 
@@ -637,28 +610,16 @@ def interval_merge_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     after every prior interval's end. Pure date/integer arithmetic —
     exact parity. Same shape as SCD2/PIT interval logic but for the
     union-of-intervals aggregation the reference never needed at its
-    single-node scale."""
+    single-node scale. Core algorithm in ``operators/intervals.py``
+    (property-tested vs a brute-force interval union)."""
+    from ..operators.intervals import merge_intervals
+
     o = table(spark, sf_dir, "orders").select(
         "o_custkey", F.to_date(F.date_trunc("day", "o_orderdate")).alias("s")
     )
     i = o.select("o_custkey", "s", F.date_add("s", 30).alias("e"))
-    wp = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wc = (
-        Window.partitionBy("o_custkey")
-        .orderBy("s")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    m = i.withColumn("pm", F.max("e").over(wp))
-    f = m.withColumn(
-        "ni", F.when(F.col("pm").isNull() | (F.col("s") > F.col("pm")), 1).otherwise(0)
-    )
-    g = f.withColumn("isl", F.sum("ni").over(wc))
-    isl = g.groupBy("o_custkey", "isl").agg(
-        F.datediff(F.max("e"), F.min("s")).alias("days")
+    isl = merge_intervals(i, key="o_custkey", start="s", end="e").select(
+        "o_custkey", F.datediff("e", "s").alias("days")
     )
     pc = isl.groupBy("o_custkey").agg(
         F.count("*").alias("n_islands"), F.sum("days").alias("covered")

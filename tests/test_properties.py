@@ -657,3 +657,76 @@ def test_bpe_merge_replace_overlap_semantics(spark_prop):
     for w in cases:
         duck = con.execute("SELECT replace(?, 'aa', 'A')", [w]).fetchone()[0]
         assert got[w] == duck == w.replace("aa", "A")
+
+
+# ---------------------------------------------------------------------------
+# 2-d skyline operator vs brute-force dominance: a point is on the
+# maximizing front iff no other point has strictly greater x and >= y.
+# Exercises duplicate x values (collapsed to best-y), bucket boundaries,
+# and single-bucket degenerate inputs.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 60), st.integers(0, 60)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_skyline_matches_bruteforce(spark_prop, pts):
+    from bigdata_imgprocessing_spark.operators.skyline import pareto_front_2d
+
+    df = spark_prop.createDataFrame(list(pts), "x int, y int")
+    got = {
+        (r.x, r.y)
+        for r in pareto_front_2d(
+            df, "x", "y", bucket=F.floor(F.col("x") / 7).cast("bigint")
+        ).collect()
+    }
+    best: dict[int, int] = {}
+    for x, y in pts:
+        best[x] = max(best.get(x, y), y)
+    exp = {
+        (x, y)
+        for x, y in best.items()
+        if not any(x2 > x and y2 >= y for x2, y2 in best.items())
+    }
+    assert got == exp
+
+
+# ---------------------------------------------------------------------------
+# interval merge operator vs brute-force union: islands break exactly
+# when a start is strictly after the running max end (touching
+# intervals merge). Exercises duplicate starts, nested intervals, and
+# zero-length intervals.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    iv=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 50), st.integers(0, 10)),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_merge_intervals_matches_union(spark_prop, iv):
+    from bigdata_imgprocessing_spark.operators.intervals import merge_intervals
+
+    rows = [(k, s, s + ln) for k, s, ln in iv]
+    df = spark_prop.createDataFrame(rows, "k int, s int, e int")
+    got = sorted((r.k, r.s, r.e) for r in merge_intervals(df, "k", "s", "e").collect())
+    exp = []
+    for k in sorted({r[0] for r in rows}):
+        ivs = sorted((s, e) for kk, s, e in rows if kk == k)
+        cur_s, cur_e = ivs[0]
+        for s, e in ivs[1:]:
+            if s > cur_e:
+                exp.append((k, cur_s, cur_e))
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        exp.append((k, cur_s, cur_e))
+    assert got == sorted(exp)
