@@ -38,10 +38,13 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Bytes → uint8 HxWxC ndarray. FIMG, BMP, and PNG natively (stdlib
-    codecs); other real formats (JPEG) via cv2 when available, else
-    NotImplementedError (documented stub)."""
+    """Bytes → uint8 HxWxC ndarray. FIMG, BMP, PNG, and baseline JPEG
+    natively (stdlib+numpy codecs — the reference's actual *.jpg ingest
+    format decodes without cv2); exotic JPEG variants (progressive,
+    subsampled) fall through to cv2 when available, else the codec's
+    NotImplementedError propagates (documented gate)."""
     from .formats import BMP_MAGIC, PNG_MAGIC, decode_bmp, decode_png
+    from .jpeg import JPEG_MAGIC, decode_jpeg
 
     if buf[:4] == _MAGIC:
         magic, h, w, c = _HEADER.unpack_from(buf)
@@ -50,9 +53,18 @@ def decode_image(buf: bytes) -> np.ndarray:
         return decode_bmp(buf)
     if buf[:8] == PNG_MAGIC:
         return decode_png(buf)
+    if buf[:2] == JPEG_MAGIC:
+        try:
+            return decode_jpeg(buf)
+        except NotImplementedError:
+            if not _HAS_CV2:
+                raise
+            return cv2.imdecode(  # pragma: no cover
+                np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR
+            )
     if _HAS_CV2:  # pragma: no cover
         return cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
     raise NotImplementedError(
-        "JPEG/other decode requires cv2/PIL (absent in this container); "
-        "BMP, PNG, and the FIMG fixture format decode natively"
+        "unrecognized image format (FIMG, BMP, PNG, and baseline JPEG "
+        "decode natively; cv2/PIL absent in this container)"
     )

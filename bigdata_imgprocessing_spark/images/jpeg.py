@@ -1,0 +1,467 @@
+"""Stdlib+numpy baseline JPEG codec (ITU-T T.81 / ISO 10918-1).
+
+Closes the last real-format gap: the reference's actual ingest format is
+``*.jpg`` via ``cv2.imdecode`` (pyspark_yolox.py:123,67;
+pyspark_dominant.py:25,35), and this container has no cv2/PIL. Encoder
+and decoder are implemented from the published spec with nothing but
+``struct`` and numpy:
+
+- **Decoder**: baseline sequential DCT (SOF0), 8-bit, interleaved scan,
+  4:4:4 (all sampling factors 1×1) or single-component grayscale;
+  generic DQT (8/16-bit tables) and DHT parsing (tables come from the
+  stream, not hardcoded), restart markers, 0xFF00 byte-unstuffing.
+  Progressive (SOF2) and subsampled streams raise NotImplementedError —
+  the same explicit gating as the other codecs' unsupported variants.
+- **Encoder**: SOF0 4:4:4 (or grayscale), JFIF APP0, canonical Huffman
+  tables CONSTRUCTED rather than transcribed (12 DC size symbols at
+  code length 4, all 162 AC (run,size) symbols at length 8 — Kraft-
+  feasible, all-ones code unused, spec-legal), default quantization
+  tables of all ones (max quality: round-trip error is DCT rounding
+  only, bounded at ±6 per sample incl. the color transform — the
+  property tests pin this).
+
+Arrays are RGB-ordered H×W×3 (or H×W gray) uint8 — the engine
+convention shared with images/formats.py.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+JPEG_MAGIC = b"\xff\xd8"
+
+# --------------------------------------------------------------------------
+# 8×8 orthonormal DCT-II basis and the zigzag scan, both CONSTRUCTED
+# (a transcription typo in either would silently corrupt every block;
+# construction + the spec-prefix test in tests/test_jpeg.py pins them).
+# --------------------------------------------------------------------------
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8)
+    t = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) / 2.0
+    t[0, :] = 1.0 / (2.0 * np.sqrt(2.0))
+    return t
+
+
+_T = _dct_matrix()  # spatial = _T.T @ coeff @ _T; coeff = _T @ spatial @ _T.T
+
+
+def _zigzag_order() -> np.ndarray:
+    """Raster index of the k-th zigzag element: diagonal scan, even
+    diagonals walked bottom-left→top-right, odd ones the reverse."""
+    cells = [(r, c) for r in range(8) for c in range(8)]
+    cells.sort(key=lambda rc: (rc[0] + rc[1],
+                               rc[1] if (rc[0] + rc[1]) % 2 == 0 else rc[0]))
+    return np.array([r * 8 + c for r, c in cells], dtype=np.int64)
+
+
+_ZIGZAG = _zigzag_order()
+_UNZIGZAG = np.argsort(_ZIGZAG)
+
+# --------------------------------------------------------------------------
+# Canonical Huffman tables for the ENCODER. The decoder never sees
+# these names — it builds tables from the stream's DHT segments, so any
+# spec-legal table here keeps files interoperable.
+# --------------------------------------------------------------------------
+
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]  # 12 codes, len 4
+_DC_VALS = list(range(12))
+_AC_VALS = [0x00, 0xF0] + [
+    (run << 4) | size for run in range(16) for size in range(1, 11)
+]
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by the T.81 canonical assignment."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_ENC_DC = _canonical_codes(_DC_BITS, _DC_VALS)
+_ENC_AC = _canonical_codes(_AC_BITS, sorted(_AC_VALS))
+
+_QUANT_ONES = np.ones(64, dtype=np.uint16)
+
+
+# --------------------------------------------------------------------------
+# Bit I/O
+# --------------------------------------------------------------------------
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.out.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits per spec
+
+
+class _BitReader:
+    """Entropy-coded segment reader: unstuffs 0xFF00, stops at markers,
+    resets cleanly at RSTn."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+        self.marker: int | None = None
+
+    def _fill(self) -> None:
+        if self.marker is not None:
+            raise ValueError("JPEG entropy data exhausted mid-block")
+        b = self.buf[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.buf[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                self.marker = nxt
+                self.pos += 1
+                raise ValueError("JPEG entropy data exhausted mid-block")
+        self._acc = (self._acc << 8) | b
+        self._n += 8
+
+    def bit(self) -> int:
+        if self._n == 0:
+            self._fill()
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+    def align_to_marker(self) -> int | None:
+        """Discard partial bits and consume an RST/other marker if next."""
+        self._acc = 0
+        self._n = 0
+        if self.marker is not None:
+            m = self.marker
+            self.marker = None
+            return m
+        if self.buf[self.pos] == 0xFF and self.buf[self.pos + 1] != 0x00:
+            m = self.buf[self.pos + 1]
+            self.pos += 2
+            return m
+        return None
+
+
+# --------------------------------------------------------------------------
+# Encoder
+# --------------------------------------------------------------------------
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> np.ndarray:
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.stack([y, cb, cr], axis=2)
+
+
+def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
+    r = y + 1.402 * (cr - 128.0)
+    g = y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0)
+    b = y + 1.772 * (cb - 128.0)
+    return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
+
+
+def _blocks(plane: np.ndarray) -> np.ndarray:
+    """H×W float plane → (n_blocks_v, n_blocks_h, 8, 8), edge-padded."""
+    h, w = plane.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    bh, bw = p.shape[0] // 8, p.shape[1] // 8
+    return p.reshape(bh, 8, bw, 8).swapaxes(1, 2)
+
+
+def _size_of(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, size: int) -> int:
+    return v if v >= 0 else v + (1 << size) - 1
+
+
+def _seg(marker: int, payload: bytes) -> bytes:
+    return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
+
+
+def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
+    """uint8 H×W×3 RGB (or H×W gray) → baseline 4:4:4 JFIF bytes."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[:2]
+    if not gray and a.shape[2] != 3:
+        raise ValueError(f"JPEG encode needs 3 channels or gray, got {a.shape}")
+    q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
+
+    planes = (
+        [a.astype(np.float64)]
+        if gray
+        else [c for c in np.moveaxis(_rgb_to_ycbcr(a), 2, 0)]
+    )
+    ncomp = len(planes)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, ncomp)
+    for cid in range(1, ncomp + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_VALS)))
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, baseline
+    out += _seg(0xDA, sos)
+
+    qf = q.reshape(8, 8).astype(np.float64)
+    comp_blocks = []
+    for p in planes:
+        b = _blocks(p - 128.0)
+        coeff = np.einsum("ij,vhjk,lk->vhil", _T, b, _T)
+        comp_blocks.append(np.round(coeff / qf).astype(np.int64))
+
+    bw_ = _BitWriter()
+    nbv, nbh = comp_blocks[0].shape[:2]
+    prev_dc = [0] * ncomp
+    for bv in range(nbv):
+        for bh_ in range(nbh):
+            for c in range(ncomp):
+                zz = comp_blocks[c][bv, bh_].reshape(64)[_ZIGZAG]
+                diff = int(zz[0]) - prev_dc[c]
+                prev_dc[c] = int(zz[0])
+                s = _size_of(diff)
+                code, ln = _ENC_DC[s]
+                bw_.write(code, ln)
+                if s:
+                    bw_.write(_amplitude(diff, s), s)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for k in range(1, last + 1):
+                    v = int(zz[k])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = _ENC_AC[0xF0]
+                        bw_.write(code, ln)
+                        run -= 16
+                    s = _size_of(v)
+                    code, ln = _ENC_AC[(run << 4) | s]
+                    bw_.write(code, ln)
+                    bw_.write(_amplitude(v, s), s)
+                    run = 0
+                if last < 63:
+                    code, ln = _ENC_AC[0x00]  # EOB
+                    bw_.write(code, ln)
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# Decoder
+# --------------------------------------------------------------------------
+
+
+class _HuffTable:
+    def __init__(self, bits: bytes, vals: bytes) -> None:
+        # (length, code) → symbol, decoded bit-by-bit
+        self.map: dict[tuple[int, int], int] = {}
+        code = 0
+        k = 0
+        for ln in range(1, 17):
+            for _ in range(bits[ln - 1]):
+                self.map[(ln, code)] = vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+
+    def decode(self, br: _BitReader) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | br.bit()
+            sym = self.map.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid JPEG Huffman code")
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline 4:4:4 / grayscale JPEG bytes → uint8 H×W×3 RGB (or H×W).
+
+    Truncated/corrupt streams raise ValueError (the quarantine path
+    needs a reliable exception); unsupported spec variants raise
+    NotImplementedError (the cv2 slot-in gate)."""
+    if buf[:2] != JPEG_MAGIC:
+        raise ValueError("not a JPEG stream")
+    try:
+        return _decode_jpeg(buf)
+    except (IndexError, struct.error) as exc:
+        raise ValueError("truncated or corrupt JPEG stream") from exc
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    htables: dict[tuple[int, int], _HuffTable] = {}
+    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    h = w = 0
+    restart = 0
+    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+
+    while True:
+        if buf[pos] != 0xFF:
+            raise ValueError("JPEG marker expected")
+        marker = buf[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            raise ValueError("JPEG has no scan data")
+        if marker in (0x01, *range(0xD0, 0xD8)):
+            continue  # parameterless
+        (ln,) = struct.unpack_from(">H", buf, pos)
+        payload = buf[pos + 2 : pos + ln]
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(payload):
+                pq, tq = payload[i] >> 4, payload[i] & 0x0F
+                i += 1
+                n = 64 * (2 if pq else 1)
+                raw = payload[i : i + n]
+                i += n
+                vals = (
+                    np.frombuffer(raw, dtype=">u2").astype(np.int64)
+                    if pq
+                    else np.frombuffer(raw, dtype=np.uint8).astype(np.int64)
+                )
+                t = np.zeros(64, dtype=np.int64)
+                t[_ZIGZAG] = vals
+                qtables[tq] = t.reshape(8, 8)
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(payload):
+                tc, th = payload[i] >> 4, payload[i] & 0x0F
+                bits = payload[i + 1 : i + 17]
+                n = sum(bits)
+                vals = payload[i + 17 : i + 17 + n]
+                htables[(tc, th)] = _HuffTable(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8:
+                raise NotImplementedError(f"only 8-bit JPEG (precision={prec})")
+            for c in range(nc):
+                cid, samp, tq = struct.unpack_from(">BBB", payload, 3 + 3 * c + 3)
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "only 4:4:4 (1x1-sampled) baseline JPEG"
+                    )
+                comps.append((cid, samp, tq))
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"progressive/extended JPEG (SOF marker 0xFF{marker:02X})"
+            )
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xDA:  # SOS
+            ns = payload[0]
+            for c in range(ns):
+                cs, tt = payload[1 + 2 * c], payload[2 + 2 * c]
+                idx = next(i for i, cc in enumerate(comps) if cc[0] == cs)
+                scan.append((idx, tt >> 4, tt & 0x0F))
+            break
+        # APPn / COM / others: skipped via the length field
+
+    if not comps:
+        raise ValueError("JPEG missing SOF before SOS")
+    nbv, nbh = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((nbv * 8, nbh * 8), dtype=np.float64) for _ in comps]
+    br = _BitReader(buf, pos)
+    prev_dc = [0] * len(comps)
+    qf = [qtables[tq].astype(np.float64) for _, _, tq in comps]
+    mcu = 0
+    for bv in range(nbv):
+        for bh_ in range(nbh):
+            if restart and mcu and mcu % restart == 0:
+                m = br.align_to_marker()
+                if m is None or not (0xD0 <= m <= 0xD7):
+                    raise ValueError("JPEG restart marker expected")
+                prev_dc = [0] * len(comps)
+            mcu += 1
+            for ci, dc_id, ac_id in scan:
+                dct = htables[(0, dc_id)]
+                act = htables[(1, ac_id)]
+                zz = np.zeros(64, dtype=np.int64)
+                s = dct.decode(br)
+                diff = _extend(br.bits(s), s) if s else 0
+                prev_dc[ci] += diff
+                zz[0] = prev_dc[ci]
+                k = 1
+                while k < 64:
+                    sym = act.decode(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    if sym == 0xF0:  # ZRL
+                        k += 16
+                        continue
+                    run, size = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63:
+                        raise ValueError("JPEG AC run past block end")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                block = np.zeros(64, dtype=np.float64)
+                block[_ZIGZAG] = zz
+                coeff = block.reshape(8, 8) * qf[ci]
+                planes[ci][bv * 8 : bv * 8 + 8, bh_ * 8 : bh_ * 8 + 8] = (
+                    _T.T @ coeff @ _T
+                )
+    crops = [p[:h, :w] + 128.0 for p in planes]
+    if len(comps) == 1:
+        return np.clip(crops[0].round(), 0, 255).astype(np.uint8)
+    return _ycbcr_to_rgb(crops[0], crops[1], crops[2])

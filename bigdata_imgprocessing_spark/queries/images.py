@@ -56,16 +56,27 @@ def _images(spark: SparkSession, sf_dir: str) -> DataFrame:
 @F.pandas_udf(BinaryType())
 def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
     """Same deterministic 2x2x3 pixels, but encoded as REAL on-disk
-    formats — 24-bit BMP for even ids, 8-bit RGB PNG for odd — so the
-    decode side exercises the stdlib format codecs, not the FIMG
-    fixture container (P4 real-format leg)."""
+    formats — 24-bit BMP (id%3==0), 8-bit RGB PNG (id%3==1), and
+    baseline JPEG (id%3==2) — so the decode side exercises all three
+    stdlib format codecs, not the FIMG fixture container (P4
+    real-format leg). The JPEG leg uses a FLAT GRAY image (all pixels =
+    first embedding byte): with all-ones quantization a flat gray block
+    is DC-only with integer coefficients, so the lossy format
+    round-trips BIT-EXACTLY and the analytic oracle stays valid (the
+    general-content error bound lives in tests/test_jpeg.py)."""
     from ..images.formats import encode_bmp, encode_png
+    from ..images.jpeg import encode_jpeg
 
     def enc(row) -> bytes:
         vid, vec = row
         v = np.asarray(vec[:12], dtype=np.float64) * 1000.0
         px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8).reshape(2, 2, 3)
-        return encode_bmp(px) if vid % 2 == 0 else encode_png(px)
+        m = vid % 3
+        if m == 0:
+            return encode_bmp(px)
+        if m == 1:
+            return encode_png(px)
+        return encode_jpeg(np.full((2, 2, 3), px[0, 0, 0], dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
 
@@ -155,23 +166,30 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT label,
            count(*) AS n_images,
-           CAST(count(*) FILTER (WHERE vec_id % 2 = 0) AS BIGINT) AS n_bmp,
-           CAST(count(*) FILTER (WHERE vec_id % 2 != 0) AS BIGINT) AS n_png,
-           round(avg(({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0), 4) AS avg_c0,
-           round(avg(({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0), 4) AS avg_c1,
-           round(avg(({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0), 4) AS avg_c2
+           CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS n_bmp,
+           CAST(count(*) FILTER (WHERE vec_id % 3 = 1) AS BIGINT) AS n_png,
+           CAST(count(*) FILTER (WHERE vec_id % 3 = 2) AS BIGINT) AS n_jpg,
+           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+                     ELSE ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 END), 4) AS avg_c0,
+           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+                     ELSE ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 END), 4) AS avg_c1,
+           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+                     ELSE ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 END), 4) AS avg_c2
     FROM embeddings GROUP BY label
     """,
 )
 def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P4 with REAL formats: a mixed corpus of genuine 24-bit BMP and
-    8-bit PNG bytes (stdlib codecs, no cv2 — images/formats.py) flows
-    binary-column → magic-dispatch decode → per-channel means →
-    per-label rollup. Hash parity against the pixel-arithmetic oracle
-    proves both real-format encode→decode round trips are byte-exact
-    (a BGR swap, row-flip, padding, or zlib-filter bug anywhere breaks
-    the values). Mirrors the reference's cv2.imdecode ingest
-    (pyspark_dominant.py:33-35) where formats also vary per file."""
+    """P4 with REAL formats: a mixed corpus of genuine 24-bit BMP,
+    8-bit PNG, and baseline JPEG bytes (ALL stdlib codecs, no cv2 —
+    images/formats.py + images/jpeg.py) flows binary-column →
+    magic-dispatch decode → per-channel means → per-label rollup. Hash
+    parity against the pixel-arithmetic oracle proves every
+    encode→decode round trip is byte-exact (a BGR swap, row-flip,
+    padding, zlib-filter, or JPEG DC bug anywhere breaks the values);
+    the JPEG leg is flat-gray by construction so the lossy format sits
+    under the exact gate too (see _real_format_image_udf). Mirrors the
+    reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
+    where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")
     imgs = e.select(
         "vec_id",
@@ -183,8 +201,9 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return avg.groupBy("label").agg(
         F.count("*").alias("n_images"),
-        F.sum((F.col("vec_id") % 2 == 0).cast("long")).alias("n_bmp"),
-        F.sum((F.col("vec_id") % 2 != 0).cast("long")).alias("n_png"),
+        F.sum((F.col("vec_id") % 3 == 0).cast("long")).alias("n_bmp"),
+        F.sum((F.col("vec_id") % 3 == 1).cast("long")).alias("n_png"),
+        F.sum((F.col("vec_id") % 3 == 2).cast("long")).alias("n_jpg"),
         F.round(F.avg(F.element_at("avg", 1)), 4).alias("avg_c0"),
         F.round(F.avg(F.element_at("avg", 2)), 4).alias("avg_c1"),
         F.round(F.avg(F.element_at("avg", 3)), 4).alias("avg_c2"),

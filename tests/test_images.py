@@ -27,7 +27,12 @@ def test_codec_grayscale_roundtrip():
 
 
 def test_codec_rejects_unknown_format():
+    # truly unknown magic → NotImplementedError (no codec claims it)
     with pytest.raises(NotImplementedError):
+        decode_image(b"GIF89a definitely not supported")
+    # JPEG magic but corrupt body → the native JPEG decoder owns it now
+    # and must raise a clean ValueError (quarantine contract)
+    with pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 not really a jpeg")
 
 
@@ -50,10 +55,17 @@ def test_codec_cv2_slot_in(monkeypatch):
     monkeypatch.setattr(codec, "_HAS_CV2", True)
     monkeypatch.setattr(codec, "cv2", FakeCv2, raising=False)
 
-    jpeg_ish = b"\xff\xd8\xff\xe0 not really a jpeg"
-    out = codec.decode_image(jpeg_ish)
+    # baseline JPEG now decodes natively — cv2 is the slot-in for the
+    # EXOTIC variants the native decoder gates behind NotImplementedError
+    # (progressive SOF2 here), matching the dispatch contract
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg
+
+    good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
+    sof = good.find(bytes([0xFF, 0xC0]))
+    progressive = good[: sof + 1] + b"\xc2" + good[sof + 2 :]
+    out = codec.decode_image(progressive)
     assert out.shape == (2, 3, 3) and (out == 7).all()
-    assert calls == [(jpeg_ish, FakeCv2.IMREAD_COLOR)]
+    assert calls == [(progressive, FakeCv2.IMREAD_COLOR)]
 
     # FIMG bytes bypass cv2 even when it is importable
     native = codec.decode_image(encode_image(np.zeros((4, 4, 3), np.uint8)))
@@ -285,5 +297,5 @@ def test_format_decoders_reject_garbage_loudly():
         decode_bmp(b"PK\x03\x04 not a bmp")
     with _pytest.raises(ValueError):
         decode_png(b"GIF89a not a png")
-    with _pytest.raises(NotImplementedError):
-        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")  # no cv2 here
+    with _pytest.raises(ValueError):
+        decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")  # corrupt JPEG, no cv2

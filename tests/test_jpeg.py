@@ -1,0 +1,147 @@
+"""Baseline JPEG codec (images/jpeg.py): component invariants pinned
+against the T.81 spec (not just self-consistency), round-trip error
+bounds, structural conformance, and the magic-dispatch integration.
+
+Self-consistency alone (decode(encode(x)) ≈ x) would pass even if both
+sides shared a mistaken convention (e.g. a wrong zigzag); the component
+tests below pin each convention independently:
+- the zigzag's spec prefix and full permutation property;
+- DCT basis orthonormality (the IDCT is the exact inverse);
+- canonical Huffman tables are prefix-free with the all-ones code
+  unused (T.81 requirement);
+- marker structure of emitted files (SOI/DQT/SOF0/DHT/SOS/EOI order).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from bigdata_imgprocessing_spark.images.jpeg import (
+    _DC_BITS,
+    _ENC_AC,
+    _ENC_DC,
+    _T,
+    _ZIGZAG,
+    JPEG_MAGIC,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def test_zigzag_is_spec_permutation():
+    # first two diagonals + final entries straight from T.81 Figure A.6
+    assert list(_ZIGZAG[:10]) == [0, 1, 8, 16, 9, 2, 3, 10, 17, 24]
+    assert list(_ZIGZAG[-4:]) == [47, 55, 62, 63]
+    assert sorted(_ZIGZAG) == list(range(64))
+
+
+def test_dct_basis_is_orthonormal():
+    eye = _T @ _T.T
+    assert np.allclose(eye, np.eye(8), atol=1e-12)
+
+
+def test_huffman_tables_prefix_free_and_spec_legal():
+    for table in (_ENC_DC, _ENC_AC):
+        codes = sorted((ln, code) for code, ln in table.values())
+        seen = set()
+        for ln, code in codes:
+            assert (ln, code) not in seen
+            seen.add((ln, code))
+            # prefix-free: no shorter code is a prefix of this one
+            for ln2, code2 in codes:
+                if ln2 < ln:
+                    assert code >> (ln - ln2) != code2
+            # T.81: the all-ones code of any length must stay unused
+            assert code != (1 << ln) - 1
+    assert len(_ENC_DC) == sum(_DC_BITS) == 12
+    assert len(_ENC_AC) == 162  # 0x00 EOB + 0xF0 ZRL + 16 runs x 10 sizes
+
+
+def test_emitted_marker_structure():
+    img = np.full((16, 24, 3), 77, dtype=np.uint8)
+    buf = encode_jpeg(img)
+    assert buf[:2] == JPEG_MAGIC
+    assert buf[-2:] == b"\xff\xd9"
+    # marker order: APP0, DQT, SOF0, DHT, DHT, SOS all present in order
+    offs = [buf.find(bytes([0xFF, m])) for m in (0xE0, 0xDB, 0xC0, 0xC4, 0xDA)]
+    assert all(o > 0 for o in offs) and offs == sorted(offs)
+
+
+def test_flat_color_roundtrip_tight():
+    for rgb in ((0, 0, 0), (255, 255, 255), (13, 200, 77), (128, 128, 128)):
+        img = np.zeros((24, 16, 3), dtype=np.uint8)
+        img[:] = rgb
+        out = decode_jpeg(encode_jpeg(img))
+        assert out.shape == img.shape
+        assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+def test_gray_roundtrip_exact_dc():
+    img = np.full((8, 8), 42, dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == (8, 8)
+    assert int(np.abs(out.astype(int) - 42).max()) <= 1
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    h=st.integers(4, 24),
+    w=st.integers(4, 24),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_roundtrip_error_bound_random(h, w, seed):
+    """With all-ones quantization the only loss is DCT-coefficient
+    rounding (<=0.5/coeff -> <=4 spatial) plus color-transform rounding:
+    max abs error <= 6 per sample, any content, any (non-multiple-of-8)
+    size — and the decoder must crop the pad back off."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    assert out.shape == img.shape
+    err = np.abs(out.astype(int) - img.astype(int)).max()
+    assert err <= 6, f"round-trip error {err} at {h}x{w}"
+
+
+def test_gradient_roundtrip_small_mean_error():
+    y, x = np.mgrid[0:32, 0:48]
+    img = np.stack([(x * 5) % 256, (y * 3) % 256, ((x + y) * 2) % 256],
+                   axis=2).astype(np.uint8)
+    out = decode_jpeg(encode_jpeg(img))
+    mean_err = float(np.abs(out.astype(int) - img.astype(int)).mean())
+    assert mean_err <= 1.5
+
+
+def test_decoder_rejects_progressive_and_subsampled():
+    img = np.full((8, 8, 3), 50, dtype=np.uint8)
+    buf = bytearray(encode_jpeg(img))
+    sof = buf.find(bytes([0xFF, 0xC0]))
+    # flip SOF0 -> SOF2 (progressive)
+    prog = bytes(buf[:sof + 1]) + b"\xc2" + bytes(buf[sof + 2:])
+    with pytest.raises(NotImplementedError, match="progressive"):
+        decode_jpeg(prog)
+    # corrupt the luma sampling factor to 2x2 (4:2:0)
+    sub = bytearray(buf)
+    sub[sof + 2 + 2 + 6 + 1] = 0x22  # comp 1 sampling byte inside SOF payload
+    with pytest.raises(NotImplementedError, match="4:4:4"):
+        decode_jpeg(bytes(sub))
+
+
+def test_decoder_rejects_garbage_and_truncation():
+    with pytest.raises(ValueError):
+        decode_jpeg(b"\x00\x11not a jpeg")
+    img = np.full((16, 16, 3), 99, dtype=np.uint8)
+    buf = encode_jpeg(img)
+    with pytest.raises((ValueError, IndexError)):
+        decode_jpeg(buf[: len(buf) // 2])
+
+
+def test_codec_magic_dispatch_routes_jpeg():
+    from bigdata_imgprocessing_spark.images.codec import decode_image
+
+    img = np.full((8, 16, 3), (10, 20, 30), dtype=np.uint8)
+    out = decode_image(encode_jpeg(img))
+    assert out.shape == (8, 16, 3)
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
