@@ -44,9 +44,36 @@ def variant_dir(spark):
         shutil.rmtree(_VARIANT)
     os.makedirs(_VARIANT)
     for t in TABLES:
-        if t not in ("documents", "embeddings", "events"):
+        if t not in ("documents", "embeddings", "events", "orders"):
             shutil.copy(f"{SF_DIR}/{t}.parquet", f"{_VARIANT}/{t}.parquet")
     con = duckdb.connect()
+    # orders variant (round 6): the edge shapes the orders-family
+    # analytics must survive — an exact duplicate of the maximum
+    # totalprice with an EARLIER date (skyline dominance tie) and one
+    # with a LATER date (per-price group collapse), two same-day orders
+    # for one customer (interval-merge duplicate starts, ntile ties), a
+    # brand-new orderpriority value (listagg/mode grow a group), and a
+    # far-future order (+90 days: calendar/pareto right edge).
+    con.execute(
+        f"""
+        COPY (
+            WITH base AS (SELECT * FROM '{SF_DIR}/orders.parquet'),
+            mx AS (SELECT max(o_orderkey) AS mk, max(o_totalprice) AS mp,
+                          min(o_orderdate) AS mind, max(o_orderdate) AS maxd
+                   FROM base)
+            SELECT * FROM base
+            UNION ALL SELECT mk + 1, 1, 'F', mp, mind, '1-URGENT' FROM mx
+            UNION ALL SELECT mk + 2, 2, 'O', mp, maxd + INTERVAL 1 DAY,
+                             '5-LOW' FROM mx
+            UNION ALL SELECT mk + 3, 1, 'O', 12.34, maxd, '2-HIGH' FROM mx
+            UNION ALL SELECT mk + 4, 1, 'P', 12.34, maxd, '2-HIGH' FROM mx
+            UNION ALL SELECT mk + 5, 2, 'O', 55.00, maxd,
+                             'X-EXPERIMENTAL' FROM mx
+            UNION ALL SELECT mk + 6, 2, 'O', 0.01,
+                             maxd + INTERVAL 90 DAY, 'X-EXPERIMENTAL' FROM mx
+        ) TO '{_VARIANT}/orders.parquet' (FORMAT PARQUET)
+        """
+    )
     mx = con.execute(
         f"SELECT max(doc_id) FROM '{SF_DIR}/documents.parquet'"
     ).fetchone()[0]
@@ -128,7 +155,8 @@ def variant_dir(spark):
 def _doc_family():
     return sorted(
         n for n, sql in ORACLES.items()
-        if ("documents" in sql or "embeddings" in sql or "events" in sql)
+        if ("documents" in sql or "embeddings" in sql or "events" in sql
+            or "orders" in sql)
         and not n.startswith("streaming_")
     )
 
