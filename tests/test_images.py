@@ -135,6 +135,39 @@ def test_binaryfile_source_ingest(spark, tmp_path):
     assert [r.avg[0] for r in out] == [0.0, 100.0, 255.0]
 
 
+def test_binaryfile_jpg_glob_matches_reference_ingest(spark, tmp_path):
+    """The reference's EXACT S1 shape — binaryFile scan with
+    pathGlobFilter("*.jpg") (pyspark_yolox.py:123, pyspark_dominant.py:25)
+    — over REAL JPEG bytes from the native codec, through P1 id
+    extraction and the decode UDF. Until round 6 this leg needed cv2;
+    now the whole reference ingest path runs stdlib-only."""
+    from bigdata_imgprocessing_spark.images.color import average_color_udf
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg
+
+    for i, val in enumerate([0, 100, 255]):
+        img = np.full((16, 16, 3), val, dtype=np.uint8)
+        (tmp_path / f"photo_{i}.jpg").write_bytes(encode_jpeg(img))
+    (tmp_path / "ignored.png").write_bytes(b"not scanned")
+
+    df = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.jpg")
+        .load(str(tmp_path))
+    )
+    assert df.count() == 3
+    out = (
+        df.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.jpg$", 1).alias("img_id"),
+            average_color_udf("content").alias("avg"),
+        )
+        .orderBy("img_id")
+        .collect()
+    )
+    assert [r.img_id for r in out] == ["photo_0", "photo_1", "photo_2"]
+    # flat gray JPEGs round-trip bit-exactly (all-ones quantization)
+    assert [r.avg[0] for r in out] == [0.0, 100.0, 255.0]
+
+
 def test_letterbox_upscale_and_pad():
     from bigdata_imgprocessing_spark.images.transform import PAD_VALUE, letterbox
 
