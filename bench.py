@@ -199,6 +199,9 @@ HEADLINE = [
     "rfm_segmentation",
     "weighted_doc_sample",
     "ngram_containment_hist",
+    "bpe_apply_stats",
+    "freq_event_pairs",
+    "pair_rouge_stats",
 ]
 
 

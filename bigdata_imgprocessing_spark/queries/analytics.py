@@ -727,3 +727,73 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("doc_id", "n_chars", "h_int")
     )
+
+
+@query(
+    "freq_event_pairs",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id, event_type FROM events),
+    singles AS (SELECT event_type, count(*) AS n FROM d GROUP BY event_type),
+    tot AS (SELECT count(DISTINCT user_id) AS n_users FROM d),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               count(*) AS support
+        FROM d a JOIN d b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, CAST(support AS BIGINT) AS support,
+           CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(support * n_users * 1000000 // (sa.n * sb.n) AS BIGINT)
+               AS lift_e6
+    FROM pairs JOIN singles sa ON sa.event_type = type_a
+               JOIN singles sb ON sb.event_type = type_b
+               CROSS JOIN tot
+    """,
+)
+def freq_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset pairs (market-basket) over per-user event-type
+    baskets: support and LIFT for every co-occurring type pair. The
+    pair space is generated map-side from each user's collect_set via
+    array HOFs — bounded by the type-domain (≤ |types|²/2 per user),
+    never a fact self-join — after ONE distinct-pairs shuffle; lift is
+    emitted as the exact integer floor-division
+    ``support·n_users·10⁶ DIV (n_a·n_b)`` (the association-rule screen
+    for curriculum/mixture interactions, zero float quotients)."""
+    ensure_utc(spark)
+    d = (
+        table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    baskets = d.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("ts")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ts"),
+            lambda x: F.transform(
+                F.filter(F.col("ts"), lambda y: y > x),
+                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
+            ),
+        )
+    )
+    pairs = (
+        baskets.select(F.explode(pair_arr).alias("p"))
+        .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
+        .agg(F.count("*").cast("bigint").alias("support"))
+    )
+    singles = d.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
+    tot = d.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "type_a", "type_b", "support", "n_a", "n_b", "n_users",
+            "CAST(support * n_users * 1000000 DIV (n_a * n_b) AS BIGINT) AS lift_e6",
+        )
+    )

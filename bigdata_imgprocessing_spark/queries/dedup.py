@@ -1215,3 +1215,60 @@ def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_full"),
         )
     )
+
+
+@query(
+    "pair_rouge_stats",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    toks AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+             FROM documents),
+    scored AS (
+        SELECT len(list_intersect(ta.ts, tb.ts)) AS inter,
+               len(ta.ts) AS na, len(tb.ts) AS nb
+        FROM pairs JOIN toks ta ON ta.doc_id = doc_a
+                   JOIN toks tb ON tb.doc_id = doc_b
+    )
+    SELECT CAST(inter * 20 // (na + nb) AS INTEGER) AS f1_decile,
+           count(*) AS n_pairs,
+           CAST(sum(inter) AS BIGINT) AS sum_inter,
+           CAST(sum(na + nb) AS BIGINT) AS sum_sizes
+    FROM scored GROUP BY f1_decile
+    """,
+)
+def pair_rouge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROUGE-1 overlap between the verified LSH near-dup pairs — the
+    evaluation-metric surface (summarization/dedup QA teams measure
+    exactly this between candidate and reference texts). ROUGE-1 F1 =
+    2·|A∩B| / (|A|+|B|) over distinct-unigram sets, histogrammed by
+    decile in EXACT integer arithmetic (``inter·20 DIV (na+nb)``) with
+    the intersection/size sums emitted so the continuous score is
+    driver-derivable. Scale: the pair frame is candidate-bounded (the
+    shared LSH pipeline), token sets join to it by id — the corpus
+    never self-joins; set intersection is a map-side array HOF."""
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.array_distinct(F.split("text", " ")).alias("ts")
+    )
+    ta = toks.select(F.col("doc_id").alias("doc_a"), F.col("ts").alias("ts_a"))
+    tb = toks.select(F.col("doc_id").alias("doc_b"), F.col("ts").alias("ts_b"))
+    scored = (
+        pairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select(
+            F.size(F.array_intersect("ts_a", "ts_b")).alias("inter"),
+            F.size("ts_a").alias("na"),
+            F.size("ts_b").alias("nb"),
+        )
+    )
+    return (
+        scored.groupBy(
+            F.expr("CAST(inter * 20 DIV (na + nb) AS INT)").alias("f1_decile")
+        )
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("inter").cast("bigint").alias("sum_inter"),
+            F.sum(F.col("na") + F.col("nb")).cast("bigint").alias("sum_sizes"),
+        )
+    )

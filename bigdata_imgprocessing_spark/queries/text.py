@@ -898,3 +898,110 @@ def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit(2).alias("round"), "rn", "pair", "n_occ")
     )
     return top1.unionAll(top2)
+
+
+@query(
+    "bpe_apply_stats",
+    oracle="""
+    WITH words AS (
+        SELECT w, count(*) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    r1 AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM (
+            SELECT substr(w, i + 1, 2) AS pair, c
+            FROM words, UNNEST(range(len(w) - 1)) AS t(i)
+        ) GROUP BY pair
+    ),
+    b1 AS (SELECT pair FROM r1 ORDER BY n_occ DESC, pair LIMIT 1),
+    m1 AS (SELECT replace(w, (SELECT pair FROM b1), 'A') AS w, c FROM words),
+    r2 AS (
+        SELECT pair, CAST(sum(c) AS BIGINT) AS n_occ FROM (
+            SELECT substr(w, i + 1, 2) AS pair, c
+            FROM m1, UNNEST(range(len(w) - 1)) AS t(i)
+        ) GROUP BY pair
+    ),
+    b2 AS (SELECT pair FROM r2 ORDER BY n_occ DESC, pair LIMIT 1),
+    m2 AS (SELECT replace(w, (SELECT pair FROM b2), 'B') AS w, c FROM m1)
+    SELECT (SELECT pair FROM b1) AS merge1,
+           (SELECT pair FROM b2) AS merge2,
+           CAST((SELECT count(*) FROM words) AS BIGINT) AS n_vocab,
+           CAST((SELECT sum(c * len(w)) FROM words) AS BIGINT) AS base_symbols,
+           CAST((SELECT sum(c * len(w)) FROM m1) AS BIGINT) AS after1_symbols,
+           CAST((SELECT sum(c * len(w)) FROM m2) AS BIGINT) AS after2_symbols
+    """,
+)
+def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY side of BPE training (`bpe_merge_pairs` trains the
+    merges; this encodes the corpus with them): character-symbol counts
+    before and after each learned merge — the tokens-per-byte
+    compression curve a tokenizer team tracks per merge round. Same
+    100 TB invariant as training: the corpus is wordcount-collapsed
+    once, both merge applications are `replace` maps over the
+    |vocab|-row frame, and each learned merge ships to executors as a
+    driver literal (the merge table IS driver state, like broadcast
+    centroids). All-integer output — exact parity."""
+    from ..core.session import cache_parallelism
+
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ")).alias("w"))
+        .where(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+
+    def pair_counts(wdf: DataFrame) -> DataFrame:
+        return (
+            wdf.where(F.length("w") >= 2)
+            .select(
+                F.explode(
+                    F.transform(
+                        F.sequence(F.lit(0), F.length("w") - 2),
+                        lambda i: F.col("w").substr(i + 1, F.lit(2)),
+                    )
+                ).alias("pair"),
+                "c",
+            )
+            .groupBy("pair")
+            .agg(F.sum("c").cast("bigint").alias("n_occ"))
+        )
+
+    def best(wdf: DataFrame) -> str:
+        return (
+            pair_counts(wdf)
+            .orderBy(F.col("n_occ").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+            .pair
+        )
+
+    b1 = best(words)
+    m1 = words.select(
+        F.replace("w", F.lit(b1), F.lit("A")).alias("w"), "c"
+    ).coalesce(cache_parallelism(spark)).cache()
+    b2 = best(m1)
+    m2 = m1.select(F.replace("w", F.lit(b2), F.lit("B")).alias("w"), "c")
+
+    def symbols(wdf: DataFrame, alias: str) -> DataFrame:
+        return wdf.agg(
+            F.sum(F.col("c") * F.length("w")).cast("bigint").alias(alias)
+        )
+
+    stats = (
+        words.agg(F.count("*").cast("bigint").alias("n_vocab"))
+        .crossJoin(F.broadcast(symbols(words, "base_symbols")))
+        .crossJoin(F.broadcast(symbols(m1, "after1_symbols")))
+        .crossJoin(F.broadcast(symbols(m2, "after2_symbols")))
+    )
+    return stats.select(
+        F.lit(b1).alias("merge1"),
+        F.lit(b2).alias("merge2"),
+        "n_vocab",
+        "base_symbols",
+        "after1_symbols",
+        "after2_symbols",
+    )
