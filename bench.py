@@ -202,6 +202,8 @@ HEADLINE = [
     "bpe_apply_stats",
     "freq_event_pairs",
     "pair_rouge_stats",
+    "minhash_estimate_error",
+    "mmr_diverse_topk",
 ]
 
 

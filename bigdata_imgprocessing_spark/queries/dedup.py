@@ -1272,3 +1272,116 @@ def pair_rouge_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("na") + F.col("nb")).cast("bigint").alias("sum_sizes"),
         )
     )
+
+
+@query(
+    "minhash_estimate_error",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    agr AS (
+        SELECT doc_a, doc_b,
+               ({" + ".join(f"CASE WHEN sa.mh{j} = sb.mh{j} THEN 1 ELSE 0 END" for j in range(_N_HASHES))}) AS agree
+        FROM cand JOIN sig sa ON sa.doc_id = doc_a
+                  JOIN sig sb ON sb.doc_id = doc_b
+    )
+    SELECT CAST(abs(agree * uni - {_N_HASHES} * inter) * 10
+                // ({_N_HASHES} * uni) AS INTEGER) AS err_decile,
+           count(*) AS n_pairs,
+           CAST(sum(agree) AS BIGINT) AS sum_agree,
+           CAST(sum(inter) AS BIGINT) AS sum_inter,
+           CAST(sum(uni) AS BIGINT) AS sum_uni
+    FROM verified JOIN agr USING (doc_a, doc_b)
+    GROUP BY err_decile
+    """,
+)
+def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash signature itself: over the
+    LSH candidate pairs, compare the signature's Jaccard ESTIMATE
+    (fraction of the 16 hashes that agree) against the exact Jaccard
+    (inter/uni), histogrammed by absolute-error decile in EXACT integer
+    arithmetic (``|agree·uni − 16·inter|·10 DIV (16·uni)``). This is
+    the counterpart of `quantized_ann_recall`/`heavy_hitters_topk` for
+    the dedup sketch family: it quantifies how much estimation error
+    the exact-verify stage is absorbing, driver-hash-checked with no
+    tolerance pins to go stale. Scale posture is the shared LSH
+    pipeline's (banded candidates, semi-join-pruned set verify);
+    the agreement join touches 16 ints per pair side."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sig = (
+        _minhash_signatures(d)
+        .coalesce(cache_parallelism(spark))
+        .cache()  # feeds bands AND both agreement join sides
+    )
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+    bands = bands.coalesce(cache_parallelism(spark)).cache()
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    sets = (
+        with_sh.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", F.array_distinct("sh").alias("ss"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    sa_ = sets.alias("sa")
+    sb_ = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
+    exact = (
+        cand.join(sa_, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb_, F.col("doc_b") == F.col("sb.doc_id"))
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+    )
+    ga = sig.alias("ga")
+    gb = sig.alias("gb")
+    agree = sum(
+        (F.col(f"ga.mh{j}") == F.col(f"gb.mh{j}")).cast("int")
+        for j in range(_N_HASHES)
+    )
+    agr = (
+        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+        .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
+        .select("doc_a", "doc_b", agree.alias("agree"))
+    )
+    j = exact.join(agr, ["doc_a", "doc_b"])
+    err_decile = F.expr(
+        f"CAST(abs(agree * uni - {_N_HASHES} * inter) * 10"
+        f" DIV ({_N_HASHES} * uni) AS INT)"
+    )
+    return (
+        j.groupBy(err_decile.alias("err_decile"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum("agree").cast("bigint").alias("sum_agree"),
+            F.sum("inter").cast("bigint").alias("sum_inter"),
+            F.sum("uni").cast("bigint").alias("sum_uni"),
+        )
+    )

@@ -1314,3 +1314,199 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = [r.cv for r in sorted(rows, key=lambda r: r.label)]
     indexed = assign_cells(e.select("vec_id", "embedding"), centers)
     return semdedup_ledger(indexed)
+
+
+def _duck_int8(col: str) -> str:
+    """int8 quantization of an embedding list — mirrors the Spark
+    expression in ann_rerank_topk/mmr_diverse_topk."""
+    return (
+        f"list_transform({col}, x -> CAST(floor(x::DOUBLE * 127 / "
+        f"greatest(list_max(list_transform({col}, y -> abs(y::DOUBLE))), 1e-30)"
+        f" + 0.5) AS BIGINT))"
+    )
+
+
+def _duck_idot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(range(len({a})), i -> {a}[i+1] * {b}[i+1]))"
+    )
+
+
+@query(
+    "mmr_diverse_topk",
+    oracle=f"""
+    WITH qz AS (
+        SELECT vec_id, {_duck_int8("embedding")} AS qv FROM embeddings
+    ),
+    q AS (SELECT vec_id AS query_id, qv AS qqv FROM qz
+          WHERE vec_id IN {_QUERY_IDS}),
+    cand AS (
+        SELECT query_id, vec_id, qv, rel FROM (
+            SELECT q.query_id, e.vec_id, e.qv,
+                   {_duck_idot("e.qv", "q.qqv")} AS rel,
+                   row_number() OVER (PARTITION BY q.query_id
+                       ORDER BY {_duck_idot("e.qv", "q.qqv")} DESC, e.vec_id)
+                       AS prn
+            FROM qz e CROSS JOIN q WHERE e.vec_id != q.query_id
+        ) WHERE prn <= 10
+    ),
+    s1 AS (SELECT query_id, vec_id, qv, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY rel DESC, vec_id) AS rn FROM cand) WHERE rn = 1),
+    p2 AS (SELECT c.query_id, c.vec_id, c.qv, c.rel,
+                  {_duck_idot("c.qv", "s.qv")} AS msim
+           FROM cand c JOIN s1 s USING (query_id)
+           WHERE c.vec_id != s.vec_id),
+    s2 AS (SELECT query_id, vec_id, qv, rel, msim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY 2 * rel - msim DESC, vec_id) AS rn FROM p2)
+           WHERE rn = 1),
+    p3 AS (SELECT c.query_id, c.vec_id, c.rel,
+                  greatest({_duck_idot("c.qv", "s1.qv")},
+                           {_duck_idot("c.qv", "s2.qv")}) AS msim
+           FROM cand c JOIN s1 USING (query_id) JOIN s2 USING (query_id)
+           WHERE c.vec_id != s1.vec_id AND c.vec_id != s2.vec_id),
+    s3 AS (SELECT query_id, vec_id, rel, msim FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                ORDER BY 2 * rel - msim DESC, vec_id) AS rn FROM p3)
+           WHERE rn = 1)
+    SELECT query_id, 1 AS mmr_rank, vec_id, CAST(rel AS BIGINT) AS rel_dot,
+           CAST(NULL AS BIGINT) AS max_sim FROM s1
+    UNION ALL
+    SELECT query_id, 2, vec_id, CAST(rel AS BIGINT), CAST(msim AS BIGINT)
+    FROM s2
+    UNION ALL
+    SELECT query_id, 3, vec_id, CAST(rel AS BIGINT), CAST(msim AS BIGINT)
+    FROM s3
+    """,
+)
+def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance diversified top-k: greedily pick 3 of
+    the 10 most-relevant candidates per query, each step maximizing
+    ``2·relevance − max-similarity-to-already-selected`` (MMR with
+    λ=0.5, scaled ×2 so the whole objective stays in EXACT int8-dot
+    integers — relevance and pairwise similarity share the quantized
+    dot scale, and no float ever enters the ranking). The serving-side
+    diversity rerank retrieval stacks run after ANN: near-duplicate
+    neighbors (which the corpus genuinely contains) are demoted in
+    favor of coverage.
+
+    Scale: candidate generation is the ann_rerank stage-1 shape (corpus
+    streamed once against a broadcast query side, per-partition top-k
+    heaps); the greedy loop is k−1 driver-composed joins over the
+    10-row-per-query cached candidate frame — selection state is
+    O(k·queries), exactly like a real MMR reranker. Ties at every step
+    break on vec_id (int8 dots tie often), so the greedy path is
+    deterministic cross-engine."""
+    from ..core.session import cache_parallelism
+
+    e = table(spark, sf_dir, "embeddings")
+    ma = F.greatest(
+        F.aggregate(
+            F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: F.greatest(acc, x),
+        ),
+        F.lit(1e-30),
+    )
+    qz = e.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * 127 / ma + 0.5).cast("bigint"),
+        ).alias("qv"),
+    )
+    q = F.broadcast(
+        qz.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"), F.col("qv").alias("qqv")
+        )
+    )
+
+    def idot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+
+    w_rel = Window.partitionBy("query_id").orderBy(F.col("rel").desc(), "vec_id")
+    cand = (
+        qz.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", "vec_id", "qv",
+            idot(F.col("qv"), F.col("qqv")).alias("rel"),
+        )
+        .withColumn("prn", F.row_number().over(w_rel))
+        .where(F.col("prn") <= 10)
+        .drop("prn")
+        .coalesce(cache_parallelism(spark))
+        .cache()  # the greedy loop probes this tiny frame k times
+    )
+    s1 = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("v1"),
+            F.col("qv").alias("qv1"),
+            F.col("rel").alias("rel1"),
+        )
+    )
+    p2 = (
+        cand.join(F.broadcast(s1), "query_id")
+        .where(F.col("vec_id") != F.col("v1"))
+        .select(
+            "query_id", "vec_id", "qv", "rel",
+            idot(F.col("qv"), F.col("qv1")).alias("msim"),
+        )
+    )
+    w_mmr = Window.partitionBy("query_id").orderBy(
+        (2 * F.col("rel") - F.col("msim")).desc(), "vec_id"
+    )
+    s2 = (
+        p2.withColumn("rn", F.row_number().over(w_mmr))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("v2"),
+            F.col("qv").alias("qv2"),
+            F.col("rel").alias("rel2"),
+            F.col("msim").alias("msim2"),
+        )
+    )
+    sel12 = s1.join(s2, "query_id")
+    p3 = (
+        cand.join(F.broadcast(sel12), "query_id")
+        .where((F.col("vec_id") != F.col("v1")) & (F.col("vec_id") != F.col("v2")))
+        .select(
+            "query_id", "vec_id", "rel",
+            F.greatest(
+                idot(F.col("qv"), F.col("qv1")),
+                idot(F.col("qv"), F.col("qv2")),
+            ).alias("msim"),
+        )
+    )
+    s3 = p3.withColumn("rn", F.row_number().over(w_mmr)).where(F.col("rn") == 1)
+    out1 = s1.select(
+        "query_id",
+        F.lit(1).alias("mmr_rank"),
+        F.col("v1").alias("vec_id"),
+        F.col("rel1").cast("bigint").alias("rel_dot"),
+        F.lit(None).cast("bigint").alias("max_sim"),
+    )
+    out2 = s2.select(
+        "query_id",
+        F.lit(2).alias("mmr_rank"),
+        F.col("v2").alias("vec_id"),
+        F.col("rel2").cast("bigint").alias("rel_dot"),
+        F.col("msim2").cast("bigint").alias("max_sim"),
+    )
+    out3 = s3.select(
+        "query_id",
+        F.lit(3).alias("mmr_rank"),
+        "vec_id",
+        F.col("rel").cast("bigint").alias("rel_dot"),
+        F.col("msim").cast("bigint").alias("max_sim"),
+    )
+    return out1.unionAll(out2).unionAll(out3)
