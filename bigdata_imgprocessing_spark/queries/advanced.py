@@ -39,6 +39,7 @@ from ..core.registry import query
     """,
 )
 def map_measure_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7/P11: map-valued measure merge — per-customer status->count maps built with map_from_entries after a single two-level agg, serialized with SORTED entries (map key order is engine-defined, the parity rule)."""
     o = table(spark, sf_dir, "orders")
     per_status = o.groupBy("o_custkey", F.col("o_orderstatus").alias("st")).agg(
         F.count("*").alias("cnt")

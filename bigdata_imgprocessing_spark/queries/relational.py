@@ -51,6 +51,7 @@ from ..functions import first_letter, length_bucket, zero_guard_div
     """,
 )
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape (the flagship entry() query): one lineitem scan, date filter pushed to parquet, single partial+final agg shuffle over (returnflag, linestatus) — reference parity for the grouped-sum stats family (pyspark_stats.py:82-94 done as ONE groupBy)."""
     l = table(spark, sf_dir, "lineitem")
     return l.groupBy("l_returnflag", "l_linestatus").agg(
         F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
@@ -89,6 +90,7 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def alphabet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1/A1-A3: per-first-letter class sums with the zero-guard average (functions/zero_guard_div) — the reference's 156-job driver loop (pyspark_stats.py:82-94) as one broadcast-join + one groupBy."""
     l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_orderkey", "l_quantity")
     p = table(spark, sf_dir, "part").select("p_partkey", first_letter(F.col("p_name")).alias("letter"))
     joined = l.join(p, l.l_partkey == p.p_partkey)
@@ -127,6 +129,7 @@ def alphabet_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: two broadcast-pruned joins into a per-order revenue agg with a bounded top-10 (TakeOrderedAndProject, plan-asserted — never a global sort)."""
     c = table(spark, sf_dir, "customer").where(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
     o = table(spark, sf_dir, "orders").where(F.col("o_orderdate") < "1998-01-01").select(
         "o_orderkey", "o_custkey", "o_orderdate"
@@ -172,6 +175,7 @@ def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style star join: region/nation dims broadcast onto the fact, one agg shuffle; the In(r_name,...) filter reaches the region scan (plan-asserted)."""
     r = table(spark, sf_dir, "region").where(F.col("r_name").isin("ASIA", "EUROPE"))
     n = table(spark, sf_dir, "nation")
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
@@ -212,6 +216,7 @@ def region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def name_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4/A6: three-way name-length bucketing (functions/length_bucket, reference pyspark_stats.py:158-167) as a single groupBy over a derived bucket column."""
     l = table(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity")
     p = table(spark, sf_dir, "part").select(
         "p_partkey", length_bucket(F.col("p_name"), 9, 10).alias("bucket")
@@ -243,6 +248,7 @@ def name_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7/J3: membership pre-filter as a LEFT SEMI join (plan-asserted LeftSemi) — rows of the big side never widen, the reference's index-probe loop (pyspark_yolox.py:146-148) gone declarative."""
     c = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     o = table(spark, sf_dir, "orders").select("o_custkey")
     n = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
@@ -317,6 +323,7 @@ def outer_join_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: exact distinct across three tables in one result row — each count is its own partial-agg shuffle, no distinct-expand over a union."""
     o = table(spark, sf_dir, "orders")
     return o.groupBy("o_orderstatus").agg(
         F.count_distinct("o_custkey").alias("n_customers"),
@@ -341,6 +348,7 @@ def distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6/A8: the reference's 6-filter histogram loop (pyspark_dominant.py:122-124) as ONE groupBy over the bucketed value."""
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
         F.count("*").alias("n_events"), F.round(F.avg("value"), 4).alias("avg_value")
@@ -365,6 +373,7 @@ def event_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def json_map_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: JSON-map field lookup with default over a REAL MapType (from_json + element_at + coalesce; reference pyspark_stats.py:56-59) — typed access, no per-row json.loads."""
     e = table(spark, sf_dir, "events")
     kval = F.coalesce(
         F.from_json(F.col("props"), "map<string,bigint>").getItem("k"), F.lit(0)
@@ -395,6 +404,7 @@ _EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
     """,
 )
 def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13/J4: long-to-wide pivot with an explicit value list (no distinct-values pre-job) — the reference's driver-side merge + transpose (plots.py:27-40) as one shuffle."""
     e = table(spark, sf_dir, "events").select("user_id", "event_type")
     wide = e.groupBy("user_id").pivot("event_type", _EVENT_TYPES).count()
     return wide.select(
@@ -424,6 +434,7 @@ def pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k via a rank window — WindowGroupLimit pushes the k-cut into per-partition heaps (plan-asserted in tests/test_plans.py), no per-group full sort."""
     o = table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
     return (
@@ -444,6 +455,7 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 3-order average per customer as sum/count division (NOT windowed avg(): 2dp money means avg hits .005 round boundaries where engines disagree — README driver-contract rule)."""
     # sum/count divided explicitly (not avg()): money values have exactly
     # 2 decimals, so a windowed avg's true value can sit on the .005
     # rounding boundary where engine-specific summation order flips the
@@ -477,6 +489,7 @@ def moving_avg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (region, nation): subtotal levels the reference computed as separate driver passes, in one grouping-sets aggregation with NULL-marker normalization."""
     c = table(spark, sf_dir, "customer").select("c_nationkey", "c_acctbal")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region")
@@ -508,6 +521,7 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (status, priority): all 4 grouping combinations in one pass — the row-multiplication cost vs explicit GROUPING SETS is the documented trade (SCALING.md)."""
     o = table(spark, sf_dir, "orders")
     return (
         o.cube("o_orderstatus", "o_orderpriority")

@@ -145,3 +145,25 @@ def test_codec_magic_dispatch_routes_jpeg():
     out = decode_image(encode_jpeg(img))
     assert out.shape == (8, 16, 3)
     assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 1
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    seed=st.integers(0, 2**31 - 1),
+    frac=st.floats(0.01, 0.99),
+)
+def test_truncation_fuzz_never_garbage(seed, frac):
+    """Any prefix of a valid stream must raise cleanly (ValueError for
+    corruption, NotImplementedError never — truncation can't look like
+    an unsupported variant) or, if the cut lands after the last MCU's
+    bits, still decode to the correct image — never hang, never return
+    a wrong-shaped array, never leak IndexError (quarantine contract)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(8, 16, 3), dtype=np.uint8)
+    buf = encode_jpeg(img)
+    cut = max(2, int(len(buf) * frac))
+    try:
+        out = decode_jpeg(buf[:cut])
+    except ValueError:
+        return
+    assert out.shape == img.shape
