@@ -26,3 +26,20 @@ def length_bucket(col: Column, low: int, high: int) -> Column:
         .when(n <= high, F.lit(f"between_{low}_and_{high}"))
         .otherwise(F.lit(f"over_{high}"))
     )
+
+
+def ordered_pairs(arr: Column, a_name: str, b_name: str) -> Column:
+    """All ordered pairs (a < b) of a SORTED-DISTINCT array column as an
+    array<struct> — the map-side pair-space generator shared by the
+    inverted-index dedup ops and the itemset miner. Output size is
+    n·(n−1)/2 per row, so callers bound n first (posting-list cutoff,
+    type-domain baskets)."""
+    return F.flatten(
+        F.transform(
+            arr,
+            lambda x: F.transform(
+                F.filter(arr, lambda y: y > x),
+                lambda y: F.struct(x.alias(a_name), y.alias(b_name)),
+            ),
+        )
+    )

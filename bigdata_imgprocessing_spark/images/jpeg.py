@@ -220,14 +220,28 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
-def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
-    """uint8 H×W×3 RGB (or H×W gray) → baseline 4:4:4 JFIF bytes."""
+def encode_jpeg(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """uint8 H×W×3 RGB (or H×W gray) → baseline 4:4:4 JFIF bytes.
+
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (DC predictors reset, bitstream re-aligned) — the
+    resynchronization feature real encoders use so a corrupt byte loses
+    one restart segment, not the rest of the scan; here it also
+    exercises the decoder's DRI/RST path under round-trip tests."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
     if not gray and a.shape[2] != 3:
         raise ValueError(f"JPEG encode needs 3 channels or gray, got {a.shape}")
     q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
+    if q.max() > 255 or q.min() < 1:
+        # the emitted DQT uses the 8-bit (Pq=0) encoding; values outside
+        # [1, 255] would silently truncate into a corrupt table
+        raise ValueError("quant table values must be in [1, 255]")
 
     planes = (
         [a.astype(np.float64)]
@@ -245,6 +259,8 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_VALS)))
+    if restart_interval:
+        out += _seg(0xDD, struct.pack(">H", restart_interval))
     sos = struct.pack(">B", ncomp)
     for cid in range(1, ncomp + 1):
         sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
@@ -261,8 +277,16 @@ def encode_jpeg(arr: np.ndarray, quant: np.ndarray | None = None) -> bytes:
     bw_ = _BitWriter()
     nbv, nbh = comp_blocks[0].shape[:2]
     prev_dc = [0] * ncomp
+    mcu = 0
     for bv in range(nbv):
         for bh_ in range(nbh):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw_.flush()
+                out += bw_.out
+                out += bytes([0xFF, 0xD0 + ((mcu // restart_interval - 1) % 8)])
+                bw_ = _BitWriter()
+                prev_dc = [0] * ncomp
+            mcu += 1
             for c in range(ncomp):
                 zz = comp_blocks[c][bv, bh_].reshape(64)[_ZIGZAG]
                 diff = int(zz[0]) - prev_dc[c]
@@ -340,7 +364,10 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
         raise ValueError("not a JPEG stream")
     try:
         return _decode_jpeg(buf)
-    except (IndexError, struct.error) as exc:
+    except (IndexError, struct.error, KeyError, StopIteration) as exc:
+        # IndexError/struct.error: truncation; KeyError: scan references
+        # an undefined quant/Huffman table id; StopIteration: SOS selects
+        # a component the SOF never declared — all are stream corruption
         raise ValueError("truncated or corrupt JPEG stream") from exc
 
 

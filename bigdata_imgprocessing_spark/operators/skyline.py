@@ -26,10 +26,13 @@ def pareto_front_2d(
 ) -> DataFrame:
     """Return the (x, best-y) rows on the maximizing skyline of ``df``.
 
-    ``bucket`` is a coarse partitioning expression over ``x`` (e.g.
-    ``floor(col(x) / width)``) used only for phase-1/2 parallelism; the
-    result is bucket-independent (pruning is sound for ANY bucketing).
-    ``y`` may be any orderable type (date, timestamp, numeric).
+    ``bucket`` MUST be monotone non-decreasing in ``x`` (e.g.
+    ``floor(col(x) / width)``): the phase-3a prune treats a higher
+    bucket id as "all its points have higher x", so a non-monotone
+    bucketing (a hash, say) would prune true front points. Within that
+    contract the result is bucket-WIDTH-independent — any width only
+    changes parallelism, not output. ``y`` may be any orderable type
+    (date, timestamp, numeric).
     """
     from ..core.session import cache_parallelism
 

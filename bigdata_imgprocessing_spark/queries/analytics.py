@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 from ..core.catalog import table
 from ..core.registry import query
 from ..core.session import ensure_utc
+from ..functions.helpers import ordered_pairs
 from .curation import _duck_bucket, _md5_bucket
 
 # ---------------------------------------------------------------------------
@@ -770,15 +771,7 @@ def freq_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     baskets = d.groupBy("user_id").agg(
         F.sort_array(F.collect_set("event_type")).alias("ts")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ts"),
-            lambda x: F.transform(
-                F.filter(F.col("ts"), lambda y: y > x),
-                lambda y: F.struct(x.alias("type_a"), y.alias("type_b")),
-            ),
-        )
-    )
+    pair_arr = ordered_pairs(F.col("ts"), "type_a", "type_b")
     pairs = (
         baskets.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))

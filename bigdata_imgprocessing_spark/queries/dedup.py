@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 
 from ..core.catalog import table
 from ..core.registry import query
+from ..functions.helpers import ordered_pairs
 
 _P = 1099511627791  # prime > 2^40
 _N_HASHES = 16
@@ -180,14 +181,25 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shared MinHash-LSH pipeline: signature → band-bucket self-join →
-    exact-Jaccard verify ≥ 0.5; returns (doc_a, doc_b, jaccard). Used by
-    ``minhash_lsh_pairs`` (emits pairs) and ``neardup_component_dedup``
-    (closes pairs into clusters and applies the survivor policy)."""
+def _lsh_exact_candidates(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
+    """Shared UNTHRESHOLDED MinHash-LSH pipeline: signature →
+    band-bucket self-join → exact inter/uni for every candidate pair.
+    Returns ``(sig, exact)`` where ``sig`` is the cached signature
+    frame (doc_id, mh0..mh15) and ``exact`` is (doc_a, doc_b, inter,
+    uni). ``_lsh_verified_pairs`` applies the ≥ 0.5 Jaccard threshold
+    on top; ``minhash_estimate_error`` audits the signature against the
+    same exact counts — ONE pipeline definition serves both, so a
+    band-key or prune change can never desynchronize the audit from
+    the pipeline it audits."""
+    from ..core.session import cache_parallelism
+
     d = table(spark, sf_dir, "documents")
     with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sig = _minhash_signatures(d)
+    # cache(): bands derives from sig, and the estimate-error audit
+    # joins sig twice more for hash-agreement counts
+    sig = _minhash_signatures(d).coalesce(cache_parallelism(spark)).cache()
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -200,12 +212,9 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.bkey")
-    # cache(): bands feeds BOTH sides of the candidate self-join — without
-    # it the shingle-explode/md5 signature lineage executes twice (same
-    # DataFrame-DAGs-don't-share-subplans issue ngram_jaccard_hist hit).
+    # cache(): bands feeds BOTH sides of the candidate self-join (and
+    # sig above is already cached, so the signature lineage runs once).
     # coalesce first: cached partitioning is frozen (see cache_parallelism).
-    from ..core.session import cache_parallelism
-
     bands = bands.coalesce(cache_parallelism(spark)).cache()
     a = bands.alias("a")
     b = bands.alias("b")
@@ -240,7 +249,17 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
     )
-    return verified.where(F.col("inter") / F.col("uni") >= 0.5).select(
+    return sig, verified
+
+
+def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs: the shared pipeline's exact counts
+    thresholded at Jaccard ≥ 0.5; returns (doc_a, doc_b, jaccard). Used
+    by ``minhash_lsh_pairs`` (emits pairs), ``neardup_component_dedup``
+    (closes pairs into clusters), and the split/triangle/rouge/pagerank
+    consumers."""
+    _, exact = _lsh_exact_candidates(spark, sf_dir)
+    return exact.where(F.col("inter") / F.col("uni") >= 0.5).select(
         "doc_a", "doc_b", F.round(F.col("inter") / F.col("uni"), 4).alias("jaccard")
     )
 
@@ -353,15 +372,7 @@ def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # ordered pairs generated JVM-side from each posting list (≤ cutoff²/2
     # per shingle — the DF prune is exactly what bounds this)
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(F.col("ds"), lambda y: y > x),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_arr = ordered_pairs(F.col("ds"), "doc_a", "doc_b")
     pair_inter = (
         groups.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -1181,15 +1192,7 @@ def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     sizes = groups.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
         F.count("*").alias("sz")
     )
-    pair_arr = F.flatten(
-        F.transform(
-            F.col("ds"),
-            lambda x: F.transform(
-                F.filter(F.col("ds"), lambda y: y > x),
-                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
-            ),
-        )
-    )
+    pair_arr = ordered_pairs(F.col("ds"), "doc_a", "doc_b")
     pair_inter = (
         groups.select(F.explode(pair_arr).alias("p"))
         .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
@@ -1306,72 +1309,18 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     tolerance pins to go stale. Scale posture is the shared LSH
     pipeline's (banded candidates, semi-join-pruned set verify);
     the agreement join touches 16 ints per pair side."""
-    from ..core.session import cache_parallelism
-
-    d = table(spark, sf_dir, "documents")
-    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
-    sig = (
-        _minhash_signatures(d)
-        .coalesce(cache_parallelism(spark))
-        .cache()  # feeds bands AND both agreement join sides
-    )
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
-                )
-                for b in range(_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
-    bands = bands.coalesce(cache_parallelism(spark)).cache()
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-        .coalesce(cache_parallelism(spark))
-        .cache()
-    )
-    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
-        cand.select(F.col("doc_b").alias("doc_id"))
-    )
-    sets = (
-        with_sh.join(cand_ids, "doc_id", "semi")
-        .select("doc_id", F.array_distinct("sh").alias("ss"))
-        .coalesce(cache_parallelism(spark))
-        .cache()
-    )
-    sa_ = sets.alias("sa")
-    sb_ = sets.alias("sb")
-    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
-    uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
-    exact = (
-        cand.join(sa_, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb_, F.col("doc_b") == F.col("sb.doc_id"))
-        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
-    )
+    sig, exact = _lsh_exact_candidates(spark, sf_dir)
     ga = sig.alias("ga")
     gb = sig.alias("gb")
     agree = sum(
         (F.col(f"ga.mh{j}") == F.col(f"gb.mh{j}")).cast("int")
         for j in range(_N_HASHES)
     )
-    agr = (
-        cand.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
+    j = (
+        exact.join(ga, F.col("doc_a") == F.col("ga.doc_id"))
         .join(gb, F.col("doc_b") == F.col("gb.doc_id"))
-        .select("doc_a", "doc_b", agree.alias("agree"))
+        .select("doc_a", "doc_b", "inter", "uni", agree.alias("agree"))
     )
-    j = exact.join(agr, ["doc_a", "doc_b"])
     err_decile = F.expr(
         f"CAST(abs(agree * uni - {_N_HASHES} * inter) * 10"
         f" DIV ({_N_HASHES} * uni) AS INT)"

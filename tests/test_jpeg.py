@@ -167,3 +167,40 @@ def test_truncation_fuzz_never_garbage(seed, frac):
     except ValueError:
         return
     assert out.shape == img.shape
+
+
+@settings(max_examples=10, deadline=None)
+@given(seed=st.integers(0, 2**31 - 1), ri=st.integers(1, 5))
+def test_restart_marker_roundtrip(seed, ri):
+    """DRI/RSTn path: encoding with a restart interval must emit the DRI
+    segment + RST markers and decode to the same image as the
+    no-restart encoding (DC-predictor resets and bit re-alignment are
+    exercised on BOTH sides)."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(16, 24, 3), dtype=np.uint8)
+    plain = decode_jpeg(encode_jpeg(img))
+    with_rst = encode_jpeg(img, restart_interval=ri)
+    assert bytes([0xFF, 0xDD]) in with_rst  # DRI present
+    assert bytes([0xFF, 0xD0]) in with_rst  # first RST marker present
+    assert (decode_jpeg(with_rst) == plain).all()
+
+
+def test_16bit_dqt_parsing():
+    """Pq=1 (16-bit) quantization tables: rewrite the emitted 8-bit DQT
+    segment to the 16-bit form — decode must parse it and produce the
+    identical image (same table values, wider encoding)."""
+    img = np.arange(8 * 16 * 3, dtype=np.uint8).reshape(8, 16, 3)
+    buf = encode_jpeg(img)
+    dqt = buf.find(bytes([0xFF, 0xDB]))
+    (ln,) = np.frombuffer(buf[dqt + 2 : dqt + 4], dtype=">u2")
+    payload = buf[dqt + 4 : dqt + 2 + ln]
+    assert payload[0] == 0x00 and len(payload) == 65  # Pq=0, tq=0, 64 vals
+    wide_vals = np.frombuffer(payload[1:], dtype=np.uint8).astype(">u2").tobytes()
+    wide_seg = (
+        bytes([0xFF, 0xDB])
+        + int(2 + 1 + 128).to_bytes(2, "big")
+        + bytes([0x10])  # Pq=1, tq=0
+        + wide_vals
+    )
+    rewritten = buf[:dqt] + wide_seg + buf[dqt + 2 + ln :]
+    assert (decode_jpeg(rewritten) == decode_jpeg(buf)).all()

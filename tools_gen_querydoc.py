@@ -17,10 +17,9 @@ from bigdata_imgprocessing_spark.queries import ORACLES, QUERIES
 def first_sentence(doc: str | None) -> str:
     if not doc:
         return ""
-    text = " ".join(doc.split())
-    for stop in (". ", ".\n"):
-        if stop in text:
-            return text[: text.index(stop) + 1]
+    text = " ".join(doc.split())  # collapses newlines, so ". " suffices
+    if ". " in text:
+        return text[: text.index(". ") + 1]
     return text[:220]
 
 
