@@ -473,3 +473,36 @@ def test_pareto_front_prunes_before_global_window(spark, sf_dir):
     assert "InMemoryTableScan" in plan
     assert "BroadcastHashJoin" in plan
     assert _n_nodes(plan, "SortMergeJoin") == 0
+
+
+def test_freq_pairs_no_fact_self_join(spark, sf_dir):
+    """freq_event_pairs: the pair space is generated map-side from each
+    user's collect_set (one Generate), never a fact self-join — zero
+    SortMergeJoin, dims broadcast."""
+    plan = _formatted(spark, QUERIES["freq_event_pairs"](spark, sf_dir))
+    assert _n_nodes(plan, "SortMergeJoin") == 0
+    assert _n_nodes(plan, "Generate") == 1  # the basket pair explode
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 2  # singles both sides
+
+
+def test_bpe_apply_is_vocab_bounded(spark, sf_dir):
+    """bpe_apply_stats: after the wordcount collapse everything is maps
+    and tiny broadcast stat joins — no join of any hash/merge kind, and
+    the cached vocab frame is reused (InMemoryTableScan)."""
+    df = QUERIES["bpe_apply_stats"](spark, sf_dir)
+    df.collect()  # populate the vocab caches
+    plan = _formatted(spark, df)
+    assert _n_nodes(plan, "SortMergeJoin") == 0
+    assert _n_nodes(plan, "ShuffledHashJoin") == 0
+    assert "InMemoryTableScan" in plan
+
+
+def test_mmr_greedy_probes_cached_candidates(spark, sf_dir):
+    """mmr_diverse_topk: every greedy step joins the CACHED 10-row
+    candidate frame (InMemoryTableScan) with broadcast selection state —
+    the corpus is streamed once into the candidate heaps, never again."""
+    df = QUERIES["mmr_diverse_topk"](spark, sf_dir)
+    df.collect()
+    plan = _formatted(spark, df)
+    assert "InMemoryTableScan" in plan
+    assert _n_nodes(plan, "BroadcastHashJoin") >= 2  # s1 / (s1 x s2) probes
