@@ -204,6 +204,7 @@ HEADLINE = [
     "pair_rouge_stats",
     "minhash_estimate_error",
     "mmr_diverse_topk",
+    "session_funnel_stats",
 ]
 
 

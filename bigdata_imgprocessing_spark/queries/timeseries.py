@@ -867,3 +867,101 @@ def pit_join_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d.vf").alias("feature_as_of"),
         F.col("feature").isNotNull().alias("has_feature"),
     )
+
+
+@query(
+    "session_funnel_stats",
+    oracle="""
+    WITH b AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events
+    ),
+    l AS (
+        SELECT *, CASE WHEN es - lag(es) OVER (PARTITION BY user_id
+                                               ORDER BY es, event_id) >= 1800
+                       THEN 1 ELSE 0 END AS ni
+        FROM b
+    ),
+    s AS (
+        SELECT *, sum(ni) OVER (PARTITION BY user_id ORDER BY es, event_id
+                                ROWS UNBOUNDED PRECEDING) AS sid
+        FROM l
+    ),
+    w1 AS (SELECT *, min(CASE WHEN event_type = 'view' THEN es END)
+                         OVER (PARTITION BY user_id, sid) AS s1 FROM s),
+    w2 AS (SELECT *, min(CASE WHEN event_type = 'click' AND es >= s1
+                              THEN es END)
+                         OVER (PARTITION BY user_id, sid) AS s2 FROM w1),
+    w3 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND es >= s2
+                              THEN es END)
+                         OVER (PARTITION BY user_id, sid) AS s3 FROM w2),
+    per AS (
+        SELECT user_id, sid,
+               max(CASE WHEN s1 IS NOT NULL THEN 1 ELSE 0 END) AS f1,
+               max(CASE WHEN s2 IS NOT NULL THEN 1 ELSE 0 END) AS f2,
+               max(CASE WHEN s3 IS NOT NULL THEN 1 ELSE 0 END) AS f3
+        FROM w3 GROUP BY user_id, sid
+    )
+    SELECT count(*) AS n_sessions,
+           CAST(sum(f1) AS BIGINT) AS n_view,
+           CAST(sum(f2) AS BIGINT) AS n_view_click,
+           CAST(sum(f3) AS BIGINT) AS n_full_funnel
+    FROM per
+    """,
+)
+def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionized STRICT-SEQUENTIAL funnel (MATCH_RECOGNIZE-lite):
+    within each 30-min-gap session, stage 2 is the first click AT OR
+    AFTER the session's first view and stage 3 the first purchase at or
+    after that click — unlike ``funnel_conversion_stats`` (user-level,
+    first-touch), an out-of-order click before any view does NOT count.
+    The stage chain is three CHAINED session-partitioned window mins
+    (each stage's anchor is a session-constant column the next window's
+    predicate reads) — no self-join, no sequence explode, and because
+    (user, sid) refines the user partitioning, ALL windows plus the
+    per-session rollup share ONE shuffle. Epoch-second integers
+    end-to-end (the pit-join parity pattern); ties are totally ordered
+    by (es, event_id) so session ids are deterministic cross-engine."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    base = e.select(
+        "user_id", "event_id", "event_type", F.col("ts").cast("long").alias("es")
+    )
+    wl = Window.partitionBy("user_id").orderBy("es", "event_id")
+    ni = F.when(F.col("es") - F.lag("es").over(wl) >= 1800, 1).otherwise(0)
+    wc = wl.rowsBetween(Window.unboundedPreceding, 0)
+    t = base.withColumn("sid", F.sum(ni).over(wc))
+    ws = Window.partitionBy("user_id", "sid")
+    t = t.withColumn(
+        "s1", F.min(F.when(F.col("event_type") == "view", F.col("es"))).over(ws)
+    )
+    t = t.withColumn(
+        "s2",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("es") >= F.col("s1")),
+                F.col("es"),
+            )
+        ).over(ws),
+    )
+    t = t.withColumn(
+        "s3",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase") & (F.col("es") >= F.col("s2")),
+                F.col("es"),
+            )
+        ).over(ws),
+    )
+    per = t.groupBy("user_id", "sid").agg(
+        F.max(F.col("s1").isNotNull().cast("int")).alias("f1"),
+        F.max(F.col("s2").isNotNull().cast("int")).alias("f2"),
+        F.max(F.col("s3").isNotNull().cast("int")).alias("f3"),
+    )
+    return per.agg(
+        F.count("*").alias("n_sessions"),
+        F.sum("f1").cast("bigint").alias("n_view"),
+        F.sum("f2").cast("bigint").alias("n_view_click"),
+        F.sum("f3").cast("bigint").alias("n_full_funnel"),
+    )
