@@ -26,6 +26,9 @@ DOC_QUERIES = [
     "chi2_lang_source",
     "ks_score_drift",
     "collation_group_names",
+    "bpe_apply_stats",
+    "pair_rouge_stats",
+    "minhash_estimate_error",
 ]
 FACT_QUERIES = [
     "bitmap_distinct_users",
@@ -37,7 +40,10 @@ FACT_QUERIES = [
     "interval_merge_coverage",
     "listagg_order_lines",
     "mode_per_group",
+    "freq_event_pairs",
+    "session_funnel_stats",
 ]
+EMB_QUERIES = ["mmr_diverse_topk"]  # needs the scaled embeddings corpus
 
 
 def _time(spark, name: str, sf_dir: str) -> tuple[float, int]:
@@ -71,6 +77,7 @@ def main() -> None:
     for label, names, scaled in (
         ("documents 10x", DOC_QUERIES, docs10),
         ("facts 10x (sf1-equivalent)", FACT_QUERIES, rel10),
+        ("embeddings 10x", EMB_QUERIES, "/tmp/bdip_scale_emb_10x"),
     ):
         print(f"\n== {label} ==", flush=True)
         print("| query | base secs | base rows | 10x secs | 10x rows | ratio |")
