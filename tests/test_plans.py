@@ -506,3 +506,29 @@ def test_mmr_greedy_probes_cached_candidates(spark, sf_dir):
     plan = _formatted(spark, df)
     assert "InMemoryTableScan" in plan
     assert _n_nodes(plan, "BroadcastHashJoin") >= 2  # s1 / (s1 x s2) probes
+
+
+def test_session_funnel_single_shuffle(spark, sf_dir):
+    """session_funnel_stats: sessionization, all three chained stage
+    windows, and the per-session rollup must share ONE hash shuffle
+    (HashPartitioning(user_id) satisfies every (user_id, sid)
+    distribution downstream) — plus the final single-row agg exchange.
+    A second data shuffle here would mean the window chain broke the
+    partitioning reuse the docstring claims."""
+    plan = _formatted(spark, QUERIES["session_funnel_stats"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Exchange") <= 2  # user shuffle + 1-row final agg
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin"):
+        assert _n_nodes(plan, join_op) == 0, join_op
+
+
+def test_sketch_audits_share_lsh_pipeline(spark, sf_dir):
+    """pair_rouge_stats / minhash_estimate_error: both audits ride the
+    shared LSH pipeline's cached frames (InMemoryTableScan present once
+    executed) and never plan a cartesian."""
+    for name in ("pair_rouge_stats", "minhash_estimate_error"):
+        df = QUERIES[name](spark, sf_dir)
+        df.collect()
+        plan = _formatted(spark, df)
+        assert "InMemoryTableScan" in plan, name
+        assert "CartesianProduct" not in plan, name

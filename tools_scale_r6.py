@@ -73,11 +73,18 @@ def main() -> None:
         )
 
         build_scaled_facts(spark, sf_dir, rel10, factor=10)
+    emb10 = "/tmp/bdip_scale_emb_10x"
+    if not os.path.exists(os.path.join(emb10, "embeddings.parquet")):
+        from bigdata_imgprocessing_spark.pipelines.scale_stress import (
+            build_scaled_embeddings,
+        )
+
+        build_scaled_embeddings(spark, sf_dir, emb10, factor=10)
 
     for label, names, scaled in (
         ("documents 10x", DOC_QUERIES, docs10),
         ("facts 10x (sf1-equivalent)", FACT_QUERIES, rel10),
-        ("embeddings 10x", EMB_QUERIES, "/tmp/bdip_scale_emb_10x"),
+        ("embeddings 10x", EMB_QUERIES, emb10),
     ):
         print(f"\n== {label} ==", flush=True)
         print("| query | base secs | base rows | 10x secs | 10x rows | ratio |")
