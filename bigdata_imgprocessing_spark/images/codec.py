@@ -39,10 +39,12 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 def decode_image(buf: bytes) -> np.ndarray:
     """Bytes → uint8 HxWxC ndarray. FIMG, BMP, PNG, and baseline JPEG
-    natively (stdlib+numpy codecs — the reference's actual *.jpg ingest
-    format decodes without cv2); exotic JPEG variants (progressive,
-    subsampled) fall through to cv2 when available, else the codec's
-    NotImplementedError propagates (documented gate)."""
+    (4:4:4 / 4:2:2 / 4:2:0 / gray) natively (stdlib+numpy codecs — the
+    reference's actual *.jpg ingest format decodes without cv2); exotic
+    JPEG variants (progressive, non-interleaved, CMYK) fall through to
+    cv2 when available, else the codec's NotImplementedError propagates
+    (documented gate). All paths return RGB channel order — cv2 decodes
+    BGR, so its results are channel-reversed here."""
     from .formats import BMP_MAGIC, PNG_MAGIC, decode_bmp, decode_png
     from .jpeg import JPEG_MAGIC, decode_jpeg
 
@@ -59,11 +61,13 @@ def decode_image(buf: bytes) -> np.ndarray:
         except NotImplementedError:
             if not _HAS_CV2:
                 raise
-            return cv2.imdecode(  # pragma: no cover
+            bgr = cv2.imdecode(  # pragma: no cover
                 np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR
             )
+            return np.ascontiguousarray(bgr[:, :, ::-1])  # pragma: no cover
     if _HAS_CV2:  # pragma: no cover
-        return cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
+        bgr = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
+        return np.ascontiguousarray(bgr[:, :, ::-1])
     raise NotImplementedError(
         "unrecognized image format (FIMG, BMP, PNG, and baseline JPEG "
         "decode natively; cv2/PIL absent in this container)"

@@ -7,18 +7,25 @@ and decoder are implemented from the published spec with nothing but
 ``struct`` and numpy:
 
 - **Decoder**: baseline sequential DCT (SOF0), 8-bit, interleaved scan,
-  4:4:4 (all sampling factors 1×1) or single-component grayscale;
-  generic DQT (8/16-bit tables) and DHT parsing (tables come from the
-  stream, not hardcoded), restart markers, 0xFF00 byte-unstuffing.
-  Progressive (SOF2) and subsampled streams raise NotImplementedError —
-  the same explicit gating as the other codecs' unsupported variants.
-- **Encoder**: SOF0 4:4:4 (or grayscale), JFIF APP0, canonical Huffman
-  tables CONSTRUCTED rather than transcribed (12 DC size symbols at
-  code length 4, all 162 AC (run,size) symbols at length 8 — Kraft-
-  feasible, all-ones code unused, spec-legal), default quantization
-  tables of all ones (max quality: round-trip error is DCT rounding
-  only, bounded at ±6 per sample incl. the color transform — the
-  property tests pin this).
+  any integer-ratio sampling factors — 4:4:4, 4:2:2, 4:2:0 (the default
+  output of essentially every camera encoder), 4:1:1 — or
+  single-component grayscale; chroma upsampled nearest-neighbor after
+  per-component IDCT (spec-sufficient per T.81 A.1.1, which leaves the
+  upsampling filter to the implementation); generic DQT (8/16-bit
+  tables) and DHT parsing (tables come from the stream, not hardcoded),
+  restart markers, 0xFF00 byte-unstuffing, fill-byte (repeated 0xFF)
+  skipping per B.1.1.2. Progressive (SOF2), non-interleaved multi-scan,
+  and 4-component (Adobe CMYK) streams raise NotImplementedError — the
+  same explicit gating as the other codecs' unsupported variants.
+- **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
+  canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
+  size symbols at code length 4, all 162 AC (run,size) symbols at
+  length 8 — Kraft-feasible, all-ones code unused, spec-legal), chroma
+  box-average downsampling, default quantization tables of all ones
+  (max quality: 4:4:4 round-trip error is DCT rounding only, bounded at
+  ±6 per sample incl. the color transform — the property tests pin
+  this; subsampled modes additionally lose chroma detail, exact only
+  for chroma-smooth content).
 
 Arrays are RGB-ordered H×W×3 (or H×W gray) uint8 — the engine
 convention shared with images/formats.py.
@@ -199,13 +206,22 @@ def _ycbcr_to_rgb(y: np.ndarray, cb: np.ndarray, cr: np.ndarray) -> np.ndarray:
     return np.clip(np.stack([r, g, b], axis=2).round(), 0, 255).astype(np.uint8)
 
 
-def _blocks(plane: np.ndarray) -> np.ndarray:
-    """H×W float plane → (n_blocks_v, n_blocks_h, 8, 8), edge-padded."""
+def _blocks(plane: np.ndarray, nbv: int, nbh: int) -> np.ndarray:
+    """H×W float plane → (nbv, nbh, 8, 8), edge-padded to the given
+    (MCU-aligned) block grid."""
     h, w = plane.shape
-    ph, pw = (-h) % 8, (-w) % 8
-    p = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
-    bh, bw = p.shape[0] // 8, p.shape[1] // 8
-    return p.reshape(bh, 8, bw, 8).swapaxes(1, 2)
+    p = np.pad(plane, ((0, nbv * 8 - h), (0, nbh * 8 - w)), mode="edge")
+    return p.reshape(nbv, 8, nbh, 8).swapaxes(1, 2)
+
+
+def _box_downsample(plane: np.ndarray, fx: int, fy: int) -> np.ndarray:
+    """Chroma downsample by an fy×fx box average (edge-padded to a
+    multiple of the factor first) — the standard encoder-side filter."""
+    if fx == 1 and fy == 1:
+        return plane
+    h, w = plane.shape
+    p = np.pad(plane, ((0, (-h) % fy), (0, (-w) % fx)), mode="edge")
+    return p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(axis=(1, 3))
 
 
 def _size_of(v: int) -> int:
@@ -220,13 +236,51 @@ def _seg(marker: int, payload: bytes) -> bytes:
     return struct.pack(">BBH", 0xFF, marker, len(payload) + 2) + payload
 
 
+_SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
+
+
+def _emit_block(bw_: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Huffman-code one zigzagged quantized block; returns its DC."""
+    diff = int(zz[0]) - prev_dc
+    s = _size_of(diff)
+    code, ln = _ENC_DC[s]
+    bw_.write(code, ln)
+    if s:
+        bw_.write(_amplitude(diff, s), s)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _ENC_AC[0xF0]
+            bw_.write(code, ln)
+            run -= 16
+        s = _size_of(v)
+        code, ln = _ENC_AC[(run << 4) | s]
+        bw_.write(code, ln)
+        bw_.write(_amplitude(v, s), s)
+        run = 0
+    if last < 63:
+        code, ln = _ENC_AC[0x00]  # EOB
+        bw_.write(code, ln)
+    return int(zz[0])
+
+
 def encode_jpeg(
     arr: np.ndarray,
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """uint8 H×W×3 RGB (or H×W gray) → baseline 4:4:4 JFIF bytes.
+    """uint8 H×W×3 RGB (or H×W gray) → baseline JFIF bytes.
 
+    ``subsampling`` is ``"444"`` (luma and chroma full-resolution),
+    ``"422"`` (chroma halved horizontally) or ``"420"`` (chroma halved
+    both ways — the camera default); gray input ignores it.
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     N MCUs (DC predictors reset, bitstream re-aligned) — the
     resynchronization feature real encoders use so a corrupt byte loses
@@ -237,25 +291,36 @@ def encode_jpeg(
     h, w = a.shape[:2]
     if not gray and a.shape[2] != 3:
         raise ValueError(f"JPEG encode needs 3 channels or gray, got {a.shape}")
+    if subsampling not in _SUBSAMPLING:
+        raise ValueError(f"subsampling must be one of {sorted(_SUBSAMPLING)}")
     q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
     if q.max() > 255 or q.min() < 1:
         # the emitted DQT uses the 8-bit (Pq=0) encoding; values outside
         # [1, 255] would silently truncate into a corrupt table
         raise ValueError("quant table values must be in [1, 255]")
 
-    planes = (
-        [a.astype(np.float64)]
-        if gray
-        else [c for c in np.moveaxis(_rgb_to_ycbcr(a), 2, 0)]
-    )
+    if gray:
+        factors = [(1, 1)]
+        planes = [a.astype(np.float64)]
+    else:
+        hy, vy = _SUBSAMPLING[subsampling]
+        factors = [(hy, vy), (1, 1), (1, 1)]
+        ycc = _rgb_to_ycbcr(a)
+        planes = [ycc[:, :, 0]]
+        for c in (1, 2):
+            planes.append(_box_downsample(ycc[:, :, c], hy, vy))
     ncomp = len(planes)
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
 
     out = bytearray(b"\xff\xd8")  # SOI
     out += _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 8, h, w, ncomp)
     for cid in range(1, ncomp + 1):
-        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+        hi, vi = factors[cid - 1]
+        sof += struct.pack(">BBB", cid, (hi << 4) | vi, 0)  # qtable 0
     out += _seg(0xC0, sof)
     out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
     out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_VALS)))
@@ -269,17 +334,16 @@ def encode_jpeg(
 
     qf = q.reshape(8, 8).astype(np.float64)
     comp_blocks = []
-    for p in planes:
-        b = _blocks(p - 128.0)
+    for p, (hi, vi) in zip(planes, factors):
+        b = _blocks(p - 128.0, mcy * vi, mcx * hi)
         coeff = np.einsum("ij,vhjk,lk->vhil", _T, b, _T)
         comp_blocks.append(np.round(coeff / qf).astype(np.int64))
 
     bw_ = _BitWriter()
-    nbv, nbh = comp_blocks[0].shape[:2]
     prev_dc = [0] * ncomp
     mcu = 0
-    for bv in range(nbv):
-        for bh_ in range(nbh):
+    for my in range(mcy):
+        for mx in range(mcx):
             if restart_interval and mcu and mcu % restart_interval == 0:
                 bw_.flush()
                 out += bw_.out
@@ -287,35 +351,13 @@ def encode_jpeg(
                 bw_ = _BitWriter()
                 prev_dc = [0] * ncomp
             mcu += 1
-            for c in range(ncomp):
-                zz = comp_blocks[c][bv, bh_].reshape(64)[_ZIGZAG]
-                diff = int(zz[0]) - prev_dc[c]
-                prev_dc[c] = int(zz[0])
-                s = _size_of(diff)
-                code, ln = _ENC_DC[s]
-                bw_.write(code, ln)
-                if s:
-                    bw_.write(_amplitude(diff, s), s)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for k in range(1, last + 1):
-                    v = int(zz[k])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = _ENC_AC[0xF0]
-                        bw_.write(code, ln)
-                        run -= 16
-                    s = _size_of(v)
-                    code, ln = _ENC_AC[(run << 4) | s]
-                    bw_.write(code, ln)
-                    bw_.write(_amplitude(v, s), s)
-                    run = 0
-                if last < 63:
-                    code, ln = _ENC_AC[0x00]  # EOB
-                    bw_.write(code, ln)
+            for c, (hi, vi) in enumerate(factors):
+                for dv in range(vi):
+                    for dh in range(hi):
+                        zz = comp_blocks[c][my * vi + dv, mx * hi + dh]
+                        prev_dc[c] = _emit_block(
+                            bw_, zz.reshape(64)[_ZIGZAG], prev_dc[c]
+                        )
     bw_.flush()
     out += bw_.out
     out += b"\xff\xd9"  # EOI
@@ -355,7 +397,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline 4:4:4 / grayscale JPEG bytes → uint8 H×W×3 RGB (or H×W).
+    """Baseline JPEG bytes (4:4:4 / 4:2:2 / 4:2:0 / grayscale) →
+    uint8 H×W×3 RGB (or H×W).
 
     Truncated/corrupt streams raise ValueError (the quarantine path
     needs a reliable exception); unsupported spec variants raise
@@ -375,7 +418,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], _HuffTable] = {}
-    comps: list[tuple[int, int, int]] = []  # (id, sampling, tq)
+    comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     h = w = 0
     restart = 0
     scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
@@ -383,6 +426,8 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     while True:
         if buf[pos] != 0xFF:
             raise ValueError("JPEG marker expected")
+        while buf[pos + 1] == 0xFF:  # T.81 B.1.1.2: 0xFF fill bytes
+            pos += 1
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
@@ -421,13 +466,13 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"only 8-bit JPEG (precision={prec})")
+            if nc not in (1, 3):
+                # e.g. 4-component Adobe CMYK — gate to the cv2 slot-in
+                # rather than silently dropping the 4th plane
+                raise NotImplementedError(f"{nc}-component JPEG unsupported")
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 3 + 3 * c + 3)
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "only 4:4:4 (1x1-sampled) baseline JPEG"
-                    )
-                comps.append((cid, samp, tq))
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
@@ -446,14 +491,36 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
 
     if not comps:
         raise ValueError("JPEG missing SOF before SOS")
-    nbv, nbh = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((nbv * 8, nbh * 8), dtype=np.float64) for _ in comps]
+    if len(scan) != len(comps):
+        # spec-legal baseline non-interleaved form: each SOS covers a
+        # subset of the SOF components — decoding only the first scan
+        # would silently leave the other planes flat; gate to cv2 instead
+        raise NotImplementedError("non-interleaved (multi-scan) baseline JPEG")
+    if len(comps) == 1:
+        # single-component scans are non-interleaved by definition: the
+        # MCU is one data unit and the declared sampling factors don't
+        # subsample anything (T.81 A.2.2)
+        factors = [(1, 1)]
+    else:
+        factors = [(hi, vi) for _, hi, vi, _ in comps]
+    hmax = max(f[0] for f in factors)
+    vmax = max(f[1] for f in factors)
+    for hi, vi in factors:
+        if not (1 <= hi <= 4 and 1 <= vi <= 4) or hmax % hi or vmax % vi:
+            raise NotImplementedError(
+                f"unsupported JPEG sampling factors {factors}"
+            )
+    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    planes = [
+        np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.float64)
+        for hi, vi in factors
+    ]
     br = _BitReader(buf, pos)
     prev_dc = [0] * len(comps)
-    qf = [qtables[tq].astype(np.float64) for _, _, tq in comps]
+    qf = [qtables[tq].astype(np.float64) for _, _, _, tq in comps]
     mcu = 0
-    for bv in range(nbv):
-        for bh_ in range(nbh):
+    for my in range(mcy):
+        for mx in range(mcx):
             if restart and mcu and mcu % restart == 0:
                 m = br.align_to_marker()
                 if m is None or not (0xD0 <= m <= 0xD7):
@@ -461,34 +528,44 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 prev_dc = [0] * len(comps)
             mcu += 1
             for ci, dc_id, ac_id in scan:
+                hi, vi = factors[ci]
                 dct = htables[(0, dc_id)]
                 act = htables[(1, ac_id)]
-                zz = np.zeros(64, dtype=np.int64)
-                s = dct.decode(br)
-                diff = _extend(br.bits(s), s) if s else 0
-                prev_dc[ci] += diff
-                zz[0] = prev_dc[ci]
-                k = 1
-                while k < 64:
-                    sym = act.decode(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    if sym == 0xF0:  # ZRL
-                        k += 16
-                        continue
-                    run, size = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63:
-                        raise ValueError("JPEG AC run past block end")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                block = np.zeros(64, dtype=np.float64)
-                block[_ZIGZAG] = zz
-                coeff = block.reshape(8, 8) * qf[ci]
-                planes[ci][bv * 8 : bv * 8 + 8, bh_ * 8 : bh_ * 8 + 8] = (
-                    _T.T @ coeff @ _T
-                )
-    crops = [p[:h, :w] + 128.0 for p in planes]
+                for dv in range(vi):
+                    for dh in range(hi):
+                        zz = np.zeros(64, dtype=np.int64)
+                        s = dct.decode(br)
+                        diff = _extend(br.bits(s), s) if s else 0
+                        prev_dc[ci] += diff
+                        zz[0] = prev_dc[ci]
+                        k = 1
+                        while k < 64:
+                            sym = act.decode(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            if sym == 0xF0:  # ZRL
+                                k += 16
+                                continue
+                            run, size = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG AC run past block end")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        block = np.zeros(64, dtype=np.float64)
+                        block[_ZIGZAG] = zz
+                        coeff = block.reshape(8, 8) * qf[ci]
+                        bv, bh_ = my * vi + dv, mx * hi + dh
+                        planes[ci][
+                            bv * 8 : bv * 8 + 8, bh_ * 8 : bh_ * 8 + 8
+                        ] = _T.T @ coeff @ _T
+    crops = []
+    for (hi, vi), p in zip(factors, planes):
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)  # comp dims (ceil)
+        c = p[:ch, :cw] + 128.0
+        if hi != hmax or vi != vmax:  # nearest-neighbor chroma upsample
+            c = np.repeat(np.repeat(c, vmax // vi, axis=0), hmax // hi, axis=1)
+        crops.append(c[:h, :w])
     if len(comps) == 1:
         return np.clip(crops[0].round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(crops[0], crops[1], crops[2])

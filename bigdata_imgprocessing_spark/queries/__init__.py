@@ -8,12 +8,12 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so the round-6 order is: (1) the 14 queries NEW
-# this round (first CORRECTNESS row pending), (1b) the 4 round-5
-# queries that fell just outside round 5's 50-slot window, (2) the 32
-# queries whose latest driver row is round 1-2 (VERDICT r4 punch-list
-# item 1 — local parity has them green, but the driver row is the hard
-# signal), (3) everything else in registration order. 14+4+32 = 50.
+# entries per round, so the round-7 order is: (1) the 6 round-6 queries
+# registered after the r6 driver window closed (locally green, first
+# driver row pending — VERDICT r6 item 1), (2) queries NEW or with
+# CHANGED outputs this round, (3) the 39 queries whose latest driver
+# row is round 3 (oldest-first refresh rotation), (4) everything else
+# in registration order.
 from . import advanced  # noqa: F401
 from . import analytics  # noqa: F401
 from . import curation  # noqa: F401
@@ -29,29 +29,31 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) new round-6 queries — first CORRECTNESS row pending.
-    "listagg_order_lines", "collation_group_names", "mode_per_group",
-    "bitmap_distinct_users", "m4_downsample", "pareto_front_orders",
-    "chi2_lang_source", "ks_score_drift", "gini_revenue_concentration",
-    "cusum_changepoint", "interval_merge_coverage", "rfm_segmentation",
-    "weighted_doc_sample", "ngram_containment_hist",
-    # (1b) round-5 queries that fell outside round 5's 50-slot window
-    "fixed_size_group_sample", "null_safe_reconcile",
-    "streaming_erasure_feed", "image_corrupt_quarantine",
-    # (2) the 32 stale rows (latest driver check r1-r2; VERDICT r4 #1)
-    "ann_ivf_topk", "audio_feature_extract", "bucketed_join_revenue",
-    "cached_predictions_stats", "conditional_agg_ratio",
-    "dedup_incremental_stats", "dedup_keep_best", "detection_class_names",
-    "distinct_counts", "doc_embedding_join_stats", "doc_fingerprints",
-    "doc_pack_stats", "doc_quality_scores", "doc_split_stats",
-    "doc_token_stats", "embedding_lsh_neardup", "embedding_model_scores",
-    "embedding_norm_stats", "jsonl_roundtrip_stats", "keyword_doc_stats",
-    "keyword_lang_stats", "knn_bruteforce", "lang_id_confusion",
-    "minhash_band_stats", "nearest_centroid_counts",
-    "repetition_ngram_stats", "report_text_roundtrip",
-    "stats_pipeline_e2e", "stratified_sample_stats",
-    "streaming_stateful_totals", "tfidf_top_terms", "vocab_top_terms",
-    # (3) r3/r4-green rows follow in registration order.
+    # (1) round-6 queries banked past the r6 driver window — first
+    # CORRECTNESS row pending (VERDICT r6 item 1).
+    "bpe_apply_stats", "freq_event_pairs", "pair_rouge_stats",
+    "minhash_estimate_error", "mmr_diverse_topk", "session_funnel_stats",
+    # (2) new or output-changed this round: pq_ann_recall gained a k=16
+    # deterministic codebook; image_format_ingest's JPEG leg now half
+    # 4:2:0-subsampled (hash-identical by design — re-confirmed here).
+    "pq_ann_recall", "image_format_ingest",
+    # (3) the 39 rows whose latest driver check is round 3 —
+    # oldest-first refresh rotation.
+    "alphabet_stats", "ann_ivf_learned", "anti_join_customers",
+    "approx_balance_deciles", "cluster_profile", "cube_order_stats",
+    "customer_balance_deciles", "decontam_ngram_overlap", "dedup_exact",
+    "doc_chain_components", "doc_chunk_windows", "doc_quality_filter",
+    "exists_late_orders", "full_outer_nation_counts", "image_avg_color",
+    "image_detection_counts", "image_dominant_hist",
+    "image_letterbox_stats", "image_phash_neardup", "image_predictions",
+    "inactive_rich_customers", "market_share_by_year",
+    "minhash_lsh_pairs", "moving_avg_orders", "name_length_buckets",
+    "ngram_jaccard_hist", "outer_join_order_counts", "pricing_summary",
+    "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
+    "rollup_revenue", "semi_join_customers", "set_ops_customers",
+    "simhash_fingerprints", "small_quantity_revenue", "top_orders",
+    "video_frame_sample", "window_topk_orders",
+    # (4) r4+-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

@@ -61,9 +61,14 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
     stdlib format codecs, not the FIMG fixture container (P4
     real-format leg). The JPEG leg uses a FLAT GRAY image (all pixels =
     first embedding byte): with all-ones quantization a flat gray block
-    is DC-only with integer coefficients, so the lossy format
-    round-trips BIT-EXACTLY and the analytic oracle stays valid (the
-    general-content error bound lives in tests/test_jpeg.py)."""
+    is DC-only with integer coefficients AND its chroma is constant 128,
+    so the lossy format round-trips BIT-EXACTLY under both 4:4:4 and
+    chroma-subsampled encodings and the analytic oracle stays valid (the
+    general-content error bounds live in tests/test_jpeg.py). Half the
+    JPEG ids (id%6==2) encode as 4:2:0 at a non-MCU-multiple 10x6 size —
+    the camera-default variant — so multi-block-MCU interleave, MCU-pad
+    cropping, and nearest-neighbor chroma upsample all sit under the
+    driver hash; the other half (id%6==5) stay 4:4:4 2x2."""
     from ..images.formats import encode_bmp, encode_png
     from ..images.jpeg import encode_jpeg
 
@@ -76,7 +81,12 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
             return encode_bmp(px)
         if m == 1:
             return encode_png(px)
-        return encode_jpeg(np.full((2, 2, 3), px[0, 0, 0], dtype=np.uint8))
+        g = int(px[0, 0, 0])
+        if vid % 6 == 2:
+            return encode_jpeg(
+                np.full((10, 6, 3), g, dtype=np.uint8), subsampling="420"
+            )
+        return encode_jpeg(np.full((2, 2, 3), g, dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
 
@@ -185,9 +195,10 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     magic-dispatch decode → per-channel means → per-label rollup. Hash
     parity against the pixel-arithmetic oracle proves every
     encode→decode round trip is byte-exact (a BGR swap, row-flip,
-    padding, zlib-filter, or JPEG DC bug anywhere breaks the values);
-    the JPEG leg is flat-gray by construction so the lossy format sits
-    under the exact gate too (see _real_format_image_udf). Mirrors the
+    padding, zlib-filter, JPEG DC, or chroma-upsample bug anywhere
+    breaks the values); the JPEG leg is flat-gray by construction so
+    the lossy format — including its 4:2:0 chroma-subsampled half —
+    sits under the exact gate too (see _real_format_image_udf). Mirrors the
     reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
     where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")

@@ -711,9 +711,14 @@ def streaming_pysource_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ensure_utc(spark)
     try:  # idempotent across repeated query invocations in one session
+        # (Spark 4.1 replaces-and-warns on re-registration; the guard
+        # matches the specific error CONDITION for versions that raise)
         spark.dataSource.register(EventTailDataSource)
-    except Exception as exc:  # swallow ONLY the already-registered case
-        if "exist" not in str(exc).lower():
+    except Exception as exc:
+        get_cond = getattr(exc, "getCondition", None) or getattr(
+            exc, "getErrorClass", None
+        )
+        if (get_cond() if get_cond else None) != "DATA_SOURCE_ALREADY_EXISTS":
             raise
     s = (
         spark.readStream.format("eventtail")

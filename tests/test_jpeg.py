@@ -114,7 +114,7 @@ def test_gradient_roundtrip_small_mean_error():
     assert mean_err <= 1.5
 
 
-def test_decoder_rejects_progressive_and_subsampled():
+def test_decoder_rejects_progressive_noninterleaved_cmyk():
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     buf = bytearray(encode_jpeg(img))
     sof = buf.find(bytes([0xFF, 0xC0]))
@@ -122,11 +122,82 @@ def test_decoder_rejects_progressive_and_subsampled():
     prog = bytes(buf[:sof + 1]) + b"\xc2" + bytes(buf[sof + 2:])
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(prog)
-    # corrupt the luma sampling factor to 2x2 (4:2:0)
-    sub = bytearray(buf)
-    sub[sof + 2 + 2 + 6 + 1] = 0x22  # comp 1 sampling byte inside SOF payload
-    with pytest.raises(NotImplementedError, match="4:4:4"):
-        decode_jpeg(bytes(sub))
+    # rewrite the SOS to cover only component 1 of the 3 SOF declares
+    # (spec-legal non-interleaved form) — must gate, never decode one
+    # plane and silently leave the others flat (ADVICE r6)
+    sos = buf.find(bytes([0xFF, 0xDA]))
+    (sos_len,) = np.frombuffer(bytes(buf[sos + 2 : sos + 4]), dtype=">u2")
+    one_scan = (
+        bytes([0xFF, 0xDA]) + int(8).to_bytes(2, "big")
+        + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    )
+    non_il = bytes(buf[:sos]) + one_scan + bytes(buf[sos + 2 + int(sos_len):])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        decode_jpeg(non_il)
+    # declare 4 components (Adobe CMYK shape) — must gate at SOF
+    cmyk = bytearray(buf)
+    cmyk[sof + 2 + 2 + 5] = 4  # SOF payload Nf byte
+    with pytest.raises(NotImplementedError, match="4-component"):
+        decode_jpeg(bytes(cmyk))
+
+
+@pytest.mark.parametrize("mode", ["420", "422"])
+def test_subsampled_roundtrip_chroma_smooth(mode):
+    """4:2:0 / 4:2:2 (the camera defaults): for chroma-constant content
+    the box-average downsample is lossless, so the full ±6 DCT-rounding
+    bound of the 4:4:4 path must hold — including at odd (non-multiple-
+    of-MCU) sizes where component dims are ceil-divided and the decoder
+    crops the MCU padding back off."""
+    rng = np.random.default_rng(7)
+    for h, w in ((16, 16), (17, 23), (8, 9), (31, 15)):
+        gray = rng.integers(40, 216, size=(h, w), dtype=np.uint8)
+        img = np.stack([gray, gray, gray], axis=2)  # Cb = Cr = 128 exactly
+        buf = encode_jpeg(img, subsampling=mode)
+        # SOF declares the subsampled luma factor
+        sof = buf.find(bytes([0xFF, 0xC0]))
+        want = 0x22 if mode == "420" else 0x21
+        assert buf[sof + 2 + 2 + 6 + 1] == want
+        out = decode_jpeg(buf)
+        assert out.shape == img.shape
+        err = int(np.abs(out.astype(int) - img.astype(int)).max())
+        assert err <= 6, f"{mode} {h}x{w} err={err}"
+
+
+def test_subsampled_roundtrip_flat_color_and_restart():
+    """Flat saturated color through 4:2:0 — chroma far from 128 — and
+    the DRI/RST path layered on top of multi-block MCUs."""
+    for rgb in ((200, 30, 60), (10, 10, 250)):
+        img = np.zeros((24, 40, 3), dtype=np.uint8)
+        img[:] = rgb
+        for kw in ({}, {"restart_interval": 2}):
+            out = decode_jpeg(encode_jpeg(img, subsampling="420", **kw))
+            assert out.shape == img.shape
+            assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 2
+
+
+def test_subsampled_chroma_edges_bounded():
+    """A hard vertical color edge under 4:2:0: luma stays within the DCT
+    bound everywhere; chroma is averaged across the edge so error
+    concentrates AT the edge and the plane interiors stay faithful."""
+    img = np.zeros((16, 16, 3), dtype=np.uint8)
+    img[:, :8] = (255, 0, 0)
+    img[:, 8:] = (0, 0, 255)
+    out = decode_jpeg(encode_jpeg(img, subsampling="420"))
+    interior = np.abs(
+        out[:, [0, 1, 2, 13, 14, 15]].astype(int)
+        - img[:, [0, 1, 2, 13, 14, 15]].astype(int)
+    ).max()
+    assert interior <= 12
+
+
+def test_fill_bytes_before_marker_are_skipped():
+    """T.81 B.1.1.2: repeated 0xFF before a marker code is padding; an
+    encoder that emits fill bytes must still parse (ADVICE r6)."""
+    img = np.full((8, 8, 3), 90, dtype=np.uint8)
+    buf = encode_jpeg(img)
+    dqt = buf.find(bytes([0xFF, 0xDB]))
+    padded = buf[:dqt] + b"\xff\xff\xff" + buf[dqt:]
+    assert (decode_jpeg(padded) == decode_jpeg(buf)).all()
 
 
 def test_decoder_rejects_garbage_and_truncation():
