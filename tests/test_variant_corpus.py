@@ -146,6 +146,33 @@ def variant_dir(spark):
             SELECT mid + 3, mts + INTERVAL 3 DAY, 2, 'click', 0.0,
                    '{{"k": 99}}'
             FROM mx
+            -- planted funnel mass (round 7): 110 users each with a
+            -- complete view→click→purchase session (5-min steps, one
+            -- session per user at 2h spacing) so the strict-sequential
+            -- funnel count is O(100) instead of the organic corpus's
+            -- 0-1 (VERDICT r6: one ordering bug = one row difference
+            -- is statistically thin evidence); plus 15 REVERSED
+            -- purchase→click→view sessions that must count as view-only
+            -- sessions (an out-of-order click may not advance a strict
+            -- funnel — the exact bug class the mass is planted to catch)
+            UNION ALL
+            SELECT mid + 100 + t.j * 3 + s.k,
+                   mts + INTERVAL 5 DAY + t.j * (INTERVAL 2 HOUR)
+                       + s.k * (INTERVAL 5 MINUTE),
+                   500000 + t.j,
+                   CASE s.k WHEN 0 THEN 'view' WHEN 1 THEN 'click'
+                            ELSE 'purchase' END,
+                   1.0, '{{"k": 1}}'
+            FROM mx, UNNEST(range(110)) t(j), UNNEST(range(3)) s(k)
+            UNION ALL
+            SELECT mid + 1000 + t.j * 3 + s.k,
+                   mts + INTERVAL 40 DAY + t.j * (INTERVAL 2 HOUR)
+                       + s.k * (INTERVAL 5 MINUTE),
+                   600000 + t.j,
+                   CASE s.k WHEN 0 THEN 'purchase' WHEN 1 THEN 'click'
+                            ELSE 'view' END,
+                   1.0, '{{"k": 2}}'
+            FROM mx, UNNEST(range(15)) t(j), UNNEST(range(3)) s(k)
         ) TO '{_VARIANT}/events.parquet' (FORMAT PARQUET)
         """
     )
@@ -165,6 +192,19 @@ def _doc_family():
 # for the driver-hash-compatible cell normalization (round-1 lesson:
 # int/float type tags), so the two parity gates cannot drift apart
 from test_oracle_parity import _normalize as _canon  # noqa: E402
+
+
+def test_variant_funnel_mass(spark, variant_dir):
+    """The planted sessions give the strict-sequential funnel two-digit
+    statistical mass: all 110 complete sessions convert, and the 15
+    reversed sessions contribute views but may NOT advance past stage 1
+    (their click precedes the session's first view)."""
+    row = QUERIES["session_funnel_stats"](spark, variant_dir).collect()[0]
+    assert row.n_full_funnel >= 110
+    assert row.n_view >= 125  # planted 110 + 15 reversed + organic
+    # reversed sessions are the gap between view-sessions and
+    # click-after-view sessions — at least those 15 must NOT convert
+    assert row.n_view - row.n_view_click >= 15
 
 
 @pytest.mark.parametrize("name", _doc_family())
