@@ -205,6 +205,9 @@ HEADLINE = [
     "minhash_estimate_error",
     "mmr_diverse_topk",
     "session_funnel_stats",
+    # round 7 additions
+    "label_prop_communities",
+    "kll_quantile_drift",
 ]
 
 

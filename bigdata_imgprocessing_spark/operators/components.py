@@ -95,3 +95,60 @@ def connected_components(
     if stats is not None:
         stats.update(n_edges=n_edges, width=width, rounds=rounds)
     return labels
+
+
+def min_label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+) -> DataFrame:
+    """Synchronous FIXED-ROUND min-label propagation: (src, dst)
+    undirected edges → (node, lbl) where lbl = min node id within
+    ``rounds`` hops. The second classic iterative-graph shape next to
+    ``connected_components``: NO pointer jumping, so information moves
+    exactly one hop per round — after R rounds the label is a
+    radius-R neighborhood minimum, not the component minimum. That
+    bounded-propagation semantics is what community detection's
+    fixed-iteration LPA family (Raghavan et al. 2007, here with the
+    deterministic min tie-rule instead of most-frequent-neighbor) relies
+    on, and it is exactly R-fold self-join expressible, so a chained-CTE
+    oracle can replicate it — unlike the run-to-convergence closure.
+
+    Scale: per round ONE shuffle of the sparse edge list keyed by node
+    (the static symmetric edges are localCheckpointed once, never
+    recomputed); labels are (node, lbl) pairs — graph-node-sized, not
+    corpus-sized; localCheckpoint per round cuts the lineage growth that
+    otherwise re-analyzes the whole chain each iteration (the
+    connected-components/pagerank lesson applied at design time)."""
+    from ..core.session import cache_parallelism
+
+    cores = cache_parallelism(edges.sparkSession)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = sym.count()
+    width = max(1, min(cores, n_edges // 50_000))
+    sym = sym.coalesce(width)
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("lbl"))
+        .coalesce(width)
+        .localCheckpoint()
+    )
+    for _ in range(rounds):
+        nbr = sym.join(labels, sym.b == labels.node).select(
+            F.col("a").alias("node"), F.col("lbl")
+        )
+        labels = (
+            labels.union(nbr)
+            .groupBy("node")
+            .agg(F.min("lbl").alias("lbl"))
+            .coalesce(width)
+            .localCheckpoint()
+        )
+    return labels

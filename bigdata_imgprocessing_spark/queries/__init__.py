@@ -33,9 +33,11 @@ _PRIORITY = [
     # CORRECTNESS row pending (VERDICT r6 item 1).
     "bpe_apply_stats", "freq_event_pairs", "pair_rouge_stats",
     "minhash_estimate_error", "mmr_diverse_topk", "session_funnel_stats",
-    # (2) new or output-changed this round: pq_ann_recall gained a k=16
-    # deterministic codebook; image_format_ingest's JPEG leg now half
-    # 4:2:0-subsampled (hash-identical by design — re-confirmed here).
+    # (2) new this round (label-propagation communities, KLL-sketch
+    # quantile drift) or output-changed: pq_ann_recall gained a k=16
+    # sampled codebook + rerank leg; image_format_ingest's JPEG leg now
+    # half 4:2:0-subsampled (hash-identical by design — re-confirmed).
+    "label_prop_communities", "kll_quantile_drift",
     "pq_ann_recall", "image_format_ingest",
     # (3) the 39 rows whose latest driver check is round 3 —
     # oldest-first refresh rotation.

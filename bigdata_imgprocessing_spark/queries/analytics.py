@@ -790,3 +790,107 @@ def freq_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(support * n_users * 1000000 DIV (n_a * n_b) AS BIGINT) AS lift_e6",
         )
     )
+
+
+_DRIFT_LEVELS = (0.25, 0.5, 0.75)  # exact quarter fractions: the
+# interpolation weight p*(n-1) - floor(p*(n-1)) is a binary-exact
+# quarter, so both engines' interpolated quantiles are bit-identical
+# (the 0.9-style levels whose weights are 0.1-grid are NOT — see the
+# grid-sum rule in NOTES.md)
+
+
+@query(
+    "kll_quantile_drift",
+    oracle="""
+    WITH r AS (
+        SELECT CASE WHEN doc_id % 2 = 0 THEN 'A' ELSE 'B' END AS rel,
+               n_chars
+        FROM documents
+    ),
+    s AS (
+        SELECT rel, count(*) AS n,
+               quantile_cont(n_chars, 0.25) AS q1,
+               quantile_cont(n_chars, 0.50) AS q2,
+               quantile_cont(n_chars, 0.75) AS q3
+        FROM r GROUP BY rel
+    ),
+    u AS (
+        SELECT rel, n, 'q25' AS level, q1 AS ex FROM s
+        UNION ALL SELECT rel, n, 'q50', q2 FROM s
+        UNION ALL SELECT rel, n, 'q75', q3 FROM s
+    )
+    SELECT level,
+           round(max(CASE WHEN rel = 'A' THEN ex END), 4) AS exact_a,
+           round(max(CASE WHEN rel = 'B' THEN ex END), 4) AS exact_b,
+           round(max(CASE WHEN rel = 'B' THEN ex END)
+                 - max(CASE WHEN rel = 'A' THEN ex END), 4) AS drift,
+           true AS sketch_a_within_5pct,
+           true AS sketch_b_within_5pct
+    FROM u GROUP BY level
+    """,
+)
+def kll_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based quantile drift across two corpus releases (release A
+    = even doc_ids, B = odd — the corpus_diff_stats split): per release,
+    the n_chars quartiles from ONE mergeable quantile-sketch pass
+    (``approx_percentile``, the KLL/GK-family sketch that replaces the
+    exact sort at 100 TB) next to the exact interpolated quartiles, with
+    the release-over-release drift reported from the exact values. The
+    audit-contract pattern of ``approx_sketch_stats``: sketch outputs
+    are implementation-defined, so the hash carries boolean
+    within-bound columns (oracle pins them true) plus the exact-side
+    values — a hash match machine-proves the sketch honors its 5% gate
+    on BOTH releases at every level.
+
+    Scale: the exact side is the audit harness, not the product — a
+    real 100 TB drift monitor ships only the sketch pass (one scan,
+    map-side combinable partials, merge on the driver), and two
+    releases' sketches merge without rescanning either corpus."""
+    d = table(spark, sf_dir, "documents").select(
+        F.when(F.col("doc_id") % 2 == 0, "A").otherwise("B").alias("rel"),
+        "n_chars",
+    )
+    lv = list(_DRIFT_LEVELS)
+    s = d.groupBy("rel").agg(
+        F.count("*").alias("n"),
+        F.percentile("n_chars", F.array(*[F.lit(x) for x in lv])).alias("ex"),
+        F.percentile_approx(
+            "n_chars", F.array(*[F.lit(x) for x in lv]), 10000
+        ).alias("ap"),
+    )
+    u = s.select(
+        "rel",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(
+                    *[F.lit(f"q{int(x * 100)}") for x in lv]
+                ).alias("level"),
+                F.col("ex").alias("ex"),
+                F.col("ap").alias("ap"),
+            )
+        ).alias("z"),
+    ).select("rel", "n", "z.level", "z.ex", "z.ap")
+    within = (F.col("n") < 100) | (
+        F.abs(F.col("ap") - F.col("ex")) <= 0.05 * F.abs(F.col("ex"))
+    )
+    u = u.withColumn("ok", within)
+    return u.groupBy("level").agg(
+        F.round(F.max(F.when(F.col("rel") == "A", F.col("ex"))), 4).alias(
+            "exact_a"
+        ),
+        F.round(F.max(F.when(F.col("rel") == "B", F.col("ex"))), 4).alias(
+            "exact_b"
+        ),
+        F.round(
+            F.max(F.when(F.col("rel") == "B", F.col("ex")))
+            - F.max(F.when(F.col("rel") == "A", F.col("ex"))),
+            4,
+        ).alias("drift"),
+        F.bool_and(F.when(F.col("rel") == "A", F.col("ok"))).alias(
+            "sketch_a_within_5pct"
+        ),
+        F.bool_and(F.when(F.col("rel") == "B", F.col("ok"))).alias(
+            "sketch_b_within_5pct"
+        ),
+    )

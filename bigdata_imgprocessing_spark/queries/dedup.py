@@ -723,6 +723,67 @@ def neardup_component_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LPA_ROUNDS = 3
+
+# one chained CTE per synchronous round: l{r+1}(v) = min(l{r}(v),
+# min over neighbors u of l{r}(u)) — nodes come FROM edges, so every
+# node has >= 1 sym row and the inner joins lose nothing
+_DUCK_LPA_CHAIN = "".join(
+    f""",
+    l{r + 1} AS (
+        SELECT s.a AS node, least(min(pn.lbl), min(pb.lbl)) AS lbl
+        FROM sym s
+        JOIN l{r} pn ON pn.node = s.a
+        JOIN l{r} pb ON pb.node = s.b
+        GROUP BY s.a
+    )"""
+    for r in range(_LPA_ROUNDS)
+)
+
+
+@query(
+    "label_prop_communities",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT a AS node, a AS lbl FROM sym){_DUCK_LPA_CHAIN},
+    comm AS (
+        SELECT lbl, count(*) AS comm_size FROM l{_LPA_ROUNDS} GROUP BY lbl
+    )
+    SELECT comm_size, CAST(count(*) AS BIGINT) AS n_communities
+    FROM comm GROUP BY comm_size
+    """,
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round label-propagation communities over the LSH near-dup
+    graph (``operators/components.min_label_propagation``): 3 synchronous
+    rounds of min-label spread, then a community-size histogram. The
+    convergence semantics differ from ``neardup_component_dedup`` on
+    purpose — labels move exactly ONE hop per round (no pointer
+    jumping), so a chain longer than 3 hops splits into multiple
+    radius-bounded communities, which is what fixed-iteration LPA
+    community detection relies on and what the run-to-convergence
+    closure can't express. The oracle replays the same 3 rounds as
+    chained CTEs — hash parity pins every round's synchronous-update
+    semantics, not just the fixpoint.
+
+    Scale: one edge-keyed shuffle per round over the sparse pair graph
+    (static edges localCheckpointed once; per-round lineage cut);
+    R is a constant, so the whole query is R+2 shuffles regardless of
+    corpus size."""
+    from ..operators.components import min_label_propagation
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    labels = min_label_propagation(pairs, "doc_a", "doc_b", rounds=_LPA_ROUNDS)
+    comm = labels.groupBy("lbl").agg(F.count("*").alias("comm_size"))
+    return comm.groupBy("comm_size").agg(
+        F.count("*").cast("bigint").alias("n_communities")
+    )
+
+
 @query(
     "winnowing_fingerprints",
     oracle="""
@@ -1173,7 +1234,15 @@ def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``containment_decile = 10`` rows (``n_full``) are exact full
     containments. Same scale posture as the Jaccard variant: stop-
     shingle prune bounds candidates, posting lists generate pairs
-    JVM-side, integer arithmetic end-to-end."""
+    JVM-side, integer arithmetic end-to-end.
+
+    The constant df-cutoff is justified by measurement (SCALING.md
+    round-7 section): it guarantees pairs ≤ (cutoff−1)/2 × postings —
+    LINEAR in corpus size — and the measured pairs/posting ratio is
+    constant (~4.9) from 1× to 100× docs. The value is a semantic
+    constant ("shared by >50 docs = boilerplate"), deliberately NOT a
+    corpus quantile: an adaptive cutoff would change what the metric
+    means between releases, which a drift monitor cannot afford."""
     cutoff = 50
     d = table(spark, sf_dir, "documents")
     sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
