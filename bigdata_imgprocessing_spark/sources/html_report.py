@@ -120,3 +120,42 @@ def write_html_bar(
     )
     with open(path, "w") as f:
         f.write(doc)
+
+
+def write_dashboard_index(
+    path: str,
+    rows: list[list[tuple[str, str]]],
+    title: str = "Dashboard",
+) -> None:
+    """K4's final piece: the static dashboard INDEX page embedding the
+    chart HTML files — the reference's ``dash.html``/``dash2.html``
+    (dash.html:1-78: a flex column of ``.plot_row`` divs, each div an
+    ``<embed type="text/html" src=...>`` plus a caption). ``rows`` is a
+    list of rows, each a list of ``(relative_src, caption)`` pairs.
+    Pure driver-local string assembly — deterministic byte output for a
+    given layout, no chart data involved."""
+    row_html = []
+    for row in rows:
+        cells = "".join(
+            '<div><embed type="text/html" '
+            f'src="{html.escape(src)}"><p>{html.escape(caption)}</p></div>'
+            for src, caption in row
+        )
+        row_html.append(f'<div class="plot_row">{cells}</div>')
+    doc = (
+        "<!DOCTYPE html>\n<head>\n<meta charset=\"utf-8\">\n"
+        f"<title>{html.escape(title)}</title>\n<style>\n"
+        "html, body { height: 100%; width: 100%; padding: 0; margin: 0; }\n"
+        "main { height: 95%; width: 100%; display: flex;"
+        " flex-direction: column; flex: 1; }\n"
+        ".plot_row { flex: 1; width: 100%; height: 100%; display: flex; }\n"
+        ".plot_row>div { flex: 1; margin: 1em; text-align: center;"
+        " font-size: 12px; font-family: sans-serif; }\n"
+        "p { margin-left: auto; margin-right: auto; text-align: center; }\n"
+        "embed { flex: 1; width: 100%; height: 100%; }\n"
+        "</style>\n</head>\n<body>\n<main>\n"
+        + "\n".join(row_html)
+        + "\n</main>\n</body>\n</html>\n"
+    )
+    with open(path, "w") as f:
+        f.write(doc)

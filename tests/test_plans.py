@@ -532,3 +532,28 @@ def test_sketch_audits_share_lsh_pipeline(spark, sf_dir):
         plan = _formatted(spark, df)
         assert "InMemoryTableScan" in plan, name
         assert "CartesianProduct" not in plan, name
+
+
+def test_kll_drift_single_doc_scan(spark, sf_dir):
+    """kll_quantile_drift: one documents scan feeds BOTH the sketch and
+    exact percentile aggregates (same groupBy), the unpivot operates on
+    the 2-row release frame, and no join of any kind appears — the
+    whole query is scan → grouped agg → constant-sized reshape."""
+    plan = _formatted(spark, QUERIES["kll_quantile_drift"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct"):
+        assert _n_nodes(plan, join_op) == 0, join_op
+
+
+def test_label_prop_rounds_are_graph_sized(spark, sf_dir):
+    """label_prop_communities: after the fixed propagation rounds the
+    final plan reads the localCheckpointed label RDD (ExistingRDD /
+    Scan-free) — the corpus parquet is NOT rescanned per round, and the
+    community rollup plans no join (labels are a standalone frame)."""
+    df = QUERIES["label_prop_communities"](spark, sf_dir)
+    plan = _formatted(spark, df)
+    assert _n_nodes(plan, "Scan parquet") == 0  # lineage cut at checkpoint
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct"):
+        assert _n_nodes(plan, join_op) == 0, join_op

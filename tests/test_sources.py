@@ -681,3 +681,44 @@ def test_bpe_pair_counts_match_python_reference(spark):
         .collect()
     )
     assert {r.pair: r.n for r in got} == dict(ref)
+
+
+def test_dashboard_index_embeds_charts(spark, tmp_path):
+    """K4 index page (reference dash.html): charts written by the HTML
+    sinks are embedded by relative src with captions, one .plot_row per
+    layout row, and the file is self-contained HTML."""
+    from bigdata_imgprocessing_spark.sources.html_report import (
+        write_dashboard_index,
+        write_html_bar,
+    )
+
+    plots = tmp_path / "plots"
+    plots.mkdir()
+    df = spark.createDataFrame([("a", 3), ("b", 5)], ["letter", "count"])
+    write_html_bar(df, str(plots / "bar.html"), x="letter", y="count")
+    write_dashboard_index(
+        str(tmp_path / "dash.html"),
+        [
+            [("./plots/bar.html", "Counts per letter")],
+            [
+                ("./plots/bar.html", "Row two left"),
+                ("./plots/bar.html", "Row two <right>"),
+            ],
+        ],
+        title="Better dashboard",
+    )
+    out = (tmp_path / "dash.html").read_text()
+    assert out.startswith("<!DOCTYPE html>")
+    assert out.count('<div class="plot_row">') == 2
+    assert out.count('<embed type="text/html" src="./plots/bar.html">') == 3
+    assert "Row two &lt;right&gt;" in out  # captions are escaped
+    assert "<title>Better dashboard</title>" in out
+    # identical layout → identical bytes (deterministic egress)
+    write_dashboard_index(
+        str(tmp_path / "dash2.html"),
+        [[("./plots/bar.html", "Counts per letter")],
+         [("./plots/bar.html", "Row two left"),
+          ("./plots/bar.html", "Row two <right>")]],
+        title="Better dashboard",
+    )
+    assert (tmp_path / "dash2.html").read_text() == out
