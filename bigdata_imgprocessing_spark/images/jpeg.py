@@ -14,9 +14,11 @@ and decoder are implemented from the published spec with nothing but
   upsampling filter to the implementation); generic DQT (8/16-bit
   tables) and DHT parsing (tables come from the stream, not hardcoded),
   restart markers, 0xFF00 byte-unstuffing, fill-byte (repeated 0xFF)
-  skipping per B.1.1.2. Progressive (SOF2), non-interleaved multi-scan,
-  and 4-component (Adobe CMYK) streams raise NotImplementedError — the
-  same explicit gating as the other codecs' unsupported variants.
+  skipping per B.1.1.2. Progressive (SOF2) streams route to the
+  sibling from-spec decoder in ``images/jpeg_progressive.py``;
+  non-interleaved multi-scan baseline, 4-component (Adobe CMYK), and
+  lossless/arithmetic/hierarchical streams raise NotImplementedError —
+  the same explicit gating as the other codecs' unsupported variants.
 - **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
   canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
   size symbols at code length 4, all 162 AC (run,size) symbols at
@@ -397,8 +399,8 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """Baseline JPEG bytes (4:4:4 / 4:2:2 / 4:2:0 / grayscale) →
-    uint8 H×W×3 RGB (or H×W).
+    """JPEG bytes → uint8 H×W×3 RGB (or H×W): baseline AND progressive
+    (SOF2), 4:4:4 / 4:2:2 / 4:2:0 / grayscale.
 
     Truncated/corrupt streams raise ValueError (the quarantine path
     needs a reliable exception); unsupported spec variants raise
@@ -473,10 +475,14 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 3 + 3 * c + 3)
                 comps.append((cid, samp >> 4, samp & 0x0F, tq))
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2: progressive DCT — sibling decoder
+            from .jpeg_progressive import decode_jpeg_progressive
+
+            return decode_jpeg_progressive(buf)
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"progressive/extended JPEG (SOF marker 0xFF{marker:02X})"
+                f"lossless/arithmetic/hierarchical JPEG (SOF 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)

@@ -68,9 +68,13 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
     JPEG ids (id%6==2) encode as 4:2:0 at a non-MCU-multiple 10x6 size —
     the camera-default variant — so multi-block-MCU interleave, MCU-pad
     cropping, and nearest-neighbor chroma upsample all sit under the
-    driver hash; the other half (id%6==5) stay 4:4:4 2x2."""
+    driver hash; the other half (id%6==5) stay 4:4:4 2x2. Each half
+    further alternates baseline/PROGRESSIVE by id%12, so the SOF2
+    multi-scan decoder (DC/AC first+refine scans, EOBn runs, the
+    refinement ladder) is ALSO value-checked by the driver hash."""
     from ..images.formats import encode_bmp, encode_png
     from ..images.jpeg import encode_jpeg
+    from ..images.jpeg_progressive import encode_jpeg_progressive
 
     def enc(row) -> bytes:
         vid, vec = row
@@ -82,11 +86,12 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
         if m == 1:
             return encode_png(px)
         g = int(px[0, 0, 0])
+        enc_fn = encode_jpeg if vid % 12 < 6 else encode_jpeg_progressive
         if vid % 6 == 2:
-            return encode_jpeg(
+            return enc_fn(
                 np.full((10, 6, 3), g, dtype=np.uint8), subsampling="420"
             )
-        return encode_jpeg(np.full((2, 2, 3), g, dtype=np.uint8))
+        return enc_fn(np.full((2, 2, 3), g, dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
 

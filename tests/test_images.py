@@ -55,17 +55,18 @@ def test_codec_cv2_slot_in(monkeypatch):
     monkeypatch.setattr(codec, "_HAS_CV2", True)
     monkeypatch.setattr(codec, "cv2", FakeCv2, raising=False)
 
-    # baseline JPEG now decodes natively — cv2 is the slot-in for the
-    # EXOTIC variants the native decoder gates behind NotImplementedError
-    # (progressive SOF2 here), matching the dispatch contract
+    # baseline AND progressive JPEG now decode natively — cv2 is the
+    # slot-in for the EXOTIC variants the native decoders gate behind
+    # NotImplementedError (lossless SOF3 here), matching the dispatch
+    # contract
     from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg
 
     good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
     sof = good.find(bytes([0xFF, 0xC0]))
-    progressive = good[: sof + 1] + b"\xc2" + good[sof + 2 :]
-    out = codec.decode_image(progressive)
+    lossless = good[: sof + 1] + b"\xc3" + good[sof + 2 :]
+    out = codec.decode_image(lossless)
     assert out.shape == (2, 3, 3) and (out == 7).all()
-    assert calls == [(progressive, FakeCv2.IMREAD_COLOR)]
+    assert calls == [(lossless, FakeCv2.IMREAD_COLOR)]
 
     # FIMG bytes bypass cv2 even when it is importable
     native = codec.decode_image(encode_image(np.zeros((4, 4, 3), np.uint8)))

@@ -114,13 +114,19 @@ def test_gradient_roundtrip_small_mean_error():
     assert mean_err <= 1.5
 
 
-def test_decoder_rejects_progressive_noninterleaved_cmyk():
+def test_decoder_rejects_lossless_noninterleaved_cmyk():
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     buf = bytearray(encode_jpeg(img))
     sof = buf.find(bytes([0xFF, 0xC0]))
-    # flip SOF0 -> SOF2 (progressive)
+    # flip SOF0 -> SOF3 (lossless) — still gated to the cv2 slot-in
+    lossless = bytes(buf[:sof + 1]) + b"\xc3" + bytes(buf[sof + 2:])
+    with pytest.raises(NotImplementedError, match="lossless"):
+        decode_jpeg(lossless)
+    # flip SOF0 -> SOF2: progressive now decodes natively, so a BASELINE
+    # scan header (Ss=0, Se=63 — illegal for a progressive DC scan) must
+    # be caught as stream corruption, never silently misdecoded
     prog = bytes(buf[:sof + 1]) + b"\xc2" + bytes(buf[sof + 2:])
-    with pytest.raises(NotImplementedError, match="progressive"):
+    with pytest.raises(ValueError):
         decode_jpeg(prog)
     # rewrite the SOS to cover only component 1 of the 3 SOF declares
     # (spec-legal non-interleaved form) — must gate, never decode one
