@@ -894,19 +894,29 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     # monotone with the cosine baseline (L2² on unit vectors =
     # 2 − 2·cos) — unnormalized PQ-for-cosine conflates norm variance
     # with angle and caps recall
-    subs = e.select(
-        "vec_id",
-        F.transform(
-            "embedding", lambda x: x.cast("double") / F.col("en")
-        ).alias("ne"),
-    ).select(
-        "vec_id",
-        F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub"),
-        "ne",
-    ).select(
-        "vec_id",
-        "sub",
-        F.slice("ne", F.col("sub") * _PQ_D + 1, _PQ_D).alias("sv"),
+    from ..core.session import cache_parallelism
+
+    subs = (
+        e.select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: x.cast("double") / F.col("en")
+            ).alias("ne"),
+        )
+        .select(
+            "vec_id",
+            F.explode(F.sequence(F.lit(0), F.lit(_PQ_M - 1))).alias("sub"),
+            "ne",
+        )
+        .select(
+            "vec_id",
+            "sub",
+            F.slice("ne", F.col("sub") * _PQ_D + 1, _PQ_D).alias("sv"),
+        )
+        # cache(): referenced by seed_cb, the Lloyd assignment, the
+        # coding pass, and qsub — four lineage replays otherwise
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     # k=16 hash-sampled seeds (TakeOrderedAndProject, not a global window)
     seed_order = [F.md5(F.col("vec_id").cast("string")).alias("h"), F.col("vec_id")]
@@ -923,14 +933,20 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed_cb = seeds.join(subs, "vec_id").select(
         "cell", "sub", F.col("sv").alias("scv")
     )
-    # one Lloyd step: nearest seed per subvector → 3dp mean per cell
-    w_seed = Window.partitionBy("vec_id", "sub").orderBy("sdist", "cell")
+    # one Lloyd step: nearest seed per subvector → 3dp mean per cell.
+    # argmin via min(struct(dist, cell, ...)) — a map-side-combinable
+    # hash aggregate (partial min per task) instead of a sort window
+    # over the N×m×k candidate rows; (dist, cell) lexicographic struct
+    # order is exactly the window's (dist, cell) tie rule
     assigned = (
         subs.join(F.broadcast(seed_cb), "sub")
         .withColumn("sdist", F.round(sqdist(F.col("sv"), F.col("scv")), 6))
-        .withColumn("rn", F.row_number().over(w_seed))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "cell", "sv")
+        .groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("sdist", "cell", "sv")).alias("m"))
+        .select(
+            "vec_id", "sub",
+            F.col("m.cell").alias("cell"), F.col("m.sv").alias("sv"),
+        )
     )
     cb = (
         assigned.select(
@@ -947,14 +963,14 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     # corpus subvectors → nearest centroid per subspace = the PQ code
+    # (same map-side argmin shape as the Lloyd assignment above)
     adist = subs.join(F.broadcast(cb), "sub").withColumn(
         "dist", F.round(sqdist(F.col("sv"), F.col("cv")), 6)
     )
-    w_code = Window.partitionBy("vec_id", "sub").orderBy("dist", "cell")
     code = (
-        adist.withColumn("rn", F.row_number().over(w_code))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "sub", "cell")
+        adist.groupBy("vec_id", "sub")
+        .agg(F.min(F.struct("dist", "cell")).alias("m"))
+        .select("vec_id", "sub", F.col("m.cell").alias("cell"))
     )
     # ADC: exact query subvectors vs coded corpus
     qsub = subs.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
@@ -990,6 +1006,9 @@ def pq_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
                 dot(F.col("embedding"), F.col("qe")) / (F.col("en") * F.col("qn")), 6
             ).alias("cos_sim"),
         )
+        # cache(): the exact-top5 baseline AND the shortlist rerank read it
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     w_ex = Window.partitionBy("query_id").orderBy(F.col("cos_sim").desc(), "vec_id")
     exact = scored.withColumn("rn", F.row_number().over(w_ex)).where(F.col("rn") <= 5)
