@@ -208,6 +208,7 @@ HEADLINE = [
     # round 7 additions
     "label_prop_communities",
     "kll_quantile_drift",
+    "equidepth_price_buckets",
 ]
 
 

@@ -38,6 +38,7 @@ _PRIORITY = [
     # sampled codebook + rerank leg; image_format_ingest's JPEG leg now
     # half 4:2:0-subsampled (hash-identical by design — re-confirmed).
     "label_prop_communities", "kll_quantile_drift",
+    "equidepth_price_buckets",
     "pq_ann_recall", "image_format_ingest",
     # (3) the 39 rows whose latest driver check is round 3 —
     # oldest-first refresh rotation.

@@ -894,3 +894,61 @@ def kll_quantile_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sketch_b_within_5pct"
         ),
     )
+
+
+_EQD_LEVELS = tuple(j / 8 for j in range(1, 8))  # eighths: the weight
+# p*(n-1) - floor(...) is a binary-exact multiple of 1/8, so both
+# engines' interpolated boundaries are bit-identical (same rule as
+# _DRIFT_LEVELS)
+
+
+@query(
+    "equidepth_price_buckets",
+    oracle=f"""
+    WITH b AS (
+        SELECT [{", ".join(f"quantile_cont(o_totalprice, {p})" for p in _EQD_LEVELS)}] AS bnd
+        FROM orders
+    )
+    SELECT CAST(len(list_filter(b.bnd, x -> x < o_totalprice)) AS INTEGER) AS bucket,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue,
+           round(min(o_totalprice), 2) AS min_price,
+           round(max(o_totalprice), 2) AS max_price
+    FROM orders, b
+    GROUP BY bucket
+    """,
+)
+def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram bucket join (the optimizer-statistics /
+    load-balancing primitive): 8 equal-population price buckets whose
+    boundaries are the order-statistic octiles, then every order joins
+    its bucket by counting boundaries strictly below its price (ties go
+    DOWN — a boundary value belongs to the lower bucket, the rule both
+    engines state identically as ``b < price``). Output proves the
+    equi-depth property (n_orders near-equal per bucket) plus per-bucket
+    revenue and the price range.
+
+    Scale: ONE aggregate pass computes all 7 boundaries (at 100 TB
+    you'd swap ``percentile`` for the ``approx_percentile`` sketch —
+    same plan shape, see approx_balance_deciles); the 1-row boundary
+    frame broadcasts; bucket membership is a map-side array HOF (no
+    range join, no global sort — the ntile() formulation this replaces
+    was round 1's documented scale-killer)."""
+    o = table(spark, sf_dir, "orders")
+    bnd = o.agg(
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in _EQD_LEVELS])
+        ).alias("bnd")
+    )
+    bucketed = o.crossJoin(F.broadcast(bnd)).select(
+        F.size(
+            F.filter("bnd", lambda b: b < F.col("o_totalprice"))
+        ).alias("bucket"),
+        "o_totalprice",
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count("*").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+    )

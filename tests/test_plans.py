@@ -557,3 +557,15 @@ def test_label_prop_rounds_are_graph_sized(spark, sf_dir):
     for join_op in ("SortMergeJoin", "BroadcastHashJoin",
                     "ShuffledHashJoin", "CartesianProduct"):
         assert _n_nodes(plan, join_op) == 0, join_op
+
+
+def test_equidepth_buckets_no_sort_no_range_join(spark, sf_dir):
+    """equidepth_price_buckets: boundaries come from ONE aggregate pass
+    broadcast as a single row; bucket membership is an array HOF — the
+    plan must contain no global sort, no window, and no sort-merge/range
+    join (the ntile() formulation this replaces was a scale-killer)."""
+    plan = _formatted(spark, QUERIES["equidepth_price_buckets"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 2  # boundary pass + bucket pass
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary frame
+    for bad in ("SortMergeJoin", "Window", "ShuffledHashJoin"):
+        assert _n_nodes(plan, bad) == 0, bad
