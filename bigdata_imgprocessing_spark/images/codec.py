@@ -66,9 +66,13 @@ def decode_image(buf: bytes) -> np.ndarray:
             bgr = cv2.imdecode(  # pragma: no cover
                 np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR
             )
+            if bgr is None:  # pragma: no cover - cv2 signals failure as None
+                raise ValueError("cv2 could not decode JPEG stream")
             return np.ascontiguousarray(bgr[:, :, ::-1])  # pragma: no cover
     if _HAS_CV2:  # pragma: no cover
         bgr = cv2.imdecode(np.frombuffer(buf, dtype=np.uint8), cv2.IMREAD_COLOR)
+        if bgr is None:
+            raise ValueError("cv2 could not decode image bytes")
         return np.ascontiguousarray(bgr[:, :, ::-1])
     raise NotImplementedError(
         "unrecognized image format (FIMG, BMP, PNG, and baseline JPEG "
