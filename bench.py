@@ -209,6 +209,7 @@ HEADLINE = [
     "label_prop_communities",
     "kll_quantile_drift",
     "equidepth_price_buckets",
+    "lsh_incremental_pairs",
 ]
 
 

@@ -181,6 +181,24 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _band_frame(sig: DataFrame) -> DataFrame:
+    """Signature frame → (doc_id, band, bkey) LSH band keys — ONE
+    definition shared by the batch pipeline and the incremental-index
+    query, so the banding scheme cannot drift between them."""
+    return sig.select(
+        "doc_id",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
+                )
+                for b in range(_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "bb.band", "bb.bkey")
+
+
 def _lsh_exact_candidates(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
@@ -200,18 +218,7 @@ def _lsh_exact_candidates(
     # cache(): bands derives from sig, and the estimate-error audit
     # joins sig twice more for hash-agreement counts
     sig = _minhash_signatures(d).coalesce(cache_parallelism(spark)).cache()
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
-                )
-                for b in range(_BANDS)
-            ])
-        ).alias("bb"),
-    ).select("doc_id", "bb.band", "bb.bkey")
+    bands = _band_frame(sig)
     # cache(): bands feeds BOTH sides of the candidate self-join (and
     # sig above is already cached, so the signature lineage runs once).
     # coalesce first: cached partitioning is frozen (see cache_parallelism).
@@ -1403,3 +1410,114 @@ def minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("uni").cast("bigint").alias("sum_uni"),
         )
     )
+
+
+@query(
+    "lsh_incremental_pairs",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    inc AS (
+        SELECT doc_a, doc_b FROM pairs
+        WHERE doc_a % 10 = 0 OR doc_b % 10 = 0
+    )
+    SELECT (SELECT count(*) FROM documents WHERE doc_id % 10 = 0)
+               AS n_batch_docs,
+           CAST(count(*) AS BIGINT) AS n_verified_pairs,
+           CAST(sum(CASE WHEN doc_a % 10 = 0 AND doc_b % 10 = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_within_pairs,
+           CAST(sum(CASE WHEN (doc_a % 10 = 0) != (doc_b % 10 = 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_pairs,
+           (SELECT CAST(count(DISTINCT dd) AS BIGINT) FROM (
+               SELECT doc_a AS dd FROM inc WHERE doc_a % 10 = 0
+               UNION ALL
+               SELECT doc_b FROM inc WHERE doc_b % 10 = 0) u)
+               AS n_new_dup_docs
+    FROM inc
+    """,
+)
+def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup detection — the dedup-at-ingest shape a
+    production pipeline runs daily: the corpus is split into an
+    existing INDEX (doc_id % 10 != 0) and a new-arrivals BATCH
+    (doc_id % 10 == 0); only the batch's band keys PROBE the full band
+    table, so candidates are new×old ∪ new×new and the old×old space —
+    the overwhelming bulk at 100 TB — is never rejoined. Exact-Jaccard
+    verification at ≥ 0.5 on the probed candidates only; the output
+    accounts batch size, verified pairs split into cross (new dup of an
+    indexed doc) vs within (dup inside the batch), and how many new
+    docs would be rejected at ingest.
+
+    The oracle computes the FULL pair set and filters to
+    batch-touching pairs — band candidacy is symmetric, so the probe
+    join and the filtered closure are provably the same set; hash
+    parity pins the incremental plan to the batch semantics it claims.
+
+    Scale: batch bands are a ~10% (daily-arrivals-sized) probe side —
+    broadcastable when the batch is small; the band table is the
+    persisted index a real system keeps bucketed on (band, bkey) so
+    this probe is a bucket-local join; verification semi-joins shingle
+    sets down to candidate ids exactly like the batch pipeline."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    sig = _minhash_signatures(d)
+    bands = _band_frame(sig).coalesce(cache_parallelism(spark)).cache()
+    is_batch = F.col("doc_id") % 10 == 0
+    probe = bands.where(is_batch)
+    a = probe.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .select(
+            F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+            F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    sets = (
+        with_sh.join(cand_ids, "doc_id", "semi")
+        .select("doc_id", F.array_distinct("sh").alias("ss"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
+    inc = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(inter / uni >= 0.5)
+        .select("doc_a", "doc_b")
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    batch_a = F.col("doc_a") % 10 == 0
+    batch_b = F.col("doc_b") % 10 == 0
+    summary = inc.agg(
+        F.count("*").cast("bigint").alias("n_verified_pairs"),
+        F.sum((batch_a & batch_b).cast("long")).alias("n_within_pairs"),
+        F.sum((batch_a != batch_b).cast("long")).alias("n_cross_pairs"),
+    )
+    n_batch = d.where(is_batch).agg(
+        F.count("*").alias("n_batch_docs")
+    )
+    new_dups = (
+        inc.select(F.when(batch_a, F.col("doc_a")).alias("dd"), "doc_b")
+        .select("dd")
+        .where(F.col("dd").isNotNull())
+        .union(inc.where(batch_b).select(F.col("doc_b").alias("dd")))
+        .agg(F.count_distinct("dd").cast("bigint").alias("n_new_dup_docs"))
+    )
+    return n_batch.crossJoin(summary).crossJoin(new_dups)
