@@ -6,19 +6,23 @@ pyspark_dominant.py:25,35), and this container has no cv2/PIL. Encoder
 and decoder are implemented from the published spec with nothing but
 ``struct`` and numpy:
 
-- **Decoder**: baseline sequential DCT (SOF0), 8-bit, interleaved scan,
-  any integer-ratio sampling factors — 4:4:4, 4:2:2, 4:2:0 (the default
-  output of essentially every camera encoder), 4:1:1 — or
-  single-component grayscale; chroma upsampled nearest-neighbor after
-  per-component IDCT (spec-sufficient per T.81 A.1.1, which leaves the
-  upsampling filter to the implementation); generic DQT (8/16-bit
-  tables) and DHT parsing (tables come from the stream, not hardcoded),
-  restart markers, 0xFF00 byte-unstuffing, fill-byte (repeated 0xFF)
-  skipping per B.1.1.2. Progressive (SOF2) streams route to the
-  sibling from-spec decoder in ``images/jpeg_progressive.py``;
-  non-interleaved multi-scan baseline, 4-component (Adobe CMYK), and
-  lossless/arithmetic/hierarchical streams raise NotImplementedError —
-  the same explicit gating as the other codecs' unsupported variants.
+- **Decoder**: baseline sequential DCT (SOF0), 8-bit, interleaved OR
+  non-interleaved multi-scan (one SOS per component — each scan's
+  blocks raster the component's own grid, DC predictors reset per
+  scan, and a file whose scans miss a component raises instead of
+  rendering it flat), any integer-ratio sampling factors — 4:4:4,
+  4:2:2, 4:2:0 (the default output of essentially every camera
+  encoder), 4:1:1 — or single-component grayscale; chroma upsampled
+  nearest-neighbor after per-component IDCT (spec-sufficient per T.81
+  A.1.1, which leaves the upsampling filter to the implementation);
+  generic DQT (8/16-bit tables) and DHT parsing (tables come from the
+  stream, not hardcoded), restart markers, 0xFF00 byte-unstuffing,
+  fill-byte (repeated 0xFF) skipping per B.1.1.2. Progressive (SOF2)
+  streams route to the sibling from-spec decoder in
+  ``images/jpeg_progressive.py``; partially interleaved scans,
+  4-component (Adobe CMYK), and lossless/arithmetic/hierarchical
+  streams raise NotImplementedError — the same explicit gating as the
+  other codecs' unsupported variants.
 - **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
   canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
   size symbols at code length 4, all 162 AC (run,size) symbols at
@@ -277,6 +281,7 @@ def encode_jpeg(
     quant: np.ndarray | None = None,
     restart_interval: int = 0,
     subsampling: str = "444",
+    scan_mode: str = "interleaved",
 ) -> bytes:
     """uint8 H×W×3 RGB (or H×W gray) → baseline JFIF bytes.
 
@@ -287,7 +292,12 @@ def encode_jpeg(
     N MCUs (DC predictors reset, bitstream re-aligned) — the
     resynchronization feature real encoders use so a corrupt byte loses
     one restart segment, not the rest of the scan; here it also
-    exercises the decoder's DRI/RST path under round-trip tests."""
+    exercises the decoder's DRI/RST path under round-trip tests.
+    ``scan_mode="separate"`` emits the spec-legal NON-interleaved form
+    (one SOS per component) instead of the usual single interleaved
+    scan — the variant ADVICE r6 flagged as silently mis-decoded before
+    the multi-scan decoder landed; with restarts, intervals count
+    blocks per scan."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -328,11 +338,6 @@ def encode_jpeg(
     out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_VALS)))
     if restart_interval:
         out += _seg(0xDD, struct.pack(">H", restart_interval))
-    sos = struct.pack(">B", ncomp)
-    for cid in range(1, ncomp + 1):
-        sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
-    sos += b"\x00\x3f\x00"  # spectral selection 0..63, baseline
-    out += _seg(0xDA, sos)
 
     qf = q.reshape(8, 8).astype(np.float64)
     comp_blocks = []
@@ -340,6 +345,43 @@ def encode_jpeg(
         b = _blocks(p - 128.0, mcy * vi, mcx * hi)
         coeff = np.einsum("ij,vhjk,lk->vhil", _T, b, _T)
         comp_blocks.append(np.round(coeff / qf).astype(np.int64))
+
+    if scan_mode == "separate":
+        # spec-legal non-interleaved form: one SOS per component, blocks
+        # in the component's own grid raster, DC predictor and RSTn
+        # numbering reset per scan (T.81 E.2.4 / B.2.3)
+        for c, (hi, vi) in enumerate(factors):
+            sos = struct.pack(">BBB", 1, c + 1, 0x00) + b"\x00\x3f\x00"
+            out += _seg(0xDA, sos)
+            ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+            nbv, nbh = -(-ch // 8), -(-cw // 8)
+            bw_ = _BitWriter()
+            prev = 0
+            unit = 0
+            for bv in range(nbv):
+                for bh_ in range(nbh):
+                    if restart_interval and unit and unit % restart_interval == 0:
+                        bw_.flush()
+                        out += bw_.out
+                        out += bytes([
+                            0xFF,
+                            0xD0 + ((unit // restart_interval - 1) % 8),
+                        ])
+                        bw_ = _BitWriter()
+                        prev = 0
+                    unit += 1
+                    zz = comp_blocks[c][bv, bh_]
+                    prev = _emit_block(bw_, zz.reshape(64)[_ZIGZAG], prev)
+            bw_.flush()
+            out += bw_.out
+        out += b"\xff\xd9"  # EOI
+        return bytes(out)
+
+    sos = struct.pack(">B", ncomp)
+    for cid in range(1, ncomp + 1):
+        sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
+    sos += b"\x00\x3f\x00"  # spectral selection 0..63, baseline
+    out += _seg(0xDA, sos)
 
     bw_ = _BitWriter()
     prev_dc = [0] * ncomp
@@ -423,7 +465,12 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int, int]] = []  # (id, hi, vi, tq)
     h = w = 0
     restart = 0
-    scan: list[tuple[int, int, int]] = []  # (comp_index, dc_id, ac_id)
+    planes: list[np.ndarray] | None = None
+    factors: list[tuple[int, int]] = []
+    qf: list[np.ndarray] = []
+    covered: set[int] = set()  # component indices some scan has decoded
+    hmax = vmax = 1
+    mcx = mcy = 0
 
     while True:
         if buf[pos] != 0xFF:
@@ -433,7 +480,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
         marker = buf[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
-            raise ValueError("JPEG has no scan data")
+            break
         if marker in (0x01, *range(0xD0, 0xD8)):
             continue  # parameterless
         (ln,) = struct.unpack_from(">H", buf, pos)
@@ -486,85 +533,59 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)
-        elif marker == 0xDA:  # SOS
+        elif marker == 0xDA:  # SOS — decode this scan, keep looping
+            if not comps:
+                raise ValueError("JPEG missing SOF before SOS")
+            if planes is None:
+                if len(comps) == 1:
+                    # single-component images are non-interleaved by
+                    # definition: the MCU is one data unit and the
+                    # declared sampling factors don't subsample
+                    # anything (T.81 A.2.2)
+                    factors = [(1, 1)]
+                else:
+                    factors = [(hi, vi) for _, hi, vi, _ in comps]
+                hmax = max(f[0] for f in factors)
+                vmax = max(f[1] for f in factors)
+                for hi, vi in factors:
+                    if (not (1 <= hi <= 4 and 1 <= vi <= 4)
+                            or hmax % hi or vmax % vi):
+                        raise NotImplementedError(
+                            f"unsupported JPEG sampling factors {factors}"
+                        )
+                mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+                planes = [
+                    np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.float64)
+                    for hi, vi in factors
+                ]
+                qf = [
+                    qtables[tq].astype(np.float64) for _, _, _, tq in comps
+                ]
             ns = payload[0]
+            scan = []
             for c in range(ns):
                 cs, tt = payload[1 + 2 * c], payload[2 + 2 * c]
                 idx = next(i for i, cc in enumerate(comps) if cc[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            break
+            if ns > 1 and ns != len(comps):
+                # partial interleave (2 of 3 components) — spec-legal but
+                # unseen in practice; full interleave and per-component
+                # scans both decode natively
+                raise NotImplementedError(
+                    "partially interleaved baseline JPEG scan"
+                )
+            pos = _decode_baseline_scan(
+                buf, pos, htables, planes, qf, factors, scan,
+                restart, mcx, mcy, h, w, hmax, vmax,
+            )
+            covered.update(ci for ci, _, _ in scan)
         # APPn / COM / others: skipped via the length field
 
-    if not comps:
-        raise ValueError("JPEG missing SOF before SOS")
-    if len(scan) != len(comps):
-        # spec-legal baseline non-interleaved form: each SOS covers a
-        # subset of the SOF components — decoding only the first scan
-        # would silently leave the other planes flat; gate to cv2 instead
-        raise NotImplementedError("non-interleaved (multi-scan) baseline JPEG")
-    if len(comps) == 1:
-        # single-component scans are non-interleaved by definition: the
-        # MCU is one data unit and the declared sampling factors don't
-        # subsample anything (T.81 A.2.2)
-        factors = [(1, 1)]
-    else:
-        factors = [(hi, vi) for _, hi, vi, _ in comps]
-    hmax = max(f[0] for f in factors)
-    vmax = max(f[1] for f in factors)
-    for hi, vi in factors:
-        if not (1 <= hi <= 4 and 1 <= vi <= 4) or hmax % hi or vmax % vi:
-            raise NotImplementedError(
-                f"unsupported JPEG sampling factors {factors}"
-            )
-    mcx, mcy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
-    planes = [
-        np.zeros((mcy * vi * 8, mcx * hi * 8), dtype=np.float64)
-        for hi, vi in factors
-    ]
-    br = _BitReader(buf, pos)
-    prev_dc = [0] * len(comps)
-    qf = [qtables[tq].astype(np.float64) for _, _, _, tq in comps]
-    mcu = 0
-    for my in range(mcy):
-        for mx in range(mcx):
-            if restart and mcu and mcu % restart == 0:
-                m = br.align_to_marker()
-                if m is None or not (0xD0 <= m <= 0xD7):
-                    raise ValueError("JPEG restart marker expected")
-                prev_dc = [0] * len(comps)
-            mcu += 1
-            for ci, dc_id, ac_id in scan:
-                hi, vi = factors[ci]
-                dct = htables[(0, dc_id)]
-                act = htables[(1, ac_id)]
-                for dv in range(vi):
-                    for dh in range(hi):
-                        zz = np.zeros(64, dtype=np.int64)
-                        s = dct.decode(br)
-                        diff = _extend(br.bits(s), s) if s else 0
-                        prev_dc[ci] += diff
-                        zz[0] = prev_dc[ci]
-                        k = 1
-                        while k < 64:
-                            sym = act.decode(br)
-                            if sym == 0x00:  # EOB
-                                break
-                            if sym == 0xF0:  # ZRL
-                                k += 16
-                                continue
-                            run, size = sym >> 4, sym & 0x0F
-                            k += run
-                            if k > 63:
-                                raise ValueError("JPEG AC run past block end")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        block = np.zeros(64, dtype=np.float64)
-                        block[_ZIGZAG] = zz
-                        coeff = block.reshape(8, 8) * qf[ci]
-                        bv, bh_ = my * vi + dv, mx * hi + dh
-                        planes[ci][
-                            bv * 8 : bv * 8 + 8, bh_ * 8 : bh_ * 8 + 8
-                        ] = _T.T @ coeff @ _T
+    if planes is None:
+        raise ValueError("JPEG has no scan data")
+    if covered != set(range(len(comps))):
+        # a plane that was never scanned would silently render flat 128
+        raise ValueError("JPEG scans do not cover every component")
     crops = []
     for (hi, vi), p in zip(factors, planes):
         ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)  # comp dims (ceil)
@@ -575,3 +596,93 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     if len(comps) == 1:
         return np.clip(crops[0].round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(crops[0], crops[1], crops[2])
+
+
+def _decode_baseline_scan(
+    buf: bytes,
+    pos: int,
+    htables: dict[tuple[int, int], _HuffTable],
+    planes: list[np.ndarray],
+    qf: list[np.ndarray],
+    factors: list[tuple[int, int]],
+    scan: list[tuple[int, int, int]],
+    restart: int,
+    mcx: int,
+    mcy: int,
+    h: int,
+    w: int,
+    hmax: int,
+    vmax: int,
+) -> int:
+    """Decode one baseline scan's entropy data (interleaved MCU walk for
+    a full-interleave scan, component-grid raster for a single-component
+    scan — the spec-legal non-interleaved form); returns the position of
+    the next marker segment. DC predictors reset per scan and at every
+    restart marker (T.81 E.2.4)."""
+    br = _BitReader(buf, pos)
+    prev_dc = [0] * len(factors)
+
+    def block_into(ci: int, bv: int, bh_: int, dct, act) -> None:
+        zz = np.zeros(64, dtype=np.int64)
+        s = dct.decode(br)
+        diff = _extend(br.bits(s), s) if s else 0
+        prev_dc[ci] += diff
+        zz[0] = prev_dc[ci]
+        k = 1
+        while k < 64:
+            sym = act.decode(br)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, size = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("JPEG AC run past block end")
+            zz[k] = _extend(br.bits(size), size)
+            k += 1
+        block = np.zeros(64, dtype=np.float64)
+        block[_ZIGZAG] = zz
+        coeff = block.reshape(8, 8) * qf[ci]
+        planes[ci][bv * 8 : bv * 8 + 8, bh_ * 8 : bh_ * 8 + 8] = (
+            _T.T @ coeff @ _T
+        )
+
+    def maybe_restart(unit: int) -> None:
+        if restart and unit and unit % restart == 0:
+            m = br.align_to_marker()
+            if m is None or not (0xD0 <= m <= 0xD7):
+                raise ValueError("JPEG restart marker expected")
+            prev_dc[:] = [0] * len(factors)
+
+    if len(scan) > 1:  # full interleave: MCU walk
+        mcu = 0
+        for my in range(mcy):
+            for mx in range(mcx):
+                maybe_restart(mcu)
+                mcu += 1
+                for ci, dc_id, ac_id in scan:
+                    hi, vi = factors[ci]
+                    dct = htables[(0, dc_id)]
+                    act = htables[(1, ac_id)]
+                    for dv in range(vi):
+                        for dh in range(hi):
+                            block_into(ci, my * vi + dv, mx * hi + dh,
+                                       dct, act)
+    else:  # non-interleaved: raster over the component's own block grid
+        ci, dc_id, ac_id = scan[0]
+        hi, vi = factors[ci]
+        ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)
+        nbv, nbh = -(-ch // 8), -(-cw // 8)
+        dct = htables[(0, dc_id)]
+        act = htables[(1, ac_id)]
+        unit = 0
+        for bv in range(nbv):
+            for bh_ in range(nbh):
+                maybe_restart(unit)
+                unit += 1
+                block_into(ci, bv, bh_, dct, act)
+    if br.marker is not None:
+        return br.pos - 2
+    return br.pos

@@ -128,23 +128,52 @@ def test_decoder_rejects_lossless_noninterleaved_cmyk():
     prog = bytes(buf[:sof + 1]) + b"\xc2" + bytes(buf[sof + 2:])
     with pytest.raises(ValueError):
         decode_jpeg(prog)
-    # rewrite the SOS to cover only component 1 of the 3 SOF declares
-    # (spec-legal non-interleaved form) — must gate, never decode one
-    # plane and silently leave the others flat (ADVICE r6)
+    # rewrite the SOS to cover 2 of the 3 SOF components — partial
+    # interleave is spec-legal but unseen in practice and stays gated
     sos = buf.find(bytes([0xFF, 0xDA]))
     (sos_len,) = np.frombuffer(bytes(buf[sos + 2 : sos + 4]), dtype=">u2")
-    one_scan = (
-        bytes([0xFF, 0xDA]) + int(8).to_bytes(2, "big")
-        + bytes([1, 1, 0x00]) + b"\x00\x3f\x00"
+    two_scan = (
+        bytes([0xFF, 0xDA]) + int(10).to_bytes(2, "big")
+        + bytes([2, 1, 0x00, 2, 0x00]) + b"\x00\x3f\x00"
     )
-    non_il = bytes(buf[:sos]) + one_scan + bytes(buf[sos + 2 + int(sos_len):])
-    with pytest.raises(NotImplementedError, match="non-interleaved"):
-        decode_jpeg(non_il)
+    part_il = bytes(buf[:sos]) + two_scan + bytes(buf[sos + 2 + int(sos_len):])
+    with pytest.raises(NotImplementedError, match="partially interleaved"):
+        decode_jpeg(part_il)
     # declare 4 components (Adobe CMYK shape) — must gate at SOF
     cmyk = bytearray(buf)
     cmyk[sof + 2 + 2 + 5] = 4  # SOF payload Nf byte
     with pytest.raises(NotImplementedError, match="4-component"):
         decode_jpeg(bytes(cmyk))
+
+
+def test_noninterleaved_multiscan_decodes_and_coverage_gate():
+    """ADVICE r6 flagged non-interleaved multi-scan baseline as silently
+    mis-decoded; it now decodes NATIVELY: scan_mode='separate' (one SOS
+    per component) must produce the identical image as the interleaved
+    encoding, and a multi-scan file whose scans do NOT cover every
+    component must raise (never render a flat-128 plane)."""
+    rng = np.random.default_rng(21)
+    img = rng.integers(0, 256, size=(19, 27, 3), dtype=np.uint8)
+    il = decode_jpeg(encode_jpeg(img))
+    sep_buf = encode_jpeg(img, scan_mode="separate")
+    assert sep_buf.count(bytes([0xFF, 0xDA])) == 3  # one SOS per comp
+    assert (decode_jpeg(sep_buf) == il).all()
+    # subsampled + restart-marker variants of the separate form
+    gray = rng.integers(30, 226, size=(24, 40), dtype=np.uint8)
+    img420 = np.stack([gray, gray, gray], axis=2)
+    assert (
+        decode_jpeg(encode_jpeg(img420, subsampling="420",
+                                scan_mode="separate", restart_interval=3))
+        == decode_jpeg(encode_jpeg(img420, subsampling="420"))
+    ).all()
+    # drop the 3rd scan (keep EOI): coverage gate must fire
+    third = sep_buf.find(bytes([0xFF, 0xDA]),
+                         sep_buf.find(bytes([0xFF, 0xDA]),
+                                      sep_buf.find(bytes([0xFF, 0xDA])) + 2)
+                         + 2)
+    truncated = sep_buf[:third] + b"\xff\xd9"
+    with pytest.raises(ValueError, match="cover every component"):
+        decode_jpeg(truncated)
 
 
 @pytest.mark.parametrize("mode", ["420", "422"])
