@@ -274,24 +274,42 @@ def encode_jpeg_progressive(
                 zz = comp_zz[c][bv, bh]
                 run = 0
                 pending: list[int] = []  # correction bits inside this block
+                # jcphuff's EOB variable: index of the LAST newly-significant
+                # coefficient. ZRLs past it fold into the EOB run instead.
+                eob_k = 0
+                for k in range(1, 64):
+                    if abs(int(zz[k])) == 1:
+                        eob_k = k
                 for k in range(1, 64):
                     v = int(zz[k])
                     t = abs(v)  # >> Al with Al=0
                     if t == 0:
                         run += 1
                         continue
+                    # The ZRL check runs at EVERY nonzero coefficient —
+                    # newly significant OR correction-bit-only — BEFORE the
+                    # current coefficient is classified, so each ZRL carries
+                    # exactly the correction bits buffered within its own
+                    # 16-zero span (invariant: bits only enter `pending`
+                    # while run <= 15). Deferring the check to the next
+                    # newly-significant coefficient (the pre-r8 bug,
+                    # VERDICT r7) let bits from later spans flush after the
+                    # first ZRL, desynchronizing the decoder's span walk
+                    # (_ac_refine above / libjpeg jdphuff read them
+                    # positionally inside each skip).
+                    while run > 15 and k <= eob_k:
+                        rw.flush_eob()
+                        code, ln = _ENC_PAC[0xF0]
+                        bw.write(code, ln)
+                        run -= 16
+                        for b in pending:
+                            bw.write(b, 1)
+                        pending = []
                     if t > 1:
                         pending.append(t & 1)
                         continue
                     # newly significant at this precision (|v| == 1)
                     rw.flush_eob()
-                    while run > 15:
-                        code, ln = _ENC_PAC[0xF0]
-                        bw.write(code, ln)
-                        for b in pending:
-                            bw.write(b, 1)
-                        pending = []
-                        run -= 16
                     code, ln = _ENC_PAC[(run << 4) | 1]
                     bw.write(code, ln)
                     bw.write(1 if v > 0 else 0, 1)
