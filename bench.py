@@ -210,6 +210,8 @@ HEADLINE = [
     "kll_quantile_drift",
     "equidepth_price_buckets",
     "lsh_incremental_pairs",
+    # round 8 additions
+    "equidepth_approx_audit",
 ]
 
 
@@ -249,13 +251,14 @@ def main() -> None:
     # repeat sees the same cold-cache semantics as a lone run.
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     for name in names:
-        best = float("inf")
+        samples: list[float] = []
         for _ in range(repeats):
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # Untimed between runs: drop cached frames (the LSH queries
             # cache fan-out frames and never unpersist — 68 queries of
             # accumulated storage blocks showed up as erratic
@@ -265,7 +268,12 @@ def main() -> None:
             # different query each run before this).
             spark.catalog.clearCache()
             spark.sparkContext._jvm.System.gc()
-        times[name] = round(best, 3)
+        times[name] = round(min(samples), 3)
+        # Per-query sample spread (max - min): lets a reviewer separate
+        # noise from regression without rerunning — a large spread says
+        # the box was busy, a small spread with a larger min says the
+        # plan itself changed (VERDICT r7 item 5).
+        spreads[name] = round(max(samples) - min(samples), 3)
 
     total = round(sum(times.values()), 3)
     # Streaming entries are dominated by fixed micro-batch drain latency
@@ -280,6 +288,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "spread": spreads,
         "batch_total": round(sum(batch.values()), 3),
         "batch_n": len(batch),
         "streaming_total": round(sum(streaming.values()), 3),

@@ -25,6 +25,9 @@ from .codec import decode_image
 
 def _avg_color(buf: bytes) -> list[float]:
     img = decode_image(buf).astype(np.float64)
+    if img.ndim == 2:  # grayscale decode: one plane, replicated per channel
+        m = float(img.mean())
+        return [m, m, m]
     return [float(x) for x in img.reshape(-1, img.shape[2]).mean(axis=0)]
 
 
@@ -35,6 +38,8 @@ def _kmeans_dominant(buf: bytes, k: int = 4, iters: int = 25) -> list[int]:
     pixel brightness, fixed iteration budget, stable argmax tie-break
     (lowest cluster index)."""
     img = decode_image(buf)
+    if img.ndim == 2:
+        img = np.stack([img, img, img], axis=2)
     px = img.reshape(-1, img.shape[2]).astype(np.float64)
     n = len(px)
     k = min(k, n)

@@ -29,34 +29,39 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) round-6 queries banked past the r6 driver window — first
-    # CORRECTNESS row pending (VERDICT r6 item 1).
-    "bpe_apply_stats", "freq_event_pairs", "pair_rouge_stats",
-    "minhash_estimate_error", "mmr_diverse_topk", "session_funnel_stats",
-    # (2) new this round (label-propagation communities, KLL-sketch
-    # quantile drift) or output-changed: pq_ann_recall gained a k=16
-    # sampled codebook + rerank leg; image_format_ingest's JPEG leg now
-    # half 4:2:0-subsampled (hash-identical by design — re-confirmed).
-    "label_prop_communities", "kll_quantile_drift",
-    "equidepth_price_buckets",
-    "pq_ann_recall", "image_format_ingest",
-    # (3) the 39 rows whose latest driver check is round 3 —
-    # oldest-first refresh rotation.
-    "alphabet_stats", "ann_ivf_learned", "anti_join_customers",
-    "approx_balance_deciles", "cluster_profile", "cube_order_stats",
-    "customer_balance_deciles", "decontam_ngram_overlap", "dedup_exact",
-    "doc_chain_components", "doc_chunk_windows", "doc_quality_filter",
-    "exists_late_orders", "full_outer_nation_counts", "image_avg_color",
-    "image_detection_counts", "image_dominant_hist",
-    "image_letterbox_stats", "image_phash_neardup", "image_predictions",
-    "inactive_rich_customers", "market_share_by_year",
-    "minhash_lsh_pairs", "moving_avg_orders", "name_length_buckets",
-    "ngram_jaccard_hist", "outer_join_order_counts", "pricing_summary",
-    "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
-    "rollup_revenue", "semi_join_customers", "set_ops_customers",
-    "simhash_fingerprints", "small_quantity_revenue", "top_orders",
-    "video_frame_sample", "window_topk_orders",
-    # (4) r4+-green rows follow in registration order.
+    # (1) the ONLY registry entry with zero driver history — registered
+    # after the r7 window closed (VERDICT r7 item 2); first
+    # CORRECTNESS row pending.
+    "lsh_incremental_pairs",
+    # (2) output CHANGED or NEW this round: image_format_ingest gained
+    # the adversarial textured-JPEG leg (vec_id%24 in (17,23) — AC
+    # zero-run / refinement-ZRL coverage under the driver hash, VERDICT
+    # r7 item 3); equidepth_approx_audit is the new approx-percentile
+    # variant of the equi-depth histogram (item 7).
+    "image_format_ingest", "equidepth_approx_audit",
+    # (3) the 50 rows whose latest driver check is round 4 —
+    # oldest-first refresh rotation (4-round cadence; the few that
+    # overflow this round's ~50-row window lead the r9 rotation).
+    "approx_sketch_stats", "asof_purchase_click", "bm25_search",
+    "compaction_file_stats", "daily_counts_gapfilled", "event_histogram",
+    "event_transition_counts", "funnel_conversion_stats",
+    "fuzzy_match_stats", "grouping_sets_revenue", "heatmap_chart_data",
+    "ivf_search_served", "json_map_extract", "jsonl_corrupt_handling",
+    "lag_order_gaps", "lateral_topk_customers", "locf_daily_values",
+    "lone_problem_supplier", "map_measure_rollup", "mixture_sample_stats",
+    "neardup_component_dedup", "orc_roundtrip_stats", "outlier_order_stats",
+    "percentile_stats", "pii_scrub_stats", "pivot_event_counts",
+    "pmi_collocations", "range_join_funnel", "range_window_counts",
+    "regex_token_stats", "salted_event_sum", "schema_evolution_union",
+    "session_windows", "sliding_window_agg", "streaming_dedup_counts",
+    "streaming_enriched_counts", "streaming_event_counts",
+    "streaming_foreachbatch_counts", "streaming_interval_join",
+    "streaming_kafka_roundtrip", "streaming_replay_dedup",
+    "streaming_session_windows", "streaming_upsert_latest",
+    "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
+    "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
+    "zorder_pruned_scan",
+    # (4) r5+-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

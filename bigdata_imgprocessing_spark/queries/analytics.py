@@ -952,3 +952,93 @@ def equidepth_price_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.min("o_totalprice"), 2).alias("min_price"),
         F.round(F.max("o_totalprice"), 2).alias("max_price"),
     )
+
+
+@query(
+    "equidepth_approx_audit",
+    oracle=f"""
+    WITH b AS (
+        SELECT [{", ".join(f"quantile_cont(o_totalprice, {p})" for p in _EQD_LEVELS)}] AS bnd,
+               count(*) AS n_total
+        FROM orders
+    )
+    SELECT CAST(k AS INTEGER) AS bucket,
+           n_total,
+           CASE WHEN k < 7 THEN round(bnd[CAST(k AS INTEGER) + 1], 2) END AS exact_upper,
+           true AS sketch_upper_within_5pct,
+           true AS depth_within_2pct
+    FROM b, (SELECT unnest(range(8)) AS k) ks
+    """,
+)
+def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB leg `equidepth_price_buckets`' docstring promises:
+    the SAME plan shape with the mergeable ``approx_percentile``
+    (KLL/GK-family) sketch supplying the bucket boundaries, under the
+    audit-contract pattern (`approx_sketch_stats`, `kll_quantile_drift`)
+    — sketch outputs are implementation-defined, so the driver hash
+    carries the exact-side boundary values plus boolean gates the
+    oracle pins true: each approx octile within 5% of the exact one,
+    and each approx-bucket's population within 2% of the equi-depth
+    ideal n/8 (sketch rank error at accuracy 10000 is ~n/10000, far
+    inside both gates; a hash match machine-proves the sketch-built
+    histogram is still equi-depth).
+
+    Scale: exact and approx octiles come from ONE aggregate pass (the
+    exact leg is the audit harness — at 100 TB only the sketch pass
+    ships); the 1-row boundary frame broadcasts; bucketing is a
+    map-side array HOF; the depth audit is one groupBy on an 8-value
+    key joined to a broadcast 8-row frame."""
+    o = table(spark, sf_dir, "orders")
+    lv = list(_EQD_LEVELS)
+    bnd = o.agg(
+        F.count("*").alias("n_total"),
+        F.percentile(
+            "o_totalprice", F.array(*[F.lit(p) for p in lv])
+        ).alias("ex"),
+        F.percentile_approx(
+            "o_totalprice", F.array(*[F.lit(p) for p in lv]), 10000
+        ).alias("ap"),
+    )
+    counts = (
+        o.crossJoin(F.broadcast(bnd))
+        .select(
+            F.size(
+                F.filter("ap", lambda b: b < F.col("o_totalprice"))
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_b"))
+    )
+    buckets = spark.range(8).select(F.col("id").cast("int").alias("bucket"))
+    joined = (
+        buckets.join(F.broadcast(counts), "bucket", "left")
+        .crossJoin(F.broadcast(bnd))
+        .select(
+            "bucket",
+            "n_total",
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+            F.try_element_at("ex", F.col("bucket") + 1).alias("ex_u"),
+            F.try_element_at("ap", F.col("bucket") + 1).alias("ap_u"),
+        )
+    )
+    small = F.col("n_total") < 100
+    return joined.select(
+        "bucket",
+        "n_total",
+        F.when(F.col("bucket") < 7, F.round("ex_u", 2)).alias("exact_upper"),
+        (
+            small
+            | (F.col("bucket") >= 7)
+            | (
+                F.abs(F.col("ap_u") - F.col("ex_u"))
+                <= 0.05 * F.abs(F.col("ex_u"))
+            )
+        ).alias("sketch_upper_within_5pct"),
+        (
+            small
+            | (
+                F.abs(F.col("n_b") - F.col("n_total") / 8.0)
+                <= 0.02 * F.col("n_total")
+            )
+        ).alias("depth_within_2pct"),
+    )

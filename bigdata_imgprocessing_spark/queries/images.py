@@ -31,6 +31,31 @@ from ..images.codec import encode_image
 from ..images.color import average_color_udf, dominant_color_udf
 from ..images.detect import SCORE_THRESHOLD, detect_udf
 
+# Adversarial-content JPEG fixture (VERDICT r7 item 3): an 8x8 GRAY
+# block whose quantized DCT is sparse high-frequency — a >15-zero run
+# reaching a |v|>=2 coefficient (correction-bit-only in the refinement
+# scan) with a newly-significant |v|==1 after it — so the progressive
+# encoder's ZRL/correction-bit span path (the r7 bug) and the baseline
+# encoder's long AC zero runs sit under the DRIVER HASH, not only under
+# local tests. Verified properties (tools run r8): for every DC shift
+# c in [-64, 63], decode(encode(P+c)) == P+c bit-exactly for BOTH
+# baseline and progressive codecs (integer luma plane, no chroma), the
+# trigger pattern survives the shift, and mean(P) == 128 exactly, so
+# the analytic oracle for a textured id is 64 + (first_byte % 128).
+_TEXTURED_GRAY = np.array(
+    [
+        [128, 128, 128, 128, 128, 128, 128, 128],
+        [127, 127, 127, 127, 127, 127, 127, 127],
+        [129, 129, 129, 129, 129, 129, 129, 129],
+        [126, 127, 126, 127, 126, 127, 126, 127],
+        [130, 129, 130, 129, 130, 129, 130, 129],
+        [127, 127, 127, 127, 127, 127, 127, 127],
+        [129, 129, 129, 129, 129, 129, 129, 129],
+        [128, 128, 128, 128, 128, 128, 128, 128],
+    ],
+    dtype=np.uint8,
+)
+
 
 @F.pandas_udf(BinaryType())
 def _embedding_to_image_udf(emb: pd.Series) -> pd.Series:
@@ -91,6 +116,16 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
             return enc_fn(
                 np.full((10, 6, 3), g, dtype=np.uint8), subsampling="420"
             )
+        if vid % 24 in (17, 23):
+            # adversarial leg: textured GRAY 8x8 with a DC shift derived
+            # from the embedding byte — sparse high-frequency content
+            # that drives the AC/EOB/ZRL-refinement encoder paths while
+            # staying bit-exact (see _TEXTURED_GRAY above); %24==17
+            # baseline, %24==23 progressive
+            t = (_TEXTURED_GRAY.astype(np.int64) + (g % 128 - 64)).astype(
+                np.uint8
+            )
+            return enc_fn(t)
         return enc_fn(np.full((2, 2, 3), g, dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
@@ -184,11 +219,14 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE vec_id % 3 = 0) AS BIGINT) AS n_bmp,
            CAST(count(*) FILTER (WHERE vec_id % 3 = 1) AS BIGINT) AS n_png,
            CAST(count(*) FILTER (WHERE vec_id % 3 = 2) AS BIGINT) AS n_jpg,
-           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+           round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 END), 4) AS avg_c0,
-           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+           round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 END), 4) AS avg_c1,
-           round(avg(CASE WHEN vec_id % 3 = 2 THEN {_px(1)}
+           round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 END), 4) AS avg_c2
     FROM embeddings GROUP BY label
     """,
@@ -203,7 +241,12 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     padding, zlib-filter, JPEG DC, or chroma-upsample bug anywhere
     breaks the values); the JPEG leg is flat-gray by construction so
     the lossy format — including its 4:2:0 chroma-subsampled half —
-    sits under the exact gate too (see _real_format_image_udf). Mirrors the
+    sits under the exact gate too (see _real_format_image_udf). Since
+    r8 the 4:4:4 slots additionally carry an ADVERSARIAL textured leg
+    (vec_id % 24 in (17, 23)): a sparse high-frequency gray block that
+    drives the AC zero-run / EOBn / progressive-refinement ZRL paths —
+    the ones the r7 encoder bug hid from flat fixtures — while staying
+    bit-exact under the analytic oracle (_TEXTURED_GRAY). Mirrors the
     reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
     where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")

@@ -333,3 +333,62 @@ def test_format_decoders_reject_garbage_loudly():
         decode_png(b"GIF89a not a png")
     with _pytest.raises(ValueError):
         decode_image(b"\xff\xd8\xff\xe0 jpeg-ish bytes")  # corrupt JPEG, no cv2
+
+
+def test_textured_gray_fixture_is_exact_and_adversarial():
+    """The r8 adversarial JPEG leg (queries/images._TEXTURED_GRAY): for
+    every DC shift the driver can derive from an embedding byte, both
+    codecs round-trip BIT-EXACTLY (so the analytic oracle stays valid)
+    and the quantized coefficients keep the sparse-high-frequency shape
+    that exercises the AC zero-run / refinement-ZRL encoder paths the
+    flat fixtures never reach (the r7 bug's hiding place)."""
+    from bigdata_imgprocessing_spark.images.jpeg import (
+        _T,
+        _ZIGZAG,
+        decode_jpeg,
+        encode_jpeg,
+    )
+    from bigdata_imgprocessing_spark.images.jpeg_progressive import (
+        encode_jpeg_progressive,
+    )
+    from bigdata_imgprocessing_spark.queries.images import _TEXTURED_GRAY
+
+    assert _TEXTURED_GRAY.shape == (8, 8)
+    assert int(_TEXTURED_GRAY.sum()) == 128 * 64  # mean exactly 128
+
+    def has_trigger(img):
+        c = _T @ (img.astype(np.float64) - 128.0) @ _T.T
+        zzq = np.round(c).astype(int).flat[_ZIGZAG]
+        run, hit = 0, None
+        for k in range(1, 64):
+            v = int(zzq[k])
+            if v == 0:
+                run += 1
+                continue
+            if abs(v) >= 2:
+                if run > 15:
+                    hit = k
+            else:
+                if hit is not None:
+                    return True
+                run = 0
+        return False
+
+    # edges + a stride through the shift range (full 128-shift sweep
+    # ran in the r8 build tools; this keeps the suite fast)
+    for c in (-64, -33, -17, -1, 0, 1, 15, 31, 63):
+        t = (_TEXTURED_GRAY.astype(np.int64) + c).astype(np.uint8)
+        assert (decode_jpeg(encode_jpeg(t)) == t).all(), c
+        assert (decode_jpeg(encode_jpeg_progressive(t)) == t).all(), c
+        assert has_trigger(t), c
+
+
+def test_avg_and_dominant_handle_grayscale_decode():
+    """Gray JPEG decodes to a 2-D plane; the color UDF helpers must
+    treat it as replicated channels, not crash on the missing axis."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg
+
+    g = np.full((4, 4), 77, dtype=np.uint8)
+    buf = encode_jpeg(g)
+    assert _avg_color(buf) == [77.0, 77.0, 77.0]
+    assert _kmeans_dominant(buf) == [77, 77, 77]
