@@ -17,12 +17,15 @@ and decoder are implemented from the published spec with nothing but
   A.1.1, which leaves the upsampling filter to the implementation);
   generic DQT (8/16-bit tables) and DHT parsing (tables come from the
   stream, not hardcoded), restart markers, 0xFF00 byte-unstuffing,
-  fill-byte (repeated 0xFF) skipping per B.1.1.2. Progressive (SOF2)
-  streams route to the sibling from-spec decoder in
-  ``images/jpeg_progressive.py``; partially interleaved scans,
-  4-component (Adobe CMYK), and lossless/arithmetic/hierarchical
-  streams raise NotImplementedError — the same explicit gating as the
-  other codecs' unsupported variants.
+  fill-byte (repeated 0xFF) skipping per B.1.1.2. Scan scripts may be
+  fully interleaved, per-component, or PARTIALLY interleaved (1 < Ns <
+  Nf — e.g. a luma scan plus a Cb+Cr pair scan); 4-component Adobe
+  CMYK/YCCK frames decode via the APP14 transform flag (inverted-CMYK
+  convention, RGB output). Progressive (SOF2) streams route to the
+  sibling from-spec decoder in ``images/jpeg_progressive.py`` and
+  lossless (SOF3) to ``images/jpeg_lossless.py``; 12-bit and
+  arithmetic/hierarchical streams raise NotImplementedError — the same
+  explicit gating as the other codecs' unsupported variants.
 - **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
   canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
   size symbols at code length 4, all 162 AC (run,size) symbols at
@@ -297,7 +300,10 @@ def encode_jpeg(
     (one SOS per component) instead of the usual single interleaved
     scan — the variant ADVICE r6 flagged as silently mis-decoded before
     the multi-scan decoder landed; with restarts, intervals count
-    blocks per scan."""
+    blocks per scan. ``scan_mode="partial"`` (color only) emits the
+    PARTIALLY interleaved form — a non-interleaved luma scan followed
+    by one Cb+Cr two-component interleaved scan (1 < Ns < Nf, the last
+    baseline scan-script shape that used to gate to cv2)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     gray = a.ndim == 2
     h, w = a.shape[:2]
@@ -377,6 +383,42 @@ def encode_jpeg(
         out += b"\xff\xd9"  # EOI
         return bytes(out)
 
+    if scan_mode == "partial":
+        if ncomp != 3:
+            raise ValueError("scan_mode='partial' needs a color image")
+        # scan 1: luma alone (non-interleaved raster over its own grid)
+        out += _seg(0xDA, struct.pack(">BBB", 1, 1, 0x00) + b"\x00\x3f\x00")
+        hy, vy = factors[0]
+        ch, cw = -(-h * vy // vmax), -(-w * hy // hmax)
+        nbv, nbh = -(-ch // 8), -(-cw // 8)
+        bw_ = _BitWriter()
+        prev = 0
+        for bv in range(nbv):
+            for bh_ in range(nbh):
+                zz = comp_blocks[0][bv, bh_]
+                prev = _emit_block(bw_, zz.reshape(64)[_ZIGZAG], prev)
+        bw_.flush()
+        out += bw_.out
+        # scan 2: Cb+Cr interleaved over the frame MCU grid (each
+        # contributes its Hi×Vi = 1×1 block per MCU)
+        sos = struct.pack(">B", 2)
+        for cid in (2, 3):
+            sos += struct.pack(">BB", cid, 0x00)
+        out += _seg(0xDA, sos + b"\x00\x3f\x00")
+        bw_ = _BitWriter()
+        prev_dc = [0, 0]
+        for my in range(mcy):
+            for mx in range(mcx):
+                for c in (1, 2):
+                    zz = comp_blocks[c][my, mx]
+                    prev_dc[c - 1] = _emit_block(
+                        bw_, zz.reshape(64)[_ZIGZAG], prev_dc[c - 1]
+                    )
+        bw_.flush()
+        out += bw_.out
+        out += b"\xff\xd9"
+        return bytes(out)
+
     sos = struct.pack(">B", ncomp)
     for cid in range(1, ncomp + 1):
         sos += struct.pack(">BB", cid, 0x00)  # DC table 0, AC table 0
@@ -405,6 +447,72 @@ def encode_jpeg(
     bw_.flush()
     out += bw_.out
     out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def encode_jpeg_cmyk(
+    cmyk: np.ndarray,
+    transform: int = 0,
+    quant: np.ndarray | None = None,
+) -> bytes:
+    """uint8 H×W×4 (Adobe-style INVERTED CMYK samples, i.e. 255 = no
+    ink) → 4-component baseline JPEG with an Adobe APP14 segment.
+    ``transform=0`` stores the planes directly; ``transform=2`` stores
+    the YCCK form (inverted C,M,Y triple through the YCbCr transform,
+    K direct) — the two 4-component variants decode_jpeg accepts.
+    Exists so the decoder's CMYK path is testable without external
+    fixtures (real-world Adobe CMYK files are press/print exports)."""
+    a = np.ascontiguousarray(cmyk, dtype=np.uint8)
+    if a.ndim != 3 or a.shape[2] != 4:
+        raise ValueError(f"CMYK encode needs 4 channels, got {a.shape}")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
+    h, w = a.shape[:2]
+    q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
+    if q.max() > 255 or q.min() < 1:
+        raise ValueError("quant table values must be in [1, 255]")
+    if transform == 2:
+        ycc = _rgb_to_ycbcr(a[:, :, :3])
+        planes = [ycc[:, :, 0], ycc[:, :, 1], ycc[:, :, 2],
+                  a[:, :, 3].astype(np.float64)]
+    else:
+        planes = [a[:, :, c].astype(np.float64) for c in range(4)]
+    mcx, mcy = -(-w // 8), -(-h // 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(
+        0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+    )
+    out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
+    sof = struct.pack(">BHHB", 8, h, w, 4)
+    for cid in range(1, 5):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += _seg(0xC0, sof)
+    out += _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+    out += _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(sorted(_AC_VALS)))
+
+    qf = q.reshape(8, 8).astype(np.float64)
+    comp_blocks = [
+        np.round(
+            np.einsum("ij,vhjk,lk->vhil", _T, _blocks(p - 128.0, mcy, mcx), _T)
+            / qf
+        ).astype(np.int64)
+        for p in planes
+    ]
+    sos = struct.pack(">B", 4)
+    for cid in range(1, 5):
+        sos += struct.pack(">BB", cid, 0x00)
+    out += _seg(0xDA, sos + b"\x00\x3f\x00")
+    bw_ = _BitWriter()
+    prev_dc = [0] * 4
+    for my in range(mcy):
+        for mx in range(mcx):
+            for c in range(4):
+                zz = comp_blocks[c][my, mx]
+                prev_dc[c] = _emit_block(bw_, zz.reshape(64)[_ZIGZAG], prev_dc[c])
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
     return bytes(out)
 
 
@@ -471,6 +579,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     covered: set[int] = set()  # component indices some scan has decoded
     hmax = vmax = 1
     mcx = mcy = 0
+    adobe_transform = 0  # APP14 color-transform flag (0=CMYK, 2=YCCK)
 
     while True:
         if buf[pos] != 0xFF:
@@ -515,9 +624,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec != 8:
                 raise NotImplementedError(f"only 8-bit JPEG (precision={prec})")
-            if nc not in (1, 3):
-                # e.g. 4-component Adobe CMYK — gate to the cv2 slot-in
-                # rather than silently dropping the 4th plane
+            if nc not in (1, 3, 4):
                 raise NotImplementedError(f"{nc}-component JPEG unsupported")
             for c in range(nc):
                 cid, samp, tq = struct.unpack_from(">BBB", payload, 3 + 3 * c + 3)
@@ -526,13 +633,21 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             from .jpeg_progressive import decode_jpeg_progressive
 
             return decode_jpeg_progressive(buf)
-        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC3:  # SOF3: lossless — sibling decoder
+            from .jpeg_lossless import decode_jpeg_lossless
+
+            return decode_jpeg_lossless(buf)
+        elif marker in (0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"lossless/arithmetic/hierarchical JPEG (SOF 0xFF{marker:02X})"
+                f"arithmetic/hierarchical JPEG (SOF 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
             (restart,) = struct.unpack_from(">H", payload, 0)
+        elif marker == 0xEE and payload[:5] == b"Adobe":
+            # APP14: transform byte (offset 11) distinguishes direct
+            # CMYK (0) from YCCK (2) for 4-component frames
+            adobe_transform = payload[11] if len(payload) > 11 else 0
         elif marker == 0xDA:  # SOS — decode this scan, keep looping
             if not comps:
                 raise ValueError("JPEG missing SOF before SOS")
@@ -567,13 +682,13 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 cs, tt = payload[1 + 2 * c], payload[2 + 2 * c]
                 idx = next(i for i, cc in enumerate(comps) if cc[0] == cs)
                 scan.append((idx, tt >> 4, tt & 0x0F))
-            if ns > 1 and ns != len(comps):
-                # partial interleave (2 of 3 components) — spec-legal but
-                # unseen in practice; full interleave and per-component
-                # scans both decode natively
-                raise NotImplementedError(
-                    "partially interleaved baseline JPEG scan"
-                )
+            # ns == len(comps): full interleave; ns == 1: per-component
+            # raster; 1 < ns < len(comps): PARTIAL interleave (e.g. a
+            # luma scan followed by a Cb+Cr pair scan) — the MCU walk
+            # below already handles a component subset, because the MCU
+            # grid is frame-level (ceil over 8*Hmax/8*Vmax of ALL frame
+            # components, T.81 A.2.3 / libjpeg per_scan_setup) and each
+            # scan component contributes its own Hi×Vi blocks per MCU.
             pos = _decode_baseline_scan(
                 buf, pos, htables, planes, qf, factors, scan,
                 restart, mcx, mcy, h, w, hmax, vmax,
@@ -595,6 +710,26 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
         crops.append(c[:h, :w])
     if len(comps) == 1:
         return np.clip(crops[0].round(), 0, 255).astype(np.uint8)
+    if len(comps) == 4:
+        # Adobe 4-component: stored samples are INVERTED CMYK (the only
+        # 4-component form seen in the wild — libjpeg/PIL make the same
+        # assumption). transform 2 (YCCK) stores the inverted C,M,Y
+        # triple YCbCr-transformed; K is always direct. RGB output via
+        # R = s_C * s_K / 255 (s = stored/inverted values), the
+        # inverted-CMYK → RGB identity.
+        if adobe_transform == 2:
+            y_, cb_, cr_ = crops[0], crops[1], crops[2]
+            sc = y_ + 1.402 * (cr_ - 128.0)
+            sm = y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0)
+            sy = y_ + 1.772 * (cb_ - 128.0)
+        else:
+            sc, sm, sy = crops[0], crops[1], crops[2]
+        sk = np.clip(crops[3], 0.0, 255.0)
+        rgb = np.stack(
+            [np.clip(p, 0.0, 255.0) * sk / 255.0 for p in (sc, sm, sy)],
+            axis=2,
+        )
+        return np.clip(rgb.round(), 0, 255).astype(np.uint8)
     return _ycbcr_to_rgb(crops[0], crops[1], crops[2])
 
 

@@ -983,14 +983,17 @@ def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     inside both gates; a hash match machine-proves the sketch-built
     histogram is still equi-depth).
 
-    Scale: exact and approx octiles come from ONE aggregate pass (the
-    exact leg is the audit harness — at 100 TB only the sketch pass
-    ships); the 1-row boundary frame broadcasts; bucketing is a
-    map-side array HOF; the depth audit is one groupBy on an 8-value
-    key joined to a broadcast 8-row frame."""
+    Scale: exact and approx octiles come from ONE distributed aggregate
+    pass whose single result row is collected (the bounded-collect
+    audit pattern — the exact leg is the harness; at 100 TB only the
+    sketch pass ships); bucketing is then a map-side array HOF over
+    LITERAL boundaries (no self-join at all), and the depth audit is
+    one groupBy on an 8-value key joined to a broadcast 8-row frame —
+    2 scans, 1 broadcast join, no BNLJ (the naive two-crossJoin form
+    planned a third full scan of orders; see tests/test_plans.py)."""
     o = table(spark, sf_dir, "orders")
     lv = list(_EQD_LEVELS)
-    bnd = o.agg(
+    row = o.agg(
         F.count("*").alias("n_total"),
         F.percentile(
             "o_totalprice", F.array(*[F.lit(p) for p in lv])
@@ -998,47 +1001,44 @@ def equidepth_approx_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx(
             "o_totalprice", F.array(*[F.lit(p) for p in lv]), 10000
         ).alias("ap"),
-    )
+    ).first()
+    n_total = int(row["n_total"])
+    ex = [float(x) for x in (row["ex"] or [0.0] * 7)]
+    ap = [float(x) for x in (row["ap"] or [0.0] * 7)]
+    small = n_total < 100
+    # boundary audit is driver-side arithmetic on the collected row
+    upper_ok = [
+        bool(small or abs(ap[k] - ex[k]) <= 0.05 * abs(ex[k]))
+        for k in range(7)
+    ] + [True]
+    ap_arr = F.array(*[F.lit(x) for x in ap])
     counts = (
-        o.crossJoin(F.broadcast(bnd))
-        .select(
+        o.select(
             F.size(
-                F.filter("ap", lambda b: b < F.col("o_totalprice"))
+                F.filter(ap_arr, lambda b: b < F.col("o_totalprice"))
             ).alias("bucket")
         )
         .groupBy("bucket")
         .agg(F.count("*").alias("n_b"))
     )
     buckets = spark.range(8).select(F.col("id").cast("int").alias("bucket"))
-    joined = (
-        buckets.join(F.broadcast(counts), "bucket", "left")
-        .crossJoin(F.broadcast(bnd))
-        .select(
-            "bucket",
-            "n_total",
-            F.coalesce("n_b", F.lit(0)).alias("n_b"),
-            F.try_element_at("ex", F.col("bucket") + 1).alias("ex_u"),
-            F.try_element_at("ap", F.col("bucket") + 1).alias("ap_u"),
-        )
+    joined = buckets.join(F.broadcast(counts), "bucket", "left").select(
+        "bucket", F.coalesce("n_b", F.lit(0)).alias("n_b")
     )
-    small = F.col("n_total") < 100
+    ex_arr = F.array(*[F.round(F.lit(x), 2) for x in ex])
+    ok_arr = F.array(*[F.lit(v) for v in upper_ok])
     return joined.select(
         "bucket",
-        "n_total",
-        F.when(F.col("bucket") < 7, F.round("ex_u", 2)).alias("exact_upper"),
+        F.lit(n_total).alias("n_total"),
+        F.when(
+            F.col("bucket") < 7,
+            F.try_element_at(ex_arr, F.col("bucket") + 1),
+        ).alias("exact_upper"),
+        F.try_element_at(ok_arr, F.col("bucket") + 1).alias(
+            "sketch_upper_within_5pct"
+        ),
         (
-            small
-            | (F.col("bucket") >= 7)
-            | (
-                F.abs(F.col("ap_u") - F.col("ex_u"))
-                <= 0.05 * F.abs(F.col("ex_u"))
-            )
-        ).alias("sketch_upper_within_5pct"),
-        (
-            small
-            | (
-                F.abs(F.col("n_b") - F.col("n_total") / 8.0)
-                <= 0.02 * F.col("n_total")
-            )
+            F.lit(small)
+            | (F.abs(F.col("n_b") - F.lit(n_total / 8.0)) <= 0.02 * n_total)
         ).alias("depth_within_2pct"),
     )

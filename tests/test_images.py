@@ -55,18 +55,19 @@ def test_codec_cv2_slot_in(monkeypatch):
     monkeypatch.setattr(codec, "_HAS_CV2", True)
     monkeypatch.setattr(codec, "cv2", FakeCv2, raising=False)
 
-    # baseline AND progressive JPEG now decode natively — cv2 is the
-    # slot-in for the EXOTIC variants the native decoders gate behind
-    # NotImplementedError (lossless SOF3 here), matching the dispatch
-    # contract
+    # baseline, progressive, lossless, partial-interleave, and CMYK
+    # all decode natively as of r8 — cv2 is the slot-in for the
+    # remaining EXOTIC variants the native decoders gate behind
+    # NotImplementedError (arithmetic-coded SOF9 here), matching the
+    # dispatch contract
     from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg
 
     good = encode_jpeg(np.full((8, 8, 3), 50, dtype=np.uint8))
     sof = good.find(bytes([0xFF, 0xC0]))
-    lossless = good[: sof + 1] + b"\xc3" + good[sof + 2 :]
-    out = codec.decode_image(lossless)
+    arith = good[: sof + 1] + b"\xc9" + good[sof + 2 :]
+    out = codec.decode_image(arith)
     assert out.shape == (2, 3, 3) and (out == 7).all()
-    assert calls == [(lossless, FakeCv2.IMREAD_COLOR)]
+    assert calls == [(arith, FakeCv2.IMREAD_COLOR)]
 
     # FIMG bytes bypass cv2 even when it is importable
     native = codec.decode_image(encode_image(np.zeros((4, 4, 3), np.uint8)))

@@ -114,36 +114,115 @@ def test_gradient_roundtrip_small_mean_error():
     assert mean_err <= 1.5
 
 
-def test_decoder_rejects_lossless_noninterleaved_cmyk():
+def test_decoder_gates_and_corruption_contract_for_sof_variants():
+    """The r8 native additions (lossless, partial interleave, CMYK)
+    shrank the gate set: mislabeled streams must now surface as
+    CORRUPTION (ValueError → quarantine), and the remaining genuine
+    gates (12-bit, arithmetic coding) still raise NotImplementedError
+    → the cv2 slot-in."""
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     buf = bytearray(encode_jpeg(img))
     sof = buf.find(bytes([0xFF, 0xC0]))
-    # flip SOF0 -> SOF3 (lossless) — still gated to the cv2 slot-in
+    # flip SOF0 -> SOF3: lossless now decodes natively, so BASELINE scan
+    # data behind a lossless frame header (predictor byte Ss=0 is
+    # spec-invalid for lossless) must be caught as corruption
     lossless = bytes(buf[:sof + 1]) + b"\xc3" + bytes(buf[sof + 2:])
-    with pytest.raises(NotImplementedError, match="lossless"):
+    with pytest.raises(ValueError):
         decode_jpeg(lossless)
-    # flip SOF0 -> SOF2: progressive now decodes natively, so a BASELINE
-    # scan header (Ss=0, Se=63 — illegal for a progressive DC scan) must
-    # be caught as stream corruption, never silently misdecoded
+    # flip SOF0 -> SOF2: progressive decodes natively; a BASELINE scan
+    # header (Ss=0, Se=63 — illegal for a progressive DC scan) is
+    # corruption, never a silent misdecode
     prog = bytes(buf[:sof + 1]) + b"\xc2" + bytes(buf[sof + 2:])
     with pytest.raises(ValueError):
         decode_jpeg(prog)
-    # rewrite the SOS to cover 2 of the 3 SOF components — partial
-    # interleave is spec-legal but unseen in practice and stays gated
-    sos = buf.find(bytes([0xFF, 0xDA]))
-    (sos_len,) = np.frombuffer(bytes(buf[sos + 2 : sos + 4]), dtype=">u2")
-    two_scan = (
-        bytes([0xFF, 0xDA]) + int(10).to_bytes(2, "big")
-        + bytes([2, 1, 0x00, 2, 0x00]) + b"\x00\x3f\x00"
-    )
-    part_il = bytes(buf[:sos]) + two_scan + bytes(buf[sos + 2 + int(sos_len):])
-    with pytest.raises(NotImplementedError, match="partially interleaved"):
-        decode_jpeg(part_il)
-    # declare 4 components (Adobe CMYK shape) — must gate at SOF
+    # declare 4 components (CMYK shape) but keep the 3-component SOF
+    # payload — header truncation, caught as corruption
     cmyk = bytearray(buf)
     cmyk[sof + 2 + 2 + 5] = 4  # SOF payload Nf byte
-    with pytest.raises(NotImplementedError, match="4-component"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(cmyk))
+    # genuine gates: 12-bit precision and arithmetic coding
+    twelve = bytearray(buf)
+    twelve[sof + 2 + 2] = 12  # SOF payload precision byte
+    with pytest.raises(NotImplementedError, match="only 8-bit"):
+        decode_jpeg(bytes(twelve))
+    arith = bytes(buf[:sof + 1]) + b"\xc9" + bytes(buf[sof + 2:])
+    with pytest.raises(NotImplementedError, match="arithmetic"):
+        decode_jpeg(arith)
+
+
+def test_partial_interleave_scan_script():
+    """1 < Ns < Nf (a luma scan + one Cb+Cr pair scan) is the last
+    baseline scan-script shape; it must decode IDENTICALLY to the full
+    interleave of the same image at every subsampling mode — the MCU
+    walk is frame-level, so the component subset changes only which
+    blocks each MCU contributes (T.81 A.2.3)."""
+    rng = np.random.default_rng(31)
+    for h, w in ((8, 8), (17, 23), (31, 15)):
+        for sub in ("444", "420", "422"):
+            img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+            ref = decode_jpeg(encode_jpeg(img, subsampling=sub))
+            buf = encode_jpeg(img, subsampling=sub, scan_mode="partial")
+            assert buf.count(bytes([0xFF, 0xDA])) == 2  # Y scan + CbCr scan
+            assert (decode_jpeg(buf) == ref).all(), (h, w, sub)
+
+
+def test_cmyk_and_ycck_decode():
+    """4-component Adobe JPEG: transform 0 (direct inverted CMYK) must
+    reproduce the analytic RGB (R = s_C * s_K / 255) EXACTLY on flat
+    patches (DC-only, all-ones quant); transform 2 (YCCK) differs only
+    by the chroma transform's rounding (tight bound); and the APP14
+    flag must actually matter (decoding YCCK data as CMYK is wrong)."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_cmyk
+
+    for c, m, y, k in ((255, 255, 255, 255), (200, 100, 50, 230),
+                       (0, 0, 0, 0), (128, 64, 32, 250)):
+        img = np.zeros((10, 13, 4), dtype=np.uint8)
+        img[:] = (c, m, y, k)
+        rgb = decode_jpeg(encode_jpeg_cmyk(img, transform=0))
+        exp = [int(round(s * k / 255.0)) for s in (c, m, y)]
+        assert rgb.shape == (10, 13, 3)
+        assert (rgb == np.array(exp, dtype=np.uint8)).all(), (c, m, y, k)
+    rng = np.random.default_rng(17)
+    img = rng.integers(0, 256, size=(16, 16, 4), dtype=np.uint8)
+    r0 = decode_jpeg(encode_jpeg_cmyk(img, transform=0)).astype(int)
+    r2 = decode_jpeg(encode_jpeg_cmyk(img, transform=2)).astype(int)
+    assert np.abs(r0 - r2).max() <= 3  # chroma-transform rounding only
+    # strip the APP14 transform flag from the YCCK stream: the planes
+    # then decode as direct CMYK and the colors must visibly differ
+    buf = bytearray(encode_jpeg_cmyk(img, transform=2))
+    app14 = buf.find(b"Adobe")
+    buf[app14 + 11] = 0
+    r_wrong = decode_jpeg(bytes(buf)).astype(int)
+    assert np.abs(r_wrong - r2).max() > 16
+
+
+def test_lossless_jpeg_roundtrip_exact():
+    """SOF3 lossless: every predictor, gray and RGB, round-trips
+    BIT-EXACTLY (the mode's defining property); the point transform
+    reconstructs exactly at reduced precision; truncation raises the
+    quarantine ValueError; and codec dispatch routes it natively."""
+    from bigdata_imgprocessing_spark.images.codec import decode_image
+    from bigdata_imgprocessing_spark.images.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(13)
+    for pred in range(1, 8):
+        g = rng.integers(0, 256, size=(17, 23), dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg_lossless(g, predictor=pred)) == g).all()
+        c = rng.integers(0, 256, size=(9, 14, 3), dtype=np.uint8)
+        assert (decode_jpeg(encode_jpeg_lossless(c, predictor=pred)) == c).all()
+    g = rng.integers(0, 256, size=(9, 11), dtype=np.uint8)
+    assert (
+        decode_jpeg(encode_jpeg_lossless(g, predictor=4, pt=2))
+        == (g >> 2) << 2
+    ).all()
+    buf = encode_jpeg_lossless(rng.integers(0, 256, size=(16, 16), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2])
+    c = rng.integers(0, 256, size=(6, 8, 3), dtype=np.uint8)
+    assert (decode_image(encode_jpeg_lossless(c)) == c).all()
 
 
 def test_noninterleaved_multiscan_decodes_and_coverage_gate():

@@ -569,3 +569,24 @@ def test_equidepth_buckets_no_sort_no_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan  # 1-row boundary frame
     for bad in ("SortMergeJoin", "Window", "ShuffledHashJoin"):
         assert _n_nodes(plan, bad) == 0, bad
+
+
+def test_equidepth_approx_audit_no_self_join(spark, sf_dir):
+    """equidepth_approx_audit: the exact+sketch octile pass runs
+    eagerly (bounded 1-row collect), so the RETURNED frame plans only
+    the bucketing scan with LITERAL boundaries joined to the broadcast
+    8-row bucket spine — one parquet scan, one broadcast join, and
+    none of the self-join shapes the naive two-crossJoin form planned
+    (which rescanned orders a third time)."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    plan = _formatted(spark, QUERIES["equidepth_approx_audit"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "BroadcastHashJoin") == 1
+    for bad in (
+        "SortMergeJoin",
+        "Window",
+        "BroadcastNestedLoopJoin",
+        "CartesianProduct",
+    ):
+        assert _n_nodes(plan, bad) == 0, bad
