@@ -111,6 +111,26 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
         if m == 1:
             return encode_png(px)
         g = int(px[0, 0, 0])
+        if vid % 48 == 29:
+            # LOSSLESS (SOF3) leg: exact for ARBITRARY content by
+            # construction, so it carries the full 2x2x3 pixel block —
+            # the only JPEG slot whose driver-hash content is not
+            # flat/structured (oracle = the BMP/PNG pixel arithmetic)
+            from ..images.jpeg_lossless import encode_jpeg_lossless
+
+            return encode_jpeg_lossless(px, predictor=4)
+        if vid % 48 == 35:
+            # Adobe CMYK leg (transform 0, K=255): flat per-channel
+            # planes are DC-only/exact and R,G,B = stored C,M,Y — the
+            # analytic oracle is the three pixel bytes directly
+            from ..images.jpeg import encode_jpeg_cmyk
+
+            cmyk = np.empty((2, 2, 4), dtype=np.uint8)
+            cmyk[:, :, 0] = px[0, 0, 0]
+            cmyk[:, :, 1] = px[0, 0, 1]
+            cmyk[:, :, 2] = px[0, 0, 2]
+            cmyk[:, :, 3] = 255
+            return encode_jpeg_cmyk(cmyk, transform=0)
         enc_fn = encode_jpeg if vid % 12 < 6 else encode_jpeg_progressive
         if vid % 6 == 2:
             return enc_fn(
@@ -126,6 +146,14 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
                 np.uint8
             )
             return enc_fn(t)
+        if vid % 48 == 5:
+            # PARTIALLY interleaved scan script (luma scan + Cb+Cr pair
+            # scan): flat gray is exact under any script, so this slot
+            # is hash-identical to its full-interleave sibling while
+            # putting the 1 < Ns < Nf decode path under the driver hash
+            return encode_jpeg(
+                np.full((2, 2, 3), g, dtype=np.uint8), scan_mode="partial"
+            )
         return enc_fn(np.full((2, 2, 3), g, dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
@@ -220,12 +248,17 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(count(*) FILTER (WHERE vec_id % 3 = 1) AS BIGINT) AS n_png,
            CAST(count(*) FILTER (WHERE vec_id % 3 = 2) AS BIGINT) AS n_jpg,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 48 = 29 THEN ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 END), 4) AS avg_c0,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 48 = 29 THEN ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0
+                     WHEN vec_id % 48 = 35 THEN {_px(2)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 END), 4) AS avg_c1,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
+                     WHEN vec_id % 48 = 29 THEN ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0
+                     WHEN vec_id % 48 = 35 THEN {_px(3)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 END), 4) AS avg_c2
     FROM embeddings GROUP BY label
@@ -246,7 +279,12 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id % 24 in (17, 23)): a sparse high-frequency gray block that
     drives the AC zero-run / EOBn / progressive-refinement ZRL paths —
     the ones the r7 encoder bug hid from flat fixtures — while staying
-    bit-exact under the analytic oracle (_TEXTURED_GRAY). Mirrors the
+    bit-exact under the analytic oracle (_TEXTURED_GRAY); and the
+    r8-native decode paths each hold a hash-checked slot: LOSSLESS
+    SOF3 with full arbitrary pixel content (%48==29 — exact by
+    construction), Adobe CMYK with flat per-channel planes (%48==35 —
+    RGB = stored C,M,Y at K=255), and the partially interleaved scan
+    script on flat gray (%48==5). Mirrors the
     reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
     where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")

@@ -393,3 +393,36 @@ def test_avg_and_dominant_handle_grayscale_decode():
     buf = encode_jpeg(g)
     assert _avg_color(buf) == [77.0, 77.0, 77.0]
     assert _kmeans_dominant(buf) == [77, 77, 77]
+
+
+def test_format_ingest_mix_covers_r8_decode_paths():
+    """The r8 format mix must actually emit the formats its oracle
+    assumes: %48==29 → lossless SOF3, %48==35 → Adobe CMYK (APP14,
+    4-component SOF), %48==5 → partially interleaved (two SOS), and
+    each decodes to the analytic pixel values the driver hash uses."""
+    import pandas as pd
+
+    from bigdata_imgprocessing_spark.queries.images import (
+        _real_format_image_udf,
+    )
+
+    emb = [0.0215, 0.0301, 0.0407, 0.0113, 0.0229, 0.0335,
+           0.0441, 0.0127, 0.0233, 0.0339, 0.0445, 0.0151] + [0.0] * 4
+    px = (np.abs((np.array(emb[:12]) * 1000.0).astype(np.int64)) % 256
+          ).astype(np.uint8).reshape(2, 2, 3)
+    fn = _real_format_image_udf.func
+    out = fn(pd.Series([29, 35, 5]), pd.Series([emb, emb, emb]))
+
+    lossless = out[0]
+    assert bytes([0xFF, 0xC3]) in lossless
+    assert (decode_image(lossless) == px).all()  # exact arbitrary content
+
+    cmyk = out[1]
+    assert b"Adobe" in cmyk
+    rgb = decode_image(cmyk)
+    assert rgb.shape == (2, 2, 3)
+    assert (rgb == px[0, 0]).all()  # flat planes = first pixel's bytes
+
+    partial = out[2]
+    assert partial.count(bytes([0xFF, 0xDA])) == 2  # luma + CbCr scans
+    assert (decode_image(partial) == int(px[0, 0, 0])).all()  # flat gray
