@@ -212,6 +212,8 @@ HEADLINE = [
     "lsh_incremental_pairs",
     # round 8 additions
     "equidepth_approx_audit",
+    "gopher_quality_rules",
+    "psi_release_drift",
 ]
 
 

@@ -844,3 +844,160 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.where(F.col("value").isNull() | F.isnan("value")),
     )
     return r_fk.unionAll(r_uniq).unionAll(r_range).unionAll(r_cons).unionAll(r_nan)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule panel + PSI drift — the two standard corpus-health
+# reports (parallel rule flags with per-rule accounting; binned
+# population-stability index between releases).
+# ---------------------------------------------------------------------------
+
+_STOPWORDS = ("the", "a", "of", "to", "and", "in", "is", "that")
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=f"""
+    WITH m AS (
+        SELECT lang,
+               len(string_split(text, ' ')) AS nw,
+               (len(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+                   / len(string_split(text, ' ')) AS mwl,
+               len(list_intersect(string_split(text, ' '),
+                   [{", ".join(repr(s) for s in _STOPWORDS)}])) AS stop_hits,
+               list_max(list_transform(list_distinct(string_split(text, ' ')),
+                   x -> len(list_filter(string_split(text, ' '),
+                            y -> y = x)))) * 1.0
+                   / len(string_split(text, ' ')) AS top_frac
+        FROM documents
+    ), f AS (
+        SELECT lang, top_frac,
+               (nw BETWEEN 15 AND 90) AS r_words,
+               (mwl BETWEEN 3.5 AND 5.0) AS r_mwl,
+               (stop_hits >= 2) AS r_stop,
+               (top_frac <= 0.12) AS r_rep
+        FROM m
+    )
+    SELECT lang,
+           count(*) AS n_docs,
+           CAST(count(*) FILTER (WHERE r_words AND r_mwl AND r_stop AND r_rep)
+                AS BIGINT) AS n_pass_all,
+           CAST(count(*) FILTER (WHERE NOT r_words) AS BIGINT) AS n_fail_words,
+           CAST(count(*) FILTER (WHERE NOT r_mwl) AS BIGINT) AS n_fail_wordlen,
+           CAST(count(*) FILTER (WHERE NOT r_stop) AS BIGINT) AS n_fail_stopword,
+           CAST(count(*) FILTER (WHERE NOT r_rep) AS BIGINT) AS n_fail_repetition,
+           round(avg(top_frac), 4) AS avg_top_word_frac
+    FROM f GROUP BY lang
+    """,
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/RefinedWeb-style PARALLEL rule panel (vs the CASCADE in
+    `filter_funnel_stats`): every document is scored against all four
+    rules independently — word-count bounds, mean-word-length bounds,
+    minimum stopword evidence (>=2 hits from a fixed function-word
+    list, the Gopher natural-language signal), and a repetition cap on
+    the top word's frequency share — and the per-language report counts
+    failures PER RULE plus the pass-all intersection, the numbers a
+    corpus curation review actually reads.
+
+    Scale: all four signals, including the repetition share, are pure
+    JVM array HOFs computed map-side in ONE corpus scan (the
+    top-word count is array_max over per-distinct-word filters —
+    O(distinct x words) per row, fine at document word counts; a corpus
+    of book-length texts would swap it for the explode + count + max
+    aggregation at one extra shuffle). One groupBy on lang leaves the
+    executors."""
+    d = table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    nw = F.size(words)
+    mwl = (F.length("text") - (nw - F.lit(1))) * F.lit(1.0) / nw
+    stop_hits = F.size(
+        F.array_intersect(words, F.array(*[F.lit(s) for s in _STOPWORDS]))
+    )
+    top_frac = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(words),
+                lambda x: F.size(F.filter(words, lambda y: y == x)),
+            )
+        )
+        * F.lit(1.0)
+        / nw
+    )
+    f = d.select(
+        "lang",
+        top_frac.alias("top_frac"),
+        nw.between(15, 90).alias("r_words"),
+        mwl.between(3.5, 5.0).alias("r_mwl"),
+        (stop_hits >= 2).alias("r_stop"),
+        (top_frac <= 0.12).alias("r_rep"),
+    )
+    return f.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            (
+                F.col("r_words") & F.col("r_mwl") & F.col("r_stop")
+                & F.col("r_rep")
+            ).cast("long")
+        ).alias("n_pass_all"),
+        F.sum((~F.col("r_words")).cast("long")).alias("n_fail_words"),
+        F.sum((~F.col("r_mwl")).cast("long")).alias("n_fail_wordlen"),
+        F.sum((~F.col("r_stop")).cast("long")).alias("n_fail_stopword"),
+        F.sum((~F.col("r_rep")).cast("long")).alias("n_fail_repetition"),
+        F.round(F.avg("top_frac"), 4).alias("avg_top_word_frac"),
+    )
+
+
+@query(
+    "psi_release_drift",
+    oracle="""
+    WITH b AS (
+        SELECT least(CAST(n_chars // 80 AS BIGINT), 5) AS bin,
+               CAST(count(*) FILTER (WHERE doc_id % 2 = 0) AS BIGINT) AS n_a,
+               CAST(count(*) FILTER (WHERE doc_id % 2 = 1) AS BIGINT) AS n_b
+        FROM documents GROUP BY bin
+    ), t AS (
+        SELECT sum(n_a) AS ta, sum(n_b) AS tb, count(*) AS k FROM b
+    )
+    SELECT bin, n_a, n_b,
+           round(((n_a + 1.0) / (ta + k) - (n_b + 1.0) / (tb + k))
+                 * ln(((n_a + 1.0) / (ta + k)) / ((n_b + 1.0) / (tb + k))),
+                 6) AS psi_term
+    FROM b, t
+    """,
+)
+def psi_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index between two corpus releases (even /
+    odd doc_id) over FIXED n_chars bins (width 80, capped at bin 5 so
+    edges never drift between releases — the property that makes PSI
+    comparable run-to-run, unlike quantile bins). Laplace add-one
+    smoothing keeps empty bins finite; each bin's (pA-pB)·ln(pA/pB)
+    term is reported so a reviewer sees WHERE the mass moved, and the
+    term sum is the headline PSI (>0.2 = actionable drift by the usual
+    rule of thumb). Complements `source_mixture_drift` (categorical
+    KL) with the binned-numeric monitor.
+
+    Scale: one scan, one groupBy on a 6-value key, and a broadcast of
+    the 1-row total frame — the same shape at any corpus size."""
+    d = table(spark, sf_dir, "documents")
+    b = d.select(
+        F.least(F.floor(F.col("n_chars") / 80), F.lit(5)).alias("bin"),
+        (F.col("doc_id") % 2 == 0).alias("is_a"),
+    ).groupBy("bin").agg(
+        F.sum(F.col("is_a").cast("long")).alias("n_a"),
+        F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
+    )
+    t = b.agg(
+        F.sum("n_a").alias("ta"),
+        F.sum("n_b").alias("tb"),
+        F.count("*").alias("k"),
+    )
+    j = b.crossJoin(F.broadcast(t))
+    pa = (F.col("n_a") + 1.0) / (F.col("ta") + F.col("k"))
+    pb = (F.col("n_b") + 1.0) / (F.col("tb") + F.col("k"))
+    return j.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
+    )
