@@ -40,14 +40,15 @@ def encode_image(arr: np.ndarray) -> bytes:
 def decode_image(buf: bytes) -> np.ndarray:
     """Bytes → uint8 HxWxC ndarray. FIMG, BMP, PNG, and JPEG — baseline
     (interleaved, non-interleaved multi-scan, AND partially
-    interleaved), progressive, LOSSLESS (SOF3), 4:4:4 / 4:2:2 / 4:2:0 /
+    interleaved), progressive, LOSSLESS (SOF3), 12-bit extended-
+    sequential gray (>>4 uint8 contract), 4:4:4 / 4:2:2 / 4:2:0 /
     gray, plus 4-component Adobe CMYK/YCCK — all natively (stdlib+numpy
     codecs — the reference's actual *.jpg ingest format decodes without
-    cv2); the remaining exotic variants (12-bit, arithmetic-coded,
-    hierarchical) fall through to cv2 when available, else the codec's
-    NotImplementedError propagates (documented gate). All paths return
-    RGB channel order — cv2 decodes BGR, so its results are
-    channel-reversed here."""
+    cv2); the remaining exotic variants (12-bit color,
+    arithmetic-coded, hierarchical) fall through to cv2 when available,
+    else the codec's NotImplementedError propagates (documented gate).
+    All paths return RGB channel order — cv2 decodes BGR, so its
+    results are channel-reversed here."""
     from .formats import BMP_MAGIC, PNG_MAGIC, decode_bmp, decode_png
     from .jpeg import JPEG_MAGIC, decode_jpeg
 

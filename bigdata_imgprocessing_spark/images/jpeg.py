@@ -23,9 +23,12 @@ and decoder are implemented from the published spec with nothing but
   CMYK/YCCK frames decode via the APP14 transform flag (inverted-CMYK
   convention, RGB output). Progressive (SOF2) streams route to the
   sibling from-spec decoder in ``images/jpeg_progressive.py`` and
-  lossless (SOF3) to ``images/jpeg_lossless.py``; 12-bit and
-  arithmetic/hierarchical streams raise NotImplementedError — the same
-  explicit gating as the other codecs' unsupported variants.
+  lossless (SOF3) to ``images/jpeg_lossless.py``; 12-bit EXTENDED
+  sequential (SOF1) grayscale decodes natively with a documented >>4
+  uint8 output contract (the viewer convention — engine arrays are
+  uint8); 12-bit color and arithmetic/hierarchical streams raise
+  NotImplementedError — the same explicit gating as the other codecs'
+  unsupported variants.
 - **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
   canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
   size symbols at code length 4, all 162 AC (run,size) symbols at
@@ -248,11 +251,21 @@ def _seg(marker: int, payload: bytes) -> bytes:
 _SUBSAMPLING = {"444": (1, 1), "422": (2, 1), "420": (2, 2)}
 
 
-def _emit_block(bw_: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
-    """Huffman-code one zigzagged quantized block; returns its DC."""
+def _emit_block(
+    bw_: _BitWriter,
+    zz: np.ndarray,
+    prev_dc: int,
+    enc_dc: dict | None = None,
+    enc_ac: dict | None = None,
+) -> int:
+    """Huffman-code one zigzagged quantized block; returns its DC.
+    Table overrides exist for the 12-bit encoder (wider DC categories
+    and AC sizes than the canonical 8-bit tables cover)."""
+    enc_dc = _ENC_DC if enc_dc is None else enc_dc
+    enc_ac = _ENC_AC if enc_ac is None else enc_ac
     diff = int(zz[0]) - prev_dc
     s = _size_of(diff)
-    code, ln = _ENC_DC[s]
+    code, ln = enc_dc[s]
     bw_.write(code, ln)
     if s:
         bw_.write(_amplitude(diff, s), s)
@@ -265,16 +278,16 @@ def _emit_block(bw_: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
             run += 1
             continue
         while run >= 16:
-            code, ln = _ENC_AC[0xF0]
+            code, ln = enc_ac[0xF0]
             bw_.write(code, ln)
             run -= 16
         s = _size_of(v)
-        code, ln = _ENC_AC[(run << 4) | s]
+        code, ln = enc_ac[(run << 4) | s]
         bw_.write(code, ln)
         bw_.write(_amplitude(v, s), s)
         run = 0
     if last < 63:
-        code, ln = _ENC_AC[0x00]  # EOB
+        code, ln = enc_ac[0x00]  # EOB
         bw_.write(code, ln)
     return int(zz[0])
 
@@ -516,6 +529,70 @@ def encode_jpeg_cmyk(
     return bytes(out)
 
 
+# 12-bit tables: DC difference categories reach 15 and AC sizes 14
+# (T.81 F.1.2.1 for 12-bit data) — 16 DC symbols at code length 5 and
+# 226 AC symbols at length 8, both Kraft-feasible with all-ones unused.
+_DC12_VALS = list(range(16))
+_DC12_BITS = [0, 0, 0, 0, len(_DC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC12_VALS = sorted(
+    [0x00, 0xF0] + [(run << 4) | size for run in range(16)
+                    for size in range(1, 15)]
+)
+_AC12_BITS = [0, 0, 0, 0, 0, 0, 0, len(_AC12_VALS), 0, 0, 0, 0, 0, 0, 0, 0]
+_ENC_DC12 = _canonical_codes(_DC12_BITS, _DC12_VALS)
+_ENC_AC12 = _canonical_codes(_AC12_BITS, _AC12_VALS)
+
+
+def encode_jpeg_12bit(
+    arr: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """uint16 H×W grayscale with 12-bit samples (0..4095) → extended
+    sequential (SOF1) JPEG. The matching decode path returns uint8 via
+    >>4 (engine arrays are uint8), so round-trip equals ``arr >> 4``
+    exactly for DC-flat content and within DCT rounding otherwise.
+    Exists so the 12-bit decode path is testable without external
+    fixtures (12-bit files are medical/raw exports)."""
+    a = np.ascontiguousarray(arr, dtype=np.uint16)
+    if a.ndim != 2:
+        raise ValueError(f"12-bit encode is grayscale-only, got {a.shape}")
+    if a.max() > 4095:
+        raise ValueError("12-bit samples must be in [0, 4095]")
+    h, w = a.shape
+    q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
+    mcx, mcy = -(-w // 8), -(-h // 8)
+
+    out = bytearray(b"\xff\xd8")
+    out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
+    out += _seg(0xC1, struct.pack(">BHHB", 12, h, w, 1)
+                + struct.pack(">BBB", 1, 0x11, 0))
+    out += _seg(
+        0xC4,
+        bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS),
+    )
+    out += _seg(
+        0xC4,
+        bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS),
+    )
+    out += _seg(0xDA, struct.pack(">BBB", 1, 1, 0x00) + b"\x00\x3f\x00")
+
+    qf = q.reshape(8, 8).astype(np.float64)
+    blocks = _blocks(a.astype(np.float64) - 2048.0, mcy, mcx)
+    coeff = np.einsum("ij,vhjk,lk->vhil", _T, blocks, _T)
+    zzq = np.round(coeff / qf).astype(np.int64)
+    bw_ = _BitWriter()
+    prev = 0
+    for bv in range(mcy):
+        for bh_ in range(mcx):
+            prev = _emit_block(
+                bw_, zzq[bv, bh_].reshape(64)[_ZIGZAG], prev,
+                enc_dc=_ENC_DC12, enc_ac=_ENC_AC12,
+            )
+    bw_.flush()
+    out += bw_.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
 # --------------------------------------------------------------------------
 # Decoder
 # --------------------------------------------------------------------------
@@ -579,6 +656,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     covered: set[int] = set()  # component indices some scan has decoded
     hmax = vmax = 1
     mcx = mcy = 0
+    prec = 8
     adobe_transform = 0  # APP14 color-transform flag (0=CMYK, 2=YCCK)
 
     while True:
@@ -620,10 +698,20 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 vals = payload[i + 17 : i + 17 + n]
                 htables[(tc, th)] = _HuffTable(bits, vals)
                 i += 17 + n
-        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline/extended
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8:
-                raise NotImplementedError(f"only 8-bit JPEG (precision={prec})")
+            if prec == 12:
+                # 12-bit EXTENDED sequential (SOF1 only — baseline SOF0
+                # is 8-bit by definition, B.2.2). Grayscale decodes
+                # natively with the documented >>4 uint8 output
+                # contract; 12-bit color stays gated (unseen outside
+                # the 3-channel medical exotics).
+                if marker != 0xC1:
+                    raise ValueError("12-bit precision requires SOF1")
+                if nc != 1:
+                    raise NotImplementedError("12-bit color JPEG")
+            elif prec != 8:
+                raise NotImplementedError(f"only 8/12-bit JPEG (precision={prec})")
             if nc not in (1, 3, 4):
                 raise NotImplementedError(f"{nc}-component JPEG unsupported")
             for c in range(nc):
@@ -701,14 +789,21 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     if covered != set(range(len(comps))):
         # a plane that was never scanned would silently render flat 128
         raise ValueError("JPEG scans do not cover every component")
+    shift = float(1 << (prec - 1))  # level shift: 128 (8-bit) / 2048 (12-bit)
     crops = []
     for (hi, vi), p in zip(factors, planes):
         ch, cw = -(-h * vi // vmax), -(-w * hi // hmax)  # comp dims (ceil)
-        c = p[:ch, :cw] + 128.0
+        c = p[:ch, :cw] + shift
         if hi != hmax or vi != vmax:  # nearest-neighbor chroma upsample
             c = np.repeat(np.repeat(c, vmax // vi, axis=0), hmax // hi, axis=1)
         crops.append(c[:h, :w])
     if len(comps) == 1:
+        if prec == 12:
+            # engine images are uint8: scale the 12-bit plane down by
+            # >>4 (the viewer convention), exact for encoder-shifted
+            # test content
+            v12 = np.clip(crops[0].round(), 0, 4095).astype(np.int64)
+            return (v12 >> 4).astype(np.uint8)
         return np.clip(crops[0].round(), 0, 255).astype(np.uint8)
     if len(comps) == 4:
         # Adobe 4-component: stored samples are INVERTED CMYK (the only

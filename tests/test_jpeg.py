@@ -141,14 +141,44 @@ def test_decoder_gates_and_corruption_contract_for_sof_variants():
     cmyk[sof + 2 + 2 + 5] = 4  # SOF payload Nf byte
     with pytest.raises(ValueError):
         decode_jpeg(bytes(cmyk))
-    # genuine gates: 12-bit precision and arithmetic coding
+    # 12-bit under SOF0 is spec-invalid (baseline is 8-bit, B.2.2):
+    # corruption, not a gate
     twelve = bytearray(buf)
     twelve[sof + 2 + 2] = 12  # SOF payload precision byte
-    with pytest.raises(NotImplementedError, match="only 8-bit"):
+    with pytest.raises(ValueError):
         decode_jpeg(bytes(twelve))
+    # genuine gates: odd precisions, 12-bit color, arithmetic coding
+    ten = bytearray(buf)
+    ten[sof + 2 + 2] = 10
+    with pytest.raises(NotImplementedError, match="only 8/12-bit"):
+        decode_jpeg(bytes(ten))
+    twelve_color = bytearray(buf)
+    twelve_color[sof + 1] = 0xC1
+    twelve_color[sof + 2 + 2] = 12  # SOF1 + 12-bit but 3 components
+    with pytest.raises(NotImplementedError, match="12-bit color"):
+        decode_jpeg(bytes(twelve_color))
     arith = bytes(buf[:sof + 1]) + b"\xc9" + bytes(buf[sof + 2:])
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
+
+
+def test_12bit_extended_sequential_gray():
+    """12-bit SOF1 grayscale decodes natively with the documented >>4
+    uint8 contract: DC-flat content is exact, general content is within
+    one count after the downshift (12-bit DCT rounding / 16), and the
+    wider DC/AC Huffman categories (up to 15/14) survive the trip."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_12bit
+
+    for v in (0, 4095, 2048, 1234):
+        g = np.full((10, 13), v, dtype=np.uint16)
+        assert (decode_jpeg(encode_jpeg_12bit(g)) == (v >> 4)).all()
+    rng = np.random.default_rng(23)
+    g = rng.integers(0, 4096, size=(24, 17), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_12bit(g)).astype(int)
+    assert np.abs(out - (g >> 4).astype(int)).max() <= 1
+    buf = encode_jpeg_12bit(g)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2])
 
 
 def test_partial_interleave_scan_script():
