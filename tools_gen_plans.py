@@ -15,6 +15,8 @@ from bigdata_imgprocessing_spark.core.session import build_session
 from bigdata_imgprocessing_spark.queries import QUERIES
 
 PICKS = {
+    "equidepth_approx_audit": "Sketch-boundary audit: the exact+approx octile pass runs eagerly (1-row collect), so the returned plan is ONE bucketing scan over literal boundaries + a broadcast join to the 8-row spine -- no self-join, no third scan.",
+    "gopher_quality_rules": "Quality rule panel: all four signals incl. the nested-HOF top-word count are JVM expressions in one corpus scan; a single lang groupBy leaves the executors.",
     "top_orders": "Filters pushed to both parquet scans; 3-column lineitem ReadSchema; broadcast dim; TakeOrderedAndProject bounded top-k.",
     "region_revenue": "Star join: both dims broadcast, single agg shuffle, filter In(r_name,...) reaches the region scan.",
     "asof_purchase_click": "As-of join WITHOUT a join operator: union-merge + one (key,ts) window shuffle.",
