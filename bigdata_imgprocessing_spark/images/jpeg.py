@@ -559,6 +559,8 @@ def encode_jpeg_12bit(
         raise ValueError("12-bit samples must be in [0, 4095]")
     h, w = a.shape
     q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
+    if q.max() > 255 or q.min() < 1:
+        raise ValueError("quant table values must be in [1, 255]")
     mcx, mcy = -(-w // 8), -(-h // 8)
 
     out = bytearray(b"\xff\xd8")
@@ -626,8 +628,10 @@ def _extend(v: int, size: int) -> int:
 
 
 def decode_jpeg(buf: bytes) -> np.ndarray:
-    """JPEG bytes → uint8 H×W×3 RGB (or H×W): baseline AND progressive
-    (SOF2), 4:4:4 / 4:2:2 / 4:2:0 / grayscale.
+    """JPEG bytes → uint8 H×W×3 RGB (or H×W gray): baseline (any scan
+    script — interleaved / per-component / partial), progressive
+    (SOF2), lossless (SOF3), 12-bit extended-sequential gray, Adobe
+    CMYK/YCCK, 4:4:4 / 4:2:2 / 4:2:0 / grayscale.
 
     Truncated/corrupt streams raise ValueError (the quarantine path
     needs a reliable exception); unsupported spec variants raise
