@@ -419,3 +419,63 @@ def test_16bit_dqt_parsing():
     )
     rewritten = buf[:dqt] + wide_seg + buf[dqt + 2 + ln :]
     assert (decode_jpeg(rewritten) == decode_jpeg(buf)).all()
+
+
+@settings(max_examples=60, deadline=None, derandomize=True)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    pred=st.integers(1, 7),
+    seed=st.integers(0, 2**31 - 1),
+    color=st.booleans(),
+)
+def test_lossless_roundtrip_property(h, w, pred, seed, color):
+    """Lossless SOF3 must round-trip BIT-EXACTLY for any size, any
+    predictor, gray or RGB — the mode's defining property, pinned as a
+    derandomized property test (the r7 lesson: fixed seeds hide
+    span-order bugs)."""
+    from bigdata_imgprocessing_spark.images.jpeg_lossless import (
+        encode_jpeg_lossless,
+    )
+
+    rng = np.random.default_rng(seed)
+    shape = (h, w, 3) if color else (h, w)
+    img = rng.integers(0, 256, size=shape, dtype=np.uint8)
+    assert (decode_jpeg(encode_jpeg_lossless(img, predictor=pred)) == img).all()
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(
+    h=st.integers(4, 24),
+    w=st.integers(4, 24),
+    seed=st.integers(0, 2**31 - 1),
+    sub=st.sampled_from(["444", "420", "422"]),
+)
+def test_partial_interleave_equals_full_property(h, w, seed, sub):
+    """Partial-interleave scan scripts must decode IDENTICALLY to the
+    full interleave of the same image for any size/subsampling — the
+    two scripts carry the same coefficients, so any divergence is a
+    scan-walk bug."""
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    ref = decode_jpeg(encode_jpeg(img, subsampling=sub))
+    par = decode_jpeg(encode_jpeg(img, subsampling=sub, scan_mode="partial"))
+    assert (par == ref).all()
+
+
+@settings(max_examples=40, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 2**31 - 1), transform=st.sampled_from([0, 2]))
+def test_cmyk_decode_bounded_property(seed, transform):
+    """4-component decode must stay within the DCT+transform rounding
+    envelope of the analytic inverted-CMYK RGB for ANY content (exact
+    equality is only promised for flat patches — tested separately)."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_cmyk
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, size=(12, 9, 4), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg_cmyk(img, transform=transform)).astype(int)
+    s = img.astype(np.float64)
+    exp = np.stack([s[:, :, c] * s[:, :, 3] / 255.0 for c in range(3)], axis=2)
+    # DCT rounding on each plane is bounded (~±6); the product divides
+    # by 255 but errors in the two factors add — ±14 is a safe envelope
+    assert np.abs(out - np.round(exp)).max() <= 14

@@ -288,3 +288,33 @@ def test_calibration_bins_partition_corpus(spark, sf_dir):
         assert 0 <= r["n_pos"] <= r["n"]
         assert 0.0 <= r["frac_pos"] <= 1.0
         assert 0.0 <= r["gap"] <= 1.0
+
+
+def test_gopher_rules_are_non_degenerate(spark, sf_dir):
+    """Every rule must have BOTH passes and failures somewhere in the
+    corpus — a rule that never fires (or always fires) would make the
+    driver hash trivially green while testing nothing. Pins the
+    threshold tuning against corpus regeneration."""
+    rows = QUERIES["gopher_quality_rules"](spark, sf_dir).collect()
+    n_docs = sum(r["n_docs"] for r in rows)
+    tot_pass = sum(r["n_pass_all"] for r in rows)
+    assert 0 < tot_pass < n_docs
+    for rule in ("n_fail_words", "n_fail_wordlen", "n_fail_stopword",
+                 "n_fail_repetition"):
+        fails = sum(r[rule] for r in rows)
+        assert 0 < fails < n_docs, f"{rule} degenerate: {fails}/{n_docs}"
+    for r in rows:
+        assert 0.0 < r["avg_top_word_frac"] < 1.0
+
+
+def test_psi_terms_bounded_and_nonzero(spark, sf_dir):
+    """PSI terms are each >= 0 ((p-q)ln(p/q) is nonnegative), the bins
+    partition the corpus, and SOME bin must show nonzero drift between
+    the even/odd releases (identical distributions would make the
+    monitor vacuous)."""
+    rows = QUERIES["psi_release_drift"](spark, sf_dir).collect()
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r["n_a"] + r["n_b"] for r in rows) == n_docs
+    assert all(r["psi_term"] >= 0.0 for r in rows)
+    assert sum(r["psi_term"] for r in rows) > 0.0
+    assert {r["bin"] for r in rows} <= set(range(6))
