@@ -38,7 +38,9 @@ def encode_image(arr: np.ndarray) -> bytes:
 
 
 def decode_image(buf: bytes) -> np.ndarray:
-    """Bytes → uint8 HxWxC ndarray. FIMG, BMP, PNG, and JPEG — baseline
+    """Bytes → uint8 HxWxC ndarray. FIMG; BMP (24/32-bit + 8-bit
+    palette); PNG (gray/RGB/RGBA/palette/gray+alpha, depths 1-16,
+    Adam7 interlace); and JPEG — baseline
     (interleaved, non-interleaved multi-scan, AND partially
     interleaved), progressive, LOSSLESS (SOF3), 12-bit extended-
     sequential gray (>>4 uint8 contract), 4:4:4 / 4:2:2 / 4:2:0 /

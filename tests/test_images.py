@@ -426,3 +426,150 @@ def test_format_ingest_mix_covers_r8_decode_paths():
     partial = out[2]
     assert partial.count(bytes([0xFF, 0xDA])) == 2  # luma + CbCr scans
     assert (decode_image(partial) == int(px[0, 0, 0])).all()  # flat gray
+
+
+def test_png_extended_color_types_and_depths():
+    """The r8 PNG envelope: palette (with and without tRNS), sub-byte
+    depths with spec sample scaling, 16-bit high-byte reduction, and
+    gray+alpha — each against a handcrafted spec-conformant stream."""
+    import struct
+    import zlib
+
+    from bigdata_imgprocessing_spark.images.formats import (
+        PNG_MAGIC,
+        _chunk,
+        decode_png,
+    )
+
+    rng = np.random.default_rng(4)
+    plte = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(7, 9), dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[r].tobytes() for r in range(7))
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 7, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(buf) == plte[idx.astype(int)]).all()
+
+    # palette + tRNS → RGBA with per-index alpha (255 past the table)
+    trns = bytes([10, 200, 255, 0])
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 7, 8, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"tRNS", trns)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    out = decode_png(buf)
+    alpha = np.full(16, 255, dtype=np.uint8)
+    alpha[:4] = np.frombuffer(trns, dtype=np.uint8)
+    assert (out == np.dstack([plte[idx.astype(int)], alpha[idx.astype(int)]])).all()
+
+    # 4-bit palette: two indices per byte, big-endian within the byte
+    idx4 = rng.integers(0, 16, size=(5, 6), dtype=np.uint8)
+    rows = []
+    for r in range(5):
+        by = bytearray()
+        for i in range(0, 6, 2):
+            by.append((int(idx4[r, i]) << 4) | int(idx4[r, i + 1]))
+        rows.append(b"\x00" + bytes(by))
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 6, 5, 4, 3, 0, 0, 0))
+        + _chunk(b"PLTE", plte.tobytes())
+        + _chunk(b"IDAT", zlib.compress(b"".join(rows)))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(buf) == plte[idx4.astype(int)]).all()
+
+    # 16-bit gray → high byte; 1-bit gray → 0/255 scaling
+    g16 = rng.integers(0, 65536, size=(4, 5), dtype=np.uint16)
+    raw16 = b"".join(b"\x00" + g16[r].byteswap().tobytes() for r in range(4))
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 5, 4, 16, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw16))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(buf) == (g16 >> 8).astype(np.uint8)).all()
+
+    bits = np.array([[1, 0, 1, 0, 1, 0, 1, 0, 1]], dtype=np.uint8)
+    packed = bytes([0b10101010, 0b10000000])  # 9 bits, padded
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 9, 1, 1, 0, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(b"\x00" + packed))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(buf) == bits * 255).all()
+
+    # gray+alpha (type 4)
+    ga = rng.integers(0, 256, size=(6, 4, 2), dtype=np.uint8)
+    raw = b"".join(b"\x00" + ga[r].tobytes() for r in range(6))
+    buf = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", struct.pack(">IIBBBBB", 4, 6, 8, 4, 0, 0, 0))
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+    assert (decode_png(buf) == ga).all()
+
+
+def test_png_adam7_interlace_roundtrip():
+    """Adam7 seven-pass interlace must reproduce the image exactly for
+    any size — including dimensions smaller than the 8x8 pass grid,
+    which leave some passes EMPTY (they must contribute zero scanlines,
+    not a phantom filter byte)."""
+    from bigdata_imgprocessing_spark.images.formats import decode_png, encode_png
+
+    rng = np.random.default_rng(11)
+    for shape in ((1, 1), (3, 5), (8, 8), (17, 23), (5, 2)):
+        for c in (None, 3, 4):
+            s = shape if c is None else (*shape, c)
+            img = rng.integers(0, 256, size=s, dtype=np.uint8)
+            buf = encode_png(img, interlace=True)
+            assert (decode_png(buf) == img).all(), s
+
+
+def test_bmp_32bit_and_palette():
+    """BMP's other on-disk forms: 32-bit BGRX (4th byte is padding per
+    BI_RGB and must be dropped) and 8-bit palette with a BGRX color
+    table, both bottom-up."""
+    import struct
+
+    from bigdata_imgprocessing_spark.images.formats import decode_bmp
+
+    rng = np.random.default_rng(8)
+    img = rng.integers(0, 256, size=(3, 5, 3), dtype=np.uint8)
+    # 32-bit: rows bottom-up, BGRX
+    body = b"".join(
+        b"".join(bytes([img[r, c, 2], img[r, c, 1], img[r, c, 0], 0xAB])
+                 for c in range(5))
+        for r in range(2, -1, -1)
+    )
+    off = 14 + 40
+    buf = (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 32, 0, len(body), 0, 0, 0, 0)
+        + body
+    )
+    assert (decode_bmp(buf) == img).all()
+
+    # 8-bit palette: 16-entry BGRX table, padded index rows
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    table = b"".join(bytes([p[2], p[1], p[0], 0]) for p in pal)
+    idx = rng.integers(0, 16, size=(3, 5), dtype=np.uint8)
+    stride_pad = b"\x00" * ((4 - 5 % 4) % 4)
+    body = b"".join(idx[r].tobytes() + stride_pad for r in range(2, -1, -1))
+    off = 14 + 40 + len(table)
+    buf = (
+        struct.pack("<2sIHHI", b"BM", off + len(body), 0, 0, off)
+        + struct.pack("<IiiHHIIiiII", 40, 5, 3, 1, 8, 0, len(body), 0, 0, 16, 0)
+        + table
+        + body
+    )
+    assert (decode_bmp(buf) == pal[idx.astype(int)]).all()
