@@ -36,22 +36,33 @@ _BMP_FILE = struct.Struct("<2sIHHI")
 _BMP_INFO = struct.Struct("<IiiHHIIiiII")
 
 
-def encode_bmp(arr: np.ndarray) -> bytes:
-    """uint8 H×W×3 RGB (or H×W gray) → 24-bit uncompressed BMP bytes."""
+def encode_bmp(arr: np.ndarray, bpp: int = 24) -> bytes:
+    """uint8 H×W×3 RGB (or H×W gray) → uncompressed BMP bytes.
+    ``bpp=24`` writes BGR rows padded to 4 bytes; ``bpp=32`` writes
+    BGRX (zero padding byte) — both BI_RGB, bottom-up."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 2:
         a = np.repeat(a[:, :, None], 3, axis=2)
     if a.shape[2] != 3:
         raise ValueError(f"BMP encode needs 3 channels, got {a.shape[2]}")
+    if bpp not in (24, 32):
+        raise ValueError("BMP encode supports bpp 24 or 32")
     h, w, _ = a.shape
-    stride = (w * 3 + 3) & ~3
-    pad = b"\x00" * (stride - w * 3)
-    # bottom-up rows, RGB → BGR
-    body = b"".join(a[r, :, ::-1].tobytes() + pad for r in range(h - 1, -1, -1))
+    if bpp == 32:
+        px = np.zeros((h, w, 4), dtype=np.uint8)
+        px[:, :, :3] = a[:, :, ::-1]  # BGRX
+        body = b"".join(px[r].tobytes() for r in range(h - 1, -1, -1))
+    else:
+        stride = (w * 3 + 3) & ~3
+        pad = b"\x00" * (stride - w * 3)
+        # bottom-up rows, RGB → BGR
+        body = b"".join(
+            a[r, :, ::-1].tobytes() + pad for r in range(h - 1, -1, -1)
+        )
     off = _BMP_FILE.size + _BMP_INFO.size
     return (
         _BMP_FILE.pack(BMP_MAGIC, off + len(body), 0, 0, off)
-        + _BMP_INFO.pack(40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+        + _BMP_INFO.pack(40, w, h, 1, bpp, 0, len(body), 2835, 2835, 0, 0)
         + body
     )
 

@@ -107,8 +107,16 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
         px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8).reshape(2, 2, 3)
         m = vid % 3
         if m == 0:
+            if vid % 6 == 3:
+                # 32-bit BGRX leg (r8): same RGB pixels through the
+                # 4-byte-pixel decode path — hash-identical by design
+                return encode_bmp(px, bpp=32)
             return encode_bmp(px)
         if m == 1:
+            if vid % 6 == 4:
+                # Adam7-interlaced leg (r8): lossless, so the same
+                # pixels exercise the seven-pass decode hash-identically
+                return encode_png(px, interlace=True)
             return encode_png(px)
         g = int(px[0, 0, 0])
         if vid % 48 == 29:

@@ -427,6 +427,18 @@ def test_format_ingest_mix_covers_r8_decode_paths():
     assert partial.count(bytes([0xFF, 0xDA])) == 2  # luma + CbCr scans
     assert (decode_image(partial) == int(px[0, 0, 0])).all()  # flat gray
 
+    # r8 lossless-format legs: %6==3 -> 32-bit BMP, %6==4 -> Adam7 PNG
+    out2 = fn(pd.Series([3, 4]), pd.Series([emb, emb]))
+    bmp32 = out2[0]
+    assert bmp32[:2] == b"BM"
+    import struct as _struct
+
+    assert _struct.unpack_from("<H", bmp32, 14 + 14)[0] == 32  # biBitCount
+    assert (decode_image(bmp32) == px).all()
+    png_i = out2[1]
+    assert png_i[28] == 1  # IHDR interlace byte (8 magic + 8 + 13th field)
+    assert (decode_image(png_i) == px).all()
+
 
 def test_png_extended_color_types_and_depths():
     """The r8 PNG envelope: palette (with and without tRNS), sub-byte
