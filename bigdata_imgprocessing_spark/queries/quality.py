@@ -977,8 +977,14 @@ def psi_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rule of thumb). Complements `source_mixture_drift` (categorical
     KL) with the binned-numeric monitor.
 
-    Scale: one scan, one groupBy on a 6-value key, and a broadcast of
-    the 1-row total frame — the same shape at any corpus size."""
+    Scale: ONE corpus scan into the 6-row binned frame; the release
+    totals come from an unpartitioned window over those 6 rows (the
+    single-partition warning is harmless at bin-count cardinality, and
+    this avoids the naive `b.agg(...).crossJoin(b)` shape, which plans
+    the corpus scan TWICE — the same double-scan trap
+    `equidepth_approx_audit` hit; plan contract in tests/test_plans.py)."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     b = d.select(
         F.least(F.floor(F.col("n_chars") / 80), F.lit(5)).alias("bin"),
@@ -987,12 +993,15 @@ def psi_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_a").cast("long")).alias("n_a"),
         F.sum((~F.col("is_a")).cast("long")).alias("n_b"),
     )
-    t = b.agg(
-        F.sum("n_a").alias("ta"),
-        F.sum("n_b").alias("tb"),
-        F.count("*").alias("k"),
+    w = Window.partitionBy()  # 6-row frame: totals without a rescan
+    j = b.select(
+        "bin",
+        "n_a",
+        "n_b",
+        F.sum("n_a").over(w).alias("ta"),
+        F.sum("n_b").over(w).alias("tb"),
+        F.count("*").over(w).alias("k"),
     )
-    j = b.crossJoin(F.broadcast(t))
     pa = (F.col("n_a") + 1.0) / (F.col("ta") + F.col("k"))
     pb = (F.col("n_b") + 1.0) / (F.col("tb") + F.col("k"))
     return j.select(

@@ -590,3 +590,19 @@ def test_equidepth_approx_audit_no_self_join(spark, sf_dir):
         "CartesianProduct",
     ):
         assert _n_nodes(plan, bad) == 0, bad
+
+
+def test_quality_panel_and_psi_single_scan(spark, sf_dir):
+    """gopher_quality_rules / psi_release_drift: both are
+    one-corpus-scan shapes — the rule signals are map-side HOFs into a
+    lang groupBy, and the PSI totals come from a window over the 6-row
+    binned frame (the naive agg+crossJoin form planned a SECOND full
+    corpus scan — caught and removed in round 8)."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    for name in ("gopher_quality_rules", "psi_release_drift"):
+        plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+        assert _n_nodes(plan, "Scan parquet") == 1, name
+        for bad in ("SortMergeJoin", "BroadcastHashJoin",
+                    "BroadcastNestedLoopJoin", "CartesianProduct"):
+            assert _n_nodes(plan, bad) == 0, (name, bad)
