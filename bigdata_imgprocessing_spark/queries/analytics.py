@@ -344,21 +344,27 @@ def chi2_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding)."""
     d = table(spark, sf_dir, "documents")
     cells = d.groupBy("lang", "source").agg(F.count("*").alias("o"))
-    rt = cells.groupBy("lang").agg(F.sum("o").alias("rl"))
-    ct = cells.groupBy("source").agg(F.sum("o").alias("cs"))
-    tot = cells.agg(
-        F.sum("o").alias("n"),
-        F.count_distinct("lang").alias("nl"),
-        F.count_distinct("source").alias("ns"),
+    # row/column/grand totals as WINDOWS over the O(langs x sources)
+    # cell frame — the groupBy-then-join-back form re-planned the full
+    # corpus scan once per derived frame (4 scans; the psi-class
+    # double-scan trap, removed in round 8)
+    joined = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("rl"),
+        F.sum("o").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+        F.size(
+            F.collect_set("lang").over(Window.partitionBy())
+        ).alias("nl"),
+        F.size(
+            F.collect_set("source").over(Window.partitionBy())
+        ).alias("ns"),
     )
     diff = F.col("o") * F.col("n") - F.col("rl") * F.col("cs")
     term = (diff.cast("double") * diff.cast("double")) / (
         F.col("n").cast("double") * F.col("rl") * F.col("cs")
-    )
-    joined = (
-        cells.join(F.broadcast(rt), "lang")
-        .join(F.broadcast(ct), "source")
-        .crossJoin(F.broadcast(tot))
     )
     return joined.groupBy("nl", "ns", "n").agg(
         F.round(F.sum(term), 4).alias("chi2")
@@ -763,13 +769,19 @@ def freq_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``support·n_users·10⁶ DIV (n_a·n_b)`` (the association-rule screen
     for curriculum/mixture interactions, zero float quotients)."""
     ensure_utc(spark)
-    d = (
+    # ONE corpus scan: the basket frame (n_users rows, types-bounded
+    # arrays) is cached and every derived frame — pair supports,
+    # per-type user counts, the user total — reads the cache. The
+    # earlier form derived singles/tot from the pre-basket DISTINCT
+    # frame, re-planning the events scan (and the distinct shuffle)
+    # once per derived frame (the psi-class trap, removed in round 8).
+    baskets = (
         table(spark, sf_dir, "events")
         .select("user_id", "event_type")
         .distinct()
-    )
-    baskets = d.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("ts")
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_set("event_type")).alias("ts"))
+        .cache()
     )
     pair_arr = ordered_pairs(F.col("ts"), "type_a", "type_b")
     pairs = (
@@ -777,8 +789,12 @@ def freq_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("p.type_a").alias("type_a"), F.col("p.type_b").alias("type_b"))
         .agg(F.count("*").cast("bigint").alias("support"))
     )
-    singles = d.groupBy("event_type").agg(F.count("*").cast("bigint").alias("n"))
-    tot = d.agg(F.count_distinct("user_id").cast("bigint").alias("n_users"))
+    singles = (
+        baskets.select(F.explode("ts").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count("*").cast("bigint").alias("n"))
+    )
+    tot = baskets.agg(F.count("*").cast("bigint").alias("n_users"))
     sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
     return (

@@ -265,15 +265,26 @@ def stratified_sample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-lang rates (|langs| rows) back onto the corpus as a plain
     filter — no sort, no per-group reservoir state, unlike sampleBy
     whose seeds don't survive re-partitioning deterministically."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
-    cnt = d.groupBy("lang").agg(F.count("*").alias("c"))
-    tgt = cnt.agg(F.min("c").alias("t"))
+    # the |langs|-row rate frame is CACHED because it feeds three
+    # consumers (the sampling filter, the final report's left side, and
+    # — via the whole-frame window — the min-count target); deriving
+    # each from the uncached groupBy re-planned the corpus scan per
+    # consumer (4 scans; psi-class trap, removed r8). Two scans remain:
+    # the count pass and the filter pass — the inherent minimum.
+    cnt = (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("c"))
+        .withColumn("t", F.min("c").over(Window.partitionBy()))
+        .cache()
+    )
     u = _md5_bucket(
         F.concat(F.col("doc_id").cast("string"), F.lit("_sample")), 1_000_000
     ) / F.lit(1_000_000.0)
     kept = (
         d.join(F.broadcast(cnt), "lang")
-        .crossJoin(F.broadcast(tgt))
         .where(u < F.col("t") / F.col("c"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))

@@ -319,28 +319,32 @@ def mad_event_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     on both sides (no rounding before the comparison, same expression
     shape), so the strict ``>`` cannot disagree.
 
-    Scale: medians are exact (two type-keyed shuffles over (type,
-    value) pairs — at 100 TB swap in approx_percentile(.., 0.5) for
-    one-pass sketched medians; kept exact here for the oracle); the
-    5-row stats frames broadcast back onto the scan, so the corpus is
-    never shuffled whole."""
+    Scale: medians are exact — the two inherent passes are the median
+    pass and the deviation pass (at 100 TB swap in
+    approx_percentile(.., 0.5) for one-pass sketched medians; kept
+    exact here for the oracle). The MAD rides the deviation frame as a
+    per-type WINDOW median, so the plan holds at exactly TWO corpus
+    scans — the earlier groupBy-then-join-back form re-planned the
+    deviation subtree (and its scan) once for the MAD and again for
+    the outlier agg, 4 scans total (the psi-class trap, removed in
+    round 8)."""
+    from pyspark.sql import Window
+
     e = table(spark, sf_dir, "events").select("event_type", "value")
     m = e.groupBy("event_type").agg(F.median("value").alias("med"))
     d = e.join(F.broadcast(m), "event_type").withColumn(
         "adev", F.abs(F.col("value") - F.col("med"))
     )
-    s = d.groupBy("event_type").agg(F.median("adev").alias("mad"))
-    return (
-        d.join(F.broadcast(s), "event_type")
-        .groupBy("event_type")
-        .agg(
-            F.count("*").alias("n_events"),
-            F.round(F.first("med"), 4).alias("med"),
-            F.round(F.first("mad"), 4).alias("mad"),
-            F.sum(
-                (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
-            ).alias("n_outliers"),
-        )
+    d = d.withColumn(
+        "mad", F.median("adev").over(Window.partitionBy("event_type"))
+    )
+    return d.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.first("med"), 4).alias("med"),
+        F.round(F.first("mad"), 4).alias("mad"),
+        F.sum(
+            (F.col("adev") > 3 * 1.4826 * F.col("mad")).cast("long")
+        ).alias("n_outliers"),
     )
 
 

@@ -1117,11 +1117,24 @@ def user_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     indirection). At 100 TB the same plan drives the actual
     delete-rewrite job per partition."""
     c = table(spark, sf_dir, "customer")
-    victims = c.where(F.col("c_custkey") % 9 == 0).select("c_custkey")
+    # victim/affected-order key sets are CACHED: each feeds two
+    # downstream hops, and uncached reuse re-planned the customer scan
+    # three times and the orders scan twice (6 fact/dim scans where 4
+    # are inherent — one per audited table; psi-class trap, removed
+    # r8). A production erasure pipeline persists these sets anyway —
+    # they ARE the erasure batch manifest.
+    victims = (
+        c.where(F.col("c_custkey") % 9 == 0).select("c_custkey").cache()
+    )
     o = table(spark, sf_dir, "orders")
-    vorders = o.join(
-        F.broadcast(victims), o.o_custkey == victims.c_custkey, "left_semi"
-    ).select("o_orderkey")
+    vorders = (
+        o.join(
+            F.broadcast(victims), o.o_custkey == victims.c_custkey,
+            "left_semi",
+        )
+        .select("o_orderkey")
+        .cache()
+    )
     li = table(spark, sf_dir, "lineitem")
     vlines = li.join(
         F.broadcast(vorders), li.l_orderkey == vorders.o_orderkey, "left_semi"

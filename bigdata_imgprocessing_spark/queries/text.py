@@ -608,27 +608,35 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.size(toks)
     zipped = F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
     bigrams = F.transform(zipped, lambda s: F.concat_ws(" ", s["0"], s["1"]))
+    # Two inherent corpus scans (unigram leg, bigram leg), and ONLY
+    # two: the unigram counts are cached (vocabulary-sized) because
+    # they feed three consumers (both join sides + the t1 normalizer),
+    # and both normalizers ride their count frames as whole-frame
+    # WINDOW sums — the earlier form re-planned the corpus scan for t1
+    # and AGAIN for t2 (5 scans total; psi-class trap, removed r8).
+    # t2 is summed over the PRE-cutoff bigram counts (support cutoff
+    # applies to candidates, not the normalizer).
+    from pyspark.sql import Window
+
+    wall = Window.partitionBy()
     uni = (
         d.select(F.explode(toks).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("c1"))
+        .withColumn("t1", F.sum("c1").over(wall).cast("bigint"))
+        .cache()
     )
     bi = (
         d.where(n >= 2)
         .select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("c2"))
+        .withColumn("t2", F.sum("c2").over(wall).cast("bigint"))
         .where(F.col("c2") >= 5)
     )
-    t1 = uni.agg(F.sum("c1").cast("bigint").alias("t1"))
-    # t2 must count ALL bigrams (support cutoff applies to candidates,
-    # not the normalizer) — recompute from the corpus like the oracle
-    t2 = (
-        d.where(n >= 2)
-        .select(F.explode(bigrams).alias("b"))
-        .agg(F.count("*").cast("bigint").alias("t2"))
+    ua = uni.select(
+        F.col("w").alias("w1"), F.col("c1").alias("c1a"), "t1"
     )
-    ua = uni.select(F.col("w").alias("w1"), F.col("c1").alias("c1a"))
     ub = uni.select(F.col("w").alias("w2"), F.col("c1").alias("c1b"))
     parts = F.split(F.col("bigram"), " ")
     scored = (
@@ -636,8 +644,6 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("w2", parts.getItem(1))
         .join(F.broadcast(ua), "w1")
         .join(F.broadcast(ub), "w2")
-        .crossJoin(F.broadcast(t1))
-        .crossJoin(F.broadcast(t2))
         .select(
             "bigram",
             F.col("c2").alias("n_pairs"),

@@ -477,12 +477,15 @@ def test_pareto_front_prunes_before_global_window(spark, sf_dir):
 
 def test_freq_pairs_no_fact_self_join(spark, sf_dir):
     """freq_event_pairs: the pair space is generated map-side from each
-    user's collect_set (one Generate), never a fact self-join — zero
-    SortMergeJoin, dims broadcast."""
+    user's collect_set, never a fact self-join — zero SortMergeJoin,
+    dims broadcast. Since the r8 scan-dedup fix every Generate explodes
+    the CACHED basket frame (pair explode + the singles explode once
+    per join side), so the fact scan appears exactly once."""
     plan = _formatted(spark, QUERIES["freq_event_pairs"](spark, sf_dir))
     assert _n_nodes(plan, "SortMergeJoin") == 0
-    assert _n_nodes(plan, "Generate") == 1  # the basket pair explode
+    assert _n_nodes(plan, "Generate") == 3  # pairs + singles x2 (cached src)
     assert _n_nodes(plan, "BroadcastHashJoin") >= 2  # singles both sides
+    assert _n_nodes(plan, "Scan parquet") == 1
 
 
 def test_bpe_apply_is_vocab_bounded(spark, sf_dir):
@@ -606,3 +609,25 @@ def test_quality_panel_and_psi_single_scan(spark, sf_dir):
         for bad in ("SortMergeJoin", "BroadcastHashJoin",
                     "BroadcastNestedLoopJoin", "CartesianProduct"):
             assert _n_nodes(plan, bad) == 0, (name, bad)
+
+
+def test_scan_dedup_audit_fixed_queries(spark, sf_dir):
+    """Round-8 scan-dedup audit: these queries re-planned their corpus
+    scan once per derived frame (groupBy-then-join-back / uncached
+    reuse) — each is now pinned at its INHERENT scan count (window
+    totals over the aggregated frame, or a cached small frame feeding
+    every consumer)."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    expected = {
+        "chi2_lang_source": 1,       # one contingency pass
+        "freq_event_pairs": 1,       # one basket build (cached)
+        "mad_event_outliers": 2,     # median pass + deviation pass
+        "pmi_collocations": 2,       # unigram leg + bigram leg
+        "stratified_sample_stats": 2,  # count pass + filter pass
+        "user_erasure_audit": 4,     # one per audited table
+    }
+    for name, n in expected.items():
+        plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+        assert _n_nodes(plan, "Scan parquet") == n, (
+            name, _n_nodes(plan, "Scan parquet"))
