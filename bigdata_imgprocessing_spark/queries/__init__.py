@@ -39,6 +39,12 @@ _PRIORITY = [
     # r7 item 3); equidepth_approx_audit is the new approx-percentile
     # variant of the equi-depth histogram (item 7).
     "image_format_ingest", "equidepth_approx_audit",
+    # (2b) NEW this round with zero driver history (registered late in
+    # round 8): the Gopher-style rule panel and the PSI release-drift
+    # audit. Front-loaded so their first CORRECTNESS row lands this
+    # round rather than being flagged as never-checked (the
+    # lsh_incremental_pairs lesson from VERDICT r7).
+    "gopher_quality_rules", "psi_release_drift",
     # (3) the 50 rows whose latest driver check is round 4 —
     # oldest-first refresh rotation (4-round cadence; the few that
     # overflow this round's ~50-row window lead the r9 rotation).

@@ -399,11 +399,20 @@ def approx_balance_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             1 + F.size(F.filter("bounds", lambda b: F.col("c_acctbal") > b))
         ).alias("decile"),
     )
-    per_decile = bucketed.groupBy("decile").agg(
-        F.count("*").alias("_n_customers")
+    # n_total = whole-frame window sum over the 10-row decile frame —
+    # the separate count(*) agg re-planned a third table scan (r8
+    # scan-dedup audit; the docstring's "two scans" now holds).
+    from pyspark.sql import Window
+
+    per_decile = (
+        bucketed.groupBy("decile")
+        .agg(F.count("*").alias("_n_customers"))
+        .withColumn(
+            "n_total",
+            F.sum("_n_customers").over(Window.partitionBy()).cast("bigint"),
+        )
     )
-    total = c.agg(F.count("*").alias("n_total"))
-    return per_decile.crossJoin(F.broadcast(total)).select(
+    return per_decile.select(
         F.col("decile").cast("long").alias("decile"),
         (
             F.abs(F.col("_n_customers") - F.col("n_total") / 10.0)
@@ -557,12 +566,18 @@ def bloom_prefilter_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     _M = 131072  # 2^17 slots
     e = table(spark, sf_dir, "events")
     bucket = F.pmod(F.xxhash64("user_id"), F.lit(_M))
+    # cached: the distinct-reduced member-key set feeds BOTH the sketch
+    # build and the exactness audit join — uncached reuse re-planned
+    # the events scan a third time (r8 scan-dedup audit; 2 scans
+    # remain: the member pass and the probe pass). In production this
+    # set is persisted anyway — it IS the filter's build input.
     purch = (
         e.where(
             (F.col("event_type") == "purchase") & (F.col("user_id") % 3 == 0)
         )
         .select("user_id")
         .distinct()
+        .cache()
     )
     sketch = purch.select(bucket.alias("b")).agg(
         F.sort_array(F.collect_set("b")).alias("bset")

@@ -323,25 +323,28 @@ def keyword_lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document most-characteristic term by tf·idf (keyword
     extraction for training-data curation). Three shuffles total:
-    (doc,term) tf agg, term df agg, and the per-doc top-1 window; the
-    corpus size joins in as a broadcast 1-row agg, never a collect.
-    Ties (e.g. score 0 when a term spans every doc) break on term
-    order so both engines pick the same row."""
+    (doc,term) tf agg, the term-partitioned df WINDOW, and the per-doc
+    top-1 window; the corpus size joins in as a broadcast 1-row agg
+    (a column-pruned count scan), never a collect. Ties (e.g. score 0
+    when a term spans every doc) break on term order so both engines
+    pick the same row.
+
+    Scale: the df leg rides the tf frame as a window over the SAME
+    term key the old groupBy-then-join-back shuffled on — same shuffle
+    count, one fewer corpus scan and no vocab join (the r8 scan-dedup
+    audit: 3 scans → 2, and the count scan reads zero columns)."""
+    from pyspark.sql import Window
+
     d = table(spark, sf_dir, "documents")
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("term"))
     tf = tok.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
+    tf = tf.withColumn("df", F.count("*").over(Window.partitionBy("term")))
     n = d.agg(F.count("*").alias("n"))
-    scored = (
-        tf.join(dfreq, "term")
-        .crossJoin(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("score"),
-        )
+    scored = tf.crossJoin(F.broadcast(n)).select(
+        "doc_id",
+        "term",
+        (F.col("tf") * F.log(F.col("n") / F.col("df"))).alias("score"),
     )
-    from pyspark.sql import Window
 
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     return (

@@ -411,9 +411,13 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB is exactly one pass per key after the calendar join."""
     all_events = table(spark, sf_dir, "events")
     e = all_events.where(F.col("user_id") % 50 == 0)
+    # cached: the (sampled-user x day)-bounded daily frame feeds both
+    # the grid join and the user dim — deriving users from the raw
+    # filtered scan re-planned the events scan a third time (r8
+    # scan-dedup audit; 2 scans remain — sampled pass + global bounds).
     daily = e.groupBy(
         "user_id", F.date_trunc("day", "ts").alias("d")
-    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v"))
+    ).agg(F.max_by("value", F.struct("ts", "event_id")).alias("v")).cache()
     # Calendar bounds deliberately come from the UNFILTERED table: the
     # fill grid is the global observation window, not the sampled
     # users' window (which could be narrower on sparser data).
@@ -424,7 +428,7 @@ def locf_daily_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     days = bounds.select(
         F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("d")
     )
-    users = e.select("user_id").distinct()
+    users = daily.select("user_id").distinct()
     grid = users.crossJoin(F.broadcast(days)).join(
         daily, ["user_id", "d"], "left"
     )

@@ -620,11 +620,16 @@ def test_scan_dedup_audit_fixed_queries(spark, sf_dir):
     from bigdata_imgprocessing_spark.queries import QUERIES
 
     expected = {
+        "approx_balance_deciles": 2,  # sketch pass + bucket pass
+        "bloom_prefilter_stats": 2,  # member pass (cached) + probe pass
         "chi2_lang_source": 1,       # one contingency pass
+        "dq_expectations": 5,        # one per audited table
         "freq_event_pairs": 1,       # one basket build (cached)
+        "locf_daily_values": 2,      # sampled pass + global bounds
         "mad_event_outliers": 2,     # median pass + deviation pass
         "pmi_collocations": 2,       # unigram leg + bigram leg
         "stratified_sample_stats": 2,  # count pass + filter pass
+        "tfidf_top_terms": 2,        # token pass + zero-column count
         "user_erasure_audit": 4,     # one per audited table
     }
     for name, n in expected.items():
