@@ -152,3 +152,77 @@ def min_label_propagation(
             .localCheckpoint()
         )
     return labels
+
+
+def kcore_peel(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 2,
+    rounds: int = 3,
+) -> list[tuple[int, int, int]]:
+    """Synchronous FIXED-ROUND k-core peeling: (src, dst) undirected
+    edges → per-round [(round, n_alive, n_edges_alive)] for rounds
+    0..``rounds``. Round r+1 keeps exactly the alive nodes whose degree
+    WITHIN the round-r alive set is >= k (all removals in a round are
+    simultaneous — the Matula/Beck peeling step, iterated a fixed
+    number of times instead of to the degeneracy fixpoint). The third
+    iterative-graph shape next to ``connected_components`` (closure)
+    and ``min_label_propagation`` (bounded spread): peeling measures
+    DENSITY — pendant chains of a near-dup cluster melt off while its
+    k-connected core survives, which is how a dedup review separates
+    "hub document with many weak matches" from "genuinely mutually
+    duplicated block". Fixed rounds keep it R-fold-join expressible so
+    a chained-CTE oracle can replay every synchronous step.
+
+    Returns driver-side counts (2 scalars per round — the per-round
+    aggregate IS the result; the alive frames never leave the
+    executors). Scale: per round one node-keyed shuffle of the sparse
+    symmetric edge list plus two graph-sized semi joins;
+    localCheckpoint per round cuts iterative lineage growth."""
+    from ..core.session import cache_parallelism
+
+    cores = cache_parallelism(edges.sparkSession)
+    pairs = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("pa"),
+            F.greatest(F.col(src), F.col(dst)).alias("pb"),
+        )
+        .where(F.col("pa") != F.col("pb"))  # canonical undirected, no loops
+        .distinct()
+        .localCheckpoint()
+    )
+    sym = (
+        pairs.select(F.col("pa").alias("a"), F.col("pb").alias("b"))
+        .union(pairs.select(F.col("pb").alias("a"), F.col("pa").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = sym.count()
+    width = max(1, min(cores, n_edges // 50_000))
+    sym = sym.coalesce(width)
+    alive = (
+        sym.select(F.col("a").alias("node")).distinct().coalesce(width).localCheckpoint()
+    )
+    out: list[tuple[int, int, int]] = []
+    for r in range(rounds + 1):
+        n_alive = alive.count()
+        n_edges_alive = (
+            pairs.join(alive, pairs.pa == alive.node, "semi")
+            .join(alive, pairs.pb == alive.node, "semi")
+            .count()
+        )
+        out.append((r, n_alive, n_edges_alive))
+        if r == rounds:
+            break
+        alive = (
+            sym.join(alive, sym.a == alive.node, "semi")
+            .join(alive, sym.b == alive.node, "semi")
+            .groupBy("a")
+            .agg(F.count("*").alias("deg"))
+            .where(F.col("deg") >= k)
+            .select(F.col("a").alias("node"))
+            .coalesce(width)
+            .localCheckpoint()
+        )
+    return out

@@ -44,7 +44,7 @@ _PRIORITY = [
     # audit. Front-loaded so their first CORRECTNESS row lands this
     # round rather than being flagged as never-checked (the
     # lsh_incremental_pairs lesson from VERDICT r7).
-    "gopher_quality_rules", "psi_release_drift",
+    "gopher_quality_rules", "psi_release_drift", "kcore_neardup",
     # (3) the 50 rows whose latest driver check is round 4 —
     # oldest-first refresh rotation (4-round cadence; the few that
     # overflow this round's ~50-row window lead the r9 rotation).

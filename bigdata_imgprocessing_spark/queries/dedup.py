@@ -791,6 +791,73 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KCORE_K = 2
+_KCORE_ROUNDS = 3
+
+# one chained CTE per synchronous peel round: alive_{r+1} = nodes of
+# alive_r whose degree WITHIN alive_r is >= k (both endpoints filtered
+# before counting, removals simultaneous)
+_DUCK_KCORE_CHAIN = "".join(
+    f""",
+    alive{r + 1} AS (
+        SELECT s.a AS node FROM sym s
+        JOIN alive{r} x ON s.a = x.node
+        JOIN alive{r} y ON s.b = y.node
+        GROUP BY s.a HAVING count(*) >= {_KCORE_K}
+    )"""
+    for r in range(_KCORE_ROUNDS)
+)
+
+_DUCK_KCORE_ROWS = " UNION ALL ".join(
+    f"""SELECT CAST({r} AS BIGINT) AS peel_round,
+           (SELECT CAST(count(*) AS BIGINT) FROM alive{r}) AS n_alive,
+           (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+            JOIN alive{r} x ON p.doc_a = x.node
+            JOIN alive{r} y ON p.doc_b = y.node) AS n_edges_alive"""
+    for r in range(_KCORE_ROUNDS + 1)
+)
+
+
+@query(
+    "kcore_neardup",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    alive0 AS (SELECT DISTINCT a AS node FROM sym){_DUCK_KCORE_CHAIN}
+    {_DUCK_KCORE_ROWS}
+    """,
+)
+def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round k-core peeling over the LSH near-dup graph
+    (``operators/components.kcore_peel``, k=2, 3 synchronous rounds):
+    per round, how many nodes and verified pairs survive when nodes
+    with alive-degree < k are peeled simultaneously. The DENSITY screen
+    of the graph-operator trio (closure = reachability, LPA = bounded
+    spread, peeling = cohesion): pendant near-dup matches melt off
+    round by round while mutually-duplicated blocks (triangles and
+    denser) persist — the reviewer's signal for "hub doc with weak
+    matches" vs "genuinely replicated block". The oracle replays every
+    peel round as a chained CTE, so hash parity pins the synchronous
+    removal semantics per round, not just the final core.
+
+    Scale: per round one node-keyed shuffle of the sparse symmetric
+    pair list plus graph-sized semi joins; per-round state is node ids
+    only; localCheckpoint cuts iterative lineage (the pagerank/CC
+    lesson). Output is 2 scalars per round via bounded 1-row driver
+    aggregates — rounds are a constant, the graph never leaves the
+    executors."""
+    from ..operators.components import kcore_peel
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    rows = kcore_peel(pairs, "doc_a", "doc_b", k=_KCORE_K, rounds=_KCORE_ROUNDS)
+    return spark.createDataFrame(
+        rows, "peel_round bigint, n_alive bigint, n_edges_alive bigint"
+    )
+
+
 @query(
     "winnowing_fingerprints",
     oracle="""

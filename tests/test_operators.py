@@ -498,3 +498,66 @@ def test_semdedup_prune_ledger_consistent(spark, sf_dir):
     assert all(r.n_kept + r.n_removed == r.n_vecs for r in rows)
     assert all(r.n_kept >= 1 for r in rows)  # a ball keeps its anchor
     assert sum(r.n_removed for r in rows) > 0
+
+
+def _peel_reference(edges, k, rounds):
+    """Sequential synchronous Matula/Beck peeling: per round, remove ALL
+    nodes whose degree within the current alive set is < k at once."""
+    sym = set()
+    for a, b in edges:
+        if a != b:
+            sym.add((a, b))
+            sym.add((b, a))
+    alive = {v for e in sym for v in e}
+    pairs = {(a, b) for a, b in sym if a < b}
+    out = []
+    for r in range(rounds + 1):
+        n_edges = sum(1 for a, b in pairs if a in alive and b in alive)
+        out.append((r, len(alive), n_edges))
+        if r == rounds:
+            break
+        deg = {}
+        for a, b in sym:
+            if a in alive and b in alive:
+                deg[a] = deg.get(a, 0) + 1
+        alive = {v for v in alive if deg.get(v, 0) >= k}
+    return out
+
+
+def test_kcore_peel_pendant_chain_melts(spark):
+    """Peeling semantics on the canonical fixture: a triangle with a
+    pendant chain. At k=2 the chain melts one node per synchronous
+    round (only the current endpoint has alive-degree < 2) while the
+    triangle survives every round."""
+    from bigdata_imgprocessing_spark.operators.components import kcore_peel
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5), (5, 6)],
+        "src bigint, dst bigint",
+    )
+    assert kcore_peel(edges, k=2, rounds=3) == [
+        (0, 6, 6),
+        (1, 5, 5),
+        (2, 4, 4),
+        (3, 3, 3),
+    ]
+
+
+def test_kcore_peel_random_vs_reference(spark):
+    """Seeded random graphs (with duplicate and reversed edges thrown
+    in) checked against the sequential synchronous-peel reference for
+    k in {2, 3} — every round's (n_alive, n_edges_alive) must match,
+    pinning the all-removals-simultaneous semantics."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.components import kcore_peel
+
+    rng = random.Random(7)
+    for n, m, k in [(20, 30, 2), (25, 50, 3), (30, 25, 2)]:
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        raw += [(b, a) for a, b in raw[: m // 4]]  # reversed dups
+        edges = [(a, b) for a, b in raw if a != b]
+        df = spark.createDataFrame(edges, "src bigint, dst bigint")
+        got = kcore_peel(df, k=k, rounds=3)
+        want = _peel_reference(edges, k, 3)
+        assert got == want, f"n={n} m={m} k={k}"
