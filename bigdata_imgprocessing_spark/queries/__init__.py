@@ -45,6 +45,7 @@ _PRIORITY = [
     # round rather than being flagged as never-checked (the
     # lsh_incremental_pairs lesson from VERDICT r7).
     "gopher_quality_rules", "psi_release_drift", "kcore_neardup",
+    "component_safe_split",
     # (3) the 50 rows whose latest driver check is round 4 —
     # oldest-first refresh rotation (4-round cadence; the few that
     # overflow this round's ~50-row window lead the r9 rotation).

@@ -756,6 +756,124 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SPLIT_CASE_GRP = """CASE WHEN (('0x' || substr(md5(CAST(grp AS VARCHAR) || '_split'), 1, 10))::UBIGINT % 100) < 90 THEN 'train'
+                 WHEN (('0x' || substr(md5(CAST(grp AS VARCHAR) || '_split'), 1, 10))::UBIGINT % 100) < 95 THEN 'val'
+                 ELSE 'test' END"""
+
+
+@query(
+    "component_safe_split",
+    oracle=f"""
+    WITH RECURSIVE {_DUCK_PAIRS_CTES},
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    walk(node, reach) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.doc_id, COALESCE(c.comp, d.doc_id) AS grp
+        FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    ),
+    split_l AS (
+        SELECT doc_id, grp, {_SPLIT_CASE_GRP} AS split FROM labeled
+    ),
+    per_split AS (
+        SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT grp) AS BIGINT) AS n_components
+        FROM split_l GROUP BY split
+    ),
+    audit AS (
+        SELECT CAST(coalesce(sum(CASE WHEN ca.split != cb.split
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS comp_cross_pairs,
+               CAST(coalesce(sum(CASE WHEN {_SPLIT_CASE_A} != {_SPLIT_CASE_B}
+                                      THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS naive_cross_pairs
+        FROM pairs p
+        JOIN split_l ca ON p.doc_a = ca.doc_id
+        JOIN split_l cb ON p.doc_b = cb.doc_id
+    )
+    SELECT s.split, s.n_docs, s.n_components,
+           a.comp_cross_pairs, a.naive_cross_pairs
+    FROM per_split s CROSS JOIN audit a
+    """,
+)
+def component_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-SAFE train/val/test assignment — the fix for what
+    `split_leakage_audit` measures: hash the near-dup COMPONENT
+    representative (LSH verified pairs → ``connected_components``
+    closure; singletons are their own representative), not the doc id,
+    so every near-dup cluster lands whole in one split and
+    train→test contamination is zero BY CONSTRUCTION. Emits per-split
+    doc/component counts plus two audit scalars replicated across the
+    rows: `comp_cross_pairs` (verified pairs crossing splits under the
+    component hash — provably 0, computed anyway as the self-audit) and
+    `naive_cross_pairs` (the same pairs under the per-doc hash of
+    `doc_split_stats` — the leakage this op eliminates; non-zero on
+    this corpus, which keeps the contrast inside the driver hash).
+
+    Scale: pair generation is the shared candidate-bounded LSH path;
+    the closure shuffles only the sparse pair graph; split labeling is
+    a left join of the corpus against the component map (graph-sized,
+    ≪ corpus) plus a pure-projection hash — no extra corpus scan
+    beyond the labeling join, and the audit joins touch pairs only.
+    The oracle replays the closure as a recursive CTE and the split as
+    the same md5 bucket, so hash parity pins both the component
+    assignment and the zero-leak contract."""
+    from ..operators.components import connected_components
+
+    pairs = (
+        _lsh_verified_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .cache()
+    )
+    comp = connected_components(pairs, "doc_a", "doc_b")
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    grp = F.coalesce(F.col("comp"), F.col("doc_id"))
+    labeled = (
+        d.join(comp, d.doc_id == comp.node, "left")
+        .select(
+            F.col("doc_id"),
+            grp.alias("grp"),
+            _split_of(grp).alias("split"),
+        )
+        .cache()
+    )
+    per_split = labeled.groupBy("split").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("grp").alias("n_components"),
+    )
+    la = labeled.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    lb = labeled.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    audit = (
+        pairs.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .agg(
+            F.coalesce(
+                F.sum((F.col("sa") != F.col("sb")).cast("long")), F.lit(0)
+            ).alias("comp_cross_pairs"),
+            F.coalesce(
+                F.sum(
+                    (
+                        _split_of(F.col("doc_a")) != _split_of(F.col("doc_b"))
+                    ).cast("long")
+                ),
+                F.lit(0),
+            ).alias("naive_cross_pairs"),
+        )
+    )
+    return per_split.crossJoin(F.broadcast(audit))
+
+
 
 
 
