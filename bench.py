@@ -214,6 +214,8 @@ HEADLINE = [
     "equidepth_approx_audit",
     "gopher_quality_rules",
     "psi_release_drift",
+    "kcore_neardup",
+    "component_safe_split",
 ]
 
 
