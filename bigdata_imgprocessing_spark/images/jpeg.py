@@ -24,11 +24,11 @@ and decoder are implemented from the published spec with nothing but
   convention, RGB output). Progressive (SOF2) streams route to the
   sibling from-spec decoder in ``images/jpeg_progressive.py`` and
   lossless (SOF3) to ``images/jpeg_lossless.py``; 12-bit EXTENDED
-  sequential (SOF1) grayscale decodes natively with a documented >>4
-  uint8 output contract (the viewer convention — engine arrays are
-  uint8); 12-bit color and arithmetic/hierarchical streams raise
-  NotImplementedError — the same explicit gating as the other codecs'
-  unsupported variants.
+  sequential (SOF1) gray AND YCbCr color decode natively with a
+  documented >>4 uint8 output contract (the viewer convention —
+  engine arrays are uint8); 12-bit CMYK and arithmetic/hierarchical
+  streams raise NotImplementedError — the same explicit gating as the
+  other codecs' unsupported variants.
 - **Encoder**: SOF0 4:4:4 / 4:2:2 / 4:2:0 (or grayscale), JFIF APP0,
   canonical Huffman tables CONSTRUCTED rather than transcribed (12 DC
   size symbols at code length 4, all 162 AC (run,size) symbols at
@@ -546,27 +546,41 @@ _ENC_AC12 = _canonical_codes(_AC12_BITS, _AC12_VALS)
 def encode_jpeg_12bit(
     arr: np.ndarray, quant: np.ndarray | None = None
 ) -> bytes:
-    """uint16 H×W grayscale with 12-bit samples (0..4095) → extended
-    sequential (SOF1) JPEG. The matching decode path returns uint8 via
-    >>4 (engine arrays are uint8), so round-trip equals ``arr >> 4``
-    exactly for DC-flat content and within DCT rounding otherwise.
-    Exists so the 12-bit decode path is testable without external
-    fixtures (12-bit files are medical/raw exports)."""
+    """uint16 12-bit samples (0..4095) → extended sequential (SOF1)
+    JPEG: H×W grayscale, or H×W×3 RGB stored as 4:4:4 YCbCr with
+    chroma centered at 2048 (the 12-bit analogue of the 8-bit 128
+    center). The matching decode path returns uint8 via >>4 (engine
+    arrays are uint8), so round-trip equals ``arr >> 4`` exactly for
+    DC-flat gray and within one count otherwise. Exists so the 12-bit
+    decode paths are testable without external fixtures (12-bit files
+    are medical/raw exports)."""
     a = np.ascontiguousarray(arr, dtype=np.uint16)
-    if a.ndim != 2:
-        raise ValueError(f"12-bit encode is grayscale-only, got {a.shape}")
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
+        raise ValueError(f"12-bit encode needs HxW or HxWx3, got {a.shape}")
     if a.max() > 4095:
         raise ValueError("12-bit samples must be in [0, 4095]")
-    h, w = a.shape
+    h, w = a.shape[:2]
     q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
     if q.max() > 255 or q.min() < 1:
         raise ValueError("quant table values must be in [1, 255]")
     mcx, mcy = -(-w // 8), -(-h // 8)
+    if a.ndim == 2:
+        planes = [a.astype(np.float64)]
+    else:
+        r, g, b = (a[:, :, c].astype(np.float64) for c in range(3))
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            2048.0 - 0.168736 * r - 0.331264 * g + 0.5 * b,
+            2048.0 + 0.5 * r - 0.418688 * g - 0.081312 * b,
+        ]
+    nc = len(planes)
 
     out = bytearray(b"\xff\xd8")
     out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
-    out += _seg(0xC1, struct.pack(">BHHB", 12, h, w, 1)
-                + struct.pack(">BBB", 1, 0x11, 0))
+    sof = struct.pack(">BHHB", 12, h, w, nc)
+    for cid in range(1, nc + 1):
+        sof += struct.pack(">BBB", cid, 0x11, 0)  # 1x1 sampling, qtable 0
+    out += _seg(0xC1, sof)
     out += _seg(
         0xC4,
         bytes([0x00]) + bytes(_DC12_BITS) + bytes(_DC12_VALS),
@@ -575,20 +589,28 @@ def encode_jpeg_12bit(
         0xC4,
         bytes([0x10]) + bytes(_AC12_BITS) + bytes(_AC12_VALS),
     )
-    out += _seg(0xDA, struct.pack(">BBB", 1, 1, 0x00) + b"\x00\x3f\x00")
+    sos = struct.pack(">B", nc)
+    for cid in range(1, nc + 1):
+        sos += struct.pack(">BB", cid, 0x00)
+    out += _seg(0xDA, sos + b"\x00\x3f\x00")
 
     qf = q.reshape(8, 8).astype(np.float64)
-    blocks = _blocks(a.astype(np.float64) - 2048.0, mcy, mcx)
-    coeff = np.einsum("ij,vhjk,lk->vhil", _T, blocks, _T)
-    zzq = np.round(coeff / qf).astype(np.int64)
+    comp_blocks = [
+        np.round(
+            np.einsum("ij,vhjk,lk->vhil", _T, _blocks(p - 2048.0, mcy, mcx), _T)
+            / qf
+        ).astype(np.int64)
+        for p in planes
+    ]
     bw_ = _BitWriter()
-    prev = 0
+    prev_dc = [0] * nc
     for bv in range(mcy):
         for bh_ in range(mcx):
-            prev = _emit_block(
-                bw_, zzq[bv, bh_].reshape(64)[_ZIGZAG], prev,
-                enc_dc=_ENC_DC12, enc_ac=_ENC_AC12,
-            )
+            for c in range(nc):
+                prev_dc[c] = _emit_block(
+                    bw_, comp_blocks[c][bv, bh_].reshape(64)[_ZIGZAG],
+                    prev_dc[c], enc_dc=_ENC_DC12, enc_ac=_ENC_AC12,
+                )
     bw_.flush()
     out += bw_.out
     out += b"\xff\xd9"
@@ -706,14 +728,14 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec == 12:
                 # 12-bit EXTENDED sequential (SOF1 only — baseline SOF0
-                # is 8-bit by definition, B.2.2). Grayscale decodes
-                # natively with the documented >>4 uint8 output
-                # contract; 12-bit color stays gated (unseen outside
-                # the 3-channel medical exotics).
+                # is 8-bit by definition, B.2.2). Gray and YCbCr color
+                # decode natively with the documented >>4 uint8 output
+                # contract; 12-bit CMYK stays gated (never seen in the
+                # wild — Adobe 4-component exports are 8-bit).
                 if marker != 0xC1:
                     raise ValueError("12-bit precision requires SOF1")
-                if nc != 1:
-                    raise NotImplementedError("12-bit color JPEG")
+                if nc == 4:
+                    raise NotImplementedError("12-bit CMYK JPEG")
             elif prec != 8:
                 raise NotImplementedError(f"only 8/12-bit JPEG (precision={prec})")
             if nc not in (1, 3, 4):
@@ -829,6 +851,17 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             axis=2,
         )
         return np.clip(rgb.round(), 0, 255).astype(np.uint8)
+    if prec == 12:
+        # 12-bit YCbCr: chroma centered at 2048, reconstruct in 12-bit
+        # units, then the same >>4 uint8 output contract as gray
+        y_, cb_, cr_ = crops[0], crops[1], crops[2]
+        r = y_ + 1.402 * (cr_ - 2048.0)
+        g = y_ - 0.344136 * (cb_ - 2048.0) - 0.714136 * (cr_ - 2048.0)
+        b = y_ + 1.772 * (cb_ - 2048.0)
+        rgb12 = np.clip(
+            np.stack([r, g, b], axis=2).round(), 0, 4095
+        ).astype(np.int64)
+        return (rgb12 >> 4).astype(np.uint8)
     return _ycbcr_to_rgb(crops[0], crops[1], crops[2])
 
 

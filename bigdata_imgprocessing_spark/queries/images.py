@@ -162,6 +162,16 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
             return encode_jpeg(
                 np.full((2, 2, 3), g, dtype=np.uint8), scan_mode="partial"
             )
+        if vid % 48 == 11:
+            # 12-bit SOF1 COLOR leg (r8): flat RGB at mid-bin 12-bit
+            # values (px*16 + 8), so the >>4 output contract recovers
+            # the three pixel bytes exactly (flat DC reconstruction
+            # error << 8) — oracle is _px(1..3) directly
+            from ..images.jpeg import encode_jpeg_12bit
+
+            v12 = np.zeros((2, 2, 3), dtype=np.uint16)
+            v12[:, :] = px[0, 0].astype(np.uint16) * 16 + 8
+            return encode_jpeg_12bit(v12)
         return enc_fn(np.full((2, 2, 3), g, dtype=np.uint8))
 
     return pd.Series(map(enc, zip(vec_id, emb)))
@@ -261,12 +271,12 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 END), 4) AS avg_c0,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
                      WHEN vec_id % 48 = 29 THEN ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0
-                     WHEN vec_id % 48 = 35 THEN {_px(2)}
+                     WHEN vec_id % 48 IN (35, 11) THEN {_px(2)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 END), 4) AS avg_c1,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
                      WHEN vec_id % 48 = 29 THEN ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0
-                     WHEN vec_id % 48 = 35 THEN {_px(3)}
+                     WHEN vec_id % 48 IN (35, 11) THEN {_px(3)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 END), 4) AS avg_c2
     FROM embeddings GROUP BY label
@@ -291,8 +301,10 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     r8-native decode paths each hold a hash-checked slot: LOSSLESS
     SOF3 with full arbitrary pixel content (%48==29 — exact by
     construction), Adobe CMYK with flat per-channel planes (%48==35 —
-    RGB = stored C,M,Y at K=255), and the partially interleaved scan
-    script on flat gray (%48==5). Mirrors the
+    RGB = stored C,M,Y at K=255), the partially interleaved scan
+    script on flat gray (%48==5), and 12-bit SOF1 COLOR at mid-bin
+    12-bit values so the >>4 contract recovers the pixel bytes
+    exactly (%48==11). Mirrors the
     reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
     where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")

@@ -147,16 +147,19 @@ def test_decoder_gates_and_corruption_contract_for_sof_variants():
     twelve[sof + 2 + 2] = 12  # SOF payload precision byte
     with pytest.raises(ValueError):
         decode_jpeg(bytes(twelve))
-    # genuine gates: odd precisions, 12-bit color, arithmetic coding
+    # genuine gates: odd precisions, 12-bit CMYK, arithmetic coding
     ten = bytearray(buf)
     ten[sof + 2 + 2] = 10
     with pytest.raises(NotImplementedError, match="only 8/12-bit"):
         decode_jpeg(bytes(ten))
-    twelve_color = bytearray(buf)
-    twelve_color[sof + 1] = 0xC1
-    twelve_color[sof + 2 + 2] = 12  # SOF1 + 12-bit but 3 components
-    with pytest.raises(NotImplementedError, match="12-bit color"):
-        decode_jpeg(bytes(twelve_color))
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_cmyk
+
+    cbuf = bytearray(encode_jpeg_cmyk(np.full((8, 8, 4), 200, np.uint8)))
+    csof = cbuf.find(bytes([0xFF, 0xC0]))
+    cbuf[csof + 1] = 0xC1
+    cbuf[csof + 2 + 2] = 12  # SOF1 + 12-bit with 4 components
+    with pytest.raises(NotImplementedError, match="12-bit CMYK"):
+        decode_jpeg(bytes(cbuf))
     arith = bytes(buf[:sof + 1]) + b"\xc9" + bytes(buf[sof + 2:])
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
@@ -177,6 +180,31 @@ def test_12bit_extended_sequential_gray():
     out = decode_jpeg(encode_jpeg_12bit(g)).astype(int)
     assert np.abs(out - (g >> 4).astype(int)).max() <= 1
     buf = encode_jpeg_12bit(g)
+    with pytest.raises(ValueError):
+        decode_jpeg(buf[: len(buf) // 2])
+
+
+def test_12bit_extended_sequential_color():
+    """12-bit SOF1 RGB (stored 4:4:4 YCbCr, chroma centered at 2048)
+    decodes natively under the >>4 uint8 contract: flat patches are
+    EXACT (DC-only planes; the chroma transform round-trips in float),
+    random content is within one count, and a seed sweep over odd
+    sizes holds the bound."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_12bit
+
+    for rgb in ((0, 0, 0), (4095, 4095, 4095), (2048, 1024, 3000),
+                (100, 4000, 700)):
+        img = np.zeros((10, 13, 3), dtype=np.uint16)
+        img[:, :] = rgb
+        dec = decode_jpeg(encode_jpeg_12bit(img)).astype(int)
+        assert (dec == (np.array(rgb, dtype=int) >> 4)).all(), rgb
+    for seed in range(12):
+        rng = np.random.default_rng(seed)
+        h, w = rng.integers(5, 40, 2)
+        img = rng.integers(0, 4096, size=(h, w, 3), dtype=np.uint16)
+        dec = decode_jpeg(encode_jpeg_12bit(img)).astype(int)
+        assert np.abs(dec - (img >> 4).astype(int)).max() <= 1, seed
+    buf = encode_jpeg_12bit(img)
     with pytest.raises(ValueError):
         decode_jpeg(buf[: len(buf) // 2])
 
