@@ -154,6 +154,106 @@ def min_label_propagation(
     return labels
 
 
+def neighborhood_function(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 3,
+    rel_tol: float = 0.08,
+) -> list[tuple[int, int, int, bool]]:
+    """HyperBall-style neighborhood function (Boldi/Vigna, "HyperBall:
+    ... in a fistful of bytes", 2013): per round r, the sum over nodes
+    of |ball_r(v)| — the count of nodes within <= r hops — which is the
+    curve whose knee is the graph's effective diameter. Two legs run in
+    lockstep: the EXACT ball sizes via iterated frontier expansion over
+    distinct (v, u) reach pairs, and the HyperBall leg proper — one HLL
+    sketch per node, each round unioned with the neighbors' sketches
+    (``hll_union_agg``), which is the representation that scales: at
+    100 TB the exact reach-pair state is quadratic in ball volume while
+    the sketch state is a fixed few KB per node, and register-wise max
+    makes the union order-insensitive (deterministic regardless of
+    partitioning). Returns [(round, n_nodes, sum_ball_exact, est_ok)]
+    for r in 0..rounds, where est_ok is True iff EVERY node's sketch
+    estimate is within ``rel_tol`` of its exact ball size — the audit
+    contract (exact values + pinned boolean) shared with the HLL/KLL
+    sketch queries, run at audit scale before trusting the sketch-only
+    variant on the full corpus.
+
+    Scale: per round one node-keyed shuffle for the sketch union and
+    one for the exact expansion; localCheckpoint per round cuts
+    iterative lineage (the connected-components lesson). Rounds are a
+    constant; only 4 scalars per round reach the driver."""
+    from ..core.session import cache_parallelism
+
+    cores = cache_parallelism(edges.sparkSession)
+    sym = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .where(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = sym.count()
+    width = max(1, min(cores, n_edges // 50_000))
+    sym = sym.coalesce(width)
+    reach = (
+        sym.select(F.col("a").alias("v"))
+        .distinct()
+        .select("v", F.col("v").alias("u"))
+        .coalesce(width)
+        .localCheckpoint()
+    )
+    sk = (
+        reach.groupBy(F.col("v").alias("node"))
+        .agg(F.hll_sketch_agg("v").alias("sk"))
+        .coalesce(width)
+        .localCheckpoint()
+    )
+    out: list[tuple[int, int, int, bool]] = []
+    for r in range(rounds + 1):
+        if r > 0:
+            ext = reach.join(sym, reach.u == sym.a).select(
+                "v", F.col("b").alias("u")
+            )
+            reach = (
+                reach.union(ext).distinct().coalesce(width).localCheckpoint()
+            )
+            nbr = sym.join(sk, sym.b == sk.node).groupBy(
+                F.col("a").alias("node")
+            ).agg(F.hll_union_agg("sk").alias("nsk"))
+            sk = (
+                sk.join(nbr, "node", "left")
+                .select(
+                    "node",
+                    F.when(
+                        F.col("nsk").isNull(), F.col("sk")
+                    ).otherwise(F.hll_union("sk", "nsk")).alias("sk"),
+                )
+                .coalesce(width)
+                .localCheckpoint()
+            )
+        exact = reach.groupBy(F.col("v").alias("node")).agg(
+            F.count("*").alias("ball")
+        )
+        est = sk.select("node", F.hll_sketch_estimate("sk").alias("est"))
+        stats = (
+            exact.join(est, "node")
+            .agg(
+                F.count("*").alias("n_nodes"),
+                F.sum("ball").alias("sum_ball"),
+                F.min(
+                    F.abs(F.col("est") - F.col("ball"))
+                    <= F.lit(rel_tol) * F.col("ball")
+                ).alias("est_ok"),
+            )
+            .collect()[0]
+        )
+        out.append(
+            (r, stats.n_nodes, stats.sum_ball, bool(stats.est_ok))
+        )
+    return out
+
+
 def kcore_peel(
     edges: DataFrame,
     src: str = "src",

@@ -858,6 +858,173 @@ def kcore_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HB_ROUNDS = 3
+
+# one chained CTE per expansion round: ball_{r+1}(v) = ball_r(v) plus
+# every neighbor of a node already in ball_r(v) (UNION dedups)
+_DUCK_HB_CHAIN = "".join(
+    f""",
+    ball{r + 1} AS (
+        SELECT v, u FROM ball{r}
+        UNION
+        SELECT p.v, s.b FROM ball{r} p JOIN sym s ON p.u = s.a
+    )"""
+    for r in range(_HB_ROUNDS)
+)
+
+_DUCK_HB_ROWS = " UNION ALL ".join(
+    f"""SELECT CAST({r} AS BIGINT) AS reach_round,
+           (SELECT CAST(count(DISTINCT v) AS BIGINT) FROM ball{r}) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM ball{r}) AS sum_ball,
+           TRUE AS est_ok"""
+    for r in range(_HB_ROUNDS + 1)
+)
+
+
+@query(
+    "hyperball_reach",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    ball0 AS (SELECT DISTINCT a AS v, a AS u FROM sym){_DUCK_HB_CHAIN}
+    {_DUCK_HB_ROWS}
+    """,
+)
+def hyperball_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Neighborhood function of the LSH near-dup graph
+    (``operators/components.neighborhood_function``, HyperBall —
+    Boldi/Vigna 2013): per round r in 0..3, the number of graph nodes
+    and the exact sum of |ball_r(v)| (nodes within <= r hops), plus the
+    audit boolean pinning that the HLL-sketch leg — one
+    ``hll_sketch_agg`` sketch per node, ``hll_union_agg``-merged with
+    neighbor sketches each round — estimates EVERY node's ball within
+    8%. The N(r) curve's knee is the dup graph's effective diameter:
+    flat by round 2 means near-dup clusters are tight blocks (safe to
+    dedup by closure); still climbing at round 3 means long chains —
+    the transitive-closure-will-overmerge warning a curation review
+    needs before ``neardup_component_dedup`` collapses them.
+
+    The fourth iterative-graph shape next to closure (CC), bounded
+    spread (LPA), and density peeling (k-core) — this one measures
+    REACH VOLUME, and it is the only one whose per-node state is a
+    mergeable sketch rather than a scalar, i.e. the only one that still
+    works when ball sizes explode: at 100 TB the exact reach-pair leg
+    is the audit-scale oracle, the fixed-KB-per-node sketch leg is the
+    production path. The DuckDB oracle replays the exact expansion as
+    chained CTEs and pins the booleans TRUE.
+
+    Scale: per round one node-keyed shuffle for the sketch union
+    (register-wise max — order-insensitive, deterministic under any
+    partitioning) and one for the exact leg; localCheckpoint per round
+    cuts iterative lineage; 4 scalars per round reach the driver."""
+    from ..operators.components import neighborhood_function
+
+    pairs = _lsh_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    rows = neighborhood_function(pairs, "doc_a", "doc_b", rounds=_HB_ROUNDS)
+    return spark.createDataFrame(
+        rows,
+        "reach_round bigint, n_nodes bigint, sum_ball bigint, est_ok boolean",
+    )
+
+
+@query(
+    "sorted_neighbor_lcp",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id, text, string_split(text, ' ') AS w FROM documents
+    ), lagd AS (
+        SELECT w,
+               lag(text) OVER (PARTITION BY w[1] ORDER BY text, doc_id)
+                   AS ptext
+        FROM d
+    ), pairs AS (
+        SELECT string_split(ptext, ' ') AS wa, w AS wb
+        FROM lagd WHERE ptext IS NOT NULL
+    ), lcp AS (
+        SELECT len(wa) AS la, len(wb) AS lb,
+               coalesce(nullif(list_position(list_transform(
+                   range(least(len(wa), len(wb))),
+                   i -> wa[i+1] = wb[i+1]), false), 0) - 1,
+                   least(len(wa), len(wb))) AS l
+        FROM pairs
+    )
+    SELECT CASE WHEN l >= 5 THEN '5+' ELSE CAST(l AS VARCHAR) END
+               AS lcp_bucket,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN l = least(la, lb) THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_full_prefix,
+           CAST(sum(CASE WHEN l = la AND l = lb THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_exact_dup
+    FROM lcp GROUP BY 1
+    """,
+)
+def sorted_neighbor_lcp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood prefix-duplicate scan (Hernández/Stolfo
+    merge/purge, SIGMOD'95; the sort step of suffix-array ExactSubstr
+    dedup, Lee et al. 2022, applied at word granularity): sort the
+    corpus, compare each document only with its lexicographic
+    NEIGHBOR, and histogram the longest-common-word-prefix — plus the
+    full-prefix count (one doc's words are a prefix of the other's:
+    the truncation-duplicate class MinHash underrates because the
+    shorter doc contributes few shingles) and the exact-dup count.
+    Turns the O(n²) all-pairs prefix question into one sort: any two
+    docs sharing a k-word prefix (k >= 1) are adjacent-or-connected
+    within their first-word block, so the neighbor LCP histogram is
+    EXACT for buckets >= 1, at sort cost.
+
+    Scale design: blocking on the first word makes the sort
+    embarrassingly parallel — one hash shuffle on the blocking key,
+    then per-block window sort; NO global single-partition ORDER BY
+    window (the naive formulation). The blocking is lossless for this
+    statistic (lcp >= 1 implies equal first words). Skew bound = the
+    most common first word's block; at a 100 TB corpus with Zipfian
+    leading words, re-block the heavy keys on their first TWO words
+    (lossless for lcp >= 2) — the standard salting refinement. LCP
+    itself is a JVM array HOF (first false position over the zipped
+    equality list), map-side, no UDF."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.split("text", " ").alias("w")
+    )
+    win = Window.partitionBy(F.element_at(F.col("w"), 1)).orderBy(
+        "text", "doc_id"
+    )
+    pairs = (
+        d.select("w", F.lag("text").over(win).alias("ptext"))
+        .where(F.col("ptext").isNotNull())
+        .select(F.split("ptext", " ").alias("wa"), F.col("w").alias("wb"))
+    )
+    la, lb = F.size("wa"), F.size("wb")
+    m = F.least(la, lb)
+    matches = F.transform(
+        F.sequence(F.lit(0), m - F.lit(1)),
+        lambda i: F.element_at(F.col("wa"), i + F.lit(1))
+        == F.element_at(F.col("wb"), i + F.lit(1)),
+    )
+    pos = F.array_position(matches, F.lit(False))
+    scored = pairs.select(
+        la.alias("la"),
+        lb.alias("lb"),
+        F.when(pos == 0, m).otherwise(pos - 1).alias("l"),
+    )
+    bucket = (
+        F.when(F.col("l") >= 5, F.lit("5+"))
+        .otherwise(F.col("l").cast("string"))
+    )
+    return scored.groupBy(bucket.alias("lcp_bucket")).agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            (F.col("l") == F.least("la", "lb")).cast("long")
+        ).alias("n_full_prefix"),
+        F.sum(
+            ((F.col("l") == F.col("la")) & (F.col("l") == F.col("lb")))
+            .cast("long")
+        ).alias("n_exact_dup"),
+    )
+
+
 @query(
     "winnowing_fingerprints",
     oracle="""

@@ -640,6 +640,128 @@ def quantized_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dim_truncation_recall",
+    oracle=f"""
+    WITH base AS (
+        SELECT vec_id, embedding,
+               greatest(sqrt(list_sum(list_transform(range(64), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30) AS n64,
+               greatest(sqrt(list_sum(list_transform(range(32), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30) AS n32,
+               greatest(sqrt(list_sum(list_transform(range(16), i -> embedding[i+1]::DOUBLE * embedding[i+1]::DOUBLE))), 1e-30) AS n16
+        FROM embeddings
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qe,
+               n64 AS qn64, n32 AS qn32, n16 AS qn16
+        FROM base WHERE vec_id IN {_QUERY_IDS}
+    ), scored AS (
+        SELECT q.query_id, e.vec_id,
+               round(list_sum(list_transform(range(64), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)) / (e.n64 * q.qn64), 6) AS c64,
+               round(list_sum(list_transform(range(32), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)) / (e.n32 * q.qn32), 6) AS c32,
+               round(list_sum(list_transform(range(16), i -> e.embedding[i+1]::DOUBLE * q.qe[i+1]::DOUBLE)) / (e.n16 * q.qn16), 6) AS c16
+        FROM base e CROSS JOIN q
+        WHERE e.vec_id != q.query_id
+    ), ranked AS (
+        SELECT query_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c64 DESC, vec_id) AS r64,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c32 DESC, vec_id) AS r32,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY c16 DESC, vec_id) AS r16
+        FROM scored
+    )
+    SELECT query_id,
+           CAST(count(*) FILTER (WHERE r64 <= 5 AND r32 <= 5) AS BIGINT) AS n_overlap_d32,
+           count(*) FILTER (WHERE r64 <= 5 AND r32 <= 5) / 5.0 AS recall_d32,
+           CAST(count(*) FILTER (WHERE r64 <= 5 AND r16 <= 5) AS BIGINT) AS n_overlap_d16,
+           count(*) FILTER (WHERE r64 <= 5 AND r16 <= 5) / 5.0 AS recall_d16
+    FROM ranked GROUP BY query_id
+    """,
+)
+def dim_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation recall audit (Kusupati et
+    al., MRL, NeurIPS'22 serving pattern): rank the corpus by cosine
+    over only the FIRST 16 and first 32 of the 64 dims and measure
+    recall@5 of each truncated ranking against the full-dim exact top-5,
+    per query — the measurement behind the two-stage serving trade
+    where a prefix-dim scan shortlists and full dims rerank. The third
+    member of the index-compression audit family next to int8
+    (``quantized_ann_recall``, rounds the VALUES) and PQ
+    (``pq_ann_recall``, rounds the SUBSPACES) — this one drops
+    dimensions outright, the cheapest of the three at serving time
+    because the prefix scan reads 4x/2x fewer bytes per vector.
+
+    Scale design: one corpus scan, never shuffled — truncated norms are
+    per-row map-side projections, the 3-row query side is broadcast,
+    and all three rankings ride the same scored frame (one window pass
+    per truncation level over per-query partitions). Both engines round
+    scores to 6dp and tie-break on vec_id so rank boundaries can't flip
+    on representation noise; truncated norms floor at 1e-30 (a zero
+    PREFIX of a nonzero vector is legal — unguarded it is an
+    engine-divergent 0/0)."""
+    from ..operators.similarity import dot, norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "embedding",
+        norm(F.col("embedding")).alias("n64"),
+        norm(F.slice(F.col("embedding"), 1, 32)).alias("n32"),
+        norm(F.slice(F.col("embedding"), 1, 16)).alias("n16"),
+    )
+    q = F.broadcast(
+        e.where(F.col("vec_id").isin(*_QUERY_IDS)).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            F.col("n64").alias("qn64"),
+            F.col("n32").alias("qn32"),
+            F.col("n16").alias("qn16"),
+        )
+    )
+
+    def tcos(d: int, en: str, qn: str):
+        return F.round(
+            dot(F.slice(F.col("embedding"), 1, d), F.slice(F.col("qe"), 1, d))
+            / (F.col(en) * F.col(qn)),
+            6,
+        )
+
+    scored = (
+        e.crossJoin(q)
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(
+                dot(F.col("embedding"), F.col("qe"))
+                / (F.col("n64") * F.col("qn64")),
+                6,
+            ).alias("c64"),
+            tcos(32, "n32", "qn32").alias("c32"),
+            tcos(16, "n16", "qn16").alias("c16"),
+        )
+    )
+
+    def w(c: str) -> Window:
+        return Window.partitionBy("query_id").orderBy(
+            F.col(c).desc(), F.col("vec_id")
+        )
+
+    ranked = scored.select(
+        "query_id",
+        F.row_number().over(w("c64")).alias("r64"),
+        F.row_number().over(w("c32")).alias("r32"),
+        F.row_number().over(w("c16")).alias("r16"),
+    )
+    hit32 = (F.col("r64") <= 5) & (F.col("r32") <= 5)
+    hit16 = (F.col("r64") <= 5) & (F.col("r16") <= 5)
+    return ranked.groupBy("query_id").agg(
+        F.count(F.when(hit32, 1)).alias("n_overlap_d32"),
+        (F.count(F.when(hit32, 1)) / 5.0).alias("recall_d32"),
+        F.count(F.when(hit16, 1)).alias("n_overlap_d16"),
+        (F.count(F.when(hit16, 1)) / 5.0).alias("recall_d16"),
+    )
+
+
+@query(
     "ivf_search_served",
     oracle=f"""
     WITH flat AS (

@@ -561,3 +561,65 @@ def test_kcore_peel_random_vs_reference(spark):
         got = kcore_peel(df, k=k, rounds=3)
         want = _peel_reference(edges, k, 3)
         assert got == want, f"n={n} m={m} k={k}"
+
+
+def _ball_reference(edges, rounds):
+    """Sequential BFS-ball reference: per round, (n_nodes, sum of
+    |ball_r(v)| over nodes of the symmetrized loop-free graph)."""
+    adj: dict[int, set[int]] = {}
+    for a, b in edges:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    balls = {v: {v} for v in adj}
+    out = [(0, len(adj), len(adj))]
+    for r in range(1, rounds + 1):
+        balls = {
+            v: bal | {u for w in bal for u in adj[w]}
+            for v, bal in balls.items()
+        }
+        out.append((r, len(adj), sum(len(b) for b in balls.values())))
+    return out
+
+
+def test_neighborhood_function_vs_reference(spark):
+    """HyperBall operator vs the sequential BFS-ball reference on
+    seeded random graphs (duplicate/reversed/self-loop edges thrown
+    in): the exact leg must match the reference per round, and the
+    HLL audit boolean must hold (sparse-mode sketches are exact at
+    these ball sizes — an estimate outside 8% means the union wiring
+    is broken, not sketch noise)."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.components import (
+        neighborhood_function,
+    )
+
+    rng = random.Random(11)
+    for n, m in [(20, 25), (30, 45)]:
+        raw = [(rng.randrange(n), rng.randrange(n)) for _ in range(m)]
+        raw += [(b, a) for a, b in raw[: m // 4]]  # reversed dups
+        df = spark.createDataFrame(raw, "src bigint, dst bigint")
+        got = neighborhood_function(df, rounds=3)
+        want = _ball_reference([e for e in raw if e[0] != e[1]], 3)
+        assert [(r, n_, s) for r, n_, s, _ in got] == want, f"n={n} m={m}"
+        assert all(ok for _, _, _, ok in got), f"n={n} m={m} sketch off"
+
+
+def test_neighborhood_function_path_graph(spark):
+    """On a 6-node path the ball sums are analytic: N(0)=6,
+    N(1)=6+2*5=16, N(2)=16+2*4=24, N(3)=24+2*3=30 — pinning that
+    expansion really moves exactly one hop per round."""
+    from bigdata_imgprocessing_spark.operators.components import (
+        neighborhood_function,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src bigint, dst bigint"
+    )
+    got = neighborhood_function(edges, rounds=3)
+    assert [(r, n, s) for r, n, s, _ in got] == [
+        (0, 6, 6), (1, 6, 16), (2, 6, 24), (3, 6, 30),
+    ]
+    assert all(ok for _, _, _, ok in got)

@@ -636,3 +636,29 @@ def test_scan_dedup_audit_fixed_queries(spark, sf_dir):
         plan = _formatted(spark, QUERIES[name](spark, sf_dir))
         assert _n_nodes(plan, "Scan parquet") == n, (
             name, _n_nodes(plan, "Scan parquet"))
+
+
+def test_sorted_neighbor_lcp_blocked_sort(spark, sf_dir):
+    """sorted_neighbor_lcp: the neighbor sort is BLOCKED on the first
+    word — the window exchange must be hashpartitioning, never the
+    all-rows-to-one-task SinglePartition a global ORDER BY window would
+    plan; one documents scan, no joins (LCP is a map-side array HOF)."""
+    plan = _formatted(spark, QUERIES["sorted_neighbor_lcp"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert "SinglePartition" not in plan
+    assert _n_nodes(plan, "Window") == 1
+    for join_op in ("SortMergeJoin", "BroadcastHashJoin",
+                    "ShuffledHashJoin", "CartesianProduct"):
+        assert _n_nodes(plan, join_op) == 0, join_op
+
+
+def test_dim_truncation_recall_broadcast_queries(spark, sf_dir):
+    """dim_truncation_recall: the 3-row query side is broadcast (the
+    corpus is never shuffled for scoring) and all three truncation
+    rankings ride ONE scored frame — exactly 2 embeddings scans
+    (corpus + query side), no cartesian, no row-Python."""
+    plan = _formatted(spark, QUERIES["dim_truncation_recall"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 2
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan

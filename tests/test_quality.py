@@ -318,3 +318,40 @@ def test_psi_terms_bounded_and_nonzero(spark, sf_dir):
     assert all(r["psi_term"] >= 0.0 for r in rows)
     assert sum(r["psi_term"] for r in rows) > 0.0
     assert {r["bin"] for r in rows} <= set(range(6))
+
+
+def test_sorted_neighbor_lcp_fixture(spark, tmp_path):
+    """Pinned corpus for the sorted-neighborhood LCP scan: an exact
+    dup pair, a full-prefix (truncation) pair, a one-word-overlap
+    pair, and a singleton block. Sorted within the 'a' block the
+    neighbor pairs are (dup, dup) lcp=3 exact and (dup, longer)
+    lcp=3 full-prefix; the 'b' block contributes one lcp=1 pair; the
+    singleton contributes nothing."""
+    import duckdb
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    texts = [
+        "a b c",
+        "a b c",
+        "a b c d e f",
+        "b x y",
+        "b z w",
+        "c only",
+    ]
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+            SELECT CAST(i AS BIGINT) AS doc_id, t.t AS text, 'en' AS lang,
+                   'src0' AS source, CAST(len(t.t) AS BIGINT) AS n_chars
+            FROM (SELECT unnest({texts!r}) AS t,
+                         unnest(range({len(texts)})) AS i) t
+        ) TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)
+        """
+    )
+    rows = {
+        r.lcp_bucket: (r.n_pairs, r.n_full_prefix, r.n_exact_dup)
+        for r in QUERIES["sorted_neighbor_lcp"](spark, str(tmp_path)).collect()
+    }
+    assert rows == {"3": (2, 2, 1), "1": (1, 0, 0)}
