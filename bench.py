@@ -216,6 +216,11 @@ HEADLINE = [
     "psi_release_drift",
     "kcore_neardup",
     "component_safe_split",
+    "hyperball_reach",
+    "sorted_neighbor_lcp",
+    "dim_truncation_recall",
+    "k_anonymity_audit",
+    "vocab_growth_curve",
 ]
 
 

@@ -1030,3 +1030,65 @@ def corpus_diff_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "status")
         .agg(F.count("*").alias("n_docs"))
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    WITH g AS (
+        SELECT c_nationkey,
+               CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+               count(*) AS n_rows,
+               count(DISTINCT c_mktsegment) AS n_seg
+        FROM customer GROUP BY 1, 2
+    )
+    SELECT c_nationkey AS nation_key,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(min(n_rows) AS BIGINT) AS min_group_size,
+           CAST(sum(CASE WHEN n_rows < 5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_small_groups,
+           CAST(sum(CASE WHEN n_rows < 5 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS n_rows_at_risk,
+           CAST(sum(CASE WHEN n_rows >= 2 AND n_seg = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_homogeneous
+    FROM g GROUP BY 1
+    """,
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity audit (Sweeney 2002; Machanavajjhala
+    2007) before releasing a training extract: treat (nation,
+    1000-unit balance band) as the quasi-identifier, market segment as
+    the sensitive attribute, and report per nation how many QI groups
+    fall below k=5 (re-identification risk: the rows a release would
+    have to suppress or generalize), how many rows sit in them, and
+    how many groups are sensitive-homogeneous (size >= 2 with a single
+    segment — attribute disclosure even when k holds). The governance
+    sibling of `user_erasure_audit`: that one removes a known person,
+    this one measures whether an "anonymized" extract actually hides
+    everyone else.
+
+    Scale: two-level aggregation — QI-keyed groupBy with map-side
+    partials (the distinct-segment count is per QI group, never
+    global), then a nation rollup; one scan, no joins, output is
+    nation-count-sized. The balance band is floor of an IEEE double
+    quotient — a pure function of the stored double, bit-identical in
+    both engines."""
+    c = table(spark, sf_dir, "customer")
+    g = c.groupBy(
+        "c_nationkey",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_band"),
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.count_distinct("c_mktsegment").alias("n_seg"),
+    )
+    return g.groupBy(F.col("c_nationkey").alias("nation_key")).agg(
+        F.count("*").alias("n_groups"),
+        F.min("n_rows").alias("min_group_size"),
+        F.sum((F.col("n_rows") < 5).cast("long")).alias("n_small_groups"),
+        F.sum(
+            F.when(F.col("n_rows") < 5, F.col("n_rows")).otherwise(F.lit(0))
+        ).alias("n_rows_at_risk"),
+        F.sum(
+            ((F.col("n_rows") >= 2) & (F.col("n_seg") == 1)).cast("long")
+        ).alias("n_homogeneous"),
+    )

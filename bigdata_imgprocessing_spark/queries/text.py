@@ -16,7 +16,7 @@ O(10) rows at any corpus size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.catalog import table
@@ -1013,4 +1013,82 @@ def bpe_apply_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "base_symbols",
         "after1_symbols",
         "after2_symbols",
+    )
+
+
+@query(
+    "vocab_growth_curve",
+    oracle="""
+    WITH mx AS (SELECT max(doc_id) + 1 AS n FROM documents),
+    toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+             WHERE len(string_split(text, ' ')) >= 2),
+    w AS (SELECT doc_id, t[i+1] || ' ' || t[i+2] AS gram
+          FROM toks, UNNEST(range(len(t) - 1)) AS u(i)),
+    fs AS (SELECT gram, min(doc_id) AS first_doc FROM w GROUP BY gram),
+    nd AS (SELECT least(9, (first_doc * 10) // n) AS decile,
+                  count(*) AS n_new
+           FROM fs, mx GROUP BY 1),
+    tok AS (SELECT least(9, (doc_id * 10) // n) AS decile,
+                   count(*) AS n_tok
+            FROM w, mx GROUP BY 1)
+    SELECT t.decile,
+           CAST(coalesce(nd.n_new, 0) AS BIGINT) AS n_new_types,
+           CAST(sum(coalesce(nd.n_new, 0))
+                OVER (ORDER BY t.decile) AS BIGINT) AS vocab_cumulative,
+           CAST(t.n_tok AS BIGINT) AS n_grams
+    FROM tok t LEFT JOIN nd ON t.decile = nd.decile
+    """,
+)
+def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps-law vocabulary growth curve over word-BIGRAM types: per
+    corpus-position decile (doc_id order), the number of bigram types
+    seen for the FIRST time, the cumulative type vocabulary, and the
+    bigram token volume — the V(n) ~ K·n^b curve a tokenizer-training
+    or corpus-mixing review reads to judge whether more data still
+    buys new vocabulary or the corpus has gone repetitive (flat tail =
+    diminishing type yield). The unit is bigrams rather than unigrams
+    because the unigram level is where THIS corpus's curve already
+    tells its story — the ~31-word pool saturates inside decile 0 —
+    while bigram types keep arriving corpus-long; a real deployment
+    picks the n-gram order to match its tokenizer's merge granularity.
+
+    The naive formulation — count distinct types over every prefix —
+    is 10 overlapping corpus-sized DISTINCTs. This one inverts it:
+    first-occurrence position is min(doc_id) PER TYPE (one gram-keyed
+    groupBy with map-side partial mins), and the cumulative vocabulary
+    is a running sum over the 10-row decile frame — the same
+    "aggregate once, window over the tiny frame" shape as
+    `equidepth_price_buckets`. Decile arithmetic is pure integer
+    ((doc_id * 10) div N — no float boundaries); N comes from one
+    bounded 1-row collect so the returned plan stays two linear scans
+    (first-seen pass + token pass), both map-side-combined."""
+    d = table(spark, sf_dir, "documents")
+    n = d.agg(F.max("doc_id")).first()[0] + 1
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + F.lit(1)),
+            F.element_at(words, i + F.lit(2)),
+        ),
+    )
+    w = d.where(F.size(words) >= 2).select(
+        "doc_id", F.explode(grams).alias("gram")
+    )
+    fs = w.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    nd = fs.groupBy(
+        F.least(F.lit(9), F.expr(f"(first_doc * 10) div {n}")).alias("decile")
+    ).agg(F.count("*").alias("n_new"))
+    tok = w.groupBy(
+        F.least(F.lit(9), F.expr(f"(doc_id * 10) div {n}")).alias("decile")
+    ).agg(F.count("*").alias("n_tok"))
+    win = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return tok.join(nd, "decile", "left").select(
+        "decile",
+        F.coalesce("n_new", F.lit(0)).alias("n_new_types"),
+        F.sum(F.coalesce("n_new", F.lit(0))).over(win).alias(
+            "vocab_cumulative"
+        ),
+        F.col("n_tok").alias("n_grams"),
     )
