@@ -221,6 +221,7 @@ HEADLINE = [
     "dim_truncation_recall",
     "k_anonymity_audit",
     "vocab_growth_curve",
+    "streaming_lsh_ingest",
 ]
 
 

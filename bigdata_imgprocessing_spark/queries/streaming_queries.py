@@ -241,13 +241,15 @@ def streaming_foreachbatch_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-def _fingerprinted_tmp(sf_dir: str, prefix: str) -> str:
+def _fingerprinted_tmp(sf_dir: str, prefix: str, src: str = "events") -> str:
     """Per-corpus-version /tmp dir: token = source mtime+size, so
-    regenerated testdata never reads a stale sink."""
+    regenerated testdata never reads a stale sink. ``src`` is the table
+    the feed is actually staged from (fingerprint what you consume —
+    a documents-only scale corpus has no events.parquet)."""
     import hashlib as _h
     import os as _os
 
-    st = _os.stat(f"{sf_dir}/events.parquet")
+    st = _os.stat(f"{sf_dir}/{src}.parquet")
     token = _h.md5(
         f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
@@ -777,3 +779,79 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
     return run_to_memory(agg, mode="complete")
+
+
+from .dedup import _DUCK_PAIRS_CTES  # noqa: E402  (one banding scheme)
+
+
+@query(
+    "streaming_lsh_ingest",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT greatest(doc_a % 4, doc_b % 4) AS wave,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN doc_a % 4 != doc_b % 4 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_cross_wave,
+           CAST(sum(CASE WHEN doc_a % 4 = doc_b % 4 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_within_wave,
+           CAST(sum(inter) AS BIGINT) AS sum_inter,
+           CAST(sum(uni) AS BIGINT) AS sum_uni
+    FROM verified WHERE inter * 1.0 / uni >= 0.5
+    GROUP BY 1
+    """,
+)
+def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection as a CONTINUOUS ingest job — the streaming
+    form of `lsh_incremental_pairs`: the corpus arrives in 4
+    mtime-ordered waves (doc_id % 4, one file per micro-batch under
+    maxFilesPerTrigger=1), and each micro-batch probes the persistent
+    band index with ONLY its own band keys (streaming/lsh_ingest.py) —
+    new×old ∪ new×new candidates, old×old never rejoined, exact-Jaccard
+    verification against the persisted shingle store. Every verified
+    pair is stored tagged with the batch id that DISCOVERED it.
+
+    The output groups by that stored discovery id, while the oracle
+    recomputes the wave analytically as greatest(doc_a % 4, doc_b % 4)
+    over the full batch closure — so the driver hash itself pins the
+    exactly-once discovery semantics: a pair found early (index leak),
+    found late (missed probe), found twice, or never found at all each
+    break the hash. sum_inter/sum_uni pin the verification arithmetic
+    per wave in exact integers.
+
+    Scale: the per-batch probe side is arrivals-sized (broadcastable);
+    the index is append-only parquet a real deployment keeps bucketed
+    on (band, bkey) for bucket-local probes; per-batch writes are
+    mode=overwrite per batch-id subdir, so task retries and batch
+    replays are idempotent."""
+    import shutil as _sh
+
+    from ..streaming.lsh_ingest import read_final_pairs, run_lsh_ingest
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_lshing", src="documents")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = _stage_feed(
+        root,
+        [(f"wave{i}", docs.where(F.col("doc_id") % 4 == i)) for i in range(4)],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_lsh_ingest(stream, state)
+    pairs = read_final_pairs(spark, state)
+    return pairs.groupBy("wave").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum(
+            ((F.col("doc_a") % 4) != (F.col("doc_b") % 4)).cast("long")
+        ).alias("n_cross_wave"),
+        F.sum(
+            ((F.col("doc_a") % 4) == (F.col("doc_b") % 4)).cast("long")
+        ).alias("n_within_wave"),
+        F.sum("inter").cast("bigint").alias("sum_inter"),
+        F.sum("uni").cast("bigint").alias("sum_uni"),
+    )

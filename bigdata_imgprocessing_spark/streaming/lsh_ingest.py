@@ -1,0 +1,137 @@
+"""Streaming LSH dedup-at-ingest: the near-dup index maintained as a
+STREAM of document arrivals — the continuous form of the batch
+`lsh_incremental_pairs` query (queries/dedup.py), which proves the
+new×old ∪ new×new probe shape for ONE daily batch; this module runs
+that same shape per micro-batch against a persistent band index, so
+however the arrival stream is sliced, every near-dup pair is
+discovered exactly once, in the micro-batch where its LATER document
+arrives.
+
+Per micro-batch (foreachBatch):
+  1. band-key + signature the batch documents (the SAME `_shingles` /
+     `_minhash_signatures` / `_band_frame` definitions as the batch
+     pipeline — the banding scheme cannot drift between deployment
+     modes),
+  2. probe: batch bands join the accumulated index ∪ batch bands —
+     candidates are new×old ∪ new×new; the old×old space is NEVER
+     rejoined (at 100 TB that is the entire point: the index is
+     bucketed on (band, bkey), the probe side is arrivals-sized),
+  3. verify exact Jaccard >= 0.5 on shingle sets semi-join-pruned to
+     candidate ids (old docs' sets come from the persisted shingle
+     store — no re-derivation from raw text),
+  4. append the verified pairs (tagged with the discovering batch id)
+     and the batch's bands/shingles to the state stores.
+
+State layout under ``state_root``: ``bands/b{N}``, ``shingles/b{N}``,
+``pairs/b{N}`` — one subdir per micro-batch, each written with
+mode=overwrite so a retried batch is IDEMPOTENT (the same batch id
+rewrites the same subdir; pairs are written before the index extends,
+so a crash between the two replays the batch without duplicating
+index rows on the next attempt's overwrite).
+
+Reference parity: the reference has no streaming engine — this is the
+Structured Streaming extension of its dedup surface, same contract as
+the other streaming/ modules.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
+    """Drain a (doc_id, text) stream with availableNow, maintaining the
+    band index and discovered-pairs store under ``state_root``."""
+    from ..queries.dedup import _band_frame, _minhash_signatures, _shingles
+
+    def step(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.coalesce(4).cache()
+        new_bands = _band_frame(_minhash_signatures(batch)).coalesce(4).cache()
+        new_sh = batch.select(
+            "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss")
+        )
+        old_b = sorted(glob.glob(f"{state_root}/bands/b*"))
+        all_bands = (
+            spark.read.parquet(*old_b).union(new_bands) if old_b else new_bands
+        )
+        old_s = sorted(glob.glob(f"{state_root}/shingles/b*"))
+        all_sh = (
+            spark.read.parquet(*old_s).union(new_sh) if old_s else new_sh
+        )
+        a = new_bands.alias("a")
+        b = all_bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+            )
+            .distinct()
+            .coalesce(4)
+            .cache()
+        )
+        cand_ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+            cand.select(F.col("doc_b").alias("doc_id"))
+        )
+        sets = (
+            all_sh.join(cand_ids, "doc_id", "semi").coalesce(4).cache()
+        )
+        sa = sets.alias("sa")
+        sb = sets.alias("sb")
+        inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+        uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
+        pairs = (
+            cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+            .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+            .select(
+                "doc_a",
+                "doc_b",
+                inter.alias("inter"),
+                uni.alias("uni"),
+                F.lit(bid).cast("bigint").alias("wave"),
+            )
+            .where(F.col("inter") * 1.0 / F.col("uni") >= 0.5)
+        )
+        pairs.write.mode("overwrite").parquet(f"{state_root}/pairs/b{bid}")
+        new_bands.write.mode("overwrite").parquet(f"{state_root}/bands/b{bid}")
+        new_sh.write.mode("overwrite").parquet(f"{state_root}/shingles/b{bid}")
+        for frame in (sets, cand, new_bands, batch):
+            frame.unpersist()
+
+    (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_final_pairs(spark: SparkSession, state_root: str) -> DataFrame:
+    """All pairs discovered across the drained batches, each tagged
+    with its discovering batch id (``wave``)."""
+    dirs = sorted(glob.glob(f"{state_root}/pairs/b*"))
+    if not dirs:
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, inter int, uni int, wave bigint"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def n_state_versions(state_root: str) -> int:
+    """How many micro-batches extended the band index — the
+    multi-batch-exercised assertion hook (>= 2 means the incremental
+    probe really ran against a pre-existing index)."""
+    return len(glob.glob(os.path.join(state_root, "bands", "b*")))

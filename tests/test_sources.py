@@ -722,3 +722,68 @@ def test_dashboard_index_embeds_charts(spark, tmp_path):
         title="Better dashboard",
     )
     assert (tmp_path / "dash2.html").read_text() == out
+
+
+def test_streaming_lsh_ingest_discovers_once_and_restarts(spark, tmp_path):
+    """Behavioral contract of the streaming LSH ingest state machine
+    (streaming/lsh_ingest.py): every near-dup pair is discovered in
+    EXACTLY the micro-batch where its later document arrives (probe =
+    new docs only, so old×old is never rejoined and nothing is found
+    twice), >=2 index versions prove the cross-batch probe really ran,
+    and a RESTART with a new wave against the same checkpoint extends
+    the index instead of rediscovering history."""
+    import glob as _glob
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        n_state_versions,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    a_text = "q w e r t y u i o p k j"
+    b_text = "m n b v c x z l h g f d"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    write_wave(0, [(0, a_text), (4, b_text)])
+    write_wave(1, [(1, a_text), (5, b_text)])
+    write_wave(2, [(2, a_text)])
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state)
+
+    drain()
+    got = {
+        (r.doc_a, r.doc_b): r.wave
+        for r in read_final_pairs(spark, state).collect()
+    }
+    assert got == {(0, 1): 1, (4, 5): 1, (0, 2): 2, (1, 2): 2}
+    assert n_state_versions(state) >= 2
+    # restart: wave3 carries a dup of the wave-0/1 B docs; same
+    # checkpoint -> only the NEW pairs appear, tagged with batch 3
+    write_wave(3, [(3, b_text)])
+    drain()
+    got2 = {
+        (r.doc_a, r.doc_b): r.wave
+        for r in read_final_pairs(spark, state).collect()
+    }
+    assert got2 == {**got, (3, 4): 3, (3, 5): 3}
