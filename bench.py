@@ -222,6 +222,8 @@ HEADLINE = [
     "k_anonymity_audit",
     "vocab_growth_curve",
     "streaming_lsh_ingest",
+    "cdc_chunk_dedup",
+    "attribution_touchpoints",
 ]
 
 

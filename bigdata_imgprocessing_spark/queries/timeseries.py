@@ -969,3 +969,103 @@ def session_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("f2").cast("bigint").alias("n_view_click"),
         F.sum("f3").cast("bigint").alias("n_full_funnel"),
     )
+
+
+@query(
+    "attribution_touchpoints",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS pid, user_id, ts AS pts, value
+        FROM events WHERE event_type = 'purchase'
+    ), t AS (
+        SELECT user_id, event_id AS teid, ts AS tts, event_type AS tt
+        FROM events WHERE event_type != 'purchase'
+    ), j AS (
+        SELECT p.pid, p.value, t.tt, epoch_us(t.tts) AS tus, t.teid
+        FROM p JOIN t ON t.user_id = p.user_id
+                     AND t.tts < p.pts
+                     AND t.tts >= p.pts - INTERVAL 7 DAY
+    ), r AS (
+        SELECT pid, value, tt,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tus, teid) AS rf,
+               row_number() OVER (PARTITION BY pid
+                                  ORDER BY tus DESC, teid DESC) AS rl
+        FROM j
+    )
+    SELECT tt AS touch_type,
+           CAST(sum(CASE WHEN rf = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_first,
+           round(sum(CASE WHEN rf = 1 THEN value ELSE 0 END), 2)
+               AS first_touch_value,
+           CAST(sum(CASE WHEN rl = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_last,
+           round(sum(CASE WHEN rl = 1 THEN value ELSE 0 END), 2)
+               AS last_touch_value
+    FROM r GROUP BY tt
+    """,
+)
+def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style FIRST-touch vs LAST-touch attribution: each
+    purchase's value is credited to the type of the user's earliest
+    and latest non-purchase event in the 7 days before it, rolled up
+    per touch type — the two bookend models whose per-channel gap
+    (first >> last: discovery channel; last >> first: closer channel)
+    is the report's actual signal.
+
+    Shape: a band join (equi on user_id, time band as residual — the
+    `range_join_funnel` pattern, no cross product) followed by
+    purchase-keyed rank windows. First/last selection orders by exact
+    (epoch-microseconds, event_id) — a total order identical in both
+    engines, so boundary ties can't flip attribution (the events
+    determinism contract). Attributed value sums are 2-decimal grid
+    values summed THEN rounded once (grid-sum rule).
+
+    Scale: one user-keyed shuffle for the join, one purchase-keyed
+    window pass; windows partition by purchase id (never global); the
+    7-day band bounds per-purchase fan-in, so state is
+    touches-per-user-week, not corpus-sized."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    p = e.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("pid"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("pts"),
+        "value",
+    )
+    t = e.where(F.col("event_type") != "purchase").select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_id").alias("teid"),
+        F.col("ts").alias("tts"),
+        F.col("event_type").alias("tt"),
+    )
+    j = p.join(
+        t,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("tts") < F.col("pts"))
+        & (F.col("tts") >= F.col("pts") - F.expr("INTERVAL 7 DAY")),
+    ).select(
+        "pid", "value", "tt", F.unix_micros("tts").alias("tus"), "teid"
+    )
+    wf = Window.partitionBy("pid").orderBy("tus", "teid")
+    wl = Window.partitionBy("pid").orderBy(
+        F.col("tus").desc(), F.col("teid").desc()
+    )
+    r = j.select(
+        "value",
+        "tt",
+        F.row_number().over(wf).alias("rf"),
+        F.row_number().over(wl).alias("rl"),
+    )
+    first = F.col("rf") == 1
+    last = F.col("rl") == 1
+    return r.groupBy(F.col("tt").alias("touch_type")).agg(
+        F.sum(first.cast("long")).alias("n_first"),
+        F.round(
+            F.sum(F.when(first, F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("first_touch_value"),
+        F.sum(last.cast("long")).alias("n_last"),
+        F.round(
+            F.sum(F.when(last, F.col("value")).otherwise(F.lit(0.0))), 2
+        ).alias("last_touch_value"),
+    )
