@@ -224,6 +224,7 @@ HEADLINE = [
     "streaming_lsh_ingest",
     "cdc_chunk_dedup",
     "attribution_touchpoints",
+    "kmeans_lloyd_rounds",
 ]
 
 

@@ -1774,3 +1774,136 @@ def mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("msim").cast("bigint").alias("max_sim"),
     )
     return out1.unionAll(out2).unionAll(out3)
+
+
+_KM_K = 8
+_KM_ROUNDS = 2
+
+_DUCK_KM_DIST = """
+    round(list_sum(list_transform(range(64),
+          i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+             * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))), 6)
+"""
+
+# chained CTEs: assignment r uses centroids r-1; centroids r are the
+# per-dim means of assignment r rounded to 3dp (empty cells drop out)
+_DUCK_KM_CHAIN = "".join(
+    f""",
+    d{r} AS (
+        SELECT e.vec_id, e.embedding, c.cell, {_DUCK_KM_DIST} AS dist
+        FROM e CROSS JOIN c{r - 1} c
+    ),
+    a{r} AS (
+        SELECT vec_id, embedding, cell, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS rn
+            FROM d{r}
+        ) WHERE rn = 1
+    ),
+    c{r} AS (
+        SELECT cell, list(round(c, 3) ORDER BY pos) AS cv FROM (
+            SELECT cell, i AS pos, avg(embedding[i+1]::DOUBLE) AS c
+            FROM a{r}, UNNEST(range(64)) t(i) GROUP BY cell, i
+        ) GROUP BY cell
+    )"""
+    for r in range(1, _KM_ROUNDS + 1)
+)
+
+_DUCK_KM_ROWS = " UNION ALL ".join(
+    f"""SELECT CAST({r} AS BIGINT) AS lloyd_round, cell,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           round(sum(dist), 6) AS sum_dist
+    FROM a{r} GROUP BY cell"""
+    for r in range(1, _KM_ROUNDS + 1)
+)
+
+
+@query(
+    "kmeans_lloyd_rounds",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    c0 AS (
+        SELECT vec_id AS cell,
+               list_transform(embedding, x -> round(x::DOUBLE, 3)) AS cv
+        FROM embeddings WHERE vec_id < {_KM_K}
+    ){_DUCK_KM_CHAIN}
+    {_DUCK_KM_ROWS}
+    """,
+)
+def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-round distributed Lloyd k-means (k=8, 2 synchronous
+    rounds, seeds = the first 8 corpus vectors rounded to 3dp): per
+    round and cell, the member count and the summed squared distance —
+    the convergence trace (populations stabilizing, SSE falling) a
+    clustering job reports per iteration. The ITERATIVE-NUMERIC shape
+    next to the graph quartet (CC / LPA / k-core / HyperBall): here the
+    per-round state is k×64 centroid doubles, and the cross-engine
+    stability rule is to ROUND the state at every round boundary —
+    centroids to 3dp, distances to 6dp with cell-id tie-break — so the
+    argmin decisions both engines make are decisions about identical
+    grid values (the fixed-point lesson applied to float state; the
+    chained-CTE oracle replays both rounds).
+
+    Scale: assignment is ONE map-side expression per row (least() over
+    k (dist, cell) structs against broadcast literal centroids — no
+    join, no shuffle, no window); the centroid update is a (cell, dim)
+    grouped avg whose k×64-row result collects to the driver exactly
+    like ``KMeansModel.clusterCenters()``. Rounds are a constant; the
+    corpus is scanned once per round."""
+    from ..operators.similarity import sqdist
+
+    e = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # seeds rounded ENGINE-side (F.round), never python round(): python
+    # rounds the binary expansion half-even while the engines round the
+    # shortest decimal repr — visibly different on values like 2.675
+    seed_rows = (
+        e.where(F.col("vec_id") < _KM_K)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: F.round(x.cast("double"), 3)
+            ).alias("cv"),
+        )
+        .collect()
+    )
+    centers = {int(r.vec_id): list(r.cv) for r in seed_rows}
+    out = None
+    assigned = None
+    for r in range(1, _KM_ROUNDS + 1):
+        cands = [
+            F.struct(
+                F.round(
+                    sqdist(
+                        F.col("embedding"),
+                        F.array(*[F.lit(v) for v in cv]),
+                    ),
+                    6,
+                ).alias("dist"),
+                F.lit(cell).cast("bigint").alias("cell"),
+            )
+            for cell, cv in sorted(centers.items())
+        ]
+        best = F.least(*cands)
+        assigned = e.select(
+            "vec_id",
+            "embedding",
+            best["cell"].alias("cell"),
+            best["dist"].alias("dist"),
+        )
+        stats = assigned.groupBy(F.lit(r).cast("bigint").alias("lloyd_round"),
+                                 "cell").agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.sum("dist"), 6).alias("sum_dist"),
+        )
+        out = stats if out is None else out.union(stats)
+        if r < _KM_ROUNDS:
+            cent_rows = (
+                assigned.select("cell", F.posexplode("embedding").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.round(F.avg(F.col("x").cast("double")), 3).alias("c"))
+                .collect()
+            )
+            centers = {}
+            for row in cent_rows:
+                centers.setdefault(int(row.cell), [0.0] * 64)[row.pos] = row.c
+    return out
