@@ -225,6 +225,7 @@ HEADLINE = [
     "cdc_chunk_dedup",
     "attribution_touchpoints",
     "kmeans_lloyd_rounds",
+    "dpp_partition_join",
 ]
 
 

@@ -838,3 +838,66 @@ def backfill_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
     )
+
+
+@query(
+    "dpp_partition_join",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+               event_type, value
+        FROM events
+    ), sel AS (
+        SELECT day FROM d WHERE event_type = 'error'
+        GROUP BY day HAVING count(*) % 3 = 0
+    )
+    SELECT day, count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM d JOIN sel USING (day) GROUP BY day
+    """,
+)
+def dpp_partition_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the day-partitioned lake layout:
+    the fact side is the ``day=YYYY-MM-DD/`` partitioned copy of
+    events, the dim side is a DATA-DEPENDENT day selection (days whose
+    error count is divisible by 3 — deliberately not expressible as a
+    static filter, so the optimizer cannot constant-fold it), and the
+    join key is the partition column. Catalyst inserts a
+    dynamicpruningexpression into the scan's PartitionFilters
+    (plan-asserted in tests/test_plans.py): at execution the broadcast
+    of the dim side feeds the fact scan, which then LISTS only the
+    selected day directories — at a 100 TB day-partitioned table this
+    is the difference between scanning ~1/3 of the partitions and
+    scanning all of them and filtering after the fact. The layout is
+    written fresh from the source (its own directory — NOT shared
+    with `backfill_partition_overwrite`'s, whose backfill mutates a
+    day), so the audit is order-independent.
+
+    Scale: one broadcast of a days-sized dim; the fact side reads only
+    matching partitions; the final rollup is day-keyed."""
+    from ..core.session import ensure_utc
+
+    ensure_utc(spark)
+    out = os.path.join(_root_dir(sf_dir), "events_by_day_dpp")
+    e = table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"),
+    )
+    if not os.path.exists(os.path.join(out, "_SUCCESS")):
+        e.write.partitionBy("day").mode("overwrite").parquet(out)
+    fact = spark.read.parquet(out)
+    sel = (
+        e.where(F.col("event_type") == "error")
+        .groupBy("day")
+        .agg(F.count("*").alias("n_err"))
+        .where(F.col("n_err") % 3 == 0)
+        .select("day")
+    )
+    return (
+        fact.join(F.broadcast(sel), "day")
+        .groupBy(F.col("day").cast("string").alias("day"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )

@@ -662,3 +662,16 @@ def test_dim_truncation_recall_broadcast_queries(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_dpp_partition_join_prunes_dynamically(spark, sf_dir):
+    """dpp_partition_join: the day-partitioned fact scan must carry a
+    dynamicpruningexpression in its partition filters (the dim side is
+    data-dependent, so static pruning is impossible) and the dim join
+    must be a broadcast — the at-scale contract that only selected day
+    directories are listed."""
+    df = QUERIES["dpp_partition_join"](spark, sf_dir)
+    plan = _formatted(spark, df)
+    assert "dynamicpruning" in plan.lower()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

@@ -730,3 +730,137 @@ def test_merge_intervals_matches_union(spark_prop, iv):
                 cur_e = max(cur_e, e)
         exp.append((k, cur_s, cur_e))
     assert got == sorted(exp)
+
+
+def _py_cdc_chunks(text: str) -> list[str]:
+    """Sequential reference of the CDC chunking rule: boundary AFTER
+    every word whose 40-bit md5 hash is ≡ 0 mod 8; last chunk closes
+    at end of document."""
+    import hashlib
+
+    words = text.split(" ")
+    chunks, cur = [], []
+    for w in words:
+        cur.append(w)
+        if int(hashlib.md5(w.encode()).hexdigest()[:10], 16) % 8 == 0:
+            chunks.append(" ".join(cur))
+            cur = []
+    if cur:
+        chunks.append(" ".join(cur))
+    return chunks
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("alpha beta gamma delta eps zeta eta th".split()),
+            min_size=1,
+            max_size=25,
+        ).map(" ".join),
+        min_size=1,
+        max_size=12,
+    )
+)
+def test_cdc_chunking_matches_reference(spark_prop, docs, tmp_path_factory):
+    """The explode+window CDC formulation must produce EXACTLY the
+    sequential chunking's multiset of (chunk-hash, length) — pinning
+    boundary-after-word semantics, last-chunk closure, and that the
+    window rebuild never reorders words within a chunk."""
+    import collections
+    import hashlib
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    tmp = tmp_path_factory.mktemp("cdc")
+    con = _duck.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text))
+        TO '{tmp}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        (r.len_bucket, r.n_chunks, r.n_chunk_types)
+        for r in QUERIES["cdc_chunk_dedup"](spark_prop, str(tmp)).collect()
+    }
+    # reference: same histogram from the sequential chunker
+    per_type = collections.defaultdict(lambda: [0, set()])
+    type_seen = collections.defaultdict(set)
+    occ = collections.Counter()
+    for i, t in enumerate(docs):
+        for c in _py_cdc_chunks(t):
+            h = hashlib.md5(c.encode()).hexdigest()
+            occ[h] += 1
+            type_seen[h].add(i)
+            per_type[h][0] = min(len(c.split(" ")), 8)
+    buckets = collections.defaultdict(lambda: [0, 0])
+    for h, n in occ.items():
+        b = per_type[h][0]
+        buckets[b][0] += n
+        buckets[b][1] += 1
+    want = {(b, v[0], v[1]) for b, v in buckets.items()}
+    assert got == want
+
+
+def _py_lcp_words(a: str, b: str) -> int:
+    wa, wb = a.split(" "), b.split(" ")
+    n = 0
+    for x, y in zip(wa, wb):
+        if x != y:
+            break
+        n += 1
+    return n
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from("aa ab ba bb ca".split()),
+            min_size=1,
+            max_size=6,
+        ).map(" ".join),
+        min_size=2,
+        max_size=14,
+    )
+)
+def test_sorted_neighbor_lcp_matches_reference(
+    spark_prop, docs, tmp_path_factory
+):
+    """The blocked window formulation must equal the sequential
+    sorted-neighborhood reference: sort (text, doc_id), neighbor LCP
+    within equal-first-word blocks, bucket histogram with full-prefix
+    and exact-dup counts. The tiny 5-word alphabet forces heavy ties,
+    shared prefixes, and exact duplicates."""
+    import collections
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    tmp = tmp_path_factory.mktemp("lcp")
+    con = _duck.connect()
+    vals = ", ".join(f"({i}, '{t}')" for i, t in enumerate(docs))
+    con.execute(
+        f"""COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text))
+        TO '{tmp}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    got = {
+        r.lcp_bucket: (r.n_pairs, r.n_full_prefix, r.n_exact_dup)
+        for r in QUERIES["sorted_neighbor_lcp"](spark_prop, str(tmp)).collect()
+    }
+    buckets = collections.defaultdict(lambda: [0, 0, 0])
+    ordered = sorted(enumerate(docs), key=lambda kv: (kv[1], kv[0]))
+    for (_, a), (_, b) in zip(ordered, ordered[1:]):
+        if a.split(" ")[0] != b.split(" ")[0]:
+            continue  # different first-word block
+        l = _py_lcp_words(a, b)
+        la, lb = len(a.split(" ")), len(b.split(" "))
+        key = "5+" if l >= 5 else str(l)
+        buckets[key][0] += 1
+        buckets[key][1] += int(l == min(la, lb))
+        buckets[key][2] += int(l == la == lb)
+    want = {k: tuple(v) for k, v in buckets.items()}
+    assert got == want
