@@ -704,7 +704,7 @@ def _split_of(col: Column) -> Column:
 
 # dedup loads here as an import side effect (it registers its own
 # queries first; there is no cycle — dedup never imports curation)
-from .dedup import _DUCK_PAIRS_CTES, _lsh_verified_pairs  # noqa: E402
+from .dedup import _DUCK_PAIRS_CTES, _lsh_pairs_store  # noqa: E402
 
 
 @query(
@@ -739,7 +739,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal boundaries where the engines' round() implementations
     legitimately disagree (observed at sf0.01), while sums of 4dp
     multiples have no boundary to disagree on."""
-    pairs = _lsh_verified_pairs(spark, sf_dir)
+    pairs = _lsh_pairs_store(spark, sf_dir)
     sa = _split_of(F.col("doc_a"))
     sb = _split_of(F.col("doc_b"))
     return (
@@ -828,7 +828,7 @@ def component_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.components import connected_components
 
     pairs = (
-        _lsh_verified_pairs(spark, sf_dir)
+        _lsh_pairs_store(spark, sf_dir)
         .select("doc_a", "doc_b")
         .cache()
     )

@@ -526,15 +526,23 @@ def test_session_funnel_single_shuffle(spark, sf_dir):
 
 
 def test_sketch_audits_share_lsh_pipeline(spark, sf_dir):
-    """pair_rouge_stats / minhash_estimate_error: both audits ride the
-    shared LSH pipeline's cached frames (InMemoryTableScan present once
-    executed) and never plan a cartesian."""
-    for name in ("pair_rouge_stats", "minhash_estimate_error"):
-        df = QUERIES[name](spark, sf_dir)
-        df.collect()
-        plan = _formatted(spark, df)
-        assert "InMemoryTableScan" in plan, name
-        assert "CartesianProduct" not in plan, name
+    """minhash_estimate_error rides the shared LSH pipeline's cached
+    frames (InMemoryTableScan present once executed — it needs the
+    signature frame, which the pair STORE doesn't carry);
+    pair_rouge_stats instead reads the materialized pair-graph store
+    plus the documents token scan. Neither plans a cartesian."""
+    df = QUERIES["minhash_estimate_error"](spark, sf_dir)
+    df.collect()
+    plan = _formatted(spark, df)
+    assert "InMemoryTableScan" in plan
+    assert "CartesianProduct" not in plan
+    df = QUERIES["pair_rouge_stats"](spark, sf_dir)
+    df.collect()
+    plan = _formatted(spark, df)
+    # pair store + documents twice (ta/tb token aliases — two pruned
+    # linear scans, cheaper than caching full token arrays corpus-wide)
+    assert _n_nodes(plan, "Scan parquet") == 3
+    assert "CartesianProduct" not in plan
 
 
 def test_kll_drift_single_doc_scan(spark, sf_dir):

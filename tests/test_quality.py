@@ -355,3 +355,36 @@ def test_sorted_neighbor_lcp_fixture(spark, tmp_path):
         for r in QUERIES["sorted_neighbor_lcp"](spark, str(tmp_path)).collect()
     }
     assert rows == {"3": (2, 2, 1), "1": (1, 0, 0)}
+
+
+def test_lsh_pairs_store_matches_fresh(spark, sf_dir):
+    """The materialized pair-graph store must be row-identical to the
+    fresh pipeline (md5-derived determinism), must not recompute on a
+    second call (same fingerprint -> same files), and must key on the
+    corpus fingerprint so a regenerated corpus cannot read stale
+    pairs."""
+    import os
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _lsh_pairs_store,
+        _lsh_verified_pairs,
+    )
+
+    fresh = sorted(
+        tuple(r) for r in _lsh_verified_pairs(spark, sf_dir).collect()
+    )
+    stored = sorted(tuple(r) for r in _lsh_pairs_store(spark, sf_dir).collect())
+    assert stored == fresh and len(fresh) > 0
+    # second call reads the same materialization (no rewrite): _SUCCESS
+    # mtime unchanged
+    import hashlib
+
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    token = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v1".encode()
+    ).hexdigest()[:12]
+    marker = f"/tmp/bdip_pairs_{token}/_SUCCESS"
+    m0 = os.stat(marker).st_mtime_ns
+    again = sorted(tuple(r) for r in _lsh_pairs_store(spark, sf_dir).collect())
+    assert again == fresh
+    assert os.stat(marker).st_mtime_ns == m0
