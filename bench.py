@@ -226,6 +226,7 @@ HEADLINE = [
     "attribution_touchpoints",
     "kmeans_lloyd_rounds",
     "dpp_partition_join",
+    "streaming_quota_admission",
 ]
 
 

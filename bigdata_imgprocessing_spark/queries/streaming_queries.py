@@ -5,7 +5,7 @@ output — stream-batch unification made testable."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..core.catalog import table
@@ -854,4 +854,73 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_within_wave"),
         F.sum("inter").cast("bigint").alias("sum_inter"),
         F.sum("uni").cast("bigint").alias("sum_uni"),
+    )
+
+
+@query(
+    "streaming_quota_admission",
+    oracle="""
+    WITH r AS (
+        SELECT user_id, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    )
+    SELECT user_id % 10 AS user_bucket,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(count(*) AS BIGINT) AS n_seen,
+           CAST(sum(CASE WHEN rn <= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_admitted,
+           round(sum(CASE WHEN rn <= 3 THEN value ELSE 0 END), 2)
+               AS admitted_value
+    FROM r GROUP BY 1
+    """,
+)
+def streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key QUOTA admission as a stateful stream — the ingest
+    governance shape (rate limiting / per-source sampling caps): admit
+    only the first 3 events per user in (ts, event_id) order, carrying
+    (n_seen, n_admitted, admitted_value) per key across micro-batches
+    via ``applyInPandasWithState`` (streaming/stateful.py). The second
+    genuinely stateful operator next to ``streaming_stateful_totals``,
+    and unlike it the admission decision is a CAP — once a user's
+    quota fills in batch 1, later batches must only bump n_seen, so
+    the checked per-bucket admitted_value pins both the cross-batch
+    counter carry and the within-batch (ts, event_id) ordering.
+
+    The feed is staged as 4 ts-QUARTILE files (ntile over the total
+    (ts, event_id) order, drained mtime-ordered one per micro-batch),
+    so each key's arrival order across batches equals its global time
+    order — which is what makes "first 3" well-defined and the batch
+    oracle (row_number <= 3) exact. Admitted values are 2dp grid
+    money, so the <= 3-term sums are order-exact in both engines.
+
+    Scale: state is 3 scalars per user; each micro-batch shuffles only
+    its own rows on the key; the final rollup is bucket-sized."""
+    ensure_utc(spark)
+    from ..streaming.stateful import quota_admissions
+
+    root = _fingerprinted_tmp(sf_dir, "bdip_quota")
+    e = table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    qtile = F.ntile(4).over(
+        Window.orderBy("ts", "event_id")
+    )
+    staged = e.withColumn("q", qtile)
+    feed = _stage_feed(
+        root,
+        [
+            (f"q{i}", staged.where(F.col("q") == i).drop("q"))
+            for i in range(1, 5)
+        ],
+    )
+    final = quota_admissions(spark, sf_dir, feed)
+    return final.groupBy(
+        (F.col("user_id") % 10).alias("user_bucket")
+    ).agg(
+        F.count_distinct("user_id").alias("n_users"),
+        F.sum("n_seen").cast("bigint").alias("n_seen"),
+        F.sum("n_admitted").cast("bigint").alias("n_admitted"),
+        F.round(F.sum("admitted_value"), 2).alias("admitted_value"),
     )

@@ -83,3 +83,68 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_Q_OUT = (
+    "user_id bigint, n_seen bigint, n_admitted bigint, admitted_value double"
+)
+_Q_STATE = "n_seen bigint, n_admitted bigint, admitted_value double"
+#: per-user admission cap (public: the oracle SQL embeds the same value)
+QUOTA = 3
+
+
+def _quota_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key quota admission: admit the first QUOTA events per user
+    in (ts, event_id) order, carry (n_seen, n_admitted, admitted_value)
+    as state across micro-batches. Same chunk-concat-then-sort rule as
+    ``_update`` (ADVICE r2); cross-batch order holds because the feed
+    is staged as ts-contiguous quartile files."""
+    n_seen, n_adm, val = state.get if state.exists else (0, 0, 0.0)
+    chunks = [p for p in pdfs if len(p)]
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        n_seen += len(batch)
+        take = batch.head(max(0, QUOTA - n_adm))
+        n_adm += len(take)
+        val += float(take["value"].sum())
+    state.update((n_seen, n_adm, val))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "n_seen": [n_seen],
+            "n_admitted": [n_adm],
+            "admitted_value": [round(val, 2)],
+        }
+    )
+
+
+def quota_admissions(spark: SparkSession, sf_dir: str, feed: str) -> DataFrame:
+    """Drain a ts-quartile-staged event feed through the quota
+    operator; returns the FINAL per-user admission state (last update
+    per user across micro-batches)."""
+    schema = spark.read.parquet(feed).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    updated = s.groupBy("user_id").applyInPandasWithState(
+        _quota_update,
+        outputStructType=_Q_OUT,
+        stateStructType=_Q_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updated, mode="update")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
