@@ -787,3 +787,60 @@ def test_streaming_lsh_ingest_discovers_once_and_restarts(spark, tmp_path):
         for r in read_final_pairs(spark, state).collect()
     }
     assert got2 == {**got, (3, 4): 3, (3, 5): 3}
+
+
+def test_streaming_quota_restart_keeps_caps(spark, tmp_path):
+    """Quota-admission state machine under REPLAY: each drain runs the
+    whole feed through fresh state (run_to_memory uses a temp
+    checkpoint), so re-draining after a new wave must CONVERGE — a
+    capped user only bumps n_seen (admitted set unchanged: the first
+    3 by (ts, event_id) are the same rows on every replay), an
+    under-cap user admits from the new wave, and a brand-new user
+    starts clean. Pins both the cross-batch counter carry within one
+    drain and the deterministic-replay contract across drains."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.stateful import (
+        quota_admissions,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(
+            f"({u}, make_timestamp({1_700_000_000_000_000 + t * 1_000_000}),"
+            f" {eid}, {v})"
+            for u, t, eid, v in rows
+        )
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals})"
+            f" v(user_id, ts, event_id, value)) TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    # wave0: user 1 sees 2 events, user 2 sees 3 (cap filled)
+    write_wave(0, [(1, 0, 10, 1.0), (1, 1, 11, 2.0),
+                   (2, 0, 20, 5.0), (2, 1, 21, 6.0), (2, 2, 22, 7.0)])
+    # wave1: user 1 fills cap (+1 admitted) then overflows (+1 seen)
+    write_wave(1, [(1, 3, 12, 3.0), (1, 4, 13, 4.0), (2, 3, 23, 8.0)])
+
+    def drain():
+        return {
+            r.user_id: (r.n_seen, r.n_admitted, r.admitted_value)
+            for r in quota_admissions(spark, str(tmp_path), str(feed)).collect()
+        }
+
+    got = drain()
+    assert got == {1: (4, 3, 6.0), 2: (4, 3, 18.0)}
+    # restart: a third wave; same feed dir, fresh drain call — user 1
+    # and 2 are both capped, user 3 is new
+    write_wave(2, [(1, 5, 14, 9.0), (3, 5, 30, 2.5)])
+    got2 = drain()
+    assert got2[3] == (1, 1, 2.5)
+    assert got2[1] == (5, 3, 6.0)
+    assert got2[2] == (4, 3, 18.0)
