@@ -8,12 +8,11 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so the round-7 order is: (1) the 6 round-6 queries
-# registered after the r6 driver window closed (locally green, first
-# driver row pending — VERDICT r6 item 1), (2) queries NEW or with
-# CHANGED outputs this round, (3) the 39 queries whose latest driver
-# row is round 3 (oldest-first refresh rotation), (4) everything else
-# in registration order.
+# entries per round, so the round-8 order is: (1) the one query with
+# zero driver history, (2) queries NEW or with CHANGED outputs this
+# round (2b = registered late in round 8, first driver row pending),
+# (3) the 50 queries whose latest driver row is round 4 (oldest-first
+# refresh rotation), (4) everything else in registration order.
 from . import advanced  # noqa: F401
 from . import analytics  # noqa: F401
 from . import curation  # noqa: F401
