@@ -227,6 +227,7 @@ HEADLINE = [
     "kmeans_lloyd_rounds",
     "dpp_partition_join",
     "streaming_quota_admission",
+    "er_golden_record",
 ]
 
 

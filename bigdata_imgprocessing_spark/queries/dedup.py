@@ -1899,3 +1899,170 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_shared_occurrences"),
         F.sum(shared.cast("long")).alias("n_shared_types"),
     )
+
+
+@query(
+    "er_golden_record",
+    oracle="""
+    WITH RECURSIVE dirty AS (
+        SELECT p_partkey, p_retailprice,
+               CASE WHEN p_partkey % 3 = 0
+                    THEN substr(p_name, 1, CAST(p_partkey % length(p_name) AS INTEGER))
+                         || substr(p_name, CAST(p_partkey % length(p_name) AS INTEGER) + 2)
+                    ELSE p_name END AS nm
+        FROM part
+    ),
+    strs AS (SELECT DISTINCT nm FROM dirty),
+    keys AS (
+        SELECT nm, nm AS k FROM strs
+        UNION ALL
+        SELECT nm, substr(nm, 1, CAST(i AS INTEGER))
+                   || substr(nm, CAST(i AS INTEGER) + 2) AS k
+        FROM strs, UNNEST(range(length(nm))) t(i)
+    ),
+    cand AS (
+        SELECT DISTINCT a.nm AS na, b.nm AS nb
+        FROM keys a JOIN keys b ON a.k = b.k AND a.nm < b.nm
+    ),
+    e0 AS (
+        SELECT CAST(('0x' || substr(md5(na), 1, 10))::UBIGINT AS BIGINT) AS ha,
+               CAST(('0x' || substr(md5(nb), 1, 10))::UBIGINT AS BIGINT) AS hb
+        FROM cand WHERE levenshtein(na, nb) <= 1
+    ),
+    edges AS (SELECT ha AS a, hb AS b FROM e0 UNION SELECT hb, ha FROM e0),
+    walk(node, reach) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT w.node, e.b FROM walk w JOIN edges e ON w.reach = e.a
+    ),
+    comp AS (SELECT node, min(reach) AS comp FROM walk GROUP BY node),
+    labeled AS (
+        SELECT d.p_partkey, d.p_retailprice, d.nm,
+               COALESCE(c.comp,
+                   CAST(('0x' || substr(md5(d.nm), 1, 10))::UBIGINT AS BIGINT))
+                   AS ent
+        FROM dirty d
+        LEFT JOIN comp c
+          ON CAST(('0x' || substr(md5(d.nm), 1, 10))::UBIGINT AS BIGINT)
+             = c.node
+    ),
+    g1 AS (
+        SELECT ent, p_retailprice AS gp FROM (
+            SELECT ent, p_retailprice,
+                   row_number() OVER (PARTITION BY ent
+                                      ORDER BY p_retailprice DESC,
+                                               p_partkey) AS rn
+            FROM labeled
+        ) WHERE rn = 1
+    ),
+    clus AS (
+        SELECT ent, count(*) AS n_records,
+               count(DISTINCT nm) AS n_strings
+        FROM labeled GROUP BY ent
+    )
+    SELECT c.n_records AS cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(c.n_strings) AS BIGINT) AS n_name_variants,
+           round(sum(g1.gp), 2) AS golden_price_sum
+    FROM clus c JOIN g1 USING (ent) GROUP BY 1
+    """,
+)
+def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end entity resolution with SURVIVORSHIP — the MDM
+    golden-record pipeline over the deterministically dirtied part
+    names (same corruption rule as `fuzzy_match_stats`): (1) BLOCK by
+    FastSS deletion neighborhoods — each distinct string keys on
+    itself plus its L one-character-deletion variants, and two strings
+    within edit distance 1 (sub/ins/del) necessarily share a key, so
+    candidate generation is an EQUI-join on the key, never a pairwise
+    block scan; (2) VERIFY candidates with levenshtein <= 1 (the
+    deletion index admits a few distance-2 pairs); (3) CLOSE matches
+    into entities via ``connected_components`` over the string graph
+    (vocabulary-sized, not record-sized — the distinct-reduce-first
+    rule); (4) pick each entity's GOLDEN record by (max retail price,
+    min partkey) survivorship; report the cluster-size histogram with
+    name-variant counts and the surviving price mass.
+
+    Scale: the deletion index is |vocab| x avg_len keys (linear);
+    bucket sizes are collision-bounded; the closure shuffles the
+    sparse string graph; records touch only a vocabulary-sized map
+    join plus ONE entity-keyed window. Distance-1 on structured names
+    CAN merge distinct true entities (transitive over-merge) — the
+    n_name_variants column is the review signal for exactly that, and
+    the oracle replays the same closure so the hash pins it."""
+    from ..operators.components import connected_components
+
+    p = table(spark, sf_dir, "part")
+    dirty = p.select(
+        "p_partkey",
+        "p_retailprice",
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.concat(
+                F.expr(
+                    "substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"
+                ),
+                F.expr(
+                    "substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"
+                ),
+            ),
+        )
+        .otherwise(F.col("p_name"))
+        .alias("nm"),
+    )
+    strs = dirty.select("nm").distinct()
+    nm = F.col("nm")
+    dels = F.transform(
+        F.sequence(F.lit(0), F.length(nm) - F.lit(1)),
+        lambda i: F.concat(
+            nm.substr(F.lit(1), i), nm.substr(i + F.lit(2), F.length(nm))
+        ),
+    )
+    keys = strs.select(
+        "nm", F.explode(F.concat(F.array(nm), dels)).alias("k")
+    )
+    a = keys.alias("a")
+    b = keys.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.k") == F.col("b.k")) & (F.col("a.nm") < F.col("b.nm")),
+        )
+        .select(F.col("a.nm").alias("na"), F.col("b.nm").alias("nb"))
+        .distinct()
+    )
+    # node ids: the shared 40-bit md5 hash (``_h40``) — the closure's
+    # convergence monotone sums node ids, so string nodes hash first
+    # (collision-free at vocabulary cardinality; the shingle-collision
+    # test guards the same hash corpus-wide)
+    edges = cand.where(F.levenshtein("na", "nb") <= 1).select(
+        _h40(F.col("na")).alias("ha"), _h40(F.col("nb")).alias("hb")
+    )
+    comp = connected_components(edges, "ha", "hb")
+    labeled = dirty.join(
+        comp, _h40(dirty.nm) == comp.node, "left"
+    ).select(
+        "p_partkey",
+        "p_retailprice",
+        "nm",
+        F.coalesce(F.col("comp"), _h40(F.col("nm"))).alias("ent"),
+    )
+    w = Window.partitionBy("ent").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey")
+    )
+    g1 = (
+        labeled.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("ent", F.col("p_retailprice").alias("gp"))
+    )
+    clus = labeled.groupBy("ent").agg(
+        F.count("*").alias("n_records"),
+        F.count_distinct("nm").alias("n_strings"),
+    )
+    return clus.join(g1, "ent").groupBy(
+        F.col("n_records").alias("cluster_size")
+    ).agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("n_strings").cast("bigint").alias("n_name_variants"),
+        F.round(F.sum("gp"), 2).alias("golden_price_sum"),
+    )
