@@ -228,6 +228,7 @@ HEADLINE = [
     "dpp_partition_join",
     "streaming_quota_admission",
     "er_golden_record",
+    "hll_intersection_audit",
 ]
 
 

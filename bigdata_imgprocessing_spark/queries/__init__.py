@@ -49,6 +49,7 @@ _PRIORITY = [
     "streaming_lsh_ingest", "cdc_chunk_dedup", "attribution_touchpoints",
     "kmeans_lloyd_rounds", "dpp_partition_join",
     "streaming_quota_admission", "er_golden_record",
+    "hll_intersection_audit",
     # (3) the 50 rows whose latest driver check is round 4 —
     # oldest-first refresh rotation (4-round cadence; the few that
     # overflow this round's ~50-row window lead the r9 rotation).
