@@ -232,6 +232,25 @@ HEADLINE = [
 ]
 
 
+# Streaming queries whose wall time is dominated by contract-REQUIRED
+# multi-micro-batch machinery (N mtime-ordered feed files drained under
+# maxFilesPerTrigger=1, or trailing sentinel batches for watermark
+# flush). Their cost is a FIXED number of trigger/state-commit cycles
+# pinned by the correctness contract — cross-batch state carry,
+# exactly-once discovery, watermark eviction — not a per-row term, so
+# it does not scale with data volume and should not be read as plan
+# cost. BENCH_DETAIL records their subtotal as `by_contract_sec` so a
+# reviewer can separate fixed contract cost from data-dependent cost
+# (VERDICT r8 item 7).
+MULTI_BATCH_CONTRACT = [
+    "streaming_dedup_within_watermark",  # 2 batches: cross-batch dedup state
+    "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
+    "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
+    "streaming_quota_admission",  # 4 ts-quartiles: quota carry across batches
+    "streaming_sketch_rollup",  # 4 files: segmentation-independent merge
+]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -311,6 +330,12 @@ def main() -> None:
         "streaming_total": round(sum(streaming.values()), 3),
         "streaming_n": len(streaming),
         "streaming_queries": sorted(streaming),
+        "by_contract_sec": round(
+            sum(t for n, t in times.items() if n in MULTI_BATCH_CONTRACT), 3
+        ),
+        "by_contract_queries": sorted(
+            n for n in times if n in MULTI_BATCH_CONTRACT
+        ),
         "repeats": repeats,
         "sf": float(sf),
     }
