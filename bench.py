@@ -229,6 +229,8 @@ HEADLINE = [
     "streaming_quota_admission",
     "er_golden_record",
     "hll_intersection_audit",
+    # round 9 additions
+    "hamming1_neighbor_pairs",
 ]
 
 

@@ -303,6 +303,109 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def _ngram_posting_lists(spark: SparkSession, sf_dir: str, cutoff: int = 50) -> DataFrame:
+    """FRESH DF-pruned char-shingle inverted index: (s, ds) posting
+    lists keyed by the 64-bit shingle hash, capped at ``cutoff`` docs
+    per shingle. One shuffle; see ``ngram_jaccard_hist`` (which stays
+    on this fresh path so the pipeline cost remains benchmarked) for
+    the derivation rationale."""
+    d = table(spark, sf_dir, "documents")
+    sets = d.select(
+        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss")
+    )
+    # Shuffle 8-byte shingle hashes, not ~30-byte shingle strings (the
+    # hash is injective on the observed vocabulary — collision odds
+    # ~1e-7 at 1e6 shingles, and the corpus-wide collision test guards
+    # the same hash family).
+    ex = sets.select("doc_id", F.explode("ss").alias("s0")).select(
+        "doc_id", F.xxhash64("s0").alias("s")
+    )
+    return (
+        ex.groupBy("s")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
+        .where(F.size("ds") <= cutoff)
+    )
+
+
+def _ngram_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pruned inverted index as a MATERIALIZED, corpus-fingerprinted
+    parquet store — the pair-graph-store pattern (``_lsh_pairs_store``)
+    applied to the n-gram family (VERDICT r8 item 4): at 100 TB the
+    posting lists are landed once per corpus release and every
+    similarity/containment/coverage audit reads the table instead of
+    re-deriving the explode + groupBy pipeline. ``ngram_jaccard_hist``
+    stays on the FRESH pipeline so its end-to-end cost stays measured;
+    ``ngram_containment_hist`` reads this store. Fingerprint =
+    source parquet mtime+size (stale-cache lesson); sort_array makes
+    the stored lists deterministic, so cached and fresh reads are
+    row-identical (``test_ngram_postings_store_matches_fresh``)."""
+    import hashlib as _h
+    import os as _os
+
+    st = _os.stat(f"{sf_dir}/documents.parquet")
+    token = _h.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/bdip_postings_{token}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        # repartition BY KEY, not coalesce: AQE coalesces the tiny
+        # posting shuffle to 1 partition at test scale, and a 1-file
+        # store single-threads every consumer's pair-explode stage
+        # (profiled 1.6 s on one task vs ~0.2 s across 8). Hash
+        # placement keeps the layout deterministic; a real deployment
+        # sizes file count to the landed volume the same way.
+        _ngram_posting_lists(spark, sf_dir).repartition(8, "s").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
+def _wordgram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRESH word 5-gram occurrence list: (doc_id, pos, g) with g the
+    64-bit hash of the space-joined gram — the shared extraction under
+    ``dup_ngram_coverage`` (store consumer) and the decontamination
+    scan (``decontam_ngram_overlap`` stays fresh — its split-filtered
+    extraction keeps this pipeline's cost measured)."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("w")
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode(
+            # guard: sequence(0, n) DESCENDS for n < 0 — emit no grams
+            # for <5-word docs instead of throwing on slice()
+            F.expr(
+                "CASE WHEN size(w) >= 5 THEN"
+                " transform(sequence(0, size(w) - 5),"
+                " i -> xxhash64(concat_ws(' ', slice(w, i + 1, 5))))"
+                " ELSE array() END"
+            )
+        ).alias("pos", "g"),
+    )
+
+
+def _wordgram_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word 5-gram occurrences materialized once per corpus version —
+    same store pattern as ``_ngram_postings_store``; the gram key is
+    hashed before landing, so consumers join/aggregate on fixed 8-byte
+    keys and the raw 40-char grams never hit a shuffle."""
+    import hashlib as _h
+    import os as _os
+
+    st = _os.stat(f"{sf_dir}/documents.parquet")
+    token = _h.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v1".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/bdip_wordgrams_{token}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        # keyed repartition for the same read-parallelism reason as
+        # _ngram_postings_store (doc-keyed: consumers aggregate by doc)
+        _wordgram_occurrences(spark, sf_dir).repartition(8, "doc_id").write.mode(
+            "overwrite"
+        ).parquet(path)
+    return spark.read.parquet(path)
+
+
 # Shared CTE chain: shingles → signatures → bands → candidates →
 # exact-Jaccard verified pairs at >= 0.5. Reused by minhash_lsh_pairs
 # (emits the pairs) and neardup_component_dedup (closes them into
@@ -380,19 +483,9 @@ def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     killed the unpruned version at sf0.1 (SCALING.md). Set sizes are
     post-prune, so Jaccard stays a true similarity on the pruned space.
     Integer arithmetic end-to-end → exact parity."""
-    cutoff = 50
-    d = table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
-    # Shuffle 8-byte shingle hashes, not ~30-byte shingle strings: the
-    # posting-list groupBy keys on the shingle, and xxhash64 keeps every
-    # downstream count identical as long as the hash is injective on the
-    # observed vocabulary (64-bit space vs ~1e6 shingles → collision
-    # odds ~1e-7; a collision would merge two posting lists). Halves the
-    # bytes through the one big shuffle of this query.
-    ex = sets.select("doc_id", F.explode("ss").alias("s0")).select(
-        "doc_id", F.xxhash64("s0").alias("s")
-    )
-    # ONE shuffle on the shingle: posting lists per shingle, DF-pruned.
+    # ONE shuffle on the shingle: posting lists per shingle, DF-pruned
+    # (derivation in _ngram_posting_lists — this query stays on the
+    # FRESH pipeline so the index-build cost remains benchmarked).
     # Everything downstream (sizes, pair generation) derives from this
     # small grouped frame — a naive ex⋈ok + self-join re-executes the
     # shingle explode lineage 4x (DataFrame DAGs don't share subplans),
@@ -400,9 +493,7 @@ def ngram_jaccard_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.session import cache_parallelism
 
     groups = (
-        ex.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") <= cutoff)
+        _ngram_posting_lists(spark, sf_dir)
         .coalesce(cache_parallelism(spark))  # cached partitioning is frozen
         .cache()  # ≤ |vocab| rows; reused by sizes AND pair generation
     )
@@ -449,20 +540,10 @@ def _simhash_bits_sql() -> str:
     return " + ".join(terms)
 
 
-@query(
-    "simhash_fingerprints",
-    oracle=f"""
-    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-    s AS (SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM t)
-    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
-    FROM s GROUP BY simhash
-    """,
-)
-def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """16-bit SimHash per document (token-hash bit votes), grouped into
-    fingerprint buckets — hamming-adjacent buckets are the near-dup
-    candidate space."""
-    d = table(spark, sf_dir, "documents")
+def _simhash_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash): the 16-bit SimHash used by both the
+    fingerprint-bucket query and the hamming-1 neighbor query — one
+    derivation so the fingerprint space cannot drift between them."""
     # explode → hash once per token → 16 map-side-partial bit-vote sums
     # (same CollapseProject md5-reinlining rationale as _minhash_signatures)
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
@@ -477,9 +558,89 @@ def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     for bit in range(16):
         term = F.when(F.col(f"v{bit}") >= 0, F.lit(1 << bit)).otherwise(F.lit(0))
         simhash = term if simhash is None else simhash + term
-    s = votes.select("doc_id", simhash.alias("simhash"))
+    return votes.select("doc_id", simhash.alias("simhash"))
+
+
+@query(
+    "simhash_fingerprints",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM t)
+    SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc_id
+    FROM s GROUP BY simhash
+    """,
+)
+def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document (token-hash bit votes), grouped into
+    fingerprint buckets — hamming-adjacent buckets are the near-dup
+    candidate space."""
+    s = _simhash_frame(table(spark, sf_dir, "documents"))
     return s.groupBy("simhash").agg(
         F.count("*").alias("n_docs"), F.min("doc_id").alias("min_doc_id")
+    )
+
+
+@query(
+    "hamming1_neighbor_pairs",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s AS (SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM t),
+    fps AS (SELECT CAST(simhash AS BIGINT) AS fp,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s GROUP BY 1),
+    keys AS (
+        SELECT fp, n, CAST(t.i AS INTEGER) AS pos,
+               fp | (CAST(1 AS BIGINT) << CAST(t.i AS INTEGER)) AS k
+        FROM fps, UNNEST(range(16)) AS t(i)
+    ),
+    pairs AS (
+        SELECT a.pos, a.n * b.n AS w
+        FROM keys a JOIN keys b
+          ON a.pos = b.pos AND a.k = b.k AND a.fp < b.fp
+    )
+    SELECT pos, CAST(count(*) AS BIGINT) AS n_fp_pairs,
+           CAST(sum(w) AS BIGINT) AS n_doc_pairs
+    FROM pairs GROUP BY pos
+    """,
+)
+def hamming1_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash neighbor search via the standalone hamming-1 wildcard
+    index (operators/hamming.py — the FastSS masked-key trick of
+    ``er_golden_record`` generalized from edit space to Hamming space):
+    every unordered pair of distinct 16-bit document fingerprints at
+    Hamming distance EXACTLY 1, found by one equi-join on
+    ``(pos, fp | 1<<pos)`` keys — never an all-pairs bit_count scan.
+    Output: per differing-bit position, the distinct-fingerprint pair
+    count and the document pair count (bucket-size products), so a
+    pair missed, duplicated, or attributed to the wrong bit breaks the
+    hash; the DuckDB oracle replays the identical index, so the
+    exactly-once emission is pinned, not just the totals.
+
+    Scale: |V|·16 index rows over the distinct-fingerprint vocabulary
+    (distinct-reduce-first); every key bucket holds <= 2 fingerprints
+    (a key (pos,k) is only producible by k and k ^ 1<<pos), so the
+    join cannot skew under ANY fingerprint distribution; doc counts
+    join back per-fingerprint, records never pair."""
+    from ..operators.hamming import hamming1_neighbor_join
+
+    s = _simhash_frame(table(spark, sf_dir, "documents"))
+    fps = s.groupBy("simhash").agg(F.count("*").alias("n"))
+    from ..core.session import cache_parallelism
+
+    # cached: feeds the pair index AND both count join-backs — the
+    # uncached form re-plans the full simhash derivation three times
+    fps = fps.coalesce(cache_parallelism(s.sparkSession)).cache()
+    pairs = hamming1_neighbor_join(fps, "simhash", bits=16)
+    na = fps.select(F.col("simhash").cast("long").alias("fp_a"), F.col("n").alias("na"))
+    nb = fps.select(F.col("simhash").cast("long").alias("fp_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "fp_a")
+        .join(nb, "fp_b")
+        .groupBy("pos")
+        .agg(
+            F.count("*").alias("n_fp_pairs"),
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("n_doc_pairs"),
+        )
     )
 
 
@@ -1187,38 +1348,31 @@ def dup_ngram_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     double-counted) over the token count is the dup fraction, audited
     per language.
 
-    Scale: gram extraction is map-side array HOFs (no per-gram
-    explode-of-explode); the duplicated-gram set is one gram-keyed
-    shuffle with map-side partial distinct; marking is a semi-shaped
-    inner join on the gram key (production would join on the 40-bit
-    md5 scheme used by the minhash family to keep shuffle keys narrow
-    — raw grams here keep the oracle exactly parity-checkable); the
-    island merge is ONE window shuffle keyed by doc_id over only the
-    HIT positions (duplicated grams), not the full token stream."""
+    Scale: gram occurrences come from the materialized word-gram
+    store (``_wordgram_store`` — extraction is map-side array HOFs,
+    landed once per corpus with xxhash64-hashed 8-byte gram keys, so
+    raw 40-char grams never hit a shuffle; a collision could only
+    merge two gram identities — odds ~1e-7 at this vocabulary, and
+    the DuckDB oracle joins RAW grams, so the hash is parity-checked
+    end-to-end); the duplicated-gram set is one gram-keyed shuffle
+    with map-side partial distinct; marking is a semi-shaped inner
+    join on the gram key; the island merge is ONE window shuffle
+    keyed by doc_id over only the HIT positions (duplicated grams),
+    not the full token stream."""
     d = table(spark, sf_dir, "documents").select(
         "doc_id", "lang", F.split("text", " ").alias("w")
     )
-    g = d.select(
-        "doc_id",
-        F.posexplode(
-            # guard: sequence(0, n) DESCENDS for n < 0, so a <5-word doc
-            # would hit slice(w, 0, 5) and throw — emit no grams instead
-            # (the oracle's range(len-4) is naturally empty there)
-            F.expr(
-                "CASE WHEN size(w) >= 5 THEN"
-                " transform(sequence(0, size(w) - 5),"
-                " i -> concat_ws(' ', slice(w, i + 1, 5)))"
-                " ELSE array() END"
-            )
-        ).alias("pos", "gram"),
-    )
+    # gram occurrences from the MATERIALIZED word-gram store (hashed
+    # 8-byte keys, landed once per corpus — _wordgram_store;
+    # decontam_ngram_overlap keeps the fresh extraction benchmarked)
+    g = _wordgram_store(spark, sf_dir)
     dup = (
-        g.groupBy("gram")
+        g.groupBy("g")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .where(F.col("nd") >= 2)
-        .select("gram")
+        .select("g")
     )
-    h = g.join(dup, "gram").select(
+    h = g.join(dup, "g").select(
         "doc_id", "pos", (F.col("pos") + 4).alias("e")
     )
     pw = (
@@ -1505,9 +1659,13 @@ def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     1.0 on containment — the sub-document duplication case (quote
     farms, boilerplate wrappers) a training-corpus dedup must catch.
     ``containment_decile = 10`` rows (``n_full``) are exact full
-    containments. Same scale posture as the Jaccard variant: stop-
+    containments. Same scale posture as the Jaccard variant — stop-
     shingle prune bounds candidates, posting lists generate pairs
-    JVM-side, integer arithmetic end-to-end.
+    JVM-side, integer arithmetic end-to-end — but the index comes
+    from the MATERIALIZED posting-list store (``_ngram_postings_store``,
+    round 9): audits read the landed inverted index; only
+    ``ngram_jaccard_hist`` re-derives it so the build cost stays
+    benchmarked.
 
     The constant df-cutoff is justified by measurement (SCALING.md
     round-7 section): it guarantees pairs ≤ (cutoff−1)/2 × postings —
@@ -1516,21 +1674,11 @@ def ngram_containment_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant ("shared by >50 docs = boilerplate"), deliberately NOT a
     corpus quantile: an adaptive cutoff would change what the metric
     means between releases, which a drift monitor cannot afford."""
-    cutoff = 50
-    d = table(spark, sf_dir, "documents")
-    sets = d.select("doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss"))
-    ex = sets.select("doc_id", F.explode("ss").alias("s0")).select(
-        "doc_id", F.xxhash64("s0").alias("s")
-    )
-    from ..core.session import cache_parallelism
-
-    groups = (
-        ex.groupBy("s")
-        .agg(F.sort_array(F.collect_list("doc_id")).alias("ds"))
-        .where(F.size("ds") <= cutoff)
-        .coalesce(cache_parallelism(spark))
-        .cache()
-    )
+    # Reads the MATERIALIZED posting-list store (built once per corpus
+    # by whichever consumer runs first; ngram_jaccard_hist keeps the
+    # fresh pipeline benchmarked) — the production posture: similarity
+    # audits read the landed inverted index, they don't re-derive it.
+    groups = _ngram_postings_store(spark, sf_dir)
     sizes = groups.select(F.explode("ds").alias("doc_id")).groupBy("doc_id").agg(
         F.count("*").alias("sz")
     )

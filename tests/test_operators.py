@@ -623,3 +623,57 @@ def test_neighborhood_function_path_graph(spark):
         (0, 6, 6), (1, 6, 16), (2, 6, 24), (3, 6, 30),
     ]
     assert all(ok for _, _, _, ok in got)
+
+
+def test_hamming1_join_random_vs_bruteforce(spark):
+    """Seeded random fingerprint sets (dense enough to guarantee
+    distance-1 collisions, plus duplicates) checked against a
+    driver-side all-pairs bit_count — the wildcard index must find
+    every distance-1 pair exactly once, tagged with the right bit."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        hamming1_neighbor_join,
+    )
+
+    rng = random.Random(7)
+    for bits, n in [(6, 40), (16, 120), (16, 300)]:
+        vals = [rng.randrange(1 << bits) for _ in range(n)]
+        df = spark.createDataFrame([(v,) for v in vals], "fp long")
+        got = {
+            (r.fp_a, r.fp_b, r.pos)
+            for r in hamming1_neighbor_join(df, "fp", bits).collect()
+        }
+        distinct = sorted(set(vals))
+        want = set()
+        for i, a in enumerate(distinct):
+            for b in distinct[i + 1 :]:
+                x = a ^ b
+                if x and not (x & (x - 1)):  # exactly one differing bit
+                    want.add((a, b, x.bit_length() - 1))
+        assert got == want, f"bits={bits} n={n}"
+        # exactly-once emission: the raw join output has no duplicates
+        raw = hamming1_neighbor_join(df, "fp", bits)
+        assert raw.count() == raw.distinct().count()
+
+
+def test_hamming1_join_sign_bit_and_bounds(spark):
+    """Bit 63 rides the long's sign bit — a pair differing only there
+    must still be found; widths outside 1..64 are rejected."""
+    import pytest as _pytest
+
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        hamming1_neighbor_join,
+    )
+
+    a = -(1 << 63)  # only bit 63 set
+    df = spark.createDataFrame([(0,), (a,), (3,)], "fp long")
+    got = {
+        (r.fp_a, r.fp_b, r.pos)
+        for r in hamming1_neighbor_join(df, "fp", 64).collect()
+    }
+    assert got == {(a, 0, 63)}  # 0 vs 3 differ in two bits: excluded
+    with _pytest.raises(ValueError):
+        hamming1_neighbor_join(df, "fp", 0)
+    with _pytest.raises(ValueError):
+        hamming1_neighbor_join(df, "fp", 65)

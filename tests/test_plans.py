@@ -683,3 +683,22 @@ def test_dpp_partition_join_prunes_dynamically(spark, sf_dir):
     assert "dynamicpruning" in plan.lower()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hamming1_neighbor_join_is_equi_hash(spark, sf_dir):
+    """hamming1_neighbor_pairs: candidate generation is an EQUI-join on
+    the wildcard key — a hash-family join, never BroadcastNestedLoop /
+    Cartesian (the all-pairs bit_count shape the operator exists to
+    avoid) and never row-Python; the cached fingerprint-count frame
+    serves the index and both count join-backs (4 cache reads), so the
+    simhash derivation is planned once."""
+    plan = _formatted(spark, QUERIES["hamming1_neighbor_pairs"](spark, sf_dir))
+    n_hash_joins = sum(
+        _n_nodes(plan, op)
+        for op in ("BroadcastHashJoin", "SortMergeJoin", "ShuffledHashJoin")
+    )
+    assert n_hash_joins == 3  # wildcard-key join + two count join-backs
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _n_nodes(plan, "InMemoryTableScan") == 4

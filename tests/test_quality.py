@@ -388,3 +388,63 @@ def test_lsh_pairs_store_matches_fresh(spark, sf_dir):
     again = sorted(tuple(r) for r in _lsh_pairs_store(spark, sf_dir).collect())
     assert again == fresh
     assert os.stat(marker).st_mtime_ns == m0
+
+
+def test_ngram_postings_store_matches_fresh(spark, sf_dir):
+    """The materialized posting-list store must be row-identical to the
+    fresh pipeline (sort_array-pinned list order) and key on the corpus
+    fingerprint so a regenerated corpus cannot read stale postings."""
+    import hashlib
+    import os
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _ngram_posting_lists,
+        _ngram_postings_store,
+    )
+
+    fresh = sorted(
+        (r.s, tuple(r.ds))
+        for r in _ngram_posting_lists(spark, sf_dir).collect()
+    )
+    stored = sorted(
+        (r.s, tuple(r.ds)) for r in _ngram_postings_store(spark, sf_dir).collect()
+    )
+    assert stored == fresh and len(fresh) > 0
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    token = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v1".encode()
+    ).hexdigest()[:12]
+    marker = f"/tmp/bdip_postings_{token}/_SUCCESS"
+    m0 = os.stat(marker).st_mtime_ns
+    again = sorted(
+        (r.s, tuple(r.ds)) for r in _ngram_postings_store(spark, sf_dir).collect()
+    )
+    assert again == fresh
+    assert os.stat(marker).st_mtime_ns == m0  # no rewrite on re-read
+
+
+def test_wordgram_store_matches_fresh(spark, sf_dir):
+    """Word-gram store: row-identical to the fresh extraction,
+    fingerprint-keyed, no rewrite on a second read."""
+    import hashlib
+    import os
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _wordgram_occurrences,
+        _wordgram_store,
+    )
+
+    fresh = sorted(
+        tuple(r) for r in _wordgram_occurrences(spark, sf_dir).collect()
+    )
+    stored = sorted(tuple(r) for r in _wordgram_store(spark, sf_dir).collect())
+    assert stored == fresh and len(fresh) > 0
+    st = os.stat(f"{sf_dir}/documents.parquet")
+    token = hashlib.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v1".encode()
+    ).hexdigest()[:12]
+    marker = f"/tmp/bdip_wordgrams_{token}/_SUCCESS"
+    m0 = os.stat(marker).st_mtime_ns
+    again = sorted(tuple(r) for r in _wordgram_store(spark, sf_dir).collect())
+    assert again == fresh
+    assert os.stat(marker).st_mtime_ns == m0
