@@ -538,7 +538,7 @@ def streaming_erasure_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained sketch state under a STREAM: the event
-    feed is staged as 4 files and drained with maxFilesPerTrigger=1,
+    feed is staged as 3 files and drained with maxFilesPerTrigger=1,
     so the per-day HLL sketch state (streaming/sketch_state.py) is
     built across MULTIPLE micro-batches — each batch's day-sketches
     union-merge into the persistent state, proving the sketch update
@@ -560,13 +560,20 @@ def streaming_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ensure_utc(spark)
-    root = _fingerprinted_tmp(sf_dir, "bdip_skst")
+    # prefix encodes the slicing (3 files): the _SUCCESS idempotence
+    # marker would otherwise keep serving the old 4-file feed. Three
+    # micro-batches still prove segmentation-independent merge (>= 2
+    # state versions, asserted by the cross-batch test) at one less
+    # trigger/state-commit cycle — the result is slicing-invariant by
+    # design (union-merge associativity), so the driver hash is
+    # unchanged (VERDICT r8 item 6).
+    root = _fingerprinted_tmp(sf_dir, "bdip_skst3")
     feed = f"{root}/feed"
     state = f"{root}/state"
     if not os.path.exists(os.path.join(feed, "_SUCCESS")):
         table(spark, sf_dir, "events").select(
             "user_id", F.date_trunc("day", "ts").alias("d")
-        ).repartition(4).write.mode("overwrite").parquet(feed)
+        ).repartition(3).write.mode("overwrite").parquet(feed)
     _sh.rmtree(state, ignore_errors=True)
     schema = spark.read.parquet(feed).schema
     stream = (
@@ -888,23 +895,30 @@ def streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
     the checked per-bucket admitted_value pins both the cross-batch
     counter carry and the within-batch (ts, event_id) ordering.
 
-    The feed is staged as 4 ts-QUARTILE files (ntile over the total
+    The feed is staged as 3 ts-TERTILE files (ntile over the total
     (ts, event_id) order, drained mtime-ordered one per micro-batch),
     so each key's arrival order across batches equals its global time
     order — which is what makes "first 3" well-defined and the batch
-    oracle (row_number <= 3) exact. Admitted values are 2dp grid
-    money, so the <= 3-term sums are order-exact in both engines.
+    oracle (row_number <= 3) exact. Three batches keep the cross-batch
+    carry contract fully exercised (quotas fill in batch 1, later
+    batches may only bump n_seen) at one less trigger/state-commit
+    cycle than the original quartile feed — the output is
+    slicing-INVARIANT by design, so the driver hash is unchanged
+    (VERDICT r8 item 6). Admitted values are 2dp grid money, so the
+    <= 3-term sums are order-exact in both engines.
 
     Scale: state is 3 scalars per user; each micro-batch shuffles only
     its own rows on the key; the final rollup is bucket-sized."""
     ensure_utc(spark)
     from ..streaming.stateful import quota_admissions
 
-    root = _fingerprinted_tmp(sf_dir, "bdip_quota")
+    # prefix encodes the slicing (t3): _stage_feed is marker-idempotent
+    # per root, so a slicing change must re-stage, not reuse 4 files
+    root = _fingerprinted_tmp(sf_dir, "bdip_quota_t3")
     e = table(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "value"
     )
-    qtile = F.ntile(4).over(
+    qtile = F.ntile(3).over(
         Window.orderBy("ts", "event_id")
     )
     staged = e.withColumn("q", qtile)
@@ -912,7 +926,7 @@ def streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         root,
         [
             (f"q{i}", staged.where(F.col("q") == i).drop("q"))
-            for i in range(1, 5)
+            for i in range(1, 4)
         ],
     )
     final = quota_admissions(spark, sf_dir, feed)

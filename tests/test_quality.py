@@ -218,7 +218,7 @@ def test_streaming_sketch_builds_multibatch_state(spark, sf_dir):
     )
 
     # cross-batch merge must actually have been exercised
-    assert n_state_versions(_fingerprinted_tmp(sf_dir, "bdip_skst") + "/state") > 1
+    assert n_state_versions(_fingerprinted_tmp(sf_dir, "bdip_skst3") + "/state") > 1
     assert all(r["within_tol"] for r in rows)
     # stream ≡ batch: exact counts agree with the batch twin
     batch = {
