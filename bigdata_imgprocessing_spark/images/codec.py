@@ -44,10 +44,11 @@ def decode_image(buf: bytes) -> np.ndarray:
     (interleaved, non-interleaved multi-scan, AND partially
     interleaved), progressive, LOSSLESS (SOF3), 12-bit extended-
     sequential gray AND color (>>4 uint8 contract), 4:4:4 / 4:2:2 /
-    4:2:0 / gray, plus 4-component Adobe CMYK/YCCK — all natively
+    4:2:0 / gray, plus 4-component Adobe CMYK/YCCK at BOTH precisions
+    (12-bit CMYK landed r9) — all natively
     (stdlib+numpy codecs — the reference's actual *.jpg ingest format
-    decodes without cv2); the remaining exotic variants (12-bit CMYK,
-    arithmetic-coded, hierarchical) fall through to cv2 when available,
+    decodes without cv2); the remaining exotic variants
+    (arithmetic-coded, hierarchical) fall through to cv2 when available,
     else the codec's NotImplementedError propagates (documented gate).
     All paths return RGB channel order — cv2 decodes BGR, so its
     results are channel-reversed here."""

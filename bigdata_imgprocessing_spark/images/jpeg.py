@@ -544,21 +544,31 @@ _ENC_AC12 = _canonical_codes(_AC12_BITS, _AC12_VALS)
 
 
 def encode_jpeg_12bit(
-    arr: np.ndarray, quant: np.ndarray | None = None
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    transform: int = 0,
 ) -> bytes:
     """uint16 12-bit samples (0..4095) → extended sequential (SOF1)
-    JPEG: H×W grayscale, or H×W×3 RGB stored as 4:4:4 YCbCr with
-    chroma centered at 2048 (the 12-bit analogue of the 8-bit 128
-    center). The matching decode path returns uint8 via >>4 (engine
-    arrays are uint8), so round-trip equals ``arr >> 4`` exactly for
-    DC-flat gray and within one count otherwise. Exists so the 12-bit
-    decode paths are testable without external fixtures (12-bit files
-    are medical/raw exports)."""
+    JPEG: H×W grayscale, H×W×3 RGB stored as 4:4:4 YCbCr with chroma
+    centered at 2048 (the 12-bit analogue of the 8-bit 128 center), or
+    H×W×4 Adobe-style INVERTED CMYK (r9: 4095 = no ink; ``transform=0``
+    stores the planes directly, ``transform=2`` the YCCK form — the
+    inverted C,M,Y triple through the YCbCr transform with 2048-center
+    chroma, K direct — and either emits the Adobe APP14 segment the
+    decoder keys on). The matching decode path returns uint8 via >>4
+    (engine arrays are uint8), so round-trip equals ``arr >> 4``
+    exactly for DC-flat gray and within one count otherwise. Exists so
+    the 12-bit decode paths are testable without external fixtures
+    (12-bit files are medical/raw/press exports)."""
     a = np.ascontiguousarray(arr, dtype=np.uint16)
-    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] != 3):
-        raise ValueError(f"12-bit encode needs HxW or HxWx3, got {a.shape}")
+    if a.ndim not in (2, 3) or (a.ndim == 3 and a.shape[2] not in (3, 4)):
+        raise ValueError(
+            f"12-bit encode needs HxW, HxWx3 or HxWx4, got {a.shape}"
+        )
     if a.max() > 4095:
         raise ValueError("12-bit samples must be in [0, 4095]")
+    if transform not in (0, 2):
+        raise ValueError("transform must be 0 (CMYK) or 2 (YCCK)")
     h, w = a.shape[:2]
     q = (_QUANT_ONES if quant is None else np.asarray(quant, np.uint16)).reshape(64)
     if q.max() > 255 or q.min() < 1:
@@ -566,6 +576,17 @@ def encode_jpeg_12bit(
     mcx, mcy = -(-w // 8), -(-h // 8)
     if a.ndim == 2:
         planes = [a.astype(np.float64)]
+    elif a.shape[2] == 4:
+        if transform == 2:
+            c_, m_, y4 = (a[:, :, c].astype(np.float64) for c in range(3))
+            planes = [
+                0.299 * c_ + 0.587 * m_ + 0.114 * y4,
+                2048.0 - 0.168736 * c_ - 0.331264 * m_ + 0.5 * y4,
+                2048.0 + 0.5 * c_ - 0.418688 * m_ - 0.081312 * y4,
+                a[:, :, 3].astype(np.float64),
+            ]
+        else:
+            planes = [a[:, :, c].astype(np.float64) for c in range(4)]
     else:
         r, g, b = (a[:, :, c].astype(np.float64) for c in range(3))
         planes = [
@@ -576,6 +597,10 @@ def encode_jpeg_12bit(
     nc = len(planes)
 
     out = bytearray(b"\xff\xd8")
+    if nc == 4:  # 4-component frames need the Adobe transform flag
+        out += _seg(
+            0xEE, b"Adobe" + struct.pack(">HHHB", 100, 0, 0, transform)
+        )
     out += _seg(0xDB, bytes([0]) + bytes(q[_ZIGZAG].astype(np.uint8)))
     sof = struct.pack(">BHHB", 12, h, w, nc)
     for cid in range(1, nc + 1):
@@ -728,14 +753,11 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
             if prec == 12:
                 # 12-bit EXTENDED sequential (SOF1 only — baseline SOF0
-                # is 8-bit by definition, B.2.2). Gray and YCbCr color
-                # decode natively with the documented >>4 uint8 output
-                # contract; 12-bit CMYK stays gated (never seen in the
-                # wild — Adobe 4-component exports are 8-bit).
+                # is 8-bit by definition, B.2.2). Gray, YCbCr color and
+                # (r9) Adobe CMYK/YCCK all decode natively with the
+                # documented >>4 uint8 output contract.
                 if marker != 0xC1:
                     raise ValueError("12-bit precision requires SOF1")
-                if nc == 4:
-                    raise NotImplementedError("12-bit CMYK JPEG")
             elif prec != 8:
                 raise NotImplementedError(f"only 8/12-bit JPEG (precision={prec})")
             if nc not in (1, 3, 4):
@@ -836,20 +858,27 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
         # 4-component form seen in the wild — libjpeg/PIL make the same
         # assumption). transform 2 (YCCK) stores the inverted C,M,Y
         # triple YCbCr-transformed; K is always direct. RGB output via
-        # R = s_C * s_K / 255 (s = stored/inverted values), the
-        # inverted-CMYK → RGB identity.
+        # R = s_C * s_K / maxval (s = stored/inverted values), the
+        # inverted-CMYK → RGB identity. 12-bit frames (r9) use the same
+        # identity in 12-bit units — chroma/K centered & clipped at
+        # 4095 — then the engine-wide >>4 uint8 output contract.
+        maxv = float((1 << prec) - 1)
+        ctr = float(1 << (prec - 1))
         if adobe_transform == 2:
             y_, cb_, cr_ = crops[0], crops[1], crops[2]
-            sc = y_ + 1.402 * (cr_ - 128.0)
-            sm = y_ - 0.344136 * (cb_ - 128.0) - 0.714136 * (cr_ - 128.0)
-            sy = y_ + 1.772 * (cb_ - 128.0)
+            sc = y_ + 1.402 * (cr_ - ctr)
+            sm = y_ - 0.344136 * (cb_ - ctr) - 0.714136 * (cr_ - ctr)
+            sy = y_ + 1.772 * (cb_ - ctr)
         else:
             sc, sm, sy = crops[0], crops[1], crops[2]
-        sk = np.clip(crops[3], 0.0, 255.0)
+        sk = np.clip(crops[3], 0.0, maxv)
         rgb = np.stack(
-            [np.clip(p, 0.0, 255.0) * sk / 255.0 for p in (sc, sm, sy)],
+            [np.clip(p, 0.0, maxv) * sk / maxv for p in (sc, sm, sy)],
             axis=2,
         )
+        if prec == 12:
+            rgb12 = np.clip(rgb.round(), 0, 4095).astype(np.int64)
+            return (rgb12 >> 4).astype(np.uint8)
         return np.clip(rgb.round(), 0, 255).astype(np.uint8)
     if prec == 12:
         # 12-bit YCbCr: chroma centered at 2048, reconstruct in 12-bit

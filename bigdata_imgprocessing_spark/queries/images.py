@@ -139,6 +139,24 @@ def _real_format_image_udf(vec_id: pd.Series, emb: pd.Series) -> pd.Series:
             cmyk[:, :, 2] = px[0, 0, 2]
             cmyk[:, :, 3] = 255
             return encode_jpeg_cmyk(cmyk, transform=0)
+        if vid % 48 == 44:
+            # 12-bit Adobe CMYK leg (r9 — the last plumbing gate): flat
+            # C,M,Y at mid-bin 12-bit values (px*16 + 8) with K=4095
+            # (no ink), so the inverted-CMYK identity is a multiply by
+            # one and >>4 recovers the pixel bytes exactly (verified
+            # exact for both transforms over random flat colors);
+            # alternates direct CMYK / YCCK by vid % 96. Checked BEFORE
+            # the %6==2 4:2:0 branch, whose residue class it borrows.
+            from ..images.jpeg import encode_jpeg_12bit
+
+            cmyk12 = np.zeros((2, 2, 4), dtype=np.uint16)
+            cmyk12[:, :, 0] = int(px[0, 0, 0]) * 16 + 8
+            cmyk12[:, :, 1] = int(px[0, 0, 1]) * 16 + 8
+            cmyk12[:, :, 2] = int(px[0, 0, 2]) * 16 + 8
+            cmyk12[:, :, 3] = 4095
+            return encode_jpeg_12bit(
+                cmyk12, transform=0 if vid % 96 == 44 else 2
+            )
         enc_fn = encode_jpeg if vid % 12 < 6 else encode_jpeg_progressive
         if vid % 6 == 2:
             return enc_fn(
@@ -271,12 +289,12 @@ def image_dominant_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
                      ELSE ({_px(1)} + {_px(4)} + {_px(7)} + {_px(10)}) / 4.0 END), 4) AS avg_c0,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
                      WHEN vec_id % 48 = 29 THEN ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0
-                     WHEN vec_id % 48 IN (35, 11) THEN {_px(2)}
+                     WHEN vec_id % 48 IN (35, 11, 44) THEN {_px(2)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(2)} + {_px(5)} + {_px(8)} + {_px(11)}) / 4.0 END), 4) AS avg_c1,
            round(avg(CASE WHEN vec_id % 24 IN (17, 23) THEN 64 + ({_px(1)} % 128)
                      WHEN vec_id % 48 = 29 THEN ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0
-                     WHEN vec_id % 48 IN (35, 11) THEN {_px(3)}
+                     WHEN vec_id % 48 IN (35, 11, 44) THEN {_px(3)}
                      WHEN vec_id % 3 = 2 THEN {_px(1)}
                      ELSE ({_px(3)} + {_px(6)} + {_px(9)} + {_px(12)}) / 4.0 END), 4) AS avg_c2
     FROM embeddings GROUP BY label
@@ -302,9 +320,11 @@ def image_format_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     SOF3 with full arbitrary pixel content (%48==29 — exact by
     construction), Adobe CMYK with flat per-channel planes (%48==35 —
     RGB = stored C,M,Y at K=255), the partially interleaved scan
-    script on flat gray (%48==5), and 12-bit SOF1 COLOR at mid-bin
+    script on flat gray (%48==5), 12-bit SOF1 COLOR at mid-bin
     12-bit values so the >>4 contract recovers the pixel bytes
-    exactly (%48==11). Mirrors the
+    exactly (%48==11), and (r9) 12-bit Adobe CMYK/YCCK at the same
+    mid-bin values with K=4095 (%48==44 — the last plumbing gate
+    closed; direct/YCCK alternate by %96). Mirrors the
     reference's cv2.imdecode *.jpg ingest (pyspark_dominant.py:33-35)
     where formats also vary per file."""
     e = table(spark, sf_dir, "embeddings")

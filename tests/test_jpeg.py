@@ -507,3 +507,53 @@ def test_cmyk_decode_bounded_property(seed, transform):
     # DCT rounding on each plane is bounded (~±6); the product divides
     # by 255 but errors in the two factors add — ±14 is a safe envelope
     assert np.abs(out - np.round(exp)).max() <= 14
+
+
+def test_12bit_cmyk_flat_exact_both_transforms():
+    """12-bit Adobe CMYK/YCCK (r9 — the last plumbing gate): flat C,M,Y
+    at mid-bin 12-bit values with K=4095 must recover the 8-bit pixel
+    bytes EXACTLY via the >>4 contract under BOTH transform flags (the
+    image_format_ingest %48==44 slot contract)."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_12bit
+
+    rng = np.random.default_rng(12)
+    for _ in range(25):
+        px = rng.integers(0, 256, 3)
+        for tr in (0, 2):
+            v = np.zeros((2, 2, 4), np.uint16)
+            v[:, :, :3] = px.astype(np.uint16) * 16 + 8
+            v[:, :, 3] = 4095
+            out = decode_jpeg(encode_jpeg_12bit(v, transform=tr))
+            assert (out == px.astype(np.uint8)).all(), (px, tr, out[0, 0])
+
+
+@settings(max_examples=30, deadline=None, derandomize=True)
+@given(seed=st.integers(0, 2**31 - 1), transform=st.sampled_from([0, 2]))
+def test_12bit_cmyk_random_within_one_count(seed, transform):
+    """Random 12-bit CMYK content: after the inverted-CMYK identity in
+    12-bit units and >>4, the decode must sit within one 8-bit count of
+    the analytic product (DCT rounding < half a 12-bit bin per plane;
+    the two factors' errors add across the multiply)."""
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_12bit
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 4096, size=(9, 13, 4), dtype=np.uint16)
+    out = decode_jpeg(encode_jpeg_12bit(img, transform=transform)).astype(int)
+    s = img[:, :, :3].astype(np.float64)
+    k = img[:, :, 3:4].astype(np.float64)
+    exp = np.clip(np.round(s * k / 4095.0), 0, 4095).astype(np.int64) >> 4
+    assert np.abs(out - exp).max() <= 1
+
+
+def test_12bit_encode_validation():
+    """Shape/range/transform validation on the extended 12-bit encoder."""
+    import pytest as _pytest
+
+    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_12bit
+
+    with _pytest.raises(ValueError):
+        encode_jpeg_12bit(np.zeros((4, 4, 2), np.uint16))
+    with _pytest.raises(ValueError):
+        encode_jpeg_12bit(np.full((4, 4, 4), 5000, np.uint16))
+    with _pytest.raises(ValueError):
+        encode_jpeg_12bit(np.zeros((4, 4, 4), np.uint16), transform=1)
