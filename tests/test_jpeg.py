@@ -118,8 +118,8 @@ def test_decoder_gates_and_corruption_contract_for_sof_variants():
     """The r8 native additions (lossless, partial interleave, CMYK)
     shrank the gate set: mislabeled streams must now surface as
     CORRUPTION (ValueError → quarantine), and the remaining genuine
-    gates (12-bit, arithmetic coding) still raise NotImplementedError
-    → the cv2 slot-in."""
+    gates (odd precisions, arithmetic coding) still raise
+    NotImplementedError → the cv2 slot-in."""
     img = np.full((8, 8, 3), 50, dtype=np.uint8)
     buf = bytearray(encode_jpeg(img))
     sof = buf.find(bytes([0xFF, 0xC0]))
@@ -147,19 +147,12 @@ def test_decoder_gates_and_corruption_contract_for_sof_variants():
     twelve[sof + 2 + 2] = 12  # SOF payload precision byte
     with pytest.raises(ValueError):
         decode_jpeg(bytes(twelve))
-    # genuine gates: odd precisions, 12-bit CMYK, arithmetic coding
+    # genuine gates: odd precisions, arithmetic coding (12-bit CMYK
+    # decodes natively since r9 — covered by the 12bit_cmyk tests)
     ten = bytearray(buf)
     ten[sof + 2 + 2] = 10
     with pytest.raises(NotImplementedError, match="only 8/12-bit"):
         decode_jpeg(bytes(ten))
-    from bigdata_imgprocessing_spark.images.jpeg import encode_jpeg_cmyk
-
-    cbuf = bytearray(encode_jpeg_cmyk(np.full((8, 8, 4), 200, np.uint8)))
-    csof = cbuf.find(bytes([0xFF, 0xC0]))
-    cbuf[csof + 1] = 0xC1
-    cbuf[csof + 2 + 2] = 12  # SOF1 + 12-bit with 4 components
-    with pytest.raises(NotImplementedError, match="12-bit CMYK"):
-        decode_jpeg(bytes(cbuf))
     arith = bytes(buf[:sof + 1]) + b"\xc9" + bytes(buf[sof + 2:])
     with pytest.raises(NotImplementedError, match="arithmetic"):
         decode_jpeg(arith)
