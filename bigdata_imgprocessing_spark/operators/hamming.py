@@ -80,7 +80,16 @@ def hamming1_neighbor_join(
             )
         ).alias("pk"),
     ).select("fp", F.col("pk.pos").alias("pos"), F.col("pk.k").alias("k"))
-    a = keys.alias("a")
+    # PIN a sort-merge join: both sides are the SAME |V|*bits exploded
+    # frame, so broadcast is never the right strategy — and Catalyst
+    # would pick it anyway at scale, because explode propagates its
+    # child's size estimate (the 64x row fan-out is invisible to the
+    # optimizer), then OOMs building the broadcast relation. Measured:
+    # 1M distinct 64-bit fingerprints = a 64M-row index per side ->
+    # "Not enough memory to build and broadcast" without the hint
+    # (tools_scale_r9.py); with it, a plain two-sided shuffle whose
+    # <= 2-row buckets cannot skew.
+    a = keys.alias("a").hint("merge")
     b = keys.alias("b")
     return a.join(
         b,
