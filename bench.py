@@ -231,6 +231,7 @@ HEADLINE = [
     "hll_intersection_audit",
     # round 9 additions
     "hamming1_neighbor_pairs",
+    "decontam_bloom_prefilter",
 ]
 
 
