@@ -232,6 +232,7 @@ HEADLINE = [
     # round 9 additions
     "hamming1_neighbor_pairs",
     "decontam_bloom_prefilter",
+    "streaming_decontam_ingest",
 ]
 
 
@@ -246,6 +247,7 @@ HEADLINE = [
 # reviewer can separate fixed contract cost from data-dependent cost
 # (VERDICT r8 item 7).
 MULTI_BATCH_CONTRACT = [
+    "streaming_decontam_ingest",  # 3 waves: order-dependent index growth
     "streaming_dedup_within_watermark",  # 2 batches: cross-batch dedup state
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush

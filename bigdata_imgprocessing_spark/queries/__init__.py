@@ -34,7 +34,7 @@ _PRIORITY = [
     # query whose OUTPUT changed this round (image_format_ingest
     # gained the 12-bit Adobe CMYK/YCCK leg at slot %48==44).
     "hamming1_neighbor_pairs", "decontam_bloom_prefilter",
-    "image_format_ingest",
+    "streaming_decontam_ingest", "image_format_ingest",
     # (2) the 20 rows whose latest driver check is still round 4 — the
     # overflow VERDICT r8 item 1 says to lead with (they are 5 rounds
     # stale after r9's window).

@@ -359,6 +359,31 @@ def doc_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DECON_N = 5  # word n-gram size for contamination detection
 
 
+def _wordgram_5h(d: DataFrame) -> DataFrame:
+    """(doc_id, gram_h): the decontamination family's md5-16hex word
+    5-grams of ``d.text`` — one derivation shared by the batch scans
+    here and the streaming ingest loop (streaming/decontam_ingest.py),
+    so the gram space cannot drift between deployment modes."""
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    idx = F.when(n >= _DECON_N, F.sequence(F.lit(0), n - _DECON_N)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return d.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.substring(
+                    F.md5(F.array_join(F.slice(toks, i + 1, _DECON_N), " ")),
+                    1,
+                    16,
+                ),
+            )
+        ).alias("gram_h"),
+    )
+
+
 @query(
     "decontam_ngram_overlap",
     oracle=f"""

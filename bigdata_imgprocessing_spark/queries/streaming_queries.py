@@ -865,6 +865,124 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_decontam_ingest",
+    oracle="""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CASE WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 10))::UBIGINT % 100) < 90
+                    THEN 'train'
+                    WHEN (('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_split'), 1, 10))::UBIGINT % 100) >= 95
+                    THEN 'test' END AS split
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, split, CAST(doc_id % 3 AS BIGINT) AS wave,
+               substr(md5(array_to_string(toks[i + 1:i + 5], ' ')), 1, 16)
+                   AS gram_h
+        FROM (
+            SELECT doc_id, split, toks,
+                   unnest(generate_series(0, len(toks) - 5)) AS i
+            FROM assigned WHERE split IS NOT NULL
+        )
+    ), tr AS (SELECT DISTINCT gram_h FROM grams WHERE split = 'train'),
+    tg AS (SELECT doc_id, wave, gram_h FROM grams WHERE split = 'test'),
+    c0 AS (SELECT DISTINCT doc_id FROM tg JOIN tr USING (gram_h)
+           WHERE wave = 0),
+    i1 AS (SELECT gram_h FROM tr
+           UNION
+           SELECT gram_h FROM tg WHERE wave = 0
+              AND doc_id NOT IN (SELECT doc_id FROM c0)),
+    c1 AS (SELECT DISTINCT tg.doc_id FROM tg JOIN i1 USING (gram_h)
+           WHERE wave = 1),
+    i2 AS (SELECT gram_h FROM i1
+           UNION
+           SELECT gram_h FROM tg WHERE wave = 1
+              AND doc_id NOT IN (SELECT doc_id FROM c1)),
+    c2 AS (SELECT DISTINCT tg.doc_id FROM tg JOIN i2 USING (gram_h)
+           WHERE wave = 2),
+    contam AS (SELECT doc_id FROM c0 UNION SELECT doc_id FROM c1
+               UNION SELECT doc_id FROM c2),
+    docs AS (SELECT doc_id, lang, CAST(doc_id % 3 AS BIGINT) AS wave
+             FROM assigned WHERE split = 'test')
+    SELECT d.wave, d.lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated
+    FROM docs d LEFT JOIN contam c USING (doc_id)
+    GROUP BY d.wave, d.lang
+    """,
+)
+def streaming_decontam_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination as a CONTINUOUS curation loop — the streaming
+    form of the decontam family and the governance analog of
+    `streaming_lsh_ingest`: test-split documents arrive in 3
+    mtime-ordered waves (doc_id % 3, one file per micro-batch under
+    maxFilesPerTrigger=1), and each micro-batch checks its documents'
+    word 5-grams against the ACCUMULATED index — the fixed train-gram
+    store plus the grams of every earlier wave's CLEAN documents,
+    because arrivals that pass decontamination are ingested into the
+    training pool and later arrivals must be checked against them too
+    (streaming/decontam_ingest.py).
+
+    The output groups by the wave that CHECKED each document (the
+    stored batch id), while the oracle recomputes the wave
+    analytically as doc_id % 3 and replays the wave-by-wave index
+    growth as three chained CTEs — so the driver hash pins both the
+    exactly-once admission semantics (a doc checked in the wrong wave,
+    twice, or never shifts a count) and the ORDER-dependent state
+    carry (a clean wave-0 doc's grams must contaminate a matching
+    wave-1 doc; a static-index implementation breaks the hash).
+
+    Scale: per-batch probes are arrivals-sized against a semi join on
+    the gram key (at 100 TB: the bloom prefilter of
+    `decontam_bloom_prefilter` in front of it); the accumulated index
+    is append-only parquet never re-joined against itself; per-batch
+    writes are idempotent overwrite-per-batch-id subdirs."""
+    import shutil as _sh
+
+    from ..streaming.decontam_ingest import read_results, run_decontam_ingest
+    from .curation import _md5_bucket, _wordgram_5h
+
+    ensure_utc(spark)
+    import os as _os
+
+    root = _fingerprinted_tmp(sf_dir, "bdip_dci", src="documents")
+    d = table(spark, sf_dir, "documents")
+    h = _md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_split")), 100
+    )
+    base_idx = f"{root}/base_idx"
+    if not _os.path.exists(_os.path.join(base_idx, "_SUCCESS")):
+        _wordgram_5h(d.where(h < 90)).select(
+            "gram_h"
+        ).distinct().repartition(4, "gram_h").write.mode("overwrite").parquet(
+            base_idx
+        )
+    test_docs = d.where(h >= 95).select("doc_id", "lang", "text")
+    feed = _stage_feed(
+        root,
+        [
+            (f"w{i}", test_docs.where(F.col("doc_id") % 3 == i))
+            for i in range(3)
+        ],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_decontam_ingest(stream, state, base_idx)
+    res = read_results(spark, state)
+    return res.groupBy("wave", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("contaminated").cast("long"))
+        .cast("bigint")
+        .alias("n_contaminated"),
+    )
+
+
+@query(
     "streaming_quota_admission",
     oracle="""
     WITH r AS (

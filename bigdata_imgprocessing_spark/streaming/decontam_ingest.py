@@ -1,0 +1,111 @@
+"""Streaming decontamination-at-ingest: the benchmark-leakage scan as
+a CONTINUOUS curation loop. Documents arrive in waves; each micro-batch
+checks its documents' word 5-grams against the ACCUMULATED gram index
+(the fixed train corpus plus the grams of every earlier wave's CLEAN
+documents — arrivals that pass decontamination are ingested into the
+training pool, so later arrivals must be checked against them too).
+Contaminated documents are recorded tagged with the wave that CHECKED
+them; clean documents' distinct grams extend the index for subsequent
+waves.
+
+This is the decontamination analog of ``streaming/lsh_ingest.py``:
+per-batch probes are arrivals-sized, the accumulated index is never
+re-joined against itself, and per-batch writes are mode=overwrite per
+batch-id subdir so task retries and batch replays are idempotent (the
+results land before the index extension, so a crash between the two
+replays the batch without corrupting either store).
+
+Reference parity: the reference has no streaming engine — this is the
+Structured Streaming extension of the decontamination surface
+(``decontam_ngram_overlap`` / ``decontam_bloom_prefilter``), same
+module contract as the other streaming/ jobs.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def run_decontam_ingest(
+    stream_df: DataFrame, state_root: str, base_index_dir: str
+) -> None:
+    """Drain a (doc_id, lang, text) document stream with availableNow,
+    checking each micro-batch against ``base_index_dir`` (the fixed
+    train-gram index) plus the clean-doc gram extensions of every
+    earlier batch under ``state_root/idx``."""
+    from ..queries.curation import _wordgram_5h
+
+    def step(batch: DataFrame, bid: int) -> None:
+        if batch.isEmpty():
+            return
+        spark = batch.sparkSession
+        batch = batch.cache()
+        grams_b = _wordgram_5h(batch).cache()
+        ext = sorted(glob.glob(f"{state_root}/idx/b*"))
+        idx = spark.read.parquet(base_index_dir, *ext)
+        contaminated = (
+            grams_b.join(idx, "gram_h", "left_semi")
+            .select("doc_id")
+            .distinct()
+            .withColumn("contaminated", F.lit(True))
+        )
+        res = (
+            batch.select("doc_id", "lang")
+            .join(contaminated, "doc_id", "left")
+            .select(
+                "doc_id",
+                "lang",
+                F.coalesce("contaminated", F.lit(False)).alias("contaminated"),
+                F.lit(bid).cast("bigint").alias("wave"),
+            )
+        )
+        res.coalesce(2).write.mode("overwrite").parquet(
+            f"{state_root}/res/b{bid}"
+        )
+        # read the verdicts BACK from the landed file: deriving
+        # clean_grams from the `res` lineage would re-execute the
+        # index probe a second time per batch (measured ~2x per-batch
+        # cost) — the store is the cheap, already-materialized truth
+        landed = spark.read.parquet(f"{state_root}/res/b{bid}")
+        clean_grams = (
+            grams_b.join(
+                landed.where(~F.col("contaminated")).select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            .select("gram_h")
+            .distinct()
+        )
+        clean_grams.coalesce(2).write.mode("overwrite").parquet(
+            f"{state_root}/idx/b{bid}"
+        )
+        grams_b.unpersist()
+        batch.unpersist()
+
+    (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_results(spark: SparkSession, state_root: str) -> DataFrame:
+    """Per-document admission verdicts across the drained waves, each
+    tagged with the wave that checked it."""
+    dirs = sorted(glob.glob(f"{state_root}/res/b*"))
+    if not dirs:
+        return spark.createDataFrame(
+            [], "doc_id bigint, lang string, contaminated boolean, wave bigint"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def n_index_versions(state_root: str) -> int:
+    """How many micro-batches extended the gram index — the
+    multi-batch-exercised assertion hook."""
+    return len(glob.glob(f"{state_root}/idx/b*"))

@@ -844,3 +844,71 @@ def test_streaming_quota_restart_keeps_caps(spark, tmp_path):
     assert got2[3] == (1, 1, 2.5)
     assert got2[1] == (5, 3, 6.0)
     assert got2[2] == (4, 3, 18.0)
+
+
+def test_streaming_decontam_order_dependent_carry(spark, tmp_path):
+    """The ingest loop's defining property: a CLEAN wave-0 document's
+    grams must contaminate a matching wave-1 (and wave-2) arrival even
+    though the gram is absent from the train corpus — a static-index
+    implementation passes every other check but fails this one. Doc
+    ids are searched so the md5 split and doc_id%3 wave land each
+    planted document exactly where the scenario needs it."""
+    import hashlib
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+    from bigdata_imgprocessing_spark.streaming.decontam_ingest import (
+        n_index_versions,
+    )
+
+    def bucket(doc_id: int) -> int:
+        h = hashlib.md5(f"{doc_id}_split".encode()).hexdigest()[:10]
+        return int(h, 16) % 100
+
+    def find(pred):
+        for i in range(100_000):
+            if pred(i):
+                return i
+        raise AssertionError("no doc_id found")
+
+    t_id = find(lambda i: bucket(i) < 90)
+    a_id = find(lambda i: bucket(i) >= 95 and i % 3 == 0)
+    b_id = find(lambda i: bucket(i) >= 95 and i % 3 == 1 and i != a_id)
+    c_id = find(
+        lambda i: bucket(i) >= 95 and i % 3 == 1 and i not in (a_id, b_id)
+    )
+    d_id = find(lambda i: bucket(i) >= 95 and i % 3 == 2)
+    train_text = "alpha beta gamma delta epsilon"
+    novel_text = "zeta eta theta iota kappa"  # gram NOT in train
+    rows = [
+        (t_id, train_text, "en", "s", len(train_text)),  # train corpus
+        (a_id, novel_text, "en", "s", len(novel_text)),  # w0: clean
+        (b_id, novel_text, "de", "s", len(novel_text)),  # w1: via A only
+        (c_id, train_text, "fr", "s", len(train_text)),  # w1: via train
+        (d_id, novel_text, "es", "s", len(novel_text)),  # w2: via A
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    got = {
+        (r.wave, r.lang): (r.n_docs, r.n_contaminated)
+        for r in QUERIES["streaming_decontam_ingest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {
+        (0, "en"): (1, 0),  # A: clean, ingested
+        (1, "de"): (1, 1),  # B: contaminated ONLY by A's ingested gram
+        (1, "fr"): (1, 1),  # C: contaminated by the train corpus
+        (2, "es"): (1, 1),  # D: A's gram still indexed two waves later
+    }
+    import hashlib as _h
+    import os as _os
+
+    st = _os.stat(str(tmp_path / "documents.parquet"))
+    token = _h.md5(
+        f"{tmp_path}|{st.st_mtime_ns}|{st.st_size}".encode()
+    ).hexdigest()[:12]
+    assert n_index_versions(f"/tmp/bdip_dci_{token}/state") >= 2
