@@ -15,6 +15,7 @@ from bigdata_imgprocessing_spark.core.session import build_session
 from bigdata_imgprocessing_spark.queries import QUERIES
 
 PICKS = {
+    "decontam_bloom_prefilter": "Bloom-prefiltered decontamination: the train-gram bitset broadcasts once (64-bit words, O(1) element_at+mask probe); the corpus-side probe is map-side and only survivors reach the exact semi join.",
     "hamming1_neighbor_pairs": "Wildcard hamming-1 index: candidate generation is an equi-join on (pos, fp | 1<<pos) keys whose buckets hold <= 2 fingerprints -- skew-proof, exactly-once pairs, no bit_count theta join; one cached fingerprint frame serves the index and both count join-backs.",
     "equidepth_approx_audit": "Sketch-boundary audit: the exact+approx octile pass runs eagerly (1-row collect), so the returned plan is ONE bucketing scan over literal boundaries + a broadcast join to the 8-row spine -- no self-join, no third scan.",
     "gopher_quality_rules": "Quality rule panel: all four signals incl. the nested-HOF top-word count are JVM expressions in one corpus scan; a single lang groupBy leaves the executors.",
