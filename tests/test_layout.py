@@ -257,3 +257,20 @@ def test_backfill_overwrites_only_target_partition(spark, sf_dir):
     mode = spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
     plan = pruned._jdf.queryExecution().explainString(mode)
     assert "PartitionFilters" in plan and "day" in plan
+
+
+def test_priority_rotation_names_valid():
+    """_PRIORITY drives which queries get driver CORRECTNESS rows this
+    round; a typo'd or stale name silently drops a front-loaded query
+    from the window (the rotation bug class). Every name must resolve
+    to a registered query, be unique, and actually lead the registry
+    iteration order."""
+    import bigdata_imgprocessing_spark.queries as q
+
+    names = q._PRIORITY
+    assert len(names) == len(set(names)), "duplicate _PRIORITY entries"
+    missing = [n for n in names if n not in q.QUERIES]
+    assert not missing, f"_PRIORITY names not registered: {missing}"
+    assert list(q.QUERIES)[: len(names)] == names, (
+        "registry iteration order must start with _PRIORITY"
+    )
