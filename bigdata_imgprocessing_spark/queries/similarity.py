@@ -1442,10 +1442,17 @@ def semdedup_ledger(indexed: DataFrame, tau: float = _SEMDEDUP_TAU) -> DataFrame
     )
     # dual-use frame (both sides of the self-join + the per-cell census):
     # cache so the assignment pass runs once, as the minhash family
-    # caches its candidate frames (queries/dedup.py); coalesce first —
-    # cached partitioning is frozen and every downstream stage pays one
-    # task per cached partition (see cache_parallelism).
-    indexed = indexed.coalesce(cache_parallelism(indexed.sparkSession)).cache()
+    # caches its candidate frames (queries/dedup.py). REPARTITION BY
+    # CELL, not coalesce (r9): the embeddings scan is one small file →
+    # one partition, coalesce cannot widen it, and since the verify
+    # join broadcasts one side the streamed side never reshuffles — the
+    # entire quadratic pair scoring ran on ONE task (profiled 3.0 s of
+    # a 4.4 s query). The keyed repartition is also what the docstring
+    # promises at 100 TB: cluster-local verify after one shuffle on
+    # cell.
+    indexed = indexed.repartition(
+        cache_parallelism(indexed.sparkSession), "cell"
+    ).cache()
     a = indexed.select(
         F.col("vec_id").alias("aid"), "cell",
         F.col("embedding").alias("ae"), F.col("en").alias("an"),
