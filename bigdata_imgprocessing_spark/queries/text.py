@@ -1073,8 +1073,18 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(words, i + F.lit(2)),
         ),
     )
-    w = d.where(F.size(words) >= 2).select(
-        "doc_id", F.explode(grams).alias("gram")
+    # spread the docs BEFORE the bigram explode (r9, the semdedup
+    # lesson): the documents scan is one small file → one partition,
+    # and both consumers below re-run the explode + map-side partial
+    # agg — profiled as two ~2.5 s single-task stages. A keyed
+    # repartition of the 5000-doc frame is a trivial shuffle that
+    # parallelizes the CPU-heavy gram generation in both subtrees.
+    from ..core.session import cache_parallelism
+
+    w = (
+        d.where(F.size(words) >= 2)
+        .repartition(cache_parallelism(spark), "doc_id")
+        .select("doc_id", F.explode(grams).alias("gram"))
     )
     fs = w.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
     nd = fs.groupBy(
