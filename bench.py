@@ -251,8 +251,8 @@ MULTI_BATCH_CONTRACT = [
     "streaming_dedup_within_watermark",  # 2 batches: cross-batch dedup state
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
-    "streaming_quota_admission",  # 4 ts-quartiles: quota carry across batches
-    "streaming_sketch_rollup",  # 4 files: segmentation-independent merge
+    "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
+    "streaming_sketch_rollup",  # 3 files: segmentation-independent merge
 ]
 
 

@@ -29,6 +29,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _prior_extensions(state_root: str, bid: int) -> list[str]:
+    """Index-extension dirs from batches STRICTLY BEFORE ``bid``, in
+    numeric batch order. On a crash-replay (``idx/b{bid}`` written but
+    the checkpoint commit missing) the replayed batch must see exactly
+    the pre-batch index state — including its own extension would probe
+    the batch's clean docs against their own grams and flip previously
+    clean verdicts, breaking the idempotent-replay guarantee. Batch ids
+    are parsed numerically (lexicographic sort puts b10 before b2)."""
+    numbered = sorted(
+        (int(d.rsplit("/b", 1)[1]), d)
+        for d in glob.glob(f"{state_root}/idx/b*")
+    )
+    return [d for n, d in numbered if n < bid]
+
+
 def run_decontam_ingest(
     stream_df: DataFrame, state_root: str, base_index_dir: str
 ) -> None:
@@ -44,7 +59,7 @@ def run_decontam_ingest(
         spark = batch.sparkSession
         batch = batch.cache()
         grams_b = _wordgram_5h(batch).cache()
-        ext = sorted(glob.glob(f"{state_root}/idx/b*"))
+        ext = _prior_extensions(state_root, bid)
         idx = spark.read.parquet(base_index_dir, *ext)
         contaminated = (
             grams_b.join(idx, "gram_h", "left_semi")

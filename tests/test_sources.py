@@ -912,3 +912,98 @@ def test_streaming_decontam_order_dependent_carry(spark, tmp_path):
         f"{tmp_path}|{st.st_mtime_ns}|{st.st_size}".encode()
     ).hexdigest()[:12]
     assert n_index_versions(f"/tmp/bdip_dci_{token}/state") >= 2
+
+
+def test_decontam_prior_extensions_strict_and_numeric(tmp_path):
+    """The replay-safety filter: a batch's probe index includes only
+    STRICTLY-earlier batches' extensions, in numeric (not lexicographic)
+    order — idx/b10 sorts after idx/b2, and idx/b{bid} itself is
+    excluded so a crash-replay sees the pre-batch state."""
+    from bigdata_imgprocessing_spark.streaming.decontam_ingest import (
+        _prior_extensions,
+    )
+
+    root = tmp_path / "state"
+    for b in (0, 2, 10, 11):
+        (root / "idx" / f"b{b}").mkdir(parents=True)
+    got = _prior_extensions(str(root), 11)
+    assert [d.rsplit("/b", 1)[1] for d in got] == ["0", "2", "10"]
+    assert _prior_extensions(str(root), 2) == [str(root / "idx" / "b0")]
+    assert _prior_extensions(str(root), 0) == []
+
+
+def test_streaming_decontam_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract: if the stream restarts after a batch's
+    index extension landed but BEFORE its checkpoint committed, the
+    replayed batch must reproduce identical verdicts. Without the
+    strictly-before filter the replay probes the batch's own clean-doc
+    grams and flips clean -> contaminated."""
+    import os
+    import shutil
+
+    from bigdata_imgprocessing_spark.streaming.decontam_ingest import (
+        read_results,
+        run_decontam_ingest,
+    )
+
+    base_idx = tmp_path / "base_idx"
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon")], "doc_id bigint, text string"
+    )
+    from bigdata_imgprocessing_spark.queries.curation import _wordgram_5h
+
+    _wordgram_5h(train).select("gram_h").distinct().coalesce(1).write.parquet(
+        str(base_idx)
+    )
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    waves = [
+        [(10, "en", "zeta eta theta iota kappa")],  # w0: clean novel gram
+        [(20, "de", "lambda mu nu xi omicron")],  # w1: clean, DISTINCT gram
+    ]
+    import glob as _glob
+
+    for i, rows in enumerate(waves):
+        tmp = str(tmp_path / f"stage_w{i}")
+        spark.createDataFrame(
+            rows, "doc_id bigint, lang string, text string"
+        ).coalesce(1).write.mode("overwrite").parquet(tmp)
+        dst = str(feed / f"w{i}.parquet")
+        shutil.copy(_glob.glob(f"{tmp}/part-*.parquet")[0], dst)
+        t = 1_700_000_000 + 60 * i
+        os.utime(dst, (t, t))
+
+    state = str(tmp_path / "state")
+
+    def drain():
+        stream = (
+            spark.readStream.schema("doc_id bigint, lang string, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_decontam_ingest(stream, state, str(base_idx))
+
+    drain()
+    first = {
+        r.doc_id: (r.contaminated, r.wave)
+        for r in read_results(spark, state).collect()
+    }
+    assert first == {10: (False, 0), 20: (False, 1)}
+    # simulate the crash: batch 1's results AND index extension landed,
+    # but its checkpoint commit did not -> restart replays batch 1
+    # against an idx/ glob that already contains idx/b1
+    os.remove(f"{state}/ckpt/commits/1")
+    # the local-fs checkpoint manager writes a sibling CRC; a leftover
+    # one blocks the replayed commit's rename
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
+    # availableNow restart also needs the offset re-planned, and the
+    # result dir left in place exercises the overwrite path
+    drain()
+    replayed = {
+        r.doc_id: (r.contaminated, r.wave)
+        for r in read_results(spark, state).collect()
+    }
+    assert replayed == first
+    shutil.rmtree(state, ignore_errors=True)
