@@ -233,6 +233,8 @@ HEADLINE = [
     "hamming1_neighbor_pairs",
     "decontam_bloom_prefilter",
     "streaming_decontam_ingest",
+    # round 10 additions
+    "simhash64_neardup",
 ]
 
 

@@ -29,9 +29,10 @@ Scale properties (the reason this survives 100 TB):
     once (no distinct pass needed).
   * For distance k > 1 the same pigeonhole generalizes by banding
     (split bits into k+1 blocks; near pairs match exactly on >= 1
-    block) — that shape already exists as the MinHash-LSH band join
-    (queries/dedup.py); this operator is the exact-distance-1 fast
-    path where banding would over-generate.
+    block) — implemented below as ``hamming_k_neighbor_join``, with
+    exactly-once emission restored by the minimal-matching-block rule
+    (a pair is emitted only from its FIRST equal block, a pure bitwise
+    post-filter on the xor — no distinct pass).
 """
 
 from __future__ import annotations
@@ -100,4 +101,114 @@ def hamming1_neighbor_join(
         F.col("a.fp").alias("fp_a"),
         F.col("b.fp").alias("fp_b"),
         F.col("a.pos").alias("pos"),
+    )
+
+
+def _block_layout(bits: int, k: int) -> list[tuple[int, int]]:
+    """(offset, width) for each of the k+1 contiguous bit blocks; the
+    remainder bits go to the LOW blocks so widths differ by at most 1."""
+    nblocks = k + 1
+    base, rem = divmod(bits, nblocks)
+    layout, off = [], 0
+    for i in range(nblocks):
+        w = base + (1 if i < rem else 0)
+        layout.append((off, w))
+        off += w
+    return layout
+
+
+def hamming_k_neighbor_join(
+    fps: DataFrame, fp_col: str, bits: int, k: int
+) -> DataFrame:
+    """All unordered pairs of distinct fingerprint VALUES in ``fps`` at
+    Hamming distance 1..k, as ``(fp_a, fp_b, dist)`` with
+    ``fp_a < fp_b`` — the banded (pigeonhole) generalization of
+    ``hamming1_neighbor_join``.
+
+    Split the ``bits`` positions into k+1 contiguous blocks: two
+    fingerprints within distance k differ in at most k blocks, so they
+    MATCH EXACTLY on at least one block (pigeonhole) — candidate
+    generation is an equi-join on ``(block_idx, block_bits)``, never a
+    cross product or a bit_count theta join. A pair can match several
+    blocks; it is emitted exactly once by keeping only the join row
+    whose block index is the pair's FIRST equal block — a pure bitwise
+    condition on ``xor(fp_a, fp_b)``, so no distinct pass and no
+    post-aggregation is needed.
+
+    Scale properties:
+      * Index size is |V|·(k+1) rows over the DISTINCT-fingerprint
+        vocabulary (distinct-reduce-first; per-record payloads join
+        back on fp_a/fp_b).
+      * Bucket sizes are NOT bounded by construction (unlike the
+        distance-1 wildcard index, where every bucket holds <= 2 rows):
+        a block bucket holds every fingerprint sharing those block
+        bits, ~|V|/2^w expected under a uniform fingerprint model
+        (w = 64/(k+1) >= 16 for the 64-bit SimHash deployments, i.e.
+        vanishing), but real corpora can concentrate mass on a common
+        block value (e.g. the all-zeros block of boilerplate-heavy
+        shards). That is the same failure mode as a hot MinHash band,
+        and the same remedies apply: sub-band the hot block (recurse
+        with a wider k on the remaining bits) or cap bucket size with
+        the posting-list cutoff discipline (queries/dedup.py). The
+        verification term (bit_count on the xor) is O(1) per candidate.
+      * The merge-join pin below is the Catalyst explode-fan-out rule
+        from ``hamming1_neighbor_join`` (NOTES r9): the optimizer
+        cannot see the (k+1)x fan-out, would broadcast the exploded
+        index, and OOMs at vocabulary scale.
+    """
+    if not 1 <= bits <= 64:
+        raise ValueError(f"bits must be in 1..64, got {bits}")
+    if not 1 <= k < bits:
+        raise ValueError(f"k must be in 1..bits-1, got {k}")
+    layout = _block_layout(bits, k)
+    fp = F.col(fp_col).cast("long")
+    distinct_fp = fps.select(fp.alias("fp")).distinct()
+
+    def block_bits(col: F.Column, off: int, w: int) -> F.Column:
+        # arithmetic shift + mask == logical shift + mask for every
+        # (off, w) with off + w <= 64 — the mask keeps only the block's
+        # own bits, so the sign extension of a shifted bit-63 fp never
+        # leaks in (and DuckDB oracles replay the same shift+mask).
+        return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
+
+    keys = distinct_fp.select(
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        block_bits(F.col("fp"), off, w).alias("kv"),
+                    )
+                    for i, (off, w) in enumerate(layout)
+                ]
+            )
+        ).alias("bk"),
+    ).select("fp", F.col("bk.blk").alias("blk"), F.col("bk.kv").alias("kv"))
+    a = keys.alias("a").hint("merge")
+    b = keys.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.kv") == F.col("b.kv"))
+        & (F.col("a.fp") < F.col("b.fp")),
+    ).select(
+        F.col("a.fp").alias("fp_a"),
+        F.col("b.fp").alias("fp_b"),
+        F.col("a.blk").alias("blk"),
+        F.col("a.fp").bitwiseXOR(F.col("b.fp")).alias("x"),
+    )
+    # first equal block of the pair: the minimal i with zero diff bits
+    # in block i — emitted-block must equal it (exactly-once rule)
+    first_eq = None
+    for i, (off, w) in enumerate(layout):
+        cond = block_bits(F.col("x"), off, w) == 0
+        first_eq = (
+            F.when(cond, F.lit(i)) if first_eq is None
+            else first_eq.when(cond, F.lit(i))
+        )
+    return (
+        cand.withColumn("dist", F.bit_count(F.col("x")))
+        .where((F.col("dist") <= k) & (F.col("blk") == first_eq))
+        .select("fp_a", "fp_b", "dist")
     )

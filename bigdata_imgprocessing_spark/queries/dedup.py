@@ -644,6 +644,178 @@ def hamming1_neighbor_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _simhash64_votes_sql() -> str:
+    """The 64 per-bit vote-sum aggregates over (h1, h2) token hashes —
+    one md5 per token (unnest once, hash once, 64 cheap bit probes),
+    matching the Spark derivation stage for stage."""
+    return ", ".join(
+        f"sum(2 * ((h{1 if b < 40 else 2} >> {b if b < 40 else b - 40}) & 1) - 1) AS v{b}"
+        for b in range(64)
+    )
+
+
+def _simhash64_value_sql() -> str:
+    """Signed-64 fingerprint from the vote signs. Bit 63 contributes
+    the MIN-LONG constant (DuckDB raises on ``1::BIGINT << 63``, and
+    the wrapped value is exactly -2^63 — same bit pattern Spark's
+    shiftleft produces)."""
+    terms = [
+        f"CASE WHEN v{b} >= 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END"
+        for b in range(63)
+    ]
+    terms.append(
+        "CASE WHEN v63 >= 0 THEN CAST(-9223372036854775807 AS BIGINT) - 1 ELSE 0 END"
+    )
+    return "CAST(" + " + ".join(terms) + " AS BIGINT)"
+
+
+def _simhash64_frame(d: DataFrame) -> DataFrame:
+    """(doc_id, simhash64): 64-bit SimHash — the standard LLM-corpus
+    near-dup fingerprint width (the 16-bit ``_simhash_frame`` is the
+    didactic demo; 64 bits is what a deployment stores per document).
+    Bits 0..39 vote from the first 40 bits of md5(token), bits 40..63
+    from the next 40 (both halves stay below 2^63 so the UBIGINT ->
+    BIGINT oracle cast can never overflow); the sign bit enters via the
+    wrapped shiftleft (== -2^63), exercising the full signed range.
+
+    The doc frame is keyed-repartitioned BEFORE the explode: a 1-file
+    test-scale scan otherwise runs the token hash + 64 partial vote
+    sums on a single task (the NOTES r9 single-task-stage shape), and
+    at corpus scale this is also the shuffle the groupBy(doc_id) needs
+    anyway — map-side partials then combine on already-colocated
+    keys."""
+    from ..core.session import cache_parallelism
+
+    d = d.repartition(cache_parallelism(d.sparkSession), "doc_id")
+    tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
+    h = tok.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 10), 16, 10).cast("bigint").alias("h1"),
+        F.conv(F.substring(F.md5("t"), 11, 10), 16, 10).cast("bigint").alias("h2"),
+    )
+    votes = h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                2
+                * F.shiftright(
+                    F.col("h1" if b < 40 else "h2"), b if b < 40 else b - 40
+                ).bitwiseAND(1)
+                - 1
+            ).alias(f"v{b}")
+            for b in range(64)
+        ]
+    )
+    sim = None
+    for b in range(64):
+        term = F.when(
+            F.col(f"v{b}") >= 0,
+            F.shiftleft(F.lit(1).cast("long"), b),
+        ).otherwise(F.lit(0).cast("long"))
+        sim = term if sim is None else sim + term
+    return votes.select("doc_id", sim.alias("simhash64"))
+
+
+@query(
+    "simhash64_neardup",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t),1,10))::UBIGINT AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(t),11,10))::UBIGINT AS BIGINT) AS h2
+          FROM tok),
+    v AS (SELECT doc_id, {_simhash64_votes_sql()} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, {_simhash64_value_sql()} AS fp FROM v),
+    fps AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    keys AS (
+        SELECT fp, n, CAST(t.i AS INTEGER) AS blk,
+               (fp >> (16 * CAST(t.i AS INTEGER))) & 65535 AS kv
+        FROM fps, UNNEST(range(4)) AS t(i)
+    ),
+    cand AS (
+        SELECT a.blk, xor(a.fp, b.fp) AS x, a.n * b.n AS w
+        FROM keys a JOIN keys b
+          ON a.blk = b.blk AND a.kv = b.kv AND a.fp < b.fp
+    ),
+    pairs AS (
+        SELECT CAST(bit_count(x) AS INTEGER) AS dist, w
+        FROM cand
+        WHERE bit_count(x) <= 3
+          AND blk = CASE WHEN (x >> 0)  & 65535 = 0 THEN 0
+                         WHEN (x >> 16) & 65535 = 0 THEN 1
+                         WHEN (x >> 32) & 65535 = 0 THEN 2
+                         ELSE 3 END
+    ),
+    near AS (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_fp_pairs,
+               CAST(sum(w) AS BIGINT) AS n_doc_pairs
+        FROM pairs GROUP BY dist
+    ),
+    d0 AS (
+        SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_fp_pairs,
+               CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_doc_pairs
+        FROM fps WHERE n > 1 HAVING count(*) > 0
+    )
+    SELECT * FROM d0 UNION ALL SELECT * FROM near
+    """,
+)
+def simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-bit SimHash near-duplicate detection at Hamming distance <= 3
+    — the deployment-width consumer of the banded
+    ``hamming_k_neighbor_join`` (operators/hamming.py): 4 pigeonhole
+    blocks of 16 bits, candidates from one equi-join on
+    ``(block, block_bits)``, exactly-once emission via the
+    minimal-matching-block rule (no distinct pass), never a bit_count
+    theta join. Per distance 0..3: distinct-fingerprint pair count and
+    document pair count — the dist-0 row counts distinct documents
+    COLLIDING on one fingerprint (bucket C(n,2) sums), i.e. what exact
+    SimHash dedup would collapse, and rows 1..3 are what the banded
+    index adds beyond it. The DuckDB oracle replays the identical
+    banded index, so a pair missed, duplicated, or attributed to the
+    wrong distance breaks the hash.
+
+    Scale: |V|*4 index rows over the distinct-fingerprint vocabulary;
+    expected bucket size |V|/2^16 under a uniform model (hot-block
+    remedies in the operator docstring); merge join pinned because
+    Catalyst cannot see the explode fan-out (NOTES r9)."""
+    from ..core.session import cache_parallelism
+    from ..operators.hamming import hamming_k_neighbor_join
+
+    s = _simhash64_frame(table(spark, sf_dir, "documents"))
+    fps = s.groupBy("simhash64").agg(F.count("*").alias("n"))
+    # cached: feeds the banded index, both count join-backs, and the
+    # dist-0 bucket scan
+    fps = fps.coalesce(cache_parallelism(s.sparkSession)).cache()
+    pairs = hamming_k_neighbor_join(fps, "simhash64", bits=64, k=3)
+    na = fps.select(
+        F.col("simhash64").cast("long").alias("fp_a"), F.col("n").alias("na")
+    )
+    nb = fps.select(
+        F.col("simhash64").cast("long").alias("fp_b"), F.col("n").alias("nb")
+    )
+    near = (
+        pairs.join(na, "fp_a")
+        .join(nb, "fp_b")
+        .groupBy("dist")
+        .agg(
+            F.count("*").alias("n_fp_pairs"),
+            F.sum(F.col("na") * F.col("nb")).cast("bigint").alias("n_doc_pairs"),
+        )
+    )
+    d0 = (
+        fps.where(F.col("n") > 1)
+        .agg(
+            F.count("*").alias("n_fp_pairs"),
+            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+        .where(F.col("n_fp_pairs") > 0)
+        .select(F.lit(0).alias("dist"), "n_fp_pairs", "n_doc_pairs")
+    )
+    return d0.unionByName(near.select("dist", "n_fp_pairs", "n_doc_pairs"))
+
+
 @query(
     "doc_chain_components",
     oracle="""

@@ -677,3 +677,78 @@ def test_hamming1_join_sign_bit_and_bounds(spark):
         hamming1_neighbor_join(df, "fp", 0)
     with _pytest.raises(ValueError):
         hamming1_neighbor_join(df, "fp", 65)
+
+
+def test_hamming_k_join_random_vs_bruteforce(spark):
+    """Banded (pigeonhole) distance<=k join vs driver-side all-pairs
+    xor-popcount: every pair within distance k found exactly once with
+    the right distance, across widths, k values, duplicate
+    fingerprints, and planted sign-bit near pairs."""
+    import itertools
+    import random
+
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        hamming_k_neighbor_join,
+    )
+
+    rng = random.Random(11)
+
+    def sgn(x, bits):
+        x &= (1 << bits) - 1
+        return x - (1 << 64) if bits == 64 and x >= (1 << 63) else x
+
+    for bits, k, n in [(10, 2, 150), (16, 3, 200), (64, 3, 80)]:
+        vals = [sgn(rng.getrandbits(bits), bits) for _ in range(n)]
+        if bits == 64:
+            # sparse space: plant near pairs, incl. sign-bit flips
+            vals += [
+                sgn(vals[0] ^ 1, 64),
+                sgn(vals[1] ^ (1 << 63), 64),
+                sgn(vals[2] ^ (1 << 63) ^ (1 << 17), 64),
+                sgn(vals[3] ^ (1 << 13) ^ (1 << 31) ^ (1 << 62), 64),
+            ]
+        vals += vals[:5]  # duplicates must not duplicate pairs
+        df = spark.createDataFrame([(v,) for v in vals], "fp long")
+        out = hamming_k_neighbor_join(df, "fp", bits, k)
+        got = sorted((r.fp_a, r.fp_b, r.dist) for r in out.collect())
+        mask = (1 << 64) - 1
+
+        def pc(x):
+            return bin(x & mask).count("1")
+
+        want = sorted(
+            (min(a, b), max(a, b), pc(a ^ b))
+            for a, b in itertools.combinations(sorted(set(vals)), 2)
+            if 1 <= pc(a ^ b) <= k
+        )
+        assert got == want, f"bits={bits} k={k}"
+        # exactly-once: minimal-matching-block rule leaves no dupes
+        assert out.count() == out.distinct().count()
+
+
+def test_hamming_k_join_bounds_and_layout():
+    """Width/k validation and the contiguous block layout invariants
+    (cover all bits, widths differ by at most one)."""
+    import pytest as _pytest
+
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        _block_layout,
+        hamming_k_neighbor_join,
+    )
+
+    for bits in (7, 16, 63, 64):
+        for k in range(1, min(bits, 6)):
+            layout = _block_layout(bits, k)
+            assert len(layout) == k + 1
+            assert layout[0][0] == 0
+            assert sum(w for _, w in layout) == bits
+            for (o1, w1), (o2, _) in zip(layout, layout[1:]):
+                assert o1 + w1 == o2
+            widths = {w for _, w in layout}
+            assert max(widths) - min(widths) <= 1
+    with _pytest.raises(ValueError):
+        hamming_k_neighbor_join(None, "fp", 64, 0)
+    with _pytest.raises(ValueError):
+        hamming_k_neighbor_join(None, "fp", 4, 4)
+    with _pytest.raises(ValueError):
+        hamming_k_neighbor_join(None, "fp", 65, 2)

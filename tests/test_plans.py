@@ -702,3 +702,22 @@ def test_hamming1_neighbor_join_is_equi_hash(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert _n_nodes(plan, "InMemoryTableScan") == 4
+
+
+def test_simhash64_neardup_banded_join_contract(spark, sf_dir):
+    """simhash64_neardup: candidate generation is ONE pinned
+    SortMergeJoin on the (block, block_bits) key — merge pinned because
+    Catalyst cannot see the explode fan-out of the banded index and
+    would broadcast it (the hamming1 OOM lesson, NOTES r9) — never a
+    BroadcastNestedLoop/Cartesian bit_count theta join and never
+    row-Python; the two count join-backs broadcast the small cached
+    fingerprint frame; the cache serves index both sides + na + nb +
+    the dist-0 bucket scan (5 reads), so the 64-bit simhash derivation
+    is planned once."""
+    plan = _formatted(spark, QUERIES["simhash64_neardup"](spark, sf_dir))
+    assert _n_nodes(plan, "SortMergeJoin") == 1
+    assert _n_nodes(plan, "BroadcastHashJoin") == 2
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _n_nodes(plan, "InMemoryTableScan") == 5
