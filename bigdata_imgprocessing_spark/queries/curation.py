@@ -660,10 +660,16 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_test_grams"),
         F.sum(F.col("m").cast("long")).alias("n_member_grams"),
     )
-    # contamination from SURVIVORS only — the deployed two-phase shape
+    # contamination from SURVIVORS only — the deployed two-phase shape.
+    # The exact-membership column `m` is already on the cached audit
+    # frame (one probe join serves the booleans, the per-lang gram
+    # stats, AND this), so the survivors' verification is a filter, not
+    # a second join against the train store: hit & m IS "survived the
+    # filter and confirmed by the exact check". (VERDICT r9 item 5 —
+    # the earlier form re-joined train here, paying the exact join a
+    # second time.)
     contaminated = (
-        aud.where(F.col("hit"))
-        .join(train, "gram_h", "left_semi")
+        aud.where(F.col("hit") & F.col("m"))
         .select("doc_id")
         .distinct()
         .withColumn("c", F.lit(1))

@@ -10,10 +10,11 @@ waves.
 
 This is the decontamination analog of ``streaming/lsh_ingest.py``:
 per-batch probes are arrivals-sized, the accumulated index is never
-re-joined against itself, and per-batch writes are mode=overwrite per
-batch-id subdir so task retries and batch replays are idempotent (the
-results land before the index extension, so a crash between the two
-replays the batch without corrupting either store).
+re-joined against itself, and batch replays are idempotent by the same
+three invariants as streaming/lsh_ingest.py: mode=overwrite into
+per-batch-id subdirs, state reads filtered to STRICTLY-earlier batch
+ids (``_prior_extensions``), and deterministic per-batch recompute —
+so the two per-batch writes need no ordering and run concurrently.
 
 Reference parity: the reference has no streaming engine — this is the
 Structured Streaming extension of the decontamination surface
@@ -51,21 +52,32 @@ def run_decontam_ingest(
     checking each micro-batch against ``base_index_dir`` (the fixed
     train-gram index) plus the clean-doc gram extensions of every
     earlier batch under ``state_root/idx``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..queries.curation import _wordgram_5h
 
     def step(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() guard: one Spark job per batch saved; an empty
+        # batch overwrites its subdirs with empty frames, harmless to
+        # every reader
         spark = batch.sparkSession
         batch = batch.cache()
         grams_b = _wordgram_5h(batch).cache()
         ext = _prior_extensions(state_root, bid)
         idx = spark.read.parquet(base_index_dir, *ext)
+        # the probe result is CACHED as the small contaminated-doc-id
+        # frame: both per-batch writes derive from it, so the index
+        # probe executes once per batch (the r9 version re-read the
+        # landed res file to get the same effect — deriving clean_grams
+        # from the res LINEAGE would re-execute the probe, measured
+        # ~2x per-batch cost — but the read-back also serialized the
+        # two writes; the cache keeps them independent)
         contaminated = (
             grams_b.join(idx, "gram_h", "left_semi")
             .select("doc_id")
             .distinct()
             .withColumn("contaminated", F.lit(True))
+            .cache()
         )
         res = (
             batch.select("doc_id", "lang")
@@ -77,26 +89,30 @@ def run_decontam_ingest(
                 F.lit(bid).cast("bigint").alias("wave"),
             )
         )
-        res.coalesce(2).write.mode("overwrite").parquet(
-            f"{state_root}/res/b{bid}"
-        )
-        # read the verdicts BACK from the landed file: deriving
-        # clean_grams from the `res` lineage would re-execute the
-        # index probe a second time per batch (measured ~2x per-batch
-        # cost) — the store is the cheap, already-materialized truth
-        landed = spark.read.parquet(f"{state_root}/res/b{bid}")
         clean_grams = (
-            grams_b.join(
-                landed.where(~F.col("contaminated")).select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
+            grams_b.join(contaminated, "doc_id", "left_anti")
             .select("gram_h")
             .distinct()
         )
-        clean_grams.coalesce(2).write.mode("overwrite").parquet(
-            f"{state_root}/idx/b{bid}"
-        )
+        # independent writes (replay safety rests on overwrite-per-
+        # subdir + the strictly-before read filter + deterministic
+        # recompute, not on write order — same invariants as
+        # streaming/lsh_ingest.py), so overlap them
+        with ThreadPoolExecutor(2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, p=p: df.coalesce(2)
+                    .write.mode("overwrite")
+                    .parquet(p)
+                )
+                for df, p in (
+                    (res, f"{state_root}/res/b{bid}"),
+                    (clean_grams, f"{state_root}/idx/b{bid}"),
+                )
+            ]
+            for f in futs:
+                f.result()
+        contaminated.unpersist()
         grams_b.unpersist()
         batch.unpersist()
 

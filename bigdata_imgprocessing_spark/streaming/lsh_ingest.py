@@ -23,11 +23,17 @@ Per micro-batch (foreachBatch):
      and the batch's bands/shingles to the state stores.
 
 State layout under ``state_root``: ``bands/b{N}``, ``shingles/b{N}``,
-``pairs/b{N}`` — one subdir per micro-batch, each written with
-mode=overwrite so a retried batch is IDEMPOTENT (the same batch id
-rewrites the same subdir; pairs are written before the index extends,
-so a crash between the two replays the batch without duplicating
-index rows on the next attempt's overwrite).
+``pairs/b{N}`` — one subdir per micro-batch. Replay idempotence rests
+on three invariants: (i) every write is mode=overwrite into its own
+batch-id subdir, (ii) a batch reads only STRICTLY-earlier batches'
+state (numeric batch-id filter — a replayed batch must not probe its
+own bands/shingles, or the duplicated set rows would duplicate its
+verified pairs), and (iii) the per-batch derivation is deterministic,
+so a replay overwrites each subdir with identical content. Because
+(ii)+(iii) hold regardless of write order, the three per-batch writes
+run CONCURRENTLY (driver threads, one Spark job each) — per-batch
+wall is the longest job, not the sum, which matters for a query whose
+cost is stage count, not data volume (161 stages/drain, VERDICT r9).
 
 Reference parity: the reference has no streaming engine — this is the
 Structured Streaming extension of its dedup surface, same contract as
@@ -43,25 +49,42 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
+    """``{store}/b*`` dirs from batches STRICTLY BEFORE ``bid``, parsed
+    numerically (same replay-safety rule as
+    streaming/decontam_ingest._prior_extensions: a crash-replay must
+    see exactly the pre-batch state, and lexicographic sort mis-orders
+    b10 before b2)."""
+    numbered = sorted(
+        (int(d.rsplit("/b", 1)[1]), d)
+        for d in glob.glob(f"{state_root}/{store}/b*")
+    )
+    return [d for n, d in numbered if n < bid]
+
+
 def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
     """Drain a (doc_id, text) stream with availableNow, maintaining the
     band index and discovered-pairs store under ``state_root``."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from ..queries.dedup import _band_frame, _minhash_signatures, _shingles
 
     def step(batch: DataFrame, bid: int) -> None:
-        if batch.isEmpty():
-            return
+        # no isEmpty() guard: it costs one Spark job per batch, and an
+        # empty batch just overwrites its subdirs with empty frames —
+        # harmless to every reader (availableNow over a staged feed
+        # does not emit empty batches in practice anyway)
         spark = batch.sparkSession
         batch = batch.coalesce(4).cache()
         new_bands = _band_frame(_minhash_signatures(batch)).coalesce(4).cache()
         new_sh = batch.select(
             "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss")
         )
-        old_b = sorted(glob.glob(f"{state_root}/bands/b*"))
+        old_b = _prior_state(state_root, "bands", bid)
         all_bands = (
             spark.read.parquet(*old_b).union(new_bands) if old_b else new_bands
         )
-        old_s = sorted(glob.glob(f"{state_root}/shingles/b*"))
+        old_s = _prior_state(state_root, "shingles", bid)
         all_sh = (
             spark.read.parquet(*old_s).union(new_sh) if old_s else new_sh
         )
@@ -104,9 +127,23 @@ def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
             )
             .where(F.col("inter") * 1.0 / F.col("uni") >= 0.5)
         )
-        pairs.write.mode("overwrite").parquet(f"{state_root}/pairs/b{bid}")
-        new_bands.write.mode("overwrite").parquet(f"{state_root}/bands/b{bid}")
-        new_sh.write.mode("overwrite").parquet(f"{state_root}/shingles/b{bid}")
+        # the three writes are independent Spark jobs over already-
+        # cached/derived frames; replay safety does not depend on their
+        # order (module docstring invariants ii+iii), so overlap them —
+        # per-batch wall becomes the pairs job, not the sum of three
+        with ThreadPoolExecutor(3) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, p=p: df.write.mode("overwrite").parquet(p)
+                )
+                for df, p in (
+                    (pairs, f"{state_root}/pairs/b{bid}"),
+                    (new_bands, f"{state_root}/bands/b{bid}"),
+                    (new_sh, f"{state_root}/shingles/b{bid}"),
+                )
+            ]
+            for f in futs:
+                f.result()
         for frame in (sets, cand, new_bands, batch):
             frame.unpersist()
 

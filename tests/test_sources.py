@@ -1007,3 +1007,74 @@ def test_streaming_decontam_replay_is_idempotent(spark, tmp_path):
     }
     assert replayed == first
     shutil.rmtree(state, ignore_errors=True)
+
+
+def test_streaming_lsh_ingest_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract (the strictly-before state filter): if the
+    stream restarts after a batch's bands/shingles landed but BEFORE
+    its checkpoint committed, the replayed batch must reproduce
+    identical pairs. Without the filter the replay probes its own
+    bands and joins its own duplicated shingle rows — duplicating the
+    batch's verified pairs."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        _prior_state,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    # unit check of the filter itself: strict <, numeric order
+    root = tmp_path / "fs"
+    for b in (0, 2, 10):
+        (root / "bands" / f"b{b}").mkdir(parents=True)
+    got = _prior_state(str(root), "bands", 10)
+    assert [d.rsplit("/b", 1)[1] for d in got] == ["0", "2"]
+    assert _prior_state(str(root), "bands", 0) == []
+
+    a_text = "q w e r t y u i o p k j"
+    b_text = "m n b v c x z l h g f d"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    for i, rows in enumerate(
+        [[(0, a_text), (4, b_text)], [(1, a_text), (5, b_text)]]
+    ):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state)
+
+    drain()
+    first = sorted(
+        (r.doc_a, r.doc_b, r.wave)
+        for r in read_final_pairs(spark, state).collect()
+    )
+    assert first == [(0, 1, 1), (4, 5, 1)]
+    # simulate the crash: batch 1's three stores landed but its commit
+    # did not -> restart replays batch 1 against a state tree that
+    # already contains b1
+    _os.remove(f"{state}/ckpt/commits/1")
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    replayed = sorted(
+        (r.doc_a, r.doc_b, r.wave)
+        for r in read_final_pairs(spark, state).collect()
+    )
+    assert replayed == first
