@@ -235,6 +235,8 @@ HEADLINE = [
     "streaming_decontam_ingest",
     # round 10 additions
     "simhash64_neardup",
+    "shard_rendezvous_stability",
+    "kcenter_coreset",
 ]
 
 

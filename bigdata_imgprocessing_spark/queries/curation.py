@@ -703,6 +703,82 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shard_rendezvous_stability",
+    oracle="""
+    WITH sc AS (
+        SELECT doc_id, CAST(t.s AS INTEGER) AS s,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '_shard_'
+                                   || CAST(t.s AS VARCHAR)), 1, 10))::UBIGINT
+                   AS h
+        FROM documents, UNNEST(range(9)) AS t(s)
+    ), a8 AS (
+        SELECT doc_id, arg_max(s, h) AS shard8 FROM sc WHERE s < 8
+        GROUP BY doc_id
+    ), a9 AS (
+        SELECT doc_id, arg_max(s, h) AS shard9 FROM sc GROUP BY doc_id
+    ), j AS (
+        SELECT shard8, shard9 FROM a8 JOIN a9 USING (doc_id)
+    )
+    SELECT shard8 AS shard,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_moved,
+           (sum(CASE WHEN shard9 != shard8 AND shard9 != 8
+                     THEN 1 ELSE 0 END) = 0) AS moves_only_to_new,
+           round(sum(CASE WHEN shard9 != shard8 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS churn_rate
+    FROM j GROUP BY shard8
+    """,
+)
+def shard_rendezvous_stability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (HRW) shard assignment + resize-stability audit
+    (operators/sharding.py): every document scores shards 0..8 with a
+    keyed md5 and lands on the argmax; the layout under 8 shards and
+    under 9 shards comes from the SAME score array (argmax over two
+    prefixes), and per 8-shard shard the output pins document count,
+    how many documents the resize moves, the audited HRW theorem that
+    every moved document lands on the NEW shard only
+    (``moves_only_to_new`` — checked structurally, not assumed), and
+    the measured churn rate (~1/9 in expectation, vs ~8/9 for a
+    ``hash % n`` layout). The DuckDB oracle replays the identical
+    per-(doc, shard) hash via arg_max.
+
+    Scale: assignment is a pure JVM-side projection — one scan, no
+    shuffle until the 8-group rollup, no state; this is the primitive
+    that lets a 100 TB corpus add capacity without reshuffling
+    history, and the audit quantifies exactly how little moves."""
+    from ..operators.sharding import shard_scores
+
+    d = table(spark, sf_dir, "documents").select("doc_id")
+    scores = shard_scores(F.col("doc_id"), 9)
+    moved = F.col("shard9") != F.col("shard8")
+    return (
+        d.select(
+            F.array_max(F.slice(scores, 1, 8))["s"].alias("shard8"),
+            F.array_max(scores)["s"].alias("shard9"),
+        )
+        .groupBy("shard8")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(moved.cast("long")).cast("bigint").alias("n_moved"),
+            (F.sum((moved & (F.col("shard9") != 8)).cast("long")) == 0).alias(
+                "moves_only_to_new"
+            ),
+            F.round(F.sum(moved.cast("long")) / F.count("*"), 4).alias(
+                "churn_rate"
+            ),
+        )
+        .select(
+            F.col("shard8").alias("shard"),
+            "n_docs",
+            "n_moved",
+            "moves_only_to_new",
+            "churn_rate",
+        )
+    )
+
+
+@query(
     "pii_scrub_stats",
     oracle="""
     WITH aug AS (

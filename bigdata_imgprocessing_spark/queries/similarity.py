@@ -1914,3 +1914,94 @@ def kmeans_lloyd_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
             for row in cent_rows:
                 centers.setdefault(int(row.cell), [0.0] * 64)[row.pos] = row.c
     return out
+
+
+def _kc_d2(e: str, c: str) -> str:
+    """Oracle squared-distance: element order, double casts,
+    left-to-right sum, explicit multiply — the operators/similarity
+    determinism contract."""
+    t = f"({e}.embedding[i+1]::DOUBLE - {c}.embedding[i+1]::DOUBLE)"
+    return (
+        f"list_sum(list_transform(range(len({e}.embedding)), i -> {t} * {t}))"
+    )
+
+
+def _kcenter_oracle(k: int) -> str:
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings),",
+        "c0 AS (SELECT vec_id, embedding FROM e ORDER BY vec_id LIMIT 1),",
+        f"d0 AS (SELECT e.vec_id, e.embedding, {_kc_d2('e', 'c')} AS d2"
+        "       FROM e, c0 c),",
+    ]
+    for t in range(1, k):
+        parts.append(
+            f"c{t} AS (SELECT vec_id, embedding, d2 FROM d{t-1}"
+            f"         ORDER BY d2 DESC, vec_id LIMIT 1),"
+        )
+        if t < k - 1:
+            parts.append(
+                f"d{t} AS (SELECT d.vec_id, d.embedding,"
+                f"         least(d.d2, {_kc_d2('d', 'c')}) AS d2"
+                f"         FROM d{t-1} d, c{t} c),"
+            )
+    parts[-1] = parts[-1].rstrip(",")
+    selects = ["SELECT CAST(0 AS INTEGER) AS step, vec_id, 0.0 AS d2 FROM c0"]
+    for t in range(1, k):
+        selects.append(
+            f"SELECT CAST({t} AS INTEGER) AS step, vec_id, d2 FROM c{t}"
+        )
+    return "\n".join(parts) + "\n" + "\nUNION ALL\n".join(selects)
+
+
+@query("kcenter_coreset", oracle=_kcenter_oracle(5))
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal, the
+    classic 2-approximation to the k-center objective — the shape used
+    to pick maximally-diverse exemplars for data selection/active
+    labeling): seed with the min vec_id, then 4 rounds of "add the
+    point farthest from every chosen center" (squared Euclidean,
+    ties to the smaller vec_id). Output: per selection step, the chosen
+    vector and its distance-to-nearest-earlier-center (the greedy
+    coverage radius — non-increasing by construction). The DuckDB
+    oracle replays the identical chained selection, so a wrong argmax,
+    a stale distance, or a tie broken differently breaks the hash.
+
+    Scale: each round is ONE map-side pass over the cached corpus —
+    distances to the <= k broadcast-literal centers via JVM array HOFs
+    (operators/similarity.sqdist), argmax as a bounded
+    TakeOrdered(1) — so k rounds cost k scans and k 1-row collects, no
+    shuffle beyond the top-1 reduction, no |corpus|^2 term anywhere.
+    The driver loop is the standard iterative-selection shape
+    (kmeans_lloyd_rounds' discipline): per-round state is one row."""
+    from ..core.session import cache_parallelism
+    from ..operators.similarity import sqdist
+
+    k = 5
+    e = (
+        table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .repartition(cache_parallelism(spark), "vec_id")
+        .cache()
+    )
+    seed = e.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [(0, seed.vec_id, 0.0)]
+    centers = [seed.embedding]
+    for t in range(1, k):
+        dmin_terms = [
+            sqdist(
+                F.col("embedding"),
+                F.array(*[F.lit(float(v)).cast("double") for v in c]),
+            )
+            for c in centers
+        ]
+        dmin = dmin_terms[0] if len(dmin_terms) == 1 else F.least(*dmin_terms)
+        row = (
+            e.select("vec_id", "embedding", dmin.alias("d2"))
+            .orderBy(F.desc("d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        chosen.append((t, row.vec_id, float(row.d2)))
+        centers.append(row.embedding)
+    e.unpersist()
+    return spark.createDataFrame(chosen, "step int, vec_id bigint, d2 double")

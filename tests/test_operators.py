@@ -752,3 +752,54 @@ def test_hamming_k_join_bounds_and_layout():
         hamming_k_neighbor_join(None, "fp", 4, 4)
     with _pytest.raises(ValueError):
         hamming_k_neighbor_join(None, "fp", 65, 2)
+
+
+def test_rendezvous_assign_argmax_and_resize_property(spark):
+    """HRW sharding (operators/sharding.py): the assignment equals a
+    driver-side brute-force argmax of the same md5 scores, and on every
+    resize n -> n+1 the only records that move are the ones the NEW
+    shard wins (the minimal-disruption theorem) — checked over several
+    sizes on real hashes, plus a rough occupancy check (no empty shard
+    at 400 keys over 8 shards)."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from bigdata_imgprocessing_spark.operators.sharding import (
+        rendezvous_assign,
+    )
+
+    keys = list(range(400))
+    df = spark.createDataFrame([(k,) for k in keys], "doc_id bigint")
+
+    def brute(k, n):
+        return max(
+            range(n),
+            key=lambda s: int(
+                hashlib.md5(f"{k}_shard_{s}".encode()).hexdigest()[:10], 16
+            ),
+        )
+
+    prev = None
+    for n in (2, 5, 8, 9):
+        got = {
+            r.doc_id: r.s
+            for r in df.select(
+                "doc_id", rendezvous_assign(F.col("doc_id"), n).alias("s")
+            ).collect()
+        }
+        assert got == {k: brute(k, n) for k in keys}, f"n={n}"
+        if prev is not None and n == prev[0] + 1:
+            moved = {k for k in keys if got[k] != prev[1][k]}
+            assert all(got[k] == n - 1 for k in moved)
+        prev = (n, got)
+    counts = {}
+    eight = {k: brute(k, 8) for k in keys}
+    for s in eight.values():
+        counts[s] = counts.get(s, 0) + 1
+    assert len(counts) == 8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rendezvous_assign(F.col("doc_id"), 0)
