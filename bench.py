@@ -237,6 +237,7 @@ HEADLINE = [
     "simhash64_neardup",
     "shard_rendezvous_stability",
     "kcenter_coreset",
+    "streaming_simhash_ingest",
 ]
 
 
@@ -256,6 +257,7 @@ MULTI_BATCH_CONTRACT = [
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
     "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
+    "streaming_simhash_ingest",  # 3 waves: exactly-once banded discovery
     "streaming_sketch_rollup",  # 3 files: segmentation-independent merge
 ]
 

@@ -669,7 +669,7 @@ def _simhash64_value_sql() -> str:
     return "CAST(" + " + ".join(terms) + " AS BIGINT)"
 
 
-def _simhash64_frame(d: DataFrame) -> DataFrame:
+def _simhash64_frame(d: DataFrame, parallelism: int | None = None) -> DataFrame:
     """(doc_id, simhash64): 64-bit SimHash — the standard LLM-corpus
     near-dup fingerprint width (the 16-bit ``_simhash_frame`` is the
     didactic demo; 64 bits is what a deployment stores per document).
@@ -683,10 +683,14 @@ def _simhash64_frame(d: DataFrame) -> DataFrame:
     sums on a single task (the NOTES r9 single-task-stage shape), and
     at corpus scale this is also the shuffle the groupBy(doc_id) needs
     anyway — map-side partials then combine on already-colocated
-    keys."""
+    keys. ``parallelism`` overrides the width for arrivals-sized
+    callers (the streaming ingest loop passes a small value — 32-way
+    repartition of a micro-batch is pure task overhead)."""
     from ..core.session import cache_parallelism
 
-    d = d.repartition(cache_parallelism(d.sparkSession), "doc_id")
+    d = d.repartition(
+        parallelism or cache_parallelism(d.sparkSession), "doc_id"
+    )
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
     h = tok.select(
         "doc_id",

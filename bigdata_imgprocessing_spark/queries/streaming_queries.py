@@ -1056,3 +1056,95 @@ def streaming_quota_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_admitted").cast("bigint").alias("n_admitted"),
         F.round(F.sum("admitted_value"), 2).alias("admitted_value"),
     )
+
+
+def _simhash64_ingest_oracle() -> str:
+    from .dedup import _simhash64_value_sql, _simhash64_votes_sql
+
+    return f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t),1,10))::UBIGINT AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(t),11,10))::UBIGINT AS BIGINT) AS h2
+          FROM tok),
+    v AS (SELECT doc_id, {_simhash64_votes_sql()} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, {_simhash64_value_sql()} AS fp FROM v),
+    keys AS (
+        SELECT doc_id, fp, CAST(t.i AS INTEGER) AS blk,
+               (fp >> (16 * CAST(t.i AS INTEGER))) & 65535 AS kv
+        FROM s, UNNEST(range(4)) AS t(i)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+        FROM keys a JOIN keys b
+          ON a.blk = b.blk AND a.kv = b.kv AND a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    )
+    SELECT CAST(greatest(doc_a % 3, doc_b % 3) AS BIGINT) AS wave,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(CASE WHEN dist = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_exact,
+           CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_near,
+           CAST(sum(dist) AS BIGINT) AS sum_dist
+    FROM pairs GROUP BY 1
+    """
+
+
+@query("streaming_simhash_ingest", oracle=_simhash64_ingest_oracle())
+def streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup detection as a CONTINUOUS ingest loop — the
+    fingerprint-space sibling of `streaming_lsh_ingest` and the
+    streaming consumer of the round-10 banded hamming index
+    (streaming/simhash_ingest.py, operators/hamming.py): documents
+    arrive in 3 mtime-ordered waves (doc_id % 3, maxFilesPerTrigger=1);
+    each micro-batch 64-bit-SimHashes its arrivals with the SAME
+    derivation as the batch query `simhash64_neardup`, probes the
+    accumulated fingerprint index through the (block, block_bits)
+    pigeonhole keys (new×old ∪ new×new — old×old is never rejoined),
+    and verifies Hamming distance <= 3 by xor bit_count — distance 0
+    included, so exact-dup and near-dup ingest dedup run in ONE probe.
+
+    The output groups by the stored discovery wave while the oracle
+    recomputes the wave analytically as greatest(doc_a % 3, doc_b % 3)
+    over the full banded closure — the driver hash itself pins
+    exactly-once discovery (a pair found early via an index leak, late
+    via a missed probe, twice, or never each break the hash), and the
+    per-wave exact/near splits + summed distances pin the verification
+    arithmetic.
+
+    Scale: per-batch probe volume is arrivals-sized; the index is
+    append-only parquet a deployment keeps bucketed on (blk, kv);
+    writes follow the round-10 replay invariants (overwrite per
+    batch-id subdir, strictly-earlier state reads, deterministic
+    recompute) so the two per-batch writes overlap on driver
+    threads."""
+    import shutil as _sh
+
+    from ..streaming.simhash_ingest import read_pairs, run_simhash_ingest
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_shing", src="documents")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = _stage_feed(
+        root,
+        [(f"wave{i}", docs.where(F.col("doc_id") % 3 == i)) for i in range(3)],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_simhash_ingest(stream, state)
+    pairs = read_pairs(spark, state)
+    return pairs.groupBy("wave").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum((F.col("dist") == 0).cast("long")).cast("bigint").alias("n_exact"),
+        F.sum((F.col("dist") > 0).cast("long")).cast("bigint").alias("n_near"),
+        F.sum("dist").cast("bigint").alias("sum_dist"),
+    )

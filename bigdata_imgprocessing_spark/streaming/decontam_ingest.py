@@ -94,6 +94,12 @@ def run_decontam_ingest(
             .select("gram_h")
             .distinct()
         )
+        # force-materialize the shared caches ONCE before the
+        # concurrent writes — Spark does not synchronize cold-cache
+        # materialization across simultaneous jobs, so both threads
+        # would re-run the index probe (the very duplication the cache
+        # exists to prevent)
+        contaminated.count()
         # independent writes (replay safety rests on overwrite-per-
         # subdir + the strictly-before read filter + deterministic
         # recompute, not on write order — same invariants as

@@ -127,6 +127,12 @@ def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
             )
             .where(F.col("inter") * 1.0 / F.col("uni") >= 0.5)
         )
+        # force-materialize the band cache (and, through its lineage,
+        # the batch cache) ONCE before the concurrent writes — Spark
+        # does not synchronize cold-cache materialization across
+        # simultaneous jobs, so the three threads would each recompute
+        # the signature derivation
+        new_bands.count()
         # the three writes are independent Spark jobs over already-
         # cached/derived frames; replay safety does not depend on their
         # order (module docstring invariants ii+iii), so overlap them —

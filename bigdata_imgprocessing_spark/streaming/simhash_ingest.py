@@ -1,0 +1,166 @@
+"""Streaming SimHash near-dup-at-ingest: the banded hamming-k index
+maintained as a STREAM of document arrivals — the fingerprint-space
+analog of ``streaming/lsh_ingest.py`` (MinHash bands) built on the
+round-10 ``hamming_k_neighbor_join`` banding (operators/hamming.py).
+
+Per micro-batch (foreachBatch):
+  1. 64-bit SimHash the batch documents (the SAME ``_simhash64_frame``
+     derivation as the batch query ``simhash64_neardup`` — the
+     fingerprint space cannot drift between deployment modes),
+  2. probe: batch fingerprints' (block, block_bits) keys join the
+     accumulated index ∪ the batch itself — candidates are
+     new×old ∪ new×new, the old×old space is NEVER rejoined; per-batch
+     probe volume is arrivals-sized,
+  3. verify Hamming distance <= 3 (xor bit_count — includes distance 0,
+     so exact-duplicate and near-duplicate ingest dedup run in one
+     probe), canonicalize (doc_a < doc_b), DISTINCT over the <= 4
+     matching blocks,
+  4. write the verified pairs (tagged with the discovering batch id)
+     and the batch's fingerprints concurrently.
+
+Replay idempotence rests on the round-10 invariants (same as the LSH
+and decontam loops): mode=overwrite into per-batch-id subdirs, state
+reads filtered to STRICTLY-earlier batch ids, deterministic per-batch
+recompute — so write order inside a batch is free and the two writes
+overlap on driver threads.
+
+No join-strategy pins here: per-batch volumes are arrivals-sized and
+AQE plans them well (NOTES r9 — explicit broadcast hints inside
+foreachBatch measured worse); the batch-side operator keeps its merge
+pin for the full-corpus self-join case.
+
+Reference parity: the reference has no streaming engine — this is the
+Structured Streaming extension of its dedup surface, same module
+contract as the other streaming/ jobs.
+"""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BITS = 64
+_K = 3
+
+
+def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
+    """``{store}/b*`` dirs from batches STRICTLY BEFORE ``bid``,
+    numerically ordered (the strictly-before replay rule)."""
+    numbered = sorted(
+        (int(d.rsplit("/b", 1)[1]), d)
+        for d in glob.glob(f"{state_root}/{store}/b*")
+    )
+    return [d for n, d in numbered if n < bid]
+
+
+def _band_keys(df: DataFrame) -> DataFrame:
+    """(doc_id, fp, blk, kv) — one row per pigeonhole block, the same
+    (offset, width) layout as ``hamming_k_neighbor_join(bits=64, k=3)``."""
+    from ..operators.hamming import _block_layout
+
+    return df.select(
+        "doc_id",
+        "fp",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("fp"), off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("kv"),
+                    )
+                    for i, (off, w) in enumerate(_block_layout(_BITS, _K))
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "fp", F.col("bk.blk").alias("blk"), F.col("bk.kv").alias("kv"))
+
+
+def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
+    """Drain a (doc_id, text) stream with availableNow, maintaining the
+    fingerprint index and discovered-pairs store under ``state_root``."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ..queries.dedup import _simhash64_frame
+
+    def step(batch: DataFrame, bid: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.coalesce(4).cache()
+        new_fp = (
+            _simhash64_frame(batch, parallelism=4)
+            .select("doc_id", F.col("simhash64").alias("fp"))
+            .coalesce(4)
+            .cache()
+        )
+        # force the cache to materialize ONCE before the concurrent
+        # writes: Spark does not synchronize InMemoryRelation
+        # materialization across simultaneous jobs, so two threads
+        # hitting a cold cache each recompute the whole derivation
+        # (profiled: three 2.4 s copies of the vote agg in one batch)
+        new_fp.count()
+        old = _prior_state(state_root, "fps", bid)
+        all_fp = spark.read.parquet(*old).union(new_fp) if old else new_fp
+        a = _band_keys(new_fp).alias("a")
+        b = _band_keys(all_fp).alias("b")
+        pairs = (
+            a.join(
+                b,
+                (F.col("a.blk") == F.col("b.blk"))
+                & (F.col("a.kv") == F.col("b.kv"))
+                & (F.col("a.doc_id") != F.col("b.doc_id")),
+            )
+            .select(
+                F.least("a.doc_id", "b.doc_id").alias("doc_a"),
+                F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
+                F.bit_count(
+                    F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+                ).alias("dist"),
+            )
+            .where(F.col("dist") <= _K)
+            .distinct()
+            .withColumn("wave", F.lit(bid).cast("bigint"))
+        )
+        with ThreadPoolExecutor(2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, p=p: df.coalesce(2)
+                    .write.mode("overwrite")
+                    .parquet(p)
+                )
+                for df, p in (
+                    (pairs, f"{state_root}/pairs/b{bid}"),
+                    (new_fp, f"{state_root}/fps/b{bid}"),
+                )
+            ]
+            for f in futs:
+                f.result()
+        new_fp.unpersist()
+        batch.unpersist()
+
+    (
+        stream_df.writeStream.foreachBatch(step)
+        .option("checkpointLocation", f"{state_root}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def read_pairs(spark: SparkSession, state_root: str) -> DataFrame:
+    """All pairs discovered across the drained batches, each tagged
+    with its discovering batch id (``wave``)."""
+    dirs = sorted(glob.glob(f"{state_root}/pairs/b*"))
+    if not dirs:
+        return spark.createDataFrame(
+            [], "doc_a bigint, doc_b bigint, dist int, wave bigint"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def n_index_versions(state_root: str) -> int:
+    """How many micro-batches extended the fingerprint index — the
+    multi-batch-exercised assertion hook."""
+    return len(glob.glob(f"{state_root}/fps/b*"))

@@ -1078,3 +1078,78 @@ def test_streaming_lsh_ingest_crash_replay_is_idempotent(spark, tmp_path):
         for r in read_final_pairs(spark, state).collect()
     )
     assert replayed == first
+
+
+def test_streaming_simhash_ingest_discovers_once_and_restarts(spark, tmp_path):
+    """Behavioral contract of the streaming SimHash ingest machine
+    (streaming/simhash_ingest.py): every pair within hamming distance
+    <= 3 is discovered in EXACTLY the micro-batch where its later
+    document arrives (new x old ∪ new x new — nothing found twice),
+    distance 0 (exact-dup text) rides the same probe, >= 2 index
+    versions prove the cross-batch probe ran, and a RESTART with a new
+    wave extends the index instead of rediscovering history."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.simhash_ingest import (
+        n_index_versions,
+        read_pairs,
+        run_simhash_ingest,
+    )
+
+    x_text = "q w e r t y u i o p k j"
+    z_text = "m n b v c x z l h g f d"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    # identical texts -> identical fingerprints -> distance 0 pairs
+    write_wave(0, [(0, x_text), (4, z_text)])
+    write_wave(1, [(1, x_text)])
+    write_wave(2, [(2, x_text), (5, z_text)])
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_simhash_ingest(s, state)
+
+    drain()
+    got = {
+        (r.doc_a, r.doc_b): (r.dist, r.wave)
+        for r in read_pairs(spark, state).collect()
+    }
+    assert got[(0, 1)] == (0, 1)
+    assert got[(0, 2)] == (0, 2)
+    assert got[(1, 2)] == (0, 2)
+    assert got[(4, 5)] == (0, 2)
+    # x-family vs z-family must never pair (distant fingerprints)
+    assert all({a, b} <= {0, 1, 2} or {a, b} <= {4, 5} for a, b in got)
+    assert n_index_versions(state) >= 2
+    # restart: a new wave with another exact dup of the x text — only
+    # the NEW pairs appear, tagged with batch 3
+    write_wave(3, [(3, x_text)])
+    drain()
+    got2 = {
+        (r.doc_a, r.doc_b): (r.dist, r.wave)
+        for r in read_pairs(spark, state).collect()
+    }
+    assert got2 == {
+        **got,
+        (0, 3): (0, 3),
+        (1, 3): (0, 3),
+        (2, 3): (0, 3),
+    }
