@@ -238,6 +238,7 @@ HEADLINE = [
     "shard_rendezvous_stability",
     "kcenter_coreset",
     "streaming_simhash_ingest",
+    "cms_frequency_audit",
 ]
 
 

@@ -1144,3 +1144,132 @@ def hll_intersection_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_inter").cast("bigint").alias("n_inter"),
         (F.abs(est_inter - F.col("n_inter")) <= tol).alias("within_tol"),
     )
+
+
+_CMS_D = 4  # sketch rows (independent hash functions)
+_CMS_W = 64  # buckets per row — ~900 bigram keys over 64 buckets, so
+# collisions are REAL and the one-sided/error-bound audits are
+# exercised, not vacuously true (the corpus's 31-word unigram pool
+# would never collide in any reasonable width)
+
+
+@query(
+    "cms_frequency_audit",
+    oracle=f"""
+    WITH toks AS (SELECT string_split(text, ' ') AS t FROM documents
+                  WHERE len(string_split(text, ' ')) >= 2),
+    tok AS (SELECT t[i+1] || ' ' || t[i+2] AS g
+            FROM toks, UNNEST(range(len(t) - 1)) AS u(i)),
+    tc AS (SELECT g, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY g),
+    n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_tok FROM tc),
+    keys AS (
+        SELECT g, cnt, CAST(r.i AS INTEGER) AS r,
+               CAST((('0x' || substr(md5(g || '_cms_' || CAST(r.i AS VARCHAR)), 1, 10))::UBIGINT
+                     % {_CMS_W}) AS BIGINT) AS b
+        FROM tc, UNNEST(range({_CMS_D})) AS r(i)
+    ),
+    counters AS (
+        SELECT r, b, CAST(sum(cnt) AS BIGINT) AS tot FROM keys GROUP BY r, b
+    ),
+    top20 AS (SELECT g, cnt FROM tc ORDER BY cnt DESC, g LIMIT 20),
+    est AS (
+        SELECT k.g, CAST(min(c.tot) AS BIGINT) AS est
+        FROM keys k
+        JOIN top20 USING (g)
+        JOIN counters c ON k.r = c.r AND k.b = c.b
+        GROUP BY k.g
+    )
+    SELECT top20.g AS token, top20.cnt AS true_cnt, est.est AS est_cnt,
+           est.est >= top20.cnt AS is_overestimate,
+           (est.est - top20.cnt) * {_CMS_W} <= 3 * (SELECT n_tok FROM n)
+               AS within_3n_over_w
+    FROM top20 JOIN est ON top20.g = est.g
+    """,
+)
+def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch frequency estimation, audited against exact
+    counts — the FREQUENCY member of the sketch family (HLL = distinct,
+    KLL = quantiles, bitmap = exact distinct, Bloom = membership): a
+    d=4 x w=64 counter grid over the corpus word-BIGRAM stream (one
+    md5-derived bucket per row), point estimate = min over rows of the
+    key's bucket sums (Cormode & Muthukrishnan). Bigrams, not
+    unigrams, for the same reason as `vocab_growth_curve`: the ~31-word
+    unigram pool could never collide, while ~900 bigram keys over 64
+    buckets make the collision structure — and therefore the audits —
+    real. For the top-20 true-count bigrams the output pins the exact
+    count, the sketch estimate, the STRUCTURAL one-sided guarantee
+    (CMS never underestimates — checked per key, not assumed), and the
+    integer-exact relaxed error bound (est − true) · w <= 3 · N
+    (e < 3 form of the e·N/w Markov bound — both engines compare
+    integers, no float epsilon). The DuckDB oracle replays the
+    identical grid.
+
+    Scale: the counter grid is BOUNDED state (d·w = 256 cells) built
+    with one map-side-combinable groupBy — the property that makes CMS
+    the streaming/mergeable frequency sketch: shards sketch
+    independently and counters ADD, unlike exact top-k which needs the
+    full key space shuffled. Probes broadcast the 20-key panel."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - F.lit(2)),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(words, i + F.lit(1)),
+            F.element_at(words, i + F.lit(2)),
+        ),
+    )
+    tok = (
+        d.where(F.size(words) >= 2)
+        .repartition(cache_parallelism(spark), "doc_id")
+        .select(F.explode(grams).alias("g"))
+    )
+    tc = (
+        tok.groupBy("g")
+        .agg(F.count("*").alias("cnt"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    n = tc.agg(F.sum("cnt").cast("bigint").alias("n_tok"))
+    keys = tc.select(
+        "g",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _md5_bucket(
+                            F.concat(F.col("g"), F.lit(f"_cms_{r}")), _CMS_W
+                        ).alias("b"),
+                    )
+                    for r in range(_CMS_D)
+                ]
+            )
+        ).alias("rb"),
+    ).select("g", "cnt", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    counters = keys.groupBy("r", "b").agg(
+        F.sum("cnt").cast("bigint").alias("tot")
+    )
+    top20 = tc.orderBy(F.desc("cnt"), F.asc("g")).limit(20)
+    est = (
+        keys.join(F.broadcast(top20.select("g")), "g")
+        .join(counters, ["r", "b"])
+        .groupBy("g")
+        .agg(F.min("tot").cast("bigint").alias("est"))
+    )
+    return (
+        top20.join(est, "g")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("g").alias("token"),
+            F.col("cnt").alias("true_cnt"),
+            F.col("est").alias("est_cnt"),
+            (F.col("est") >= F.col("cnt")).alias("is_overestimate"),
+            (
+                (F.col("est") - F.col("cnt")) * _CMS_W <= 3 * F.col("n_tok")
+            ).alias("within_3n_over_w"),
+        )
+    )
