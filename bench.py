@@ -239,6 +239,7 @@ HEADLINE = [
     "kcenter_coreset",
     "streaming_simhash_ingest",
     "cms_frequency_audit",
+    "embedding_centroid_drift",
 ]
 
 

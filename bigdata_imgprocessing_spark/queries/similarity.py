@@ -2005,3 +2005,93 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         centers.append(row.embedding)
     e.unpersist()
     return spark.createDataFrame(chosen, "step int, vec_id bigint, d2 double")
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH rel AS (
+        SELECT label, CASE WHEN vec_id % 2 = 0 THEN 'a' ELSE 'b' END AS r,
+               embedding
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, r, CAST(u.i AS INTEGER) AS pos,
+               round(avg(embedding[u.i + 1]::DOUBLE), 3) AS c
+        FROM rel, UNNEST(range(len(embedding))) AS u(i)
+        GROUP BY label, r, u.i
+    ),
+    counts AS (
+        SELECT label,
+               CAST(sum(CASE WHEN r = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(sum(CASE WHEN r = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM rel GROUP BY label
+    ),
+    d AS (
+        SELECT a.label,
+               round(sum((a.c - b.c) * (a.c - b.c)), 6) AS drift_d2
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.pos = b.pos
+         AND a.r = 'a' AND b.r = 'b'
+        GROUP BY a.label
+    )
+    SELECT label, n_a, n_b, drift_d2
+    FROM counts JOIN d USING (label)
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release-over-release EMBEDDING drift monitor — the vector member
+    of the drift family (`source_mixture_drift` = categorical KL,
+    `psi_release_drift` = binned numeric, `ks_score_drift` = exact
+    numeric): per label, the squared L2 distance between the even- and
+    odd-vec_id releases' centroids. Centroids are per-dimension means
+    rounded to 3dp in BOTH engines (the `pq_ann_recall` codebook
+    discipline — rounding makes the cross-engine doubles identical
+    before any distance arithmetic, and the d2 sum over rounded
+    operands is then bit-exact), with per-release row counts so a
+    shifted cohort split breaks the hash. A retraining/reindexing
+    review reads this next to the scalar monitors: scalar drift can be
+    flat while the embedding space rotates, and this catches exactly
+    that.
+
+    Scale: one scan, posexplode to (label, release, pos) partials —
+    map-side-combinable avg over 2·|labels|·dims cells (bounded state,
+    like the CMS grid), then a tiny centroid self-join; nothing
+    corpus-sized crosses a second shuffle."""
+    e = table(spark, sf_dir, "embeddings")
+    rel = e.select(
+        "label",
+        F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("r"),
+        F.posexplode("embedding").alias("pos", "x"),
+    )
+    cent = rel.groupBy("label", "r", "pos").agg(
+        F.round(F.avg(F.col("x").cast("double")), 3).alias("c")
+    )
+    counts = (
+        e.select(
+            "label",
+            F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("r"),
+        )
+        .groupBy("label")
+        .agg(
+            F.sum((F.col("r") == "a").cast("long")).cast("bigint").alias("n_a"),
+            F.sum((F.col("r") == "b").cast("long")).cast("bigint").alias("n_b"),
+        )
+    )
+    a = cent.where(F.col("r") == "a").select(
+        "label", "pos", F.col("c").alias("ca")
+    )
+    b = cent.where(F.col("r") == "b").select(
+        "label", "pos", F.col("c").alias("cb")
+    )
+    d = (
+        a.join(b, ["label", "pos"])
+        .groupBy("label")
+        .agg(
+            F.round(
+                F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb"))),
+                6,
+            ).alias("drift_d2")
+        )
+    )
+    return counts.join(d, "label")
