@@ -1153,3 +1153,59 @@ def test_streaming_simhash_ingest_discovers_once_and_restarts(spark, tmp_path):
         (1, 3): (0, 3),
         (2, 3): (0, 3),
     }
+
+
+def test_streaming_simhash_ingest_crash_replay_is_idempotent(spark, tmp_path):
+    """Crash-replay contract for the SimHash ingest loop (same
+    invariants as the LSH and decontam loops): restart after a batch's
+    pairs/fps landed but before its checkpoint committed must
+    reproduce identical pairs — without the strictly-before state
+    filter the replayed batch would probe its own fingerprints and
+    re-emit its pairs against itself."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.simhash_ingest import (
+        read_pairs,
+        run_simhash_ingest,
+    )
+
+    x_text = "q w e r t y u i o p k j"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    for i, rows in enumerate([[(0, x_text)], [(1, x_text), (2, x_text)]]):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_simhash_ingest(s, state)
+
+    drain()
+    first = sorted(
+        (r.doc_a, r.doc_b, r.dist, r.wave)
+        for r in read_pairs(spark, state).collect()
+    )
+    assert first == [(0, 1, 0, 1), (0, 2, 0, 1), (1, 2, 0, 1)]
+    _os.remove(f"{state}/ckpt/commits/1")
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    replayed = sorted(
+        (r.doc_a, r.doc_b, r.dist, r.wave)
+        for r in read_pairs(spark, state).collect()
+    )
+    assert replayed == first
