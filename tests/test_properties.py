@@ -864,3 +864,48 @@ def test_sorted_neighbor_lcp_matches_reference(
         buckets[key][2] += int(l == la == lb)
     want = {k: tuple(v) for k, v in buckets.items()}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Banded hamming-k pigeonhole invariant, for ALL widths and k: any pair
+# within distance k has at least one all-equal block under the
+# _block_layout split (the property candidate generation relies on), and
+# the operator's first-equal-block rule is well-defined (exactly one
+# emitting block per pair). Pure-Python mirror of the Spark expressions
+# (the Spark side is pinned separately by the brute-force join test).
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    bits=st.integers(2, 64),
+    k=st.integers(1, 5),
+    base=st.integers(0, 2**64 - 1),
+    flips=st.lists(st.integers(0, 63), min_size=1, max_size=5),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_hamming_k_pigeonhole_block_coverage(bits, k, base, flips, seed):
+    from bigdata_imgprocessing_spark.operators.hamming import _block_layout
+
+    k = min(k, bits - 1)
+    a = base & ((1 << bits) - 1)
+    b = a
+    for f in flips[:k]:
+        b ^= 1 << (f % bits)
+    x = a ^ b
+    dist = bin(x).count("1")
+    layout = _block_layout(bits, k)
+    # layout covers the width exactly, contiguously
+    assert sum(w for _, w in layout) == bits
+    assert layout[0][0] == 0
+    zero_blocks = [
+        i for i, (off, w) in enumerate(layout)
+        if (x >> off) & ((1 << w) - 1) == 0
+    ]
+    if 1 <= dist <= k:
+        # pigeonhole: a within-distance pair matches >= 1 block, and
+        # the operator's emitting block (the first) is unique
+        assert zero_blocks, (bits, k, bin(x))
+        assert zero_blocks[0] == min(zero_blocks)
+    if dist == 0:
+        assert len(zero_blocks) == len(layout)
