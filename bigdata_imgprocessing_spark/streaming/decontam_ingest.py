@@ -31,18 +31,13 @@ from pyspark.sql import functions as F
 
 
 def _prior_extensions(state_root: str, bid: int) -> list[str]:
-    """Index-extension dirs from batches STRICTLY BEFORE ``bid``, in
-    numeric batch order. On a crash-replay (``idx/b{bid}`` written but
-    the checkpoint commit missing) the replayed batch must see exactly
-    the pre-batch index state — including its own extension would probe
-    the batch's clean docs against their own grams and flip previously
-    clean verdicts, breaking the idempotent-replay guarantee. Batch ids
-    are parsed numerically (lexicographic sort puts b10 before b2)."""
-    numbered = sorted(
-        (int(d.rsplit("/b", 1)[1]), d)
-        for d in glob.glob(f"{state_root}/idx/b*")
-    )
-    return [d for n, d in numbered if n < bid]
+    """Index-extension dirs from batches STRICTLY BEFORE ``bid`` — the
+    shared strictly-before replay rule (streaming/batchstate.py): a
+    replayed batch probing its own clean docs' grams would flip
+    previously clean verdicts."""
+    from .batchstate import prior_batch_dirs
+
+    return prior_batch_dirs(state_root, "idx", bid)
 
 
 def run_decontam_ingest(

@@ -50,16 +50,11 @@ from pyspark.sql import functions as F
 
 
 def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
-    """``{store}/b*`` dirs from batches STRICTLY BEFORE ``bid``, parsed
-    numerically (same replay-safety rule as
-    streaming/decontam_ingest._prior_extensions: a crash-replay must
-    see exactly the pre-batch state, and lexicographic sort mis-orders
-    b10 before b2)."""
-    numbered = sorted(
-        (int(d.rsplit("/b", 1)[1]), d)
-        for d in glob.glob(f"{state_root}/{store}/b*")
-    )
-    return [d for n, d in numbered if n < bid]
+    """Strictly-earlier batch state dirs (the shared replay rule,
+    streaming/batchstate.py)."""
+    from .batchstate import prior_batch_dirs
+
+    return prior_batch_dirs(state_root, store, bid)
 
 
 def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:

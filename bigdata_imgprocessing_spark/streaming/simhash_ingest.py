@@ -46,13 +46,11 @@ _K = 3
 
 
 def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
-    """``{store}/b*`` dirs from batches STRICTLY BEFORE ``bid``,
-    numerically ordered (the strictly-before replay rule)."""
-    numbered = sorted(
-        (int(d.rsplit("/b", 1)[1]), d)
-        for d in glob.glob(f"{state_root}/{store}/b*")
-    )
-    return [d for n, d in numbered if n < bid]
+    """Strictly-earlier batch state dirs (the shared replay rule,
+    streaming/batchstate.py)."""
+    from .batchstate import prior_batch_dirs
+
+    return prior_batch_dirs(state_root, store, bid)
 
 
 def _band_keys(df: DataFrame) -> DataFrame:
