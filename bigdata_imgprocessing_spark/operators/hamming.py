@@ -117,6 +117,35 @@ def _block_layout(bits: int, k: int) -> list[tuple[int, int]]:
     return layout
 
 
+def band_keys(df: DataFrame, fp_col: str, bits: int, k: int) -> DataFrame:
+    """All of ``df``'s columns plus ``(blk, kv)`` — one row per
+    pigeonhole block of the ``_block_layout(bits, k)`` split. THE single
+    definition of the banded key derivation: the batch operator below,
+    the streaming prober (streaming/simhash_ingest.py), and the scale
+    harness (tools_scale_r10.py) all key through here, so the
+    fingerprint bucketing cannot drift between deployment modes."""
+    fp = F.col(fp_col).cast("long")
+    keyed = df.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(fp, off)
+                        .bitwiseAND(F.lit((1 << w) - 1))
+                        .alias("kv"),
+                    )
+                    for i, (off, w) in enumerate(_block_layout(bits, k))
+                ]
+            )
+        ).alias("_bk"),
+    )
+    return keyed.select(
+        "*", F.col("_bk.blk").alias("blk"), F.col("_bk.kv").alias("kv")
+    ).drop("_bk")
+
+
 def hamming_k_neighbor_join(
     fps: DataFrame, fp_col: str, bits: int, k: int
 ) -> DataFrame:
@@ -171,20 +200,7 @@ def hamming_k_neighbor_join(
         # leaks in (and DuckDB oracles replay the same shift+mask).
         return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
 
-    keys = distinct_fp.select(
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        block_bits(F.col("fp"), off, w).alias("kv"),
-                    )
-                    for i, (off, w) in enumerate(layout)
-                ]
-            )
-        ).alias("bk"),
-    ).select("fp", F.col("bk.blk").alias("blk"), F.col("bk.kv").alias("kv"))
+    keys = band_keys(distinct_fp, "fp", bits, k)
     a = keys.alias("a").hint("merge")
     b = keys.alias("b")
     cand = a.join(

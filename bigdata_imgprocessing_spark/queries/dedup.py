@@ -810,7 +810,11 @@ def simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         fps.where(F.col("n") > 1)
         .agg(
             F.count("*").alias("n_fp_pairs"),
-            F.sum(F.col("n") * (F.col("n") - 1) / 2)
+            # integer `div`, not float /: summed C(n,2) past 2^53 would
+            # lose exactness in a double while the oracle's `//` stays
+            # exact — the divergence would surface precisely at corpus
+            # scale
+            F.sum(F.expr("n * (n - 1) div 2"))
             .cast("bigint")
             .alias("n_doc_pairs"),
         )

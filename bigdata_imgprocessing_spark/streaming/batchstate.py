@@ -18,9 +18,12 @@ import glob
 
 def prior_batch_dirs(state_root: str, store: str, bid: int) -> list[str]:
     """``{state_root}/{store}/b*`` dirs from batches strictly before
-    ``bid``, in numeric batch order."""
+    ``bid``, in numeric batch order. Non-numeric ``b*`` entries (an
+    operator's ``b3.bak`` copy, editor droppings) are ignored rather
+    than killing the stream with a ValueError inside foreachBatch."""
     numbered = sorted(
-        (int(d.rsplit("/b", 1)[1]), d)
+        (int(suffix), d)
         for d in glob.glob(f"{state_root}/{store}/b*")
+        if (suffix := d.rsplit("/b", 1)[1]).isdigit()
     )
     return [d for n, d in numbered if n < bid]

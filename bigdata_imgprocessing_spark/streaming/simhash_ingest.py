@@ -54,27 +54,13 @@ def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
 
 
 def _band_keys(df: DataFrame) -> DataFrame:
-    """(doc_id, fp, blk, kv) — one row per pigeonhole block, the same
-    (offset, width) layout as ``hamming_k_neighbor_join(bits=64, k=3)``."""
-    from ..operators.hamming import _block_layout
+    """(doc_id, fp, blk, kv) — one row per pigeonhole block, via THE
+    shared key derivation (operators/hamming.band_keys) so the
+    streaming prober and the batch operator can never bucket the same
+    fingerprint differently."""
+    from ..operators.hamming import band_keys
 
-    return df.select(
-        "doc_id",
-        "fp",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("blk"),
-                        F.shiftright(F.col("fp"), off)
-                        .bitwiseAND(F.lit((1 << w) - 1))
-                        .alias("kv"),
-                    )
-                    for i, (off, w) in enumerate(_block_layout(_BITS, _K))
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "fp", F.col("bk.blk").alias("blk"), F.col("bk.kv").alias("kv"))
+    return band_keys(df, "fp", _BITS, _K)
 
 
 def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
@@ -86,7 +72,10 @@ def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
 
     def step(batch: DataFrame, bid: int) -> None:
         spark = batch.sparkSession
-        batch = batch.coalesce(4).cache()
+        # batch is read exactly once (through new_fp, which has its own
+        # cache), so caching/coalescing it here would pay a MemoryStore
+        # copy for zero reuse — and _simhash64_frame repartitions by
+        # doc_id anyway
         new_fp = (
             _simhash64_frame(batch, parallelism=4)
             .select("doc_id", F.col("simhash64").alias("fp"))
@@ -136,7 +125,6 @@ def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
             for f in futs:
                 f.result()
         new_fp.unpersist()
-        batch.unpersist()
 
     (
         stream_df.writeStream.foreachBatch(step)

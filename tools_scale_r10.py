@@ -19,7 +19,7 @@ from pyspark.sql import functions as F
 
 from bigdata_imgprocessing_spark.core.session import build_session
 from bigdata_imgprocessing_spark.operators.hamming import (
-    _block_layout,
+    band_keys,
     hamming_k_neighbor_join,
 )
 
@@ -58,28 +58,14 @@ def main() -> None:
         }
         dt = time.perf_counter() - t0
         # bucket audit: distribution of (blk, block_bits) bucket sizes
-        layout = _block_layout(64, k)
-        keys = (
-            fps.select(F.col("fp").cast("long").alias("fp"))
-            .distinct()
-            .select(
-                "fp",
-                F.explode(
-                    F.array(
-                        *[
-                            F.struct(
-                                F.lit(i).alias("blk"),
-                                F.shiftright(F.col("fp"), off)
-                                .bitwiseAND(F.lit((1 << w) - 1))
-                                .alias("kv"),
-                            )
-                            for i, (off, w) in enumerate(layout)
-                        ]
-                    )
-                ).alias("bk"),
-            )
+        # via THE shared key derivation the operator itself uses
+        keys = band_keys(
+            fps.select(F.col("fp").cast("long").alias("fp")).distinct(),
+            "fp",
+            64,
+            k,
         )
-        sizes = keys.groupBy("bk.blk", "bk.kv").count()
+        sizes = keys.groupBy("blk", "kv").count()
         mx, avg = sizes.agg(F.max("count"), F.avg("count")).collect()[0]
         print(
             f"n={n:>9,}  pairs_by_dist={by_dist}  wall={dt:6.2f}s  "
