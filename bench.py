@@ -240,6 +240,7 @@ HEADLINE = [
     "streaming_simhash_ingest",
     "cms_frequency_audit",
     "embedding_centroid_drift",
+    "video_scene_cuts",
 ]
 
 

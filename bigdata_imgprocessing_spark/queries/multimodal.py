@@ -293,3 +293,102 @@ def doc_embedding_join_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("uniq_ratio") >= 0.5, 1)).alias("n_high_quality"),
         F.round(F.sum("nrm") / F.count("*"), 4).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Video scene cuts: temporal frame-diff over the FVID payload. All
+# arithmetic is INTEGER (sum of per-pixel absolute differences), so the
+# cross-engine contract has no rounding surface at all.
+# ---------------------------------------------------------------------------
+
+_CUT_THRESHOLD = 340  # sum-of-|diff| over the 4 pixels (~mean for
+# independent uniforms is 4*85=340, so cuts split transitions roughly
+# in half and every n_cuts bucket stays populated)
+
+
+def _scene_cut_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: one video row → (img_id, n_cuts, total_motion,
+    max_framediff) from consecutive-frame absolute pixel differences —
+    decoded from the binary payload, the real multimodal plumbing."""
+    for pdf in batches:
+        out = []
+        for vid, buf in zip(pdf["img_id"], pdf["content"]):
+            frames = [
+                f.astype(np.int64).reshape(-1) for f in _decode_video(bytes(buf))
+            ]
+            diffs = [
+                int(np.abs(a - b).sum())
+                for a, b in zip(frames, frames[1:])
+            ]
+            out.append(
+                (
+                    vid,
+                    sum(1 for d in diffs if d >= _CUT_THRESHOLD),
+                    sum(diffs),
+                    max(diffs),
+                )
+            )
+        yield pd.DataFrame(
+            out, columns=["img_id", "n_cuts", "total_motion", "max_framediff"]
+        )
+
+
+def _scene_cut_oracle() -> str:
+    def px(f: int, k: int) -> str:
+        return f"(abs(trunc(embedding[{f * 4 + k}]::DOUBLE * 1000)::BIGINT) % 256)"
+
+    diffs = [
+        "(" + " + ".join(f"abs({px(f, k)} - {px(f + 1, k)})" for k in (1, 2, 3, 4)) + ")"
+        for f in range(_N_FRAMES - 1)
+    ]
+    n_cuts = " + ".join(
+        f"CASE WHEN {d} >= {_CUT_THRESHOLD} THEN 1 ELSE 0 END" for d in diffs
+    )
+    total = " + ".join(diffs)
+    mx = "greatest(" + ", ".join(diffs) + ")"
+    return f"""
+    WITH v AS (
+        SELECT vec_id, CAST({n_cuts} AS BIGINT) AS n_cuts,
+               CAST({total} AS BIGINT) AS total_motion,
+               CAST({mx} AS BIGINT) AS max_framediff
+        FROM embeddings
+    )
+    SELECT n_cuts, CAST(count(*) AS BIGINT) AS n_videos,
+           CAST(sum(total_motion) AS BIGINT) AS sum_motion,
+           CAST(max(max_framediff) AS BIGINT) AS max_framediff
+    FROM v GROUP BY n_cuts
+    """
+
+
+@query("video_scene_cuts", oracle=_scene_cut_oracle())
+def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over the opaque video column — the TEMPORAL
+    member of the multimodal family (`video_frame_sample` is per-frame,
+    this is frame-to-frame): decode each FVID payload, compute the
+    consecutive-frame sum of absolute pixel differences, and flag a cut
+    where the motion crosses the threshold. Per cut-count bucket:
+    video count, summed motion, and the largest single-frame jump —
+    all INTEGER arithmetic end to end, so the oracle (which recomputes
+    every pixel analytically from the embedding dims the encoder used)
+    has no rounding surface. The shuffle sees only the per-video
+    4-column summary, never pixels.
+
+    Scale: decode + diff is an Arrow-batched mapInPandas over the
+    binary column (one pass, no UDF-per-row), emitting one tiny row
+    per video; the rollup groups ~5 cut-count buckets. At 100 TB the
+    frame tensors stay inside worker batches — exactly the
+    shuffle-avoidance the multimodal docstrings promise."""
+    e = table(spark, sf_dir, "embeddings")
+    vids = e.select(
+        F.col("vec_id").alias("img_id"),
+        _embedding_to_video_udf(F.col("embedding")).alias("content"),
+    )
+    per_video = vids.mapInPandas(
+        _scene_cut_iter,
+        "img_id bigint, n_cuts bigint, total_motion bigint, max_framediff bigint",
+    )
+    return per_video.groupBy("n_cuts").agg(
+        F.count("*").alias("n_videos"),
+        F.sum("total_motion").cast("bigint").alias("sum_motion"),
+        F.max("max_framediff").cast("bigint").alias("max_framediff"),
+    )
