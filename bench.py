@@ -241,6 +241,7 @@ HEADLINE = [
     "cms_frequency_audit",
     "embedding_centroid_drift",
     "video_scene_cuts",
+    "audio_silence_runs",
 ]
 
 

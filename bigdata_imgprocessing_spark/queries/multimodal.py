@@ -392,3 +392,106 @@ def video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("total_motion").cast("bigint").alias("sum_motion"),
         F.max("max_framediff").cast("bigint").alias("max_framediff"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio silence runs: temporal run-length analysis over the FSND payload
+# (the audio twin of video_scene_cuts). All-integer.
+# ---------------------------------------------------------------------------
+
+_SILENCE_T = 70  # |sample| below this is silence (~42% of samples on
+# this corpus — runs of every length stay populated)
+
+
+def _silence_run_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: one clip row → (clip_id, n_runs, n_silent, longest)
+    via numpy run-length encoding of the silence mask."""
+    for pdf in batches:
+        out = []
+        for vid, buf in zip(pdf["clip_id"], pdf["content"]):
+            raw = bytes(buf)
+            assert raw[:4] == b"FSND"
+            sig = np.frombuffer(raw, dtype="<i2", offset=4).astype(np.int64)
+            silent = np.abs(sig) < _SILENCE_T
+            # run boundaries: a silent sample whose predecessor is not
+            starts = int(
+                (silent & ~np.concatenate(([False], silent[:-1]))).sum()
+            )
+            longest = 0
+            run = 0
+            for b in silent:
+                run = run + 1 if b else 0
+                longest = max(longest, run)
+            out.append((vid, starts, int(silent.sum()), longest))
+        yield pd.DataFrame(
+            out, columns=["clip_id", "n_runs", "n_silent", "longest"]
+        )
+
+
+@query(
+    "audio_silence_runs",
+    oracle=f"""
+    WITH s AS (
+        SELECT vec_id, CAST(u.i AS BIGINT) AS i,
+               abs(trunc(embedding[u.i + 1]::DOUBLE * 1000)::BIGINT)
+                   < {_SILENCE_T} AS silent
+        FROM embeddings, UNNEST(range(len(embedding))) AS u(i)
+    ),
+    sil AS (
+        SELECT vec_id, i,
+               i - row_number() OVER (PARTITION BY vec_id ORDER BY i) AS grp
+        FROM s WHERE silent
+    ),
+    runs AS (
+        SELECT vec_id, grp, count(*) AS run_len FROM sil GROUP BY vec_id, grp
+    ),
+    per AS (
+        SELECT vec_id, count(*) AS n_runs, sum(run_len) AS n_silent,
+               max(run_len) AS longest
+        FROM runs GROUP BY vec_id
+    ),
+    perc AS (
+        SELECT e.vec_id, coalesce(p.n_runs, 0) AS n_runs,
+               coalesce(p.n_silent, 0) AS n_silent,
+               coalesce(p.longest, 0) AS longest
+        FROM embeddings e LEFT JOIN per p USING (vec_id)
+    )
+    SELECT CAST(n_runs AS BIGINT) AS n_runs,
+           CAST(count(*) AS BIGINT) AS n_clips,
+           CAST(sum(n_silent) AS BIGINT) AS sum_silent,
+           CAST(max(longest) AS BIGINT) AS max_longest
+    FROM perc GROUP BY n_runs
+    """,
+)
+def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Silence-run analysis over the opaque audio column — the TEMPORAL
+    audio member (``audio_feature_extract`` is per-window spectral;
+    this is run-length structure): decode each FSND payload, mark
+    samples below the silence threshold, and run-length-encode the
+    mask; per run-count bucket the output pins clip count, total
+    silent samples, and the longest run — the stats a speech/music
+    curation pass uses to drop dead air or clipped-silence clips. All
+    integer end to end; the oracle recomputes every sample
+    analytically and replays the runs as a gaps-and-islands window
+    (i − row_number), so a run split, merged, or miscounted anywhere
+    breaks the hash.
+
+    Scale: run-length encoding happens inside the Arrow batch (one
+    mapInPandas pass, one summary row per clip); the rollup groups a
+    handful of run-count buckets. The oracle's window-function replay
+    is the SQL-expressible form; the mapInPandas form is what survives
+    100 TB because samples never leave the worker."""
+    e = table(spark, sf_dir, "embeddings")
+    clips = e.select(
+        F.col("vec_id").alias("clip_id"),
+        _embedding_to_audio_udf(F.col("embedding")).alias("content"),
+    )
+    per_clip = clips.mapInPandas(
+        _silence_run_iter,
+        "clip_id bigint, n_runs bigint, n_silent bigint, longest bigint",
+    )
+    return per_clip.groupBy("n_runs").agg(
+        F.count("*").alias("n_clips"),
+        F.sum("n_silent").cast("bigint").alias("sum_silent"),
+        F.max("longest").cast("bigint").alias("max_longest"),
+    )
