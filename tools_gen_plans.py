@@ -15,6 +15,9 @@ from bigdata_imgprocessing_spark.core.session import build_session
 from bigdata_imgprocessing_spark.queries import QUERIES
 
 PICKS = {
+    "simhash64_neardup": "Banded hamming-k join: candidates from ONE pinned SortMergeJoin on (block, block_bits) pigeonhole keys (merge pinned -- Catalyst cannot see the explode fan-out and would broadcast the index), exactly-once via the minimal-matching-block bitwise filter; the cached 64-bit fingerprint frame serves the index, both count join-backs, and the dist-0 bucket scan.",
+    "shard_rendezvous_stability": "Rendezvous sharding: assignment is a pure JVM projection (md5 scores + array_max over struct) -- no shuffle, no state, no UDF until the 8-group rollup; the 8-shard and 9-shard layouts argmax two prefixes of ONE score array.",
+    "video_scene_cuts": "Temporal multimodal: encode + decode + frame-diff run inside one Arrow-batched python stage (pixels never cross the shuffle); only the 4-column per-video summary reaches the cut-count rollup.",
     "decontam_bloom_prefilter": "Bloom-prefiltered decontamination: the train-gram bitset broadcasts once (64-bit words, O(1) element_at+mask probe); the corpus-side probe is map-side and only survivors reach the exact semi join.",
     "hamming1_neighbor_pairs": "Wildcard hamming-1 index: candidate generation is an equi-join on (pos, fp | 1<<pos) keys whose buckets hold <= 2 fingerprints -- skew-proof, exactly-once pairs, no bit_count theta join; one cached fingerprint frame serves the index and both count join-backs.",
     "equidepth_approx_audit": "Sketch-boundary audit: the exact+approx octile pass runs eagerly (1-row collect), so the returned plan is ONE bucketing scan over literal boundaries + a broadcast join to the 8-row spine -- no self-join, no third scan.",
