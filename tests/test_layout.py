@@ -274,3 +274,31 @@ def test_priority_rotation_names_valid():
     assert list(q.QUERIES)[: len(names)] == names, (
         "registry iteration order must start with _PRIORITY"
     )
+
+
+def test_bench_headline_names_valid_and_cover_new_queries():
+    """bench.py's HEADLINE list is the driver's perf surface; a typo'd
+    name raises at bench time (lost round signal) and a NEW query
+    missing from it silently never gets benchmarked. Every HEADLINE
+    name must resolve to a registered query, be unique, and every
+    front-loaded new query (the head of _PRIORITY before the stale
+    cohorts) must be benchmarked."""
+    import importlib.util
+    import os
+
+    import bigdata_imgprocessing_spark.queries as q
+
+    spec = importlib.util.spec_from_file_location(
+        "bench",
+        os.path.join(os.path.dirname(__file__), os.pardir, "bench.py"),
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    names = bench.HEADLINE
+    assert len(names) == len(set(names)), "duplicate HEADLINE entries"
+    missing = [n for n in names if n not in q.QUERIES]
+    assert not missing, f"HEADLINE names not registered: {missing}"
+    headline = set(names)
+    # contract lists must stay consistent too
+    stray = [n for n in bench.MULTI_BATCH_CONTRACT if n not in headline]
+    assert not stray, f"MULTI_BATCH_CONTRACT not in HEADLINE: {stray}"
