@@ -242,6 +242,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "video_scene_cuts",
     "audio_silence_runs",
+    "seasonal_naive_mase",
 ]
 
 

@@ -33,7 +33,7 @@ _PRIORITY = [
     # lsh_incremental_pairs lesson from VERDICT r7).
     "simhash64_neardup", "shard_rendezvous_stability", "kcenter_coreset",
     "streaming_simhash_ingest", "cms_frequency_audit",
-    "embedding_centroid_drift", "video_scene_cuts", "audio_silence_runs",
+    "embedding_centroid_drift", "video_scene_cuts", "audio_silence_runs", "seasonal_naive_mase",
     # (2) the 22 rows whose latest driver row is still round 5 — the
     # tail of the r5 cohort past round 9's 50-slot window (VERDICT r9
     # item 1 says to lead with them).

@@ -1069,3 +1069,83 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(last, F.col("value")).otherwise(F.lit(0.0))), 2
         ).alias("last_touch_value"),
     )
+
+
+@query(
+    "seasonal_naive_mase",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_orderdate
+    ),
+    seas AS (
+        SELECT a.day, abs(a.rev - b.rev) AS err
+        FROM daily a JOIN daily b ON b.day = a.day - INTERVAL 7 DAY
+    ),
+    naiv AS (
+        SELECT day,
+               abs(rev - lag(rev) OVER (ORDER BY day)) AS err
+        FROM daily
+    ),
+    y AS (
+        SELECT CAST(EXTRACT(year FROM s.day) AS BIGINT) AS year,
+               count(*) AS n_days,
+               sum(s.err) AS se,
+               sum(n.err) AS ne
+        FROM seas s JOIN naiv n USING (day)
+        WHERE n.err IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT year, CAST(n_days AS BIGINT) AS n_eval_days,
+           round(se, 2) AS sum_abs_err_seasonal,
+           round(ne, 2) AS sum_abs_err_naive,
+           round(se / ne, 4) AS mase
+    FROM y
+    """,
+)
+def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation — the genre the monitoring family
+    (PSI/KS/CUSUM drift) doesn't cover: per year, the MASE-style ratio
+    of the SEASONAL-naive forecast's error (predict each day's revenue
+    with the revenue 7 days earlier) to the plain naive forecast's
+    error (previous existing day) over daily order revenue. MASE < 1
+    means weekly seasonality carries real signal; it is the standard
+    sanity bar any forecasting model must beat before it earns compute.
+    Eval days are those with BOTH a lag-7 calendar match and a
+    previous-day error (inner joins — deterministic in both engines);
+    error sums are sums of grid-valued daily revenues (safe to round
+    once, the grid-sum rule), and the ratio divides the UNROUNDED sums
+    so both engines round the identical double.
+
+    Scale: one fact scan into a per-day partial-sum aggregate (the
+    shuffle carries |days| rows, not orders), then self-joins and a
+    window over the tiny daily spine — nothing order-sized crosses a
+    second shuffle."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    seas = a.join(
+        b, F.col("b.day") == F.date_sub(F.col("a.day"), 7)
+    ).select(
+        F.col("a.day").alias("day"),
+        F.abs(F.col("a.rev") - F.col("b.rev")).alias("err_s"),
+    )
+    w = Window.orderBy("day")
+    naiv = daily.select(
+        "day", F.abs(F.col("rev") - F.lag("rev").over(w)).alias("err_n")
+    )
+    return (
+        seas.join(naiv, "day")
+        .where(F.col("err_n").isNotNull())
+        .groupBy(F.year("day").cast("bigint").alias("year"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval_days"),
+            F.round(F.sum("err_s"), 2).alias("sum_abs_err_seasonal"),
+            F.round(F.sum("err_n"), 2).alias("sum_abs_err_naive"),
+            F.round(F.sum("err_s") / F.sum("err_n"), 4).alias("mase"),
+        )
+    )
