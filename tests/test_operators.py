@@ -803,3 +803,70 @@ def test_rendezvous_assign_argmax_and_resize_property(spark):
 
     with _pytest.raises(ValueError):
         rendezvous_assign(F.col("doc_id"), 0)
+
+
+def test_scene_cut_and_silence_run_iters_vs_python_reference():
+    """The temporal multimodal extractors against direct Python
+    references on crafted payloads: scene cuts must count exactly the
+    transitions whose |pixel-diff| sum crosses the threshold (boundary
+    value included), and silence runs must match a brute-force
+    run-length encoding including the all-silent and no-silent edges."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_imgprocessing_spark.images.codec import encode_image
+    from bigdata_imgprocessing_spark.queries.multimodal import (
+        _CUT_THRESHOLD,
+        _SILENCE_T,
+        _scene_cut_iter,
+        _silence_run_iter,
+    )
+
+    # five 2x2 frames with controlled diffs: frame k is constant c_k,
+    # so diff(k) = 4*|c_k - c_{k+1}|; pick diffs straddling the
+    # threshold incl. the exact boundary (340 = 4*85)
+    consts = [0, 85, 85 + 85, 170, 255]  # diffs: 340, 340, 0, 340
+    frames = [
+        encode_image(np.full((2, 2, 1), c, dtype=np.uint8)) for c in consts
+    ]
+    buf = bytes([5]) + b"".join(frames)
+    pdf = pd.DataFrame({"img_id": [7], "content": [buf]})
+    (out,) = list(_scene_cut_iter(iter([pdf])))
+    row = out.iloc[0]
+    diffs = [4 * abs(a - b) for a, b in zip(consts, consts[1:])]
+    assert row.n_cuts == sum(1 for d in diffs if d >= _CUT_THRESHOLD) == 3
+    assert row.total_motion == sum(diffs)
+    assert row.max_framediff == max(diffs)
+
+    def clip(samples):
+        return b"FSND" + np.asarray(samples, dtype="<i2").tobytes()
+
+    def brute(samples):
+        silent = [abs(s) < _SILENCE_T for s in samples]
+        runs, cur = [], 0
+        for b in silent:
+            if b:
+                cur += 1
+            elif cur:
+                runs.append(cur)
+                cur = 0
+        if cur:
+            runs.append(cur)
+        return len(runs), sum(runs), max(runs, default=0)
+
+    cases = [
+        [0] * 8,  # all silent: one run of 8
+        [100] * 8,  # none silent
+        [0, 100, 0, 0, 100, 0, 0, 0],  # runs 1, 2, 3
+        [-69, 69, 70, -70, 0],  # threshold boundary: |v|<70 only
+    ]
+    pdf = pd.DataFrame(
+        {"clip_id": list(range(len(cases))), "content": [clip(c) for c in cases]}
+    )
+    (out,) = list(_silence_run_iter(iter([pdf])))
+    for i, samples in enumerate(cases):
+        row = out[out.clip_id == i].iloc[0]
+        n_runs, n_silent, longest = brute(samples)
+        assert (row.n_runs, row.n_silent, row.longest) == (
+            n_runs, n_silent, longest,
+        ), samples
