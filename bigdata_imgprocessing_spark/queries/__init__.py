@@ -28,47 +28,56 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 10) with zero driver history —
+    # (1) NEW this round (round 11) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round (the
-    # lsh_incremental_pairs lesson from VERDICT r7).
-    "simhash64_neardup", "shard_rendezvous_stability", "kcenter_coreset",
-    "streaming_simhash_ingest", "cms_frequency_audit",
-    "embedding_centroid_drift", "video_scene_cuts", "audio_silence_runs", "seasonal_naive_mase",
-    # (2) the 22 rows whose latest driver row is still round 5 — the
-    # tail of the r5 cohort past round 9's 50-slot window (VERDICT r9
-    # item 1 says to lead with them).
-    "pagerank_neardup", "pipe_syntax_summary", "pit_join_features",
-    "recursive_calendar_revenue", "scd2_user_history",
-    "score_calibration_bins", "semdedup_prune", "sliding_distinct_users",
-    "sliding_users_sketch", "source_mixture_drift", "split_leakage_audit",
-    "sql_udf_price_bands", "streaming_dedup_within_watermark",
-    "streaming_outer_join", "streaming_pysource_counts",
-    "streaming_sketch_rollup", "try_arithmetic_audit", "udtf_sentence_stats",
-    "unigram_logprob_filter", "user_erasure_apply", "user_erasure_audit",
-    "winnowing_fingerprints",
-    # (3) the 50 rows whose latest driver row is round 6, oldest-first
-    # (registration order); the tail past the ~50-row window leads the
-    # round-11 rotation.
-    "embedding_lsh_neardup", "doc_split_stats", "doc_pack_stats",
-    "stratified_sample_stats", "fixed_size_group_sample",
-    "minhash_band_stats", "dedup_keep_best", "dedup_incremental_stats",
-    "ngram_containment_hist", "listagg_order_lines", "collation_group_names",
-    "mode_per_group", "bitmap_distinct_users", "m4_downsample",
-    "pareto_front_orders", "chi2_lang_source", "ks_score_drift",
-    "gini_revenue_concentration", "cusum_changepoint",
+    # lsh_incremental_pairs lesson from VERDICT r7). Names appended as
+    # each operator lands.
+    "event_markov_transitions", "kaplan_meier_churn",
+    "benford_amount_audit", "robust_price_stats",
+    "event_cooccurrence_graph", "decontam_store_prefilter",
+    "streaming_ewma_anomaly",
+    # (2) queries whose CODE was refactored in round 10 AFTER their
+    # last driver row (ADVICE r10 item 1): the strictly-before /
+    # concurrent-write refactor and the semi-join-to-filter change
+    # shipped without a fresh cross-engine hash row — re-check first.
+    "streaming_lsh_ingest", "streaming_decontam_ingest",
+    "decontam_bloom_prefilter",
+    # (3) the 31 rows whose latest driver row is still round 6 — the
+    # tail of the r6 cohort past round 10's 50-slot window (VERDICT
+    # r10 item 1: no row older than r7 after this round).
+    "detection_class_names", "audio_feature_extract", "distinct_counts",
+    "knn_bruteforce", "ann_ivf_topk", "nearest_centroid_counts",
+    "embedding_norm_stats", "embedding_model_scores", "doc_token_stats",
+    "doc_quality_scores", "lang_id_confusion", "doc_fingerprints",
+    "conditional_agg_ratio", "keyword_doc_stats", "keyword_lang_stats",
+    "tfidf_top_terms", "stats_pipeline_e2e", "jsonl_roundtrip_stats",
+    "bucketed_join_revenue", "report_text_roundtrip", "vocab_top_terms",
+    "repetition_ngram_stats", "streaming_stateful_totals",
+    "doc_embedding_join_stats", "cached_predictions_stats",
     "interval_merge_coverage", "rfm_segmentation", "weighted_doc_sample",
-    "detection_class_names", "image_corrupt_quarantine",
-    "audio_feature_extract", "doc_embedding_join_stats",
-    "stats_pipeline_e2e", "bucketed_join_revenue", "jsonl_roundtrip_stats",
-    "report_text_roundtrip", "cached_predictions_stats", "distinct_counts",
-    "null_safe_reconcile", "knn_bruteforce", "ann_ivf_topk",
-    "nearest_centroid_counts", "embedding_norm_stats",
-    "embedding_model_scores", "streaming_stateful_totals",
-    "streaming_erasure_feed", "doc_token_stats", "doc_quality_scores",
-    "lang_id_confusion", "doc_fingerprints", "conditional_agg_ratio",
-    "keyword_doc_stats", "keyword_lang_stats", "tfidf_top_terms",
-    "vocab_top_terms", "repetition_ngram_stats",
-    # (4) r7+-green rows follow in registration order.
+    "null_safe_reconcile", "streaming_erasure_feed",
+    "image_corrupt_quarantine",
+    # (4) the 49-row r7 cohort, oldest-first (registration order); the
+    # tail past the 50-slot window leads the round-12 rotation.
+    "approx_balance_deciles", "doc_chunk_windows", "doc_quality_filter",
+    "decontam_ngram_overlap", "dedup_exact", "minhash_lsh_pairs",
+    "ngram_jaccard_hist", "simhash_fingerprints", "doc_chain_components",
+    "label_prop_communities", "pair_rouge_stats", "minhash_estimate_error",
+    "freq_event_pairs", "kll_quantile_drift", "equidepth_price_buckets",
+    "image_avg_color", "image_dominant_hist", "image_detection_counts",
+    "image_predictions", "image_phash_neardup", "image_letterbox_stats",
+    "video_frame_sample", "cluster_profile", "pricing_summary",
+    "alphabet_stats", "top_orders", "region_revenue",
+    "name_length_buckets", "semi_join_customers", "anti_join_customers",
+    "outer_join_order_counts", "window_topk_orders", "moving_avg_orders",
+    "rollup_revenue", "cube_order_stats", "set_ops_customers",
+    "full_outer_nation_counts", "exists_late_orders",
+    "small_quantity_revenue", "inactive_rich_customers",
+    "customer_balance_deciles", "priority_multiset_diff",
+    "market_share_by_year", "ann_ivf_learned", "quantized_ann_recall",
+    "pq_ann_recall", "mmr_diverse_topk", "bpe_apply_stats",
+    "session_funnel_stats",
+    # (5) r8+-green rows follow in registration order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

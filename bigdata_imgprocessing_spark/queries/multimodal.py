@@ -413,15 +413,17 @@ def _silence_run_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]
             assert raw[:4] == b"FSND"
             sig = np.frombuffer(raw, dtype="<i2", offset=4).astype(np.int64)
             silent = np.abs(sig) < _SILENCE_T
-            # run boundaries: a silent sample whose predecessor is not
-            starts = int(
-                (silent & ~np.concatenate(([False], silent[:-1]))).sum()
+            # gaps-and-islands, fully vectorized: pad the mask with
+            # False on both sides so every run has an explicit start
+            # and end boundary, then diff() marks starts (+1) / ends
+            # (-1); run lengths are end positions minus start positions.
+            padded = np.concatenate(([False], silent, [False]))
+            edges = np.flatnonzero(np.diff(padded.astype(np.int8)))
+            run_starts, run_ends = edges[::2], edges[1::2]
+            starts = int(run_starts.size)
+            longest = (
+                int((run_ends - run_starts).max()) if starts else 0
             )
-            longest = 0
-            run = 0
-            for b in silent:
-                run = run + 1 if b else 0
-                longest = max(longest, run)
             out.append((vid, starts, int(silent.sum()), longest))
         yield pd.DataFrame(
             out, columns=["clip_id", "n_runs", "n_silent", "longest"]

@@ -1099,7 +1099,7 @@ def attribution_touchpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT year, CAST(n_days AS BIGINT) AS n_eval_days,
            round(se, 2) AS sum_abs_err_seasonal,
            round(ne, 2) AS sum_abs_err_naive,
-           round(se / ne, 4) AS mase
+           CASE WHEN ne <> 0 THEN round(se / ne, 4) END AS mase
     FROM y
     """,
 )
@@ -1146,6 +1146,12 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").cast("bigint").alias("n_eval_days"),
             F.round(F.sum("err_s"), 2).alias("sum_abs_err_seasonal"),
             F.round(F.sum("err_n"), 2).alias("sum_abs_err_naive"),
-            F.round(F.sum("err_s") / F.sum("err_n"), 4).alias("mase"),
+            # Zero-guarded: a year of constant daily revenue makes the
+            # naive error sum 0, where Spark/DuckDB division semantics
+            # diverge (NULL vs inf); both engines now emit NULL.
+            F.when(
+                F.sum("err_n") != 0,
+                F.round(F.sum("err_s") / F.sum("err_n"), 4),
+            ).alias("mase"),
         )
     )
