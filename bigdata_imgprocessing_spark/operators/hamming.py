@@ -147,7 +147,8 @@ def band_keys(df: DataFrame, fp_col: str, bits: int, k: int) -> DataFrame:
 
 
 def hamming_k_neighbor_join(
-    fps: DataFrame, fp_col: str, bits: int, k: int
+    fps: DataFrame, fp_col: str, bits: int, k: int,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """All unordered pairs of distinct fingerprint VALUES in ``fps`` at
     Hamming distance 1..k, as ``(fp_a, fp_b, dist)`` with
@@ -176,10 +177,19 @@ def hamming_k_neighbor_join(
         vanishing), but real corpora can concentrate mass on a common
         block value (e.g. the all-zeros block of boilerplate-heavy
         shards). That is the same failure mode as a hot MinHash band,
-        and the same remedies apply: sub-band the hot block (recurse
-        with a wider k on the remaining bits) or cap bucket size with
-        the posting-list cutoff discipline (queries/dedup.py). The
-        verification term (bit_count on the xor) is O(1) per candidate.
+        and ``max_bucket`` applies the posting-list cutoff discipline
+        (queries/dedup.py ``_ngram_posting_lists``): buckets larger
+        than the cap are dropped from candidate generation entirely —
+        a deterministic, oracle-replayable recall cutoff (a pair whose
+        EVERY equal block is over-cap is not emitted; candidate volume
+        is bounded by n_buckets * max_bucket^2 / 2 regardless of input
+        skew). The bucket census rides the join's own (blk, kv)
+        partitioning (a window count, no extra shuffle), and
+        exactly-once emission in the capped path comes from a distinct
+        over the VERIFIED pairs (output-sized, cheap) — the bitwise
+        first-equal-block rule is only correct when no equal block can
+        be missing from the index. The verification term (bit_count on
+        the xor) is O(1) per candidate.
       * The merge-join pin below is the Catalyst explode-fan-out rule
         from ``hamming1_neighbor_join`` (NOTES r9): the optimizer
         cannot see the (k+1)x fan-out, would broadcast the exploded
@@ -201,6 +211,41 @@ def hamming_k_neighbor_join(
         return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
 
     keys = band_keys(distinct_fp, "fp", bits, k)
+    if max_bucket is not None:
+        if max_bucket < 1:
+            raise ValueError(f"max_bucket must be >= 1, got {max_bucket}")
+        from pyspark.sql import Window
+
+        # census on the join's own key: the window's hash(blk, kv)
+        # exchange is the same partitioning the merge self-join needs,
+        # so the cap costs no additional shuffle of the index
+        bsz = F.count(F.lit(1)).over(Window.partitionBy("blk", "kv"))
+        keys = (
+            keys.withColumn("_bsz", bsz)
+            .where(F.col("_bsz") <= max_bucket)
+            .drop("_bsz")
+        )
+        a = keys.alias("a").hint("merge")
+        b = keys.alias("b")
+        capped = a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.kv") == F.col("b.kv"))
+            & (F.col("a.fp") < F.col("b.fp")),
+        ).select(
+            F.col("a.fp").alias("fp_a"),
+            F.col("b.fp").alias("fp_b"),
+            F.bit_count(
+                F.col("a.fp").bitwiseXOR(F.col("b.fp"))
+            ).alias("dist"),
+        )
+        # exactly-once via distinct over the VERIFIED pairs: with
+        # over-cap buckets absent from the index, a pair's first equal
+        # block may be one of the missing ones, so the bitwise
+        # first-equal-block rule would silently drop pairs that still
+        # have a surviving equal block; distinct on the (output-sized)
+        # verified set keeps them.
+        return capped.where(F.col("dist") <= k).distinct()
     a = keys.alias("a").hint("merge")
     b = keys.alias("b")
     cand = a.join(

