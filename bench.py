@@ -243,6 +243,14 @@ HEADLINE = [
     "video_scene_cuts",
     "audio_silence_runs",
     "seasonal_naive_mase",
+    # round 11 additions
+    "kaplan_meier_churn",
+    "benford_amount_audit",
+    "mannwhitney_price_shift",
+    "ols_revenue_trend",
+    "decontam_store_prefilter",
+    "streaming_ewma_anomaly",
+    "jackknife_revenue_variance",
 ]
 
 
@@ -264,6 +272,7 @@ MULTI_BATCH_CONTRACT = [
     "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
     "streaming_simhash_ingest",  # 3 waves: exactly-once banded discovery
     "streaming_sketch_rollup",  # 3 files: segmentation-independent merge
+    "streaming_ewma_anomaly",  # 3 ts-tertiles: cross-batch jump/EWMA state
 ]
 
 

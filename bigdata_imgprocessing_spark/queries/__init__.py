@@ -32,10 +32,10 @@ _PRIORITY = [
     # front-loaded so the first CORRECTNESS row lands this round (the
     # lsh_incremental_pairs lesson from VERDICT r7). Names appended as
     # each operator lands.
-    "event_markov_transitions", "kaplan_meier_churn",
-    "benford_amount_audit", "robust_price_stats",
-    "event_cooccurrence_graph", "decontam_store_prefilter",
-    "streaming_ewma_anomaly",
+    "kaplan_meier_churn", "benford_amount_audit",
+    "mannwhitney_price_shift", "ols_revenue_trend",
+    "decontam_store_prefilter", "streaming_ewma_anomaly",
+    "jackknife_revenue_variance",
     # (2) queries whose CODE was refactored in round 10 AFTER their
     # last driver row (ADVICE r10 item 1): the strictly-before /
     # concurrent-write refactor and the semi-join-to-filter change

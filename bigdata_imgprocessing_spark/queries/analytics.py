@@ -1273,3 +1273,326 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_3n_over_w"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: distribution-law conformance testing over
+# monetary amounts (the fraud/data-quality screen).
+# ---------------------------------------------------------------------------
+
+# log10(1 + 1/d) injected as IDENTICAL literals into both engines —
+# neither side ever calls log10, so no cross-libm surface exists.
+_BENFORD_P = {d: repr(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+
+
+@query(
+    "benford_amount_audit",
+    oracle=f"""
+    WITH cents AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), digits AS (
+        SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INTEGER) AS digit
+        FROM cents WHERE c > 0
+    ), counts AS (
+        SELECT digit, count(*) AS n FROM digits GROUP BY digit
+    ), tot AS (SELECT sum(n) AS t FROM counts)
+    SELECT digit, CAST(n AS BIGINT) AS n_orders,
+           round(n / t, 6) AS obs_share,
+           round(exp_p, 6) AS benford_share,
+           round((n - t * exp_p) * (n - t * exp_p) / (t * exp_p), 6)
+               AS chi2_term
+    FROM counts CROSS JOIN tot
+    JOIN (VALUES {", ".join(f"({d}, CAST({p} AS DOUBLE))" for d, p in _BENFORD_P.items())})
+         AS b(digit, exp_p) USING (digit)
+    """,
+)
+def benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order amounts — the
+    distribution-law screen a curation pipeline points at any
+    money/count column (fabricated or re-binned data drifts off the
+    log-uniform leading-digit law). Per digit d: observed count and
+    share vs the Benford share log10(1 + 1/d), plus the chi-square
+    contribution ((n - t*p)^2 / (t*p)) whose 8-dof sum is the audit
+    statistic.
+
+    Float parity: the leading digit is extracted via INTEGER string
+    arithmetic (cents = round(price*100) — exact on the 2dp money
+    grid; first char of the integer's decimal print), never via
+    log10/pow on doubles whose last-ulp could flip a digit boundary;
+    the Benford shares are the SAME python-repr literals injected into
+    both engines, so every double entering the arithmetic is
+    bit-identical and the 6dp rounds cannot straddle.
+
+    Scale: one scan -> 9-group map-side-combinable count; the digit
+    dim is a 9-row literal join (broadcast)."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    cents = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    ).where(F.col("c") > 0)
+    counts = cents.select(
+        F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
+    ).groupBy("digit").agg(F.count("*").alias("n"))
+    bench = spark.createDataFrame(
+        [(d, float(p)) for d, p in ((d, _BENFORD_P[d]) for d in range(1, 10))],
+        "digit int, exp_p double",
+    )
+    tot = counts.agg(F.sum("n").alias("t"))
+    return (
+        counts.join(F.broadcast(bench), "digit")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.round(F.col("n") / F.col("t"), 6).alias("obs_share"),
+            F.round(F.col("exp_p"), 6).alias("benford_share"),
+            F.round(
+                (F.col("n") - F.col("t") * F.col("exp_p"))
+                * (F.col("n") - F.col("t") * F.col("exp_p"))
+                / (F.col("t") * F.col("exp_p")),
+                6,
+            ).alias("chi2_term"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U: nonparametric two-sample location test (the rank-sum
+# member of the drift-test family: chi2 tests categories, KS tests the
+# full CDF, this tests a location shift robustly).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mannwhitney_price_shift",
+    oracle="""
+    WITH ranked AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp,
+               rank() OVER (ORDER BY o_totalprice) AS r,
+               count(*) OVER (PARTITION BY o_totalprice) AS c
+        FROM orders
+    ), stats AS (
+        SELECT count(*) FILTER (WHERE grp = 1) AS n1,
+               count(*) FILTER (WHERE grp = 0) AS n2,
+               sum(r + (c - 1) / 2.0) FILTER (WHERE grp = 1) AS r1,
+               count(*) AS n
+        FROM ranked
+    ), ties AS (
+        SELECT sum(c * c * c - c) AS tie_term
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_totalprice)
+    )
+    SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
+           round(
+               (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               / sqrt(n1 * n2 / 12.0
+                      * ((n + 1) - tie_term * 1.0 / (n * (n - 1)))),
+               4
+           ) AS z,
+           abs(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
+               > 1.96 * sqrt(n1 * n2 / 12.0
+                             * ((n + 1) - tie_term * 1.0 / (n * (n - 1))))
+               AS significant
+    FROM stats CROSS JOIN ties
+    """,
+)
+def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) test for a location shift in
+    order amounts between high-priority (URGENT/HIGH) and other orders
+    — the nonparametric member of the drift-test family (chi2 tests
+    categorical mixes, KS the full CDF; the rank-sum is the robust
+    'did the median move' monitor that heavy tails cannot inflate).
+    Average ranks for ties via rank() + (tie_size - 1)/2, U from the
+    rank sum, z normal-approximated with the standard tie-corrected
+    variance.
+
+    Float parity: ranks, tie sizes and counts are INTEGERS in both
+    engines; the average-rank grid is halves (exact doubles); u1/z
+    arithmetic runs the identical expression shape over bit-identical
+    operands (one sqrt — correctly rounded IEEE in both), then rounds.
+    tie_term = sum(c^3 - c) stays far inside int64 (c <= corpus rows).
+
+    Scale: one global rank (a total sort — the same cost KS already
+    pays), tie sizes ride a window over the sorted run, then a single
+    scalar aggregate; no per-pair work (the naive U definition is
+    |n1 x n2|)."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    grp = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    ranked = o.select(
+        grp.alias("grp"),
+        F.rank().over(Window.orderBy("o_totalprice")).alias("r"),
+        F.count("*")
+        .over(Window.partitionBy("o_totalprice"))
+        .alias("c"),
+    )
+    stats = ranked.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n2"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("r") + (F.col("c") - 1) / 2.0)
+        ).alias("r1"),
+        F.count("*").alias("n"),
+    )
+    ties = (
+        o.groupBy("o_totalprice")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(
+                F.col("c") * F.col("c") * F.col("c") - F.col("c")
+            ).alias("tie_term")
+        )
+    )
+    u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
+    mu = F.col("n1") * F.col("n2") / 2.0
+    sigma = F.sqrt(
+        F.col("n1") * F.col("n2") / 12.0
+        * (
+            (F.col("n") + 1)
+            - F.col("tie_term") * 1.0 / (F.col("n") * (F.col("n") - 1))
+        )
+    )
+    return stats.crossJoin(F.broadcast(ties)).select(
+        F.col("n1").cast("bigint").alias("n1"),
+        F.col("n2").cast("bigint").alias("n2"),
+        F.round(u1, 2).alias("u1"),
+        F.round((u1 - mu) / sigma, 4).alias("z"),
+        (F.abs(u1 - mu) > 1.96 * sigma).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jackknife: delete-one-group resampling variance — the inference
+# member of the stats family (chi2/KS/MW test hypotheses; this puts a
+# standard error on an estimate without distributional assumptions).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "jackknife_revenue_variance",
+    oracle="""
+    WITH g AS (
+        SELECT n.n_name AS grp,
+               round(sum(o.o_totalprice), 2) AS s,
+               count(*) AS c
+        FROM orders o
+        JOIN customer cu ON cu.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = cu.c_nationkey
+        GROUP BY n.n_name
+    ), arr AS (
+        SELECT list(s ORDER BY grp) AS ss, list(c ORDER BY grp) AS cs,
+               count(*) AS ng
+        FROM g
+    ), tot AS (
+        SELECT ss, cs, ng,
+               list_reduce(ss, (a, b) -> a + b) AS s_all,
+               list_reduce(cs, (a, b) -> a + b) AS n_all
+        FROM arr
+    ), thetas AS (
+        SELECT ng, s_all, n_all,
+               [ (s_all - ss[i]) / (n_all - cs[i])
+                 for i in generate_series(1, ng) ] AS th
+        FROM tot
+    ), bar AS (
+        SELECT ng, s_all, n_all, th,
+               list_reduce(th, (a, b) -> a + b) / ng AS th_bar
+        FROM thetas
+    )
+    SELECT CAST(ng AS BIGINT) AS n_groups,
+           round(s_all / n_all, 6) AS mean_rev,
+           round(sqrt((ng - 1.0) / ng * list_reduce(
+               [ (x - th_bar) * (x - th_bar) for x in th ],
+               (a, b) -> a + b)), 6) AS jk_se
+    FROM bar
+    """,
+)
+def jackknife_revenue_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-one-group jackknife standard error of mean order revenue,
+    groups = customer nations — the resampling-inference member of the
+    stats family (chi2/KS/Mann-Whitney test hypotheses; the jackknife
+    puts an assumption-free SE on an estimator, the number a data-card
+    should print next to every corpus-level mean). theta_i = the mean
+    with nation i deleted; SE^2 = (N-1)/N * sum (theta_i - theta_bar)^2.
+
+    Float parity: per-nation revenue sums are 2dp grid (safe to round
+    once), counts are ints, so every theta_i is a division of
+    bit-identical operands. The cross-group sums fold over
+    nation-name-SORTED arrays via aggregate()/list_reduce in the SAME
+    order in both engines — never a groupBy sum of off-grid doubles,
+    whose partial-aggregation order is engine- and partitioning-
+    dependent (the repo's HOF-fold rule for small off-grid
+    reductions). |nations| = 25, so the arrays are trivially bounded.
+
+    Scale: one fact-side shuffle to |nations| partials (customer and
+    nation dims broadcast), then a 1-row array fold; the jackknife
+    itself costs O(N) on 25 elements, not a re-scan per deletion —
+    the algebraic identity theta_i = (S - s_i)/(n - n_i) is the whole
+    point."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    na = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    g = (
+        o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .groupBy(F.col("n_name").alias("grp"))
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("s"),
+            F.count("*").alias("c"),
+        )
+    )
+    arr = g.agg(
+        F.array_sort(F.collect_list(F.struct("grp", "s", "c"))).alias("a"),
+        F.count("*").alias("ng"),
+    )
+    dsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
+        col, F.lit(0.0), lambda acc, x: acc + x
+    )
+    tot = arr.select(
+        "ng",
+        F.col("a"),
+        dsum(F.transform("a", lambda x: x["s"])).alias("s_all"),
+        F.aggregate(
+            F.transform("a", lambda x: x["c"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("n_all"),
+    )
+    th = tot.select(
+        "ng",
+        "s_all",
+        "n_all",
+        F.transform(
+            "a",
+            lambda x: (F.col("s_all") - x["s"])
+            / (F.col("n_all") - x["c"]),
+        ).alias("th"),
+    )
+    bar = th.select(
+        "ng",
+        "s_all",
+        "n_all",
+        "th",
+        (dsum(F.col("th")) / F.col("ng")).alias("th_bar"),
+    )
+    return bar.select(
+        F.col("ng").cast("bigint").alias("n_groups"),
+        F.round(F.col("s_all") / F.col("n_all"), 6).alias("mean_rev"),
+        F.round(
+            F.sqrt(
+                (F.col("ng") - 1.0)
+                / F.col("ng")
+                * dsum(
+                    F.transform(
+                        "th",
+                        lambda x: (x - F.col("th_bar"))
+                        * (x - F.col("th_bar")),
+                    )
+                )
+            ),
+            6,
+        ).alias("jk_se"),
+    )

@@ -703,6 +703,209 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "decontam_store_prefilter",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks,
+               CASE WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} < 90
+                    THEN 'train'
+                    WHEN {_duck_bucket("CAST(doc_id AS VARCHAR) || '_split'", 100)} >= 95
+                    THEN 'test' END AS split
+        FROM documents
+    ), grams AS (
+        SELECT doc_id, lang, split,
+               array_to_string(toks[i + 1:i + {_DECON_N}], ' ') AS gram
+        FROM (
+            SELECT doc_id, lang, split, toks,
+                   unnest(generate_series(0, len(toks) - {_DECON_N})) AS i
+            FROM assigned WHERE split IS NOT NULL
+        )
+    ), train_grams AS (
+        SELECT DISTINCT gram FROM grams WHERE split = 'train'
+    ), test_grams AS (
+        SELECT doc_id, lang, gram FROM grams WHERE split = 'test'
+    ), g_stats AS (
+        SELECT t.lang,
+               CAST(count(*) AS BIGINT) AS n_test_grams,
+               CAST(count(tg.gram) AS BIGINT) AS n_member_grams
+        FROM test_grams t LEFT JOIN train_grams tg USING (gram)
+        GROUP BY t.lang
+    ), contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM test_grams t JOIN train_grams tg USING (gram)
+    )
+    SELECT a.lang,
+           CAST(count(*) AS BIGINT) AS n_test_docs,
+           CAST(count(c.doc_id) AS BIGINT) AS n_contaminated,
+           round(count(c.doc_id) * 1.0 / count(*), 4) AS contamination_rate,
+           CAST(coalesce(any_value(g.n_test_grams), 0) AS BIGINT)
+               AS n_test_grams,
+           CAST(coalesce(any_value(g.n_member_grams), 0) AS BIGINT)
+               AS n_member_grams,
+           true AS no_false_negatives,
+           true AS fp_within_expected
+    FROM assigned a
+    LEFT JOIN contaminated c USING (doc_id)
+    LEFT JOIN g_stats g ON g.lang = a.lang
+    WHERE a.split = 'test'
+    GROUP BY a.lang
+    """,
+)
+def decontam_store_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STORE-BACKED decontamination prefilter — the variant NOTES r10
+    item 11 scopes: the same two-phase shape as
+    ``decontam_bloom_prefilter`` (broadcast Bloom bitset probed
+    map-side, survivors verified by the exact membership join) but fed
+    from the landed word-5-gram store (``_wordgram_store``,
+    queries/dedup.py) instead of a fresh tokenize+md5 derivation. The
+    hot path therefore reads fixed 8-byte xxhash64 keys from columnar
+    parquet — no text scan, no per-gram string hashing — the way a
+    deployment that lands gram occurrences once per corpus release and
+    runs MANY decontamination/coverage consumers against them would.
+    The split is decided by a pure projection on doc_id (the identical
+    bucket rule as the fresh variant), so the store needs no
+    re-landing when splits change.
+
+    The oracle pins COUNT equalities only (per-lang gram occurrences,
+    member occurrences, contaminated docs) with RAW gram strings — the
+    collision-free contract: 64-bit keys over the ~1e6-gram sf0.1
+    vocabulary collide with probability ~3e-8 (birthday bound), and a
+    collision would show up here as a count mismatch, making this
+    query double as the store's collision audit. The audited booleans
+    (members never rejected; measured fp rate within 10 points of the
+    fill ratio) follow the ``decontam_bloom_prefilter`` discipline.
+
+    Scale: the store read is pruned to (doc_id, g) columns; the gram
+    side joins the 3-column doc-split dim (broadcast at test scale,
+    doc_id-co-partitioned at 100 TB); the filter is built from the
+    distinct TRAIN vocabulary and sized from the build side's
+    cardinality; only filter survivors reach the exact join. The
+    bucket is the key's own low bits (the store key IS already a
+    64-bit hash — re-hashing would add cost and no independence)."""
+    import math as _math
+
+    from ..core.session import cache_parallelism
+    from .dedup import _wordgram_store
+
+    d = table(spark, sf_dir, "documents")
+    h = _md5_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit("_split")), 100
+    )
+    split = F.when(h < 90, "train").when(h >= 95, "test")
+    docs = d.select("doc_id", "lang", split.alias("split")).where(
+        F.col("split").isNotNull()
+    )
+    grams = (
+        _wordgram_store(spark, sf_dir)
+        .select("doc_id", "g")
+        .join(docs, "doc_id")
+        .select("doc_id", "lang", "split", "g")
+    )
+    train = (
+        grams.where(F.col("split") == "train")
+        .select("g")
+        .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    n_train = train.count()
+    m_slots = 1 << max(13, _math.ceil(_math.log2(4 * max(n_train, 1))))
+    # power-of-two slot count -> the bucket is a bitwise AND; two's
+    # complement low bits equal pmod for negative hashes
+    bucket = F.col("g").bitwiseAND(F.lit(m_slots - 1))
+    words = (
+        train.select(bucket.alias("bkt"))
+        .select(
+            F.shiftright("bkt", 6).cast("int").alias("wi"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    sketch = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("wi", "w")))
+        ).alias("bm"),
+        F.sum(F.bit_count("w")).alias("n_used"),
+    )
+    probed = (
+        grams.where(F.col("split") == "test")
+        .select("doc_id", "lang", "g")
+        .crossJoin(F.broadcast(sketch))
+        .withColumn("bkt", bucket)
+        .withColumn(
+            "hit",
+            F.expr(
+                "(coalesce(element_at(bm, CAST(shiftright(bkt, 6) AS INT)),"
+                " CAST(0 AS BIGINT))"
+                " & shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))) != 0"
+            ),
+        )
+        .withColumn("fill", F.col("n_used") / F.lit(float(m_slots)))
+        .select("doc_id", "lang", "g", "hit", "fill")
+    )
+    aud = probed.join(
+        train.withColumn("m", F.lit(True)), "g", "left"
+    ).withColumn("m", F.coalesce("m", F.lit(False)))
+    aud = aud.coalesce(cache_parallelism(spark)).cache()
+    glob = aud.agg(
+        (F.sum((F.col("m") & ~F.col("hit")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+        (
+            F.abs(
+                F.sum((~F.col("m") & F.col("hit")).cast("long"))
+                / F.greatest(F.sum((~F.col("m")).cast("long")), F.lit(1))
+                - F.first("fill")
+            )
+            <= 0.10
+        ).alias("fp_within_expected"),
+    )
+    g_stats = aud.groupBy("lang").agg(
+        F.count("*").alias("n_test_grams"),
+        F.sum(F.col("m").cast("long")).alias("n_member_grams"),
+    )
+    contaminated = (
+        aud.where(F.col("hit") & F.col("m"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    test_docs = docs.where(F.col("split") == "test").select("doc_id", "lang")
+    d_stats = (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.count("c").alias("n_contaminated"),
+            F.round(F.count("c") / F.count("*"), 4).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+    return (
+        d_stats.join(g_stats, "lang", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "lang",
+            "n_test_docs",
+            "n_contaminated",
+            "contamination_rate",
+            F.coalesce("n_test_grams", F.lit(0)).cast("bigint").alias(
+                "n_test_grams"
+            ),
+            F.coalesce("n_member_grams", F.lit(0)).cast("bigint").alias(
+                "n_member_grams"
+            ),
+            "no_false_negatives",
+            "fp_within_expected",
+        )
+    )
+
+
+@query(
     "shard_rendezvous_stability",
     oracle="""
     WITH sc AS (

@@ -1148,3 +1148,80 @@ def streaming_simhash_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("dist") > 0).cast("long")).cast("bigint").alias("n_near"),
         F.sum("dist").cast("bigint").alias("sum_dist"),
     )
+
+
+@query(
+    "streaming_ewma_anomaly",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, value,
+               abs(value - lag(value) OVER (PARTITION BY event_type
+                                            ORDER BY ts, event_id)) AS jump
+        FROM events
+    ), agg AS (
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(*) FILTER (WHERE jump > 150.0) AS BIGINT)
+                   AS n_jumps
+        FROM ordered GROUP BY event_type
+    ), tails AS (
+        SELECT event_type, list(value ORDER BY ts, event_id) AS arr
+        FROM events GROUP BY event_type
+    )
+    SELECT a.event_type, n_events, n_jumps,
+           round(list_reduce(
+               arr[greatest(1, len(arr) - 15):len(arr)],
+               (acc, x) -> acc / 2 + x / 2), 6) AS ewma16
+    FROM agg a JOIN tails t USING (event_type)
+    """,
+)
+def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EWMA + jump-anomaly monitor — the third genuinely
+    stateful operator (streaming/stateful.py ``_ewma_update``) next to
+    ``streaming_stateful_totals`` (unbounded fold) and
+    ``streaming_quota_admission`` (cap): per event_type the state
+    carries (count, LAST value, jump counter, last-16 value window)
+    across micro-batches. The jump counter |v - prev| > 150 crosses
+    batch boundaries through the carried last value (the quantity a
+    per-batch recompute cannot get right), and the EWMA is the
+    alpha=1/2 fold over the bounded 16-value tail — O(1) state per key
+    where a true recursive EWMA would need the full history to replay
+    exactly.
+
+    The feed is staged as 3 ts-TERTILE files (drained mtime-ordered,
+    one per micro-batch), so each key's arrival order across batches
+    equals its global (ts, event_id) order — what makes both the
+    cross-batch jump test and the tail window well-defined and the
+    batch oracle exact (the ``streaming_quota_admission`` slicing
+    discipline).
+
+    Float parity: halvings are exact; the fold runs in the identical
+    oldest-to-newest order in the pandas op and the oracle's
+    list_reduce; the emitted double is UNROUNDED until the JVM-side
+    terminal round (python round is half-even — the NOTES hazard).
+
+    Scale: state is 19 scalars per key; each micro-batch shuffles only
+    its own rows on the key; the final rollup is |event_types| rows."""
+    ensure_utc(spark)
+    from ..streaming.stateful import ewma_anomalies
+
+    root = _fingerprinted_tmp(sf_dir, "bdip_ewma_t3")
+    e = table(spark, sf_dir, "events").select(
+        "event_type", "ts", "event_id", "value"
+    )
+    qtile = F.ntile(3).over(Window.orderBy("ts", "event_id"))
+    staged = e.withColumn("q", qtile)
+    feed = _stage_feed(
+        root,
+        [
+            (f"q{i}", staged.where(F.col("q") == i).drop("q"))
+            for i in range(1, 4)
+        ],
+    )
+    final = ewma_anomalies(spark, feed)
+    return final.select(
+        "event_type",
+        "n_events",
+        "n_jumps",
+        F.round("ewma16", 6).alias("ewma16"),
+    )

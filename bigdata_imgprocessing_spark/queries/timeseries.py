@@ -1155,3 +1155,203 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mase"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# OLS trend: closed-form least-squares slope of daily revenue per year —
+# the regression member of the eval family (MASE benchmarks forecasts,
+# this fits the trend the forecast must beat).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ols_revenue_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day, sum(o_totalprice) AS rev
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT CAST(EXTRACT(year FROM day) AS BIGINT) AS year,
+               CAST(datediff('day', (SELECT min(day) FROM daily), day)
+                    AS BIGINT) AS x,
+               CAST(round(rev * 100) AS BIGINT) AS yc
+        FROM daily
+    ), s AS (
+        SELECT year, count(*) AS n, sum(x) AS sx, sum(yc) AS sy,
+               sum(x * yc) AS sxy, sum(x * x) AS sxx
+        FROM idx GROUP BY year
+    )
+    SELECT year, CAST(n AS BIGINT) AS n_days,
+           round((n * sxy - sx * sy) * 1.0
+                 / (n * sxx - sx * sx) / 100, 6) AS slope_per_day,
+           round((sy - (n * sxy - sx * sy) * 1.0
+                       / (n * sxx - sx * sx) * sx) / n / 100, 6)
+               AS intercept,
+           round(sy / n / 100.0, 2) AS mean_daily_rev
+    FROM s WHERE n > 1
+    """,
+)
+def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form OLS trend of daily revenue per year — slope and
+    intercept from the normal equations over (day-index, revenue)
+    pairs: slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2). The regression
+    member of the forecasting family: ``seasonal_naive_mase``
+    benchmarks a forecast, this fits the linear drift the naive
+    baselines can't express.
+
+    Float parity: every moment is an exact INT64 — x is the global day
+    index, y is daily revenue in CENTS (daily revenue is a grid sum of
+    2dp money, so round(rev*100) is exact), and the cross moments
+    n*Sxy, Sx*Sy etc. stay far inside int64 at the driver scales
+    (bounded in the docstring of the harness: |n*Sxy| <= 4e17 at
+    sf0.1). The ONLY divisions happen on bit-identical integer
+    operands, so both engines produce the identical double before the
+    single terminal round.
+
+    Scale: one fact scan -> per-day partials (the shuffle carries
+    |days| rows), the global min-day is a 1-row broadcast, then a
+    |years|-row aggregate; nothing order-sized crosses a second
+    shuffle."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    mind = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.year("day").cast("bigint").alias("year"),
+        F.datediff("day", "d0").cast("bigint").alias("x"),
+        F.round(F.col("rev") * 100).cast("bigint").alias("yc"),
+    )
+    s = idx.groupBy("year").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("yc").alias("sy"),
+        F.sum(F.col("x") * F.col("yc")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_c = num * 1.0 / den  # cents/day, identical int operands
+    return s.where(F.col("n") > 1).select(
+        "year",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(slope_c / 100, 6).alias("slope_per_day"),
+        F.round(
+            (F.col("sy") - slope_c * F.col("sx")) / F.col("n") / 100, 6
+        ).alias("intercept"),
+        F.round(F.col("sy") / F.col("n") / 100.0, 2).alias("mean_daily_rev"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier: survival analysis over customer lifetimes — the
+# censoring-aware churn curve (a plain churn rate ignores that active
+# customers' lifetimes are right-censored).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kaplan_meier_churn",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        FROM orders GROUP BY o_custkey
+    ), obs AS (SELECT max(l) AS te FROM cust),
+    j AS (
+        SELECT CAST(floor(datediff('day', f, l) / 180) AS INTEGER) AS t,
+               CASE WHEN datediff('day', l, (SELECT te FROM obs)) >= 365
+                    THEN 1 ELSE 0 END AS churn
+        FROM cust
+    ), buck AS (
+        SELECT t, count(*) AS n_in, sum(churn) AS d FROM j GROUP BY t
+    ), risk AS (
+        SELECT t, d,
+               sum(n_in) OVER (ORDER BY t DESC
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS n_at_risk
+        FROM buck
+    ), ev AS (
+        SELECT t, d, n_at_risk,
+               CASE WHEN d < n_at_risk
+                    THEN round(ln((n_at_risk - d) * 1.0 / n_at_risk), 6)
+               END AS ln6,
+               CASE WHEN d >= n_at_risk THEN 1 ELSE 0 END AS ext
+        FROM risk WHERE d > 0
+    )
+    SELECT CAST(t AS INTEGER) AS t_halfyears,
+           CAST(n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(d AS BIGINT) AS n_churned,
+           CASE WHEN max(ext) OVER w1 = 1 THEN 0.0
+                ELSE round(exp(round(sum(ln6) OVER w1, 6)), 6)
+           END AS km_survival
+    FROM ev
+    WINDOW w1 AS (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                  AND CURRENT ROW)
+    """,
+)
+def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve over customer lifetimes — the
+    censoring-aware churn analysis a plain churn-rate query gets
+    wrong: a customer still ordering near the corpus end has not
+    churned, only a right-censored lifetime, and dropping or counting
+    them both bias the curve. Lifetime = first to last order date in
+    half-year buckets; churn event = last order >= 365 days before
+    the observation end. At each event time t: S(t) = prod over
+    t' <= t of (1 - d/n_at_risk), with n_at_risk the standard
+    risk set (every customer whose lifetime reaches t').
+
+    Float parity (the ln-to-grid contract, quality.py): each factor is
+    the exact int/int division (n-d)/n — bit-identical both engines —
+    its libm ln() rounds to the 1e-6 grid before any combination, the
+    cumulative SUM of grid values re-rounds at grid precision, and one
+    final exp() of bit-identical input is absorbed by the terminal 6dp
+    round. A total-extinction step (d = n) would zero the curve; both
+    engines pin that case to literal 0.0 before ln() can see it.
+
+    Scale: one fact scan -> per-customer (min, max) partials; the
+    observation end is a 1-row broadcast; everything after operates on
+    the |buckets|-row spine (windows over ~14 rows)."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    obs = cust.agg(F.max("l").alias("te"))
+    j = cust.crossJoin(F.broadcast(obs)).select(
+        F.floor(F.datediff("l", "f") / 180).cast("int").alias("t"),
+        (F.datediff("te", "l") >= 365).cast("int").alias("churn"),
+    )
+    buck = j.groupBy("t").agg(
+        F.count("*").alias("n_in"), F.sum("churn").alias("d")
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = buck.withColumn("n_at_risk", F.sum("n_in").over(w_desc))
+    ev = risk.where(F.col("d") > 0).select(
+        "t",
+        "d",
+        "n_at_risk",
+        F.when(
+            F.col("d") < F.col("n_at_risk"),
+            F.round(
+                F.log(
+                    (F.col("n_at_risk") - F.col("d")) / F.col("n_at_risk")
+                ),
+                6,
+            ),
+        ).alias("ln6"),
+        (F.col("d") >= F.col("n_at_risk")).cast("int").alias("ext"),
+    )
+    w_asc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        F.col("t").alias("t_halfyears"),
+        F.col("n_at_risk").cast("bigint").alias("n_at_risk"),
+        F.col("d").cast("bigint").alias("n_churned"),
+        F.when(F.max("ext").over(w_asc) == 1, F.lit(0.0))
+        .otherwise(
+            F.round(F.exp(F.round(F.sum("ln6").over(w_asc), 6)), 6)
+        )
+        .alias("km_survival"),
+    )

@@ -148,3 +148,85 @@ def quota_admissions(spark: SparkSession, sf_dir: str, feed: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+_E_OUT = "event_type string, n_events bigint, n_jumps bigint, ewma16 double"
+_E_STATE = "n bigint, last double, njumps bigint, tail array<double>"
+#: jump threshold (public: the oracle SQL embeds the same constant) —
+#: ~p95 of consecutive |value| deltas on this corpus, so the counter is
+#: exercised without firing on every row
+JUMP_THRESHOLD = 150.0
+_EWMA_TAIL = 16
+
+
+def _ewma_update(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Per-key bounded-window EWMA + jump counter: state carries
+    (n, last_value, n_jumps, last-16 values). The jump test |v - prev|
+    spans micro-batch boundaries through ``last``; the EWMA is the
+    alpha=1/2 fold over the LAST 16 values (seeded at the oldest), so
+    state stays O(1) per key while the metric is exactly recomputable
+    by the batch oracle. Same chunk-concat-then-sort rule as
+    ``_update`` (ADVICE r2). Emits the UNROUNDED fold — terminal
+    rounding happens JVM-side in the query so both engines round the
+    identical double with the same half-up rule (python round is
+    half-even; the NOTES rounding hazard)."""
+    n, last, njumps, tail = (
+        state.get if state.exists else (0, 0.0, 0, [])
+    )
+    tail = list(tail or [])
+    chunks = [p for p in pdfs if len(p)]
+    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    if len(batch):
+        batch = batch.sort_values(["ts", "event_id"])
+        for v in batch["value"]:
+            v = float(v)
+            if n > 0 and abs(v - last) > JUMP_THRESHOLD:
+                njumps += 1
+            last = v
+            n += 1
+            tail.append(v)
+            if len(tail) > _EWMA_TAIL:
+                tail.pop(0)
+    state.update((n, last, njumps, tail))
+    e = tail[0]
+    for v in tail[1:]:
+        e = e / 2 + v / 2  # exact halvings; same op order as the oracle
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "n_events": [n],
+            "n_jumps": [njumps],
+            "ewma16": [e],
+        }
+    )
+
+
+def ewma_anomalies(spark: SparkSession, feed: str) -> DataFrame:
+    """Drain a ts-tertile-staged event feed through the EWMA/jump
+    operator; returns the FINAL per-event-type state (last update per
+    key across micro-batches)."""
+    schema = spark.read.parquet(feed).schema
+    s = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    updated = s.groupBy("event_type").applyInPandasWithState(
+        _ewma_update,
+        outputStructType=_E_OUT,
+        stateStructType=_E_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    drained = run_to_memory(updated, mode="update")
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -1209,3 +1209,68 @@ def test_streaming_simhash_ingest_crash_replay_is_idempotent(spark, tmp_path):
         for r in read_pairs(spark, state).collect()
     )
     assert replayed == first
+
+
+def test_streaming_ewma_cross_batch_jumps_and_tail(spark, tmp_path):
+    """EWMA/jump state machine: (a) a jump spanning the micro-batch
+    boundary is counted (the carried last value — the quantity a
+    per-batch recompute gets wrong), (b) the EWMA folds over at most
+    the last 16 values in arrival order, matching a Python reference
+    fold, (c) re-draining after a new wave CONVERGES (deterministic
+    replay, fresh state per drain)."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.stateful import (
+        ewma_anomalies,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(
+            f"('{k}', make_timestamp({1_700_000_000_000_000 + t * 1_000_000}),"
+            f" {eid}, CAST({v} AS DOUBLE))"
+            for k, t, eid, v in rows
+        )
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals})"
+            f" v(event_type, ts, event_id, value)) TO '{dst}'"
+            f" (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    # c floods 20 values in one wave: tail must hold only the last 16
+    write_wave(0, [("a", 0, 1, 10.0), ("a", 1, 2, 20.0)]
+               + [("c", t, 100 + t, float(t)) for t in range(20)])
+    write_wave(1, [("a", 2, 3, 300.0), ("b", 2, 4, 5.0)])
+
+    def fold(vals):
+        e = vals[0]
+        for v in vals[1:]:
+            e = e / 2 + v / 2
+        return e
+
+    def drain():
+        return {
+            r.event_type: (r.n_events, r.n_jumps, r.ewma16)
+            for r in ewma_anomalies(spark, str(feed)).collect()
+        }
+
+    got = drain()
+    # a: |300-20| = 280 > 150 crosses the wave0/wave1 boundary
+    assert got["a"] == (3, 1, fold([10.0, 20.0, 300.0]))
+    assert got["b"] == (1, 0, 5.0)
+    assert got["c"] == (20, 0, fold([float(t) for t in range(4, 20)]))
+    # restart: new wave — a adds one non-jump then one jump; replay of
+    # the whole feed through fresh state must converge
+    write_wave(2, [("a", 3, 5, 310.0), ("a", 4, 6, 100.0),
+                   ("b", 3, 7, 400.0)])
+    got2 = drain()
+    assert got2["a"] == (5, 2, fold([10.0, 20.0, 300.0, 310.0, 100.0]))
+    assert got2["b"] == (2, 1, fold([5.0, 400.0]))
+    assert got2["c"] == got["c"]
