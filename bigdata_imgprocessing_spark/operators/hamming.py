@@ -146,6 +146,27 @@ def band_keys(df: DataFrame, fp_col: str, bits: int, k: int) -> DataFrame:
     ).drop("_bk")
 
 
+def first_equal_block(xor_col: F.Column, bits: int, k: int) -> F.Column:
+    """Index of the FIRST block (per ``_block_layout(bits, k)``) whose
+    bits are all zero in ``xor_col`` — THE exactly-once emission rule
+    for banded candidates: a pair within distance k matches >= 1 block
+    (pigeonhole) and is kept only where the join block equals this
+    minimal one. Shared by the batch operator below and the streaming
+    prober (streaming/simhash_ingest.py) so the two deployment modes
+    cannot dedup differently. Only valid when every equal block is
+    present in the index (the uncapped case — see ``max_bucket``)."""
+    first_eq = None
+    for i, (off, w) in enumerate(_block_layout(bits, k)):
+        cond = (
+            F.shiftright(xor_col, off).bitwiseAND(F.lit((1 << w) - 1)) == 0
+        )
+        first_eq = (
+            F.when(cond, F.lit(i)) if first_eq is None
+            else first_eq.when(cond, F.lit(i))
+        )
+    return first_eq
+
+
 def hamming_k_neighbor_join(
     fps: DataFrame, fp_col: str, bits: int, k: int,
     max_bucket: int | None = None,
@@ -199,17 +220,13 @@ def hamming_k_neighbor_join(
         raise ValueError(f"bits must be in 1..64, got {bits}")
     if not 1 <= k < bits:
         raise ValueError(f"k must be in 1..bits-1, got {k}")
-    layout = _block_layout(bits, k)
+    # arithmetic shift + mask == logical shift + mask for every
+    # (off, w) with off + w <= 64 — the mask keeps only the block's own
+    # bits, so the sign extension of a shifted bit-63 fp never leaks in
+    # (and DuckDB oracles replay the same shift+mask); the rule lives
+    # in band_keys / first_equal_block.
     fp = F.col(fp_col).cast("long")
     distinct_fp = fps.select(fp.alias("fp")).distinct()
-
-    def block_bits(col: F.Column, off: int, w: int) -> F.Column:
-        # arithmetic shift + mask == logical shift + mask for every
-        # (off, w) with off + w <= 64 — the mask keeps only the block's
-        # own bits, so the sign extension of a shifted bit-63 fp never
-        # leaks in (and DuckDB oracles replay the same shift+mask).
-        return F.shiftright(col, off).bitwiseAND(F.lit((1 << w) - 1))
-
     keys = band_keys(distinct_fp, "fp", bits, k)
     if max_bucket is not None:
         if max_bucket < 1:
@@ -261,15 +278,11 @@ def hamming_k_neighbor_join(
     )
     # first equal block of the pair: the minimal i with zero diff bits
     # in block i — emitted-block must equal it (exactly-once rule)
-    first_eq = None
-    for i, (off, w) in enumerate(layout):
-        cond = block_bits(F.col("x"), off, w) == 0
-        first_eq = (
-            F.when(cond, F.lit(i)) if first_eq is None
-            else first_eq.when(cond, F.lit(i))
-        )
     return (
         cand.withColumn("dist", F.bit_count(F.col("x")))
-        .where((F.col("dist") <= k) & (F.col("blk") == first_eq))
+        .where(
+            (F.col("dist") <= k)
+            & (F.col("blk") == first_equal_block(F.col("x"), bits, k))
+        )
         .select("fp_a", "fp_b", "dist")
     )

@@ -691,32 +691,34 @@ def _simhash64_frame(d: DataFrame, parallelism: int | None = None) -> DataFrame:
     d = d.repartition(
         parallelism or cache_parallelism(d.sparkSession), "doc_id"
     )
+    # The 64 vote aggregates and the 64-term value fold are built as
+    # SQL STRINGS parsed JVM-side in a handful of calls: the original
+    # Column-by-Column construction cost ~1.75 s of py4j round-trips
+    # PER PLAN BUILD — paid once for the batch query but once per
+    # MICRO-BATCH by the streaming ingest loop, where it dominated the
+    # drain wall (round 11; the expressions are identical, only their
+    # construction path changed).
     tok = d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("t"))
     h = tok.select(
         "doc_id",
-        F.conv(F.substring(F.md5("t"), 1, 10), 16, 10).cast("bigint").alias("h1"),
-        F.conv(F.substring(F.md5("t"), 11, 10), 16, 10).cast("bigint").alias("h2"),
+        F.expr("CAST(conv(substring(md5(t), 1, 10), 16, 10) AS BIGINT)").alias("h1"),
+        F.expr("CAST(conv(substring(md5(t), 11, 10), 16, 10) AS BIGINT)").alias("h2"),
     )
     votes = h.groupBy("doc_id").agg(
         *[
-            F.sum(
-                2
-                * F.shiftright(
-                    F.col("h1" if b < 40 else "h2"), b if b < 40 else b - 40
-                ).bitwiseAND(1)
-                - 1
-            ).alias(f"v{b}")
+            F.expr(
+                f"sum(2 * (shiftright({'h1' if b < 40 else 'h2'},"
+                f" {b if b < 40 else b - 40}) & 1) - 1) AS v{b}"
+            )
             for b in range(64)
         ]
     )
-    sim = None
-    for b in range(64):
-        term = F.when(
-            F.col(f"v{b}") >= 0,
-            F.shiftleft(F.lit(1).cast("long"), b),
-        ).otherwise(F.lit(0).cast("long"))
-        sim = term if sim is None else sim + term
-    return votes.select("doc_id", sim.alias("simhash64"))
+    sim_sql = " + ".join(
+        f"(CASE WHEN v{b} >= 0 THEN shiftleft(CAST(1 AS BIGINT), {b})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for b in range(64)
+    )
+    return votes.select("doc_id", F.expr(sim_sql).alias("simhash64"))
 
 
 @query(

@@ -13,8 +13,10 @@ Per micro-batch (foreachBatch):
      probe volume is arrivals-sized,
   3. verify Hamming distance <= 3 (xor bit_count — includes distance 0,
      so exact-duplicate and near-duplicate ingest dedup run in one
-     probe), canonicalize (doc_a < doc_b), DISTINCT over the <= 4
-     matching blocks,
+     probe), canonicalize (doc_a < doc_b), dedup the <= 4 matching
+     blocks BITWISE via the shared first-equal-block rule
+     (operators/hamming.first_equal_block) + an is_new flag for the
+     new x new join-order mirror — no distinct() exchange,
   4. write the verified pairs (tagged with the discovering batch id)
      and the batch's fingerprints concurrently.
 
@@ -22,12 +24,17 @@ Replay idempotence rests on the round-10 invariants (same as the LSH
 and decontam loops): mode=overwrite into per-batch-id subdirs, state
 reads filtered to STRICTLY-earlier batch ids, deterministic per-batch
 recompute — so write order inside a batch is free and the two writes
-overlap on driver threads.
+overlap on driver threads (measured in round 11: sequential writes
+cost ~2.4 s/drain more even with one fewer job — the overlap pays for
+the extra count() materializer).
 
-No join-strategy pins here: per-batch volumes are arrivals-sized and
-AQE plans them well (NOTES r9 — explicit broadcast hints inside
-foreachBatch measured worse); the batch-side operator keeps its merge
-pin for the full-corpus self-join case.
+Join strategy: the PROBE side (the batch's banded keys, 4 rows per
+arriving doc — bounded by micro-batch size at any deployment) is
+broadcast, so the index side streams map-side with no shuffle; the
+batch-side operator keeps its merge pin for the full-corpus self-join
+case, where BOTH sides are corpus-sized. (The r9 "hints measured
+worse" note was taken before the distinct() exchange was removed;
+re-measured in round 11: 8.1 -> ~6.5 s steady-state.)
 
 Reference parity: the reference has no streaming engine — this is the
 Structured Streaming extension of its dedup surface, same module
@@ -88,10 +95,33 @@ def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
         # hitting a cold cache each recompute the whole derivation
         # (profiled: three 2.4 s copies of the vote agg in one batch)
         new_fp.count()
+        from ..operators.hamming import first_equal_block
+
         old = _prior_state(state_root, "fps", bid)
-        all_fp = spark.read.parquet(*old).union(new_fp) if old else new_fp
-        a = _band_keys(new_fp).alias("a")
+        # is_new distinguishes the b-side's two populations: a new x new
+        # pair appears in BOTH join orders (each doc takes the a-side
+        # once), a new x old pair only as (new, old) — keeping old rows
+        # unconditionally and new rows only at a.doc_id < b.doc_id emits
+        # each pair from exactly one join order, and the shared
+        # first-equal-block rule dedups across the <= 4 matching blocks
+        # bitwise (round 11: this replaces a per-batch distinct()
+        # exchange — pure driver-latency cost on an arrivals-sized set).
+        news = new_fp.withColumn("is_new", F.lit(True))
+        all_fp = (
+            spark.read.parquet(*old)
+            .withColumn("is_new", F.lit(False))
+            .unionByName(news)
+            if old
+            else news
+        )
+        # broadcast the arrivals-sized probe side: the banded a-side is
+        # 4 rows per arriving doc (bounded by micro-batch size at any
+        # deployment), so the index side streams map-side with no
+        # shuffle — the r9 "hints measured worse" note predates the
+        # distinct() removal; re-measured r11: 8.1 -> ~6.5 s steady
+        a = F.broadcast(_band_keys(new_fp)).alias("a")
         b = _band_keys(all_fp).alias("b")
+        x = F.col("a.fp").bitwiseXOR(F.col("b.fp"))
         pairs = (
             a.join(
                 b,
@@ -99,15 +129,22 @@ def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
                 & (F.col("a.kv") == F.col("b.kv"))
                 & (F.col("a.doc_id") != F.col("b.doc_id")),
             )
+            .where(
+                (~F.col("b.is_new"))
+                | (F.col("a.doc_id") < F.col("b.doc_id"))
+            )
             .select(
                 F.least("a.doc_id", "b.doc_id").alias("doc_a"),
                 F.greatest("a.doc_id", "b.doc_id").alias("doc_b"),
-                F.bit_count(
-                    F.col("a.fp").bitwiseXOR(F.col("b.fp"))
-                ).alias("dist"),
+                F.col("a.blk").alias("blk"),
+                x.alias("x"),
             )
-            .where(F.col("dist") <= _K)
-            .distinct()
+            .withColumn("dist", F.bit_count(F.col("x")))
+            .where(
+                (F.col("dist") <= _K)
+                & (F.col("blk") == first_equal_block(F.col("x"), _BITS, _K))
+            )
+            .select("doc_a", "doc_b", "dist")
             .withColumn("wave", F.lit(bid).cast("bigint"))
         )
         with ThreadPoolExecutor(2) as pool:
