@@ -7,6 +7,7 @@ from __future__ import annotations
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from bigdata_imgprocessing_spark.sources import (
@@ -1274,3 +1275,49 @@ def test_streaming_ewma_cross_batch_jumps_and_tail(spark, tmp_path):
     assert got2["a"] == (5, 2, fold([10.0, 20.0, 300.0, 310.0, 100.0]))
     assert got2["b"] == (2, 1, fold([5.0, 400.0]))
     assert got2["c"] == got["c"]
+
+
+def test_tws_user_inventory_gated(spark, tmp_path):
+    """transformWithStateInPandas inventory (streaming/tws.py): full
+    drain vs a pandas recomputation of all three typed state variables.
+    GATED on google.protobuf — the state-server protocol needs it and
+    this container doesn't ship it (module docstring documents the
+    repro); the first environment that can run the API checks it here."""
+    pytest.importorskip("google.protobuf")
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.tws import user_inventory
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(
+            f"({u}, make_timestamp({1_700_000_000_000_000 + t * 1_000_000}),"
+            f" {eid}, '{et}')"
+            for u, t, eid, et in rows
+        )
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals})"
+            f" v(user_id, ts, event_id, event_type)) TO '{dst}'"
+            f" (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    write_wave(0, [(1, 0, 10, "click"), (1, 1, 11, "view"),
+                   (2, 0, 20, "view")])
+    write_wave(1, [(1, 2, 12, "click"), (2, 3, 21, "view")])
+    got = {
+        r.user_id: (r.n_events, r.n_types, r.top_type, r.top_type_n,
+                    r.penult_event_id)
+        for r in user_inventory(spark, str(feed)).collect()
+    }
+    # user 1: 3 events, 2 types, top=(click,2); last two ids (11, 12)
+    # span the wave boundary -> penult 11 pins cross-batch ListState
+    assert got[1] == (3, 2, "click", 2, 11)
+    # user 2: ties view=2 only type; penult = 20 (ids 20, 21)
+    assert got[2] == (2, 1, "view", 2, 20)
