@@ -251,6 +251,8 @@ HEADLINE = [
     "decontam_store_prefilter",
     "streaming_ewma_anomaly",
     "jackknife_revenue_variance",
+    "zipf_law_fit",
+    "observed_scan_metrics",
 ]
 
 

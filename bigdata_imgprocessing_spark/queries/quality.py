@@ -1048,3 +1048,87 @@ def psi_release_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_b",
         F.round((pa - pb) * F.log(pa / pb), 6).alias("psi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# observe(): accumulator-style metrics riding a production scan — the
+# Observation API (the zero-extra-pass form of the dq_expectations
+# shared-agg pattern).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "observed_scan_metrics",
+    oracle="""
+    WITH real AS (
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               round(sum(l_quantity), 2) AS sum_qty
+        FROM lineitem WHERE l_discount > 0.02 GROUP BY l_returnflag
+    ), obs AS (
+        SELECT CAST(count(*) AS BIGINT) AS obs_rows,
+               round(sum(l_extendedprice), 2) AS obs_price_total,
+               CAST(count(*) FILTER (WHERE l_quantity <= 0) AS BIGINT)
+                   AS obs_nonpos_qty
+        FROM lineitem
+    )
+    SELECT r.l_returnflag, r.n_items, r.sum_qty,
+           o.obs_rows, o.obs_price_total, o.obs_nonpos_qty
+    FROM real r CROSS JOIN obs o
+    """,
+)
+def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``Observation`` API — named accumulator metrics attached to
+    a scan with ``df.observe(...)`` and collected as a side effect of
+    the REAL query's action, the production pattern for data-quality
+    gates that must not pay a second corpus pass (``dq_expectations``
+    demonstrates the shared-agg form; this is the zero-extra-pass
+    form: the business aggregate and the DQ counters ride ONE scan).
+    The observed values are then literalized into the result so the
+    driver hash pins them: per-returnflag filtered aggregates (the
+    business result) carrying the observed full-scan row count, price
+    total, and non-positive-quantity count (the DQ gate inputs).
+
+    Float parity: observed sums are 2dp grid money (grid-sum rule);
+    counts are ints; the one internal action that populates the
+    observation is the same collect the driver repeats.
+
+    Scale: ONE fact scan serves both the filtered business aggregate
+    and the observation (observe() aggregates are accumulator-style,
+    map-side, no extra shuffle); the observation result is a 1-row
+    broadcast literalized cross-join."""
+    from pyspark.sql import Observation
+
+    l = table(spark, sf_dir, "lineitem")
+    obs = Observation("dq")
+    observed = l.observe(
+        obs,
+        F.count(F.lit(1)).alias("obs_rows"),
+        F.round(F.sum("l_extendedprice"), 2).alias("obs_price_total"),
+        F.sum((F.col("l_quantity") <= 0).cast("long")).alias(
+            "obs_nonpos_qty"
+        ),
+    )
+    real = (
+        observed.where(F.col("l_discount") > 0.02)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").cast("bigint").alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        )
+    )
+    rows = real.collect()  # populates the observation
+    got = obs.get
+    metrics = spark.createDataFrame(
+        [
+            (
+                int(got["obs_rows"]),
+                float(got["obs_price_total"]),
+                int(got["obs_nonpos_qty"]),
+            )
+        ],
+        "obs_rows bigint, obs_price_total double, obs_nonpos_qty bigint",
+    )
+    return spark.createDataFrame(
+        rows, real.schema
+    ).crossJoin(F.broadcast(metrics))

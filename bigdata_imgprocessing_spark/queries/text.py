@@ -1102,3 +1102,123 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.col("n_tok").alias("n_grams"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit: log-log OLS over the frequency head — the
+# distribution-law audit for TEXT (benford_amount_audit is the numeric
+# sibling); a slope far from -1 flags synthetic/templated corpora.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "zipf_law_fit",
+    oracle="""
+    WITH counts AS (
+        SELECT t, count(*) AS c
+        FROM (SELECT unnest(string_split(text, ' ')) AS t FROM documents)
+        GROUP BY t
+    ), top AS (
+        SELECT t, c FROM counts ORDER BY c DESC, t LIMIT 1000
+    ), arr AS (
+        SELECT list(c ORDER BY c DESC, t) AS cs, count(*) AS n FROM top
+    ), xy AS (
+        SELECT n,
+               [round(ln(i), 6) for i in generate_series(1, n)] AS xs,
+               [round(ln(cs[i]), 6) for i in generate_series(1, n)] AS ys
+        FROM arr
+    ), s AS (
+        SELECT n,
+               list_reduce(xs, (a, b) -> a + b) AS sx,
+               list_reduce(ys, (a, b) -> a + b) AS sy,
+               list_reduce([xs[i] * ys[i] for i in generate_series(1, n)],
+                           (a, b) -> a + b) AS sxy,
+               list_reduce([xs[i] * xs[i] for i in generate_series(1, n)],
+                           (a, b) -> a + b) AS sxx,
+               list_reduce([ys[i] * ys[i] for i in generate_series(1, n)],
+                           (a, b) -> a + b) AS syy
+        FROM xy
+    )
+    SELECT CAST(n AS BIGINT) AS n_terms,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+               AS zipf_slope,
+           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                 6) AS intercept,
+           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+    FROM s
+    """,
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformance of the corpus vocabulary: OLS fit of
+    ln(count) on ln(rank) over the top-1000 tokens — the TEXT member
+    of the distribution-law audit family (``benford_amount_audit``
+    covers money/count columns): natural corpora track slope ~ -1 with
+    high r2; templated or synthetic text bends the head. Ranks break
+    count ties lexicographically so the fit is unique. On THIS corpus
+    the audit fires by design: the generator's 31-token vocabulary
+    yields slope ~ -0.16 at r2 ~ 0.05 — the honest "this text is
+    templated" verdict (the MASE ~ 1.0 precedent: a null finding that
+    proves the metric, not a broken query).
+
+    Float parity: the ln-to-grid contract (quality.py) + the
+    jackknife fold rule — each libm ln() rounds to the 1e-6 grid,
+    then EVERY cross-term sum folds over the rank-ordered BOUNDED
+    array (aggregate()/list_reduce, identical order both engines);
+    the closed-form slope divides bit-identical doubles. Never a
+    groupBy sum of off-grid values.
+
+    Scale: one token-count shuffle with map-side combine, then a
+    TakeOrdered-1000 head (per-partition heaps — the long tail never
+    leaves the executors) collapsed into one bounded array row; the
+    fit itself is O(1000) driver-free arithmetic."""
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "t")
+        .limit(1000)
+    )
+    # negated count sorts struct ascending == (count desc, token asc);
+    # the sorted array IS the rank order, so collect_list's
+    # nondeterministic arrival order can't leak
+    arr = counts.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("c")).alias("nc"), "t", "c"))
+        ).alias("a"),
+        F.count("*").alias("n"),
+    )
+    ln6 = lambda col: F.round(F.log(col), 6)  # noqa: E731
+    xy = arr.select(
+        "n",
+        F.transform(
+            "a", lambda x, i: ln6((i + 1).cast("double"))
+        ).alias("xs"),
+        F.transform("a", lambda x: ln6(x["c"].cast("double"))).alias("ys"),
+    )
+    fold = lambda col: F.aggregate(  # noqa: E731 — fixed-order fold
+        col, F.lit(0.0), lambda acc, v: acc + v
+    )
+    s = xy.select(
+        "n",
+        fold(F.col("xs")).alias("sx"),
+        fold(F.col("ys")).alias("sy"),
+        fold(F.zip_with("xs", "ys", lambda a, b: a * b)).alias("sxy"),
+        fold(F.zip_with("xs", "xs", lambda a, b: a * b)).alias("sxx"),
+        fold(F.zip_with("ys", "ys", lambda a, b: a * b)).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return s.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(num / den, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6
+        ).alias("intercept"),
+        F.round(
+            num * num
+            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
+            6,
+        ).alias("r2"),
+    )
