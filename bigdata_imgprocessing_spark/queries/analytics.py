@@ -1282,7 +1282,9 @@ def cms_frequency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # log10(1 + 1/d) injected as IDENTICAL literals into both engines —
 # neither side ever calls log10, so no cross-libm surface exists.
-_BENFORD_P = {d: repr(__import__("math").log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+import math as _math
+
+_BENFORD_P = {d: repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
 
 
 @query(
@@ -1334,7 +1336,7 @@ def benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring(F.col("c").cast("string"), 1, 1).cast("int").alias("digit")
     ).groupBy("digit").agg(F.count("*").alias("n"))
     bench = spark.createDataFrame(
-        [(d, float(p)) for d, p in ((d, _BENFORD_P[d]) for d in range(1, 10))],
+        [(d, float(_BENFORD_P[d])) for d in range(1, 10)],
         "digit int, exp_p double",
     )
     tot = counts.agg(F.sum("n").alias("t"))
@@ -1384,17 +1386,15 @@ def benford_amount_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
            round(r1 - n1 * (n1 + 1) / 2.0, 2) AS u1,
-           round(
-               (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
-               / sqrt(n1 * n2 / 12.0
-                      * ((n + 1) - tie_term * 1.0 / (n * (n - 1)))),
-               4
-           ) AS z,
-           abs(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0)
-               > 1.96 * sqrt(n1 * n2 / 12.0
-                             * ((n + 1) - tie_term * 1.0 / (n * (n - 1))))
-               AS significant
+           CASE WHEN sg <> 0 THEN round(
+               (r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) / sg, 4)
+           END AS z,
+           CASE WHEN sg <> 0 THEN
+               abs(r1 - n1 * (n1 + 1) / 2.0 - n1 * n2 / 2.0) > 1.96 * sg
+           END AS significant
     FROM stats CROSS JOIN ties
+    CROSS JOIN LATERAL (SELECT sqrt(n1 * n2 / 12.0
+               * ((n + 1) - tie_term * 1.0 / (n * (n - 1)))) AS sg) s
     """,
 )
 def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1455,12 +1455,18 @@ def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.col("tie_term") * 1.0 / (F.col("n") * (F.col("n") - 1))
         )
     )
+    # Zero-guarded (the seasonal_naive_mase discipline): an all-equal
+    # price column makes tie_term = n^3 - n, so the variance — and
+    # sigma — is exactly 0; Spark-ANSI division would throw where
+    # DuckDB emits inf. Both engines pin z/significant to NULL.
     return stats.crossJoin(F.broadcast(ties)).select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
         F.round(u1, 2).alias("u1"),
-        F.round((u1 - mu) / sigma, 4).alias("z"),
-        (F.abs(u1 - mu) > 1.96 * sigma).alias("significant"),
+        F.when(sigma != 0, F.round((u1 - mu) / sigma, 4)).alias("z"),
+        F.when(sigma != 0, F.abs(u1 - mu) > 1.96 * sigma).alias(
+            "significant"
+        ),
     )
 
 

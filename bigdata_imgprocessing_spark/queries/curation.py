@@ -482,6 +482,156 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+def _bitset_decontam_stats(
+    spark: SparkSession,
+    grams: DataFrame,
+    gram_col: str,
+    bucket_fn,
+    test_docs: DataFrame,
+) -> DataFrame:
+    """Shared two-phase decontamination machinery for the bloom-bitset
+    family (`decontam_bloom_prefilter` fresh-gram path,
+    `decontam_store_prefilter` store path): distinct TRAIN vocabulary
+    -> 64-bit-word bitset sized from the build side's cardinality ->
+    map-side probe of every test gram -> exact-membership audit ->
+    per-lang gram stats, survivor-derived contamination, and the two
+    audited global booleans. ``grams`` carries (doc_id, lang, split,
+    <gram_col>); ``bucket_fn(m_slots)`` returns the bucket Column for
+    the variant's key type (string key: pmod(xxhash64, m); int64 key:
+    the key's own low bits). Factored in round 11 so an
+    audit-discipline fix (e.g. VERDICT r9 item 5's 'survivor
+    verification is a filter, not a second join') can never land in
+    one deployment path while the other drifts."""
+    import math as _math
+
+    from ..core.session import cache_parallelism
+
+    # train side: distinct-reduced once; feeds the size count, the
+    # filter build, and the exact verification join
+    train = (
+        grams.where(F.col("split") == "train")
+        .select(gram_col)
+        .distinct()
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    n_train = train.count()  # 1-scalar job: real deployments size the
+    # filter from the build side's cardinality exactly like this
+    m_slots = 1 << max(13, _math.ceil(_math.log2(4 * max(n_train, 1))))
+    bucket = bucket_fn(m_slots)
+    # a REAL bitset, not a sorted member array: 64-bit words keyed by
+    # word index (M/64 entries, ~8 bytes/word), probed O(1) by
+    # element_at + mask. The member-array form (bloom_prefilter_stats'
+    # ~5k keys) degrades to a 200k-element linear array_contains scan
+    # PER GRAM at this vocabulary — measured 15.7 s vs ~2 s for the
+    # bitset at sf0.1 — and bit_count over the words gives the fill
+    # ratio for free.
+    words = (
+        train.select(bucket.alias("bkt"))
+        .select(
+            F.shiftright("bkt", 6).cast("int").alias("wi"),
+            F.expr(
+                "shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))"
+            ).alias("bit"),
+        )
+        .groupBy("wi")
+        .agg(F.bit_or("bit").alias("w"))
+    )
+    sketch = words.agg(
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("wi", "w")))
+        ).alias("bm"),
+        F.sum(F.bit_count("w")).alias("n_used"),
+    )
+    probed = (
+        grams.where(F.col("split") == "test")
+        .select("doc_id", "lang", gram_col)
+        .crossJoin(F.broadcast(sketch))
+        .withColumn("bkt", bucket)
+        .withColumn(
+            "hit",
+            F.expr(
+                "(coalesce(element_at(bm, CAST(shiftright(bkt, 6) AS INT)),"
+                " CAST(0 AS BIGINT))"
+                " & shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))) != 0"
+            ),
+        )
+        .withColumn("fill", F.col("n_used") / F.lit(float(m_slots)))
+        # DROP the filter map before anything materializes: a cached
+        # row carrying the whole bitset would replicate it per gram
+        # (measured: OOM at sf0.1 with the array form) — the probe
+        # result is two scalars, the filter lives once in the broadcast
+        .select("doc_id", "lang", gram_col, "hit", "fill")
+    )
+    # audit-grade membership for EVERY test gram (the booleans check
+    # the filter's guarantees instead of assuming them)
+    aud = probed.join(
+        train.withColumn("m", F.lit(True)), gram_col, "left"
+    ).withColumn("m", F.coalesce("m", F.lit(False)))
+    aud = aud.coalesce(cache_parallelism(spark)).cache()
+    glob = aud.agg(
+        (F.sum((F.col("m") & ~F.col("hit")).cast("long")) == 0).alias(
+            "no_false_negatives"
+        ),
+        (
+            F.abs(
+                F.sum((~F.col("m") & F.col("hit")).cast("long"))
+                / F.greatest(F.sum((~F.col("m")).cast("long")), F.lit(1))
+                - F.first("fill")
+            )
+            <= 0.10
+        ).alias("fp_within_expected"),
+    )
+    g_stats = aud.groupBy("lang").agg(
+        F.count("*").alias("n_test_grams"),
+        F.sum(F.col("m").cast("long")).alias("n_member_grams"),
+    )
+    # contamination from SURVIVORS only — the deployed two-phase shape.
+    # The exact-membership column `m` is already on the cached audit
+    # frame (one probe join serves the booleans, the per-lang gram
+    # stats, AND this), so the survivors' verification is a filter, not
+    # a second join against the train store: hit & m IS "survived the
+    # filter and confirmed by the exact check". (VERDICT r9 item 5 —
+    # the earlier form re-joined train here, paying the exact join a
+    # second time.)
+    contaminated = (
+        aud.where(F.col("hit") & F.col("m"))
+        .select("doc_id")
+        .distinct()
+        .withColumn("c", F.lit(1))
+    )
+    d_stats = (
+        test_docs.join(contaminated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_test_docs"),
+            F.count("c").alias("n_contaminated"),
+            F.round(F.count("c") / F.count("*"), 4).alias(
+                "contamination_rate"
+            ),
+        )
+    )
+    return (
+        d_stats.join(g_stats, "lang", "left")
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "lang",
+            "n_test_docs",
+            "n_contaminated",
+            "contamination_rate",
+            F.coalesce("n_test_grams", F.lit(0)).cast("bigint").alias(
+                "n_test_grams"
+            ),
+            F.coalesce("n_member_grams", F.lit(0)).cast("bigint").alias(
+                "n_member_grams"
+            ),
+            "no_false_negatives",
+            "fp_within_expected",
+        )
+    )
+
+
 @query(
     "decontam_bloom_prefilter",
     oracle=f"""
@@ -551,8 +701,6 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-language samples can't flap it). Bucket values and raw
     probe-hit counts stay OUT of the hash — they are filter-layout
     specific (same audit discipline as `bloom_prefilter_stats`)."""
-    import math as _math
-
     d = table(spark, sf_dir, "documents")
     h = _md5_bucket(F.concat(F.col("doc_id").cast("string"), F.lit("_split")), 100)
     split = F.when(h < 90, "train").when(h >= 95, "test")
@@ -578,127 +726,15 @@ def decontam_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("gram_h"),
     )
-    from ..core.session import cache_parallelism
-
-    # train side: distinct-reduced once; feeds the size count, the
-    # filter build, and the exact verification join
-    train = (
-        grams.where(F.col("split") == "train")
-        .select("gram_h")
-        .distinct()
-        .coalesce(cache_parallelism(spark))
-        .cache()
+    test_docs = assigned.where(F.col("split") == "test").select(
+        "doc_id", "lang"
     )
-    n_train = train.count()  # 1-scalar job: real deployments size the
-    # filter from the build side's cardinality exactly like this
-    m_slots = 1 << max(13, _math.ceil(_math.log2(4 * max(n_train, 1))))
-    bucket = F.pmod(F.xxhash64("gram_h"), F.lit(m_slots))
-    # a REAL bitset, not a sorted member array: 64-bit words keyed by
-    # word index (M/64 entries, ~8 bytes/word), probed O(1) by
-    # element_at + mask. The member-array form (bloom_prefilter_stats'
-    # ~5k keys) degrades to a 200k-element linear array_contains scan
-    # PER GRAM at this vocabulary — measured 15.7 s vs ~2 s for the
-    # bitset at sf0.1 — and bit_count over the words gives the fill
-    # ratio for free.
-    words = (
-        train.select(bucket.alias("bkt"))
-        .select(
-            F.shiftright("bkt", 6).cast("int").alias("wi"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("wi")
-        .agg(F.bit_or("bit").alias("w"))
-    )
-    sketch = words.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("wi", "w")))
-        ).alias("bm"),
-        F.sum(F.bit_count("w")).alias("n_used"),
-    )
-    probed = (
-        grams.where(F.col("split") == "test")
-        .select("doc_id", "lang", "gram_h")
-        .crossJoin(F.broadcast(sketch))
-        .withColumn("bkt", bucket)
-        .withColumn(
-            "hit",
-            F.expr(
-                "(coalesce(element_at(bm, CAST(shiftright(bkt, 6) AS INT)),"
-                " CAST(0 AS BIGINT))"
-                " & shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))) != 0"
-            ),
-        )
-        .withColumn("fill", F.col("n_used") / F.lit(float(m_slots)))
-        # DROP the filter map before anything materializes: a cached
-        # row carrying the whole bitset would replicate it per gram
-        # (measured: OOM at sf0.1 with the array form) — the probe
-        # result is two scalars, the filter lives once in the broadcast
-        .select("doc_id", "lang", "gram_h", "hit", "fill")
-    )
-    # audit-grade membership for EVERY test gram (the booleans check
-    # the filter's guarantees instead of assuming them)
-    aud = probed.join(
-        train.withColumn("m", F.lit(True)), "gram_h", "left"
-    ).withColumn("m", F.coalesce("m", F.lit(False)))
-    aud = aud.coalesce(cache_parallelism(spark)).cache()
-    glob = aud.agg(
-        (F.sum((F.col("m") & ~F.col("hit")).cast("long")) == 0).alias(
-            "no_false_negatives"
-        ),
-        (
-            F.abs(
-                F.sum((~F.col("m") & F.col("hit")).cast("long"))
-                / F.greatest(F.sum((~F.col("m")).cast("long")), F.lit(1))
-                - F.first("fill")
-            )
-            <= 0.10
-        ).alias("fp_within_expected"),
-    )
-    g_stats = aud.groupBy("lang").agg(
-        F.count("*").alias("n_test_grams"),
-        F.sum(F.col("m").cast("long")).alias("n_member_grams"),
-    )
-    # contamination from SURVIVORS only — the deployed two-phase shape.
-    # The exact-membership column `m` is already on the cached audit
-    # frame (one probe join serves the booleans, the per-lang gram
-    # stats, AND this), so the survivors' verification is a filter, not
-    # a second join against the train store: hit & m IS "survived the
-    # filter and confirmed by the exact check". (VERDICT r9 item 5 —
-    # the earlier form re-joined train here, paying the exact join a
-    # second time.)
-    contaminated = (
-        aud.where(F.col("hit") & F.col("m"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("c", F.lit(1))
-    )
-    test_docs = assigned.where(F.col("split") == "test").select("doc_id", "lang")
-    d_stats = (
-        test_docs.join(contaminated, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_test_docs"),
-            F.count("c").alias("n_contaminated"),
-            F.round(F.count("c") / F.count("*"), 4).alias("contamination_rate"),
-        )
-    )
-    return (
-        d_stats.join(g_stats, "lang", "left")
-        .crossJoin(F.broadcast(glob))
-        .select(
-            "lang",
-            "n_test_docs",
-            "n_contaminated",
-            "contamination_rate",
-            F.coalesce("n_test_grams", F.lit(0)).cast("bigint").alias("n_test_grams"),
-            F.coalesce("n_member_grams", F.lit(0)).cast("bigint").alias(
-                "n_member_grams"
-            ),
-            "no_false_negatives",
-            "fp_within_expected",
-        )
+    return _bitset_decontam_stats(
+        spark,
+        grams,
+        "gram_h",
+        lambda m: F.pmod(F.xxhash64("gram_h"), F.lit(m)),
+        test_docs,
     )
 
 
@@ -782,9 +818,6 @@ def decontam_store_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
     cardinality; only filter survivors reach the exact join. The
     bucket is the key's own low bits (the store key IS already a
     64-bit hash — re-hashing would add cost and no independence)."""
-    import math as _math
-
-    from ..core.session import cache_parallelism
     from .dedup import _wordgram_store
 
     d = table(spark, sf_dir, "documents")
@@ -801,107 +834,17 @@ def decontam_store_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(docs, "doc_id")
         .select("doc_id", "lang", "split", "g")
     )
-    train = (
-        grams.where(F.col("split") == "train")
-        .select("g")
-        .distinct()
-        .coalesce(cache_parallelism(spark))
-        .cache()
-    )
-    n_train = train.count()
-    m_slots = 1 << max(13, _math.ceil(_math.log2(4 * max(n_train, 1))))
-    # power-of-two slot count -> the bucket is a bitwise AND; two's
-    # complement low bits equal pmod for negative hashes
-    bucket = F.col("g").bitwiseAND(F.lit(m_slots - 1))
-    words = (
-        train.select(bucket.alias("bkt"))
-        .select(
-            F.shiftright("bkt", 6).cast("int").alias("wi"),
-            F.expr(
-                "shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))"
-            ).alias("bit"),
-        )
-        .groupBy("wi")
-        .agg(F.bit_or("bit").alias("w"))
-    )
-    sketch = words.agg(
-        F.map_from_entries(
-            F.array_sort(F.collect_list(F.struct("wi", "w")))
-        ).alias("bm"),
-        F.sum(F.bit_count("w")).alias("n_used"),
-    )
-    probed = (
-        grams.where(F.col("split") == "test")
-        .select("doc_id", "lang", "g")
-        .crossJoin(F.broadcast(sketch))
-        .withColumn("bkt", bucket)
-        .withColumn(
-            "hit",
-            F.expr(
-                "(coalesce(element_at(bm, CAST(shiftright(bkt, 6) AS INT)),"
-                " CAST(0 AS BIGINT))"
-                " & shiftleft(CAST(1 AS BIGINT), CAST(bkt % 64 AS INT))) != 0"
-            ),
-        )
-        .withColumn("fill", F.col("n_used") / F.lit(float(m_slots)))
-        .select("doc_id", "lang", "g", "hit", "fill")
-    )
-    aud = probed.join(
-        train.withColumn("m", F.lit(True)), "g", "left"
-    ).withColumn("m", F.coalesce("m", F.lit(False)))
-    aud = aud.coalesce(cache_parallelism(spark)).cache()
-    glob = aud.agg(
-        (F.sum((F.col("m") & ~F.col("hit")).cast("long")) == 0).alias(
-            "no_false_negatives"
-        ),
-        (
-            F.abs(
-                F.sum((~F.col("m") & F.col("hit")).cast("long"))
-                / F.greatest(F.sum((~F.col("m")).cast("long")), F.lit(1))
-                - F.first("fill")
-            )
-            <= 0.10
-        ).alias("fp_within_expected"),
-    )
-    g_stats = aud.groupBy("lang").agg(
-        F.count("*").alias("n_test_grams"),
-        F.sum(F.col("m").cast("long")).alias("n_member_grams"),
-    )
-    contaminated = (
-        aud.where(F.col("hit") & F.col("m"))
-        .select("doc_id")
-        .distinct()
-        .withColumn("c", F.lit(1))
-    )
     test_docs = docs.where(F.col("split") == "test").select("doc_id", "lang")
-    d_stats = (
-        test_docs.join(contaminated, "doc_id", "left")
-        .groupBy("lang")
-        .agg(
-            F.count("*").alias("n_test_docs"),
-            F.count("c").alias("n_contaminated"),
-            F.round(F.count("c") / F.count("*"), 4).alias(
-                "contamination_rate"
-            ),
-        )
-    )
-    return (
-        d_stats.join(g_stats, "lang", "left")
-        .crossJoin(F.broadcast(glob))
-        .select(
-            "lang",
-            "n_test_docs",
-            "n_contaminated",
-            "contamination_rate",
-            F.coalesce("n_test_grams", F.lit(0)).cast("bigint").alias(
-                "n_test_grams"
-            ),
-            F.coalesce("n_member_grams", F.lit(0)).cast("bigint").alias(
-                "n_member_grams"
-            ),
-            "no_false_negatives",
-            "fp_within_expected",
-        )
+    # power-of-two slot count -> the bucket is a bitwise AND on the
+    # store key (already a 64-bit hash — re-hashing would add cost and
+    # no independence); two's complement low bits equal pmod for
+    # negative hashes
+    return _bitset_decontam_stats(
+        spark,
+        grams,
+        "g",
+        lambda m: F.col("g").bitwiseAND(F.lit(m - 1)),
+        test_docs,
     )
 
 

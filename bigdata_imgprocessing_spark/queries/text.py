@@ -1140,12 +1140,17 @@ def vocab_growth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM xy
     )
     SELECT CAST(n AS BIGINT) AS n_terms,
-           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
-               AS zipf_slope,
-           round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
-                 6) AS intercept,
-           round((n * sxy - sx * sy) * (n * sxy - sx * sy)
-                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS r2
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6)
+           END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                     / n, 6)
+           END AS intercept,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) <> 0 THEN
+               round((n * sxy - sx * sy) * (n * sxy - sx * sy)
+                     / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+           END AS r2
     FROM s
     """,
 )
@@ -1210,15 +1215,17 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
     den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    # Zero-guarded (the seasonal_naive_mase discipline): n=1 makes den
+    # exactly 0, and an all-equal count head zeroes the y-variance —
+    # both engines pin the undefined fit terms to NULL instead of a
+    # Spark-ANSI throw vs DuckDB NaN divergence.
+    denr2 = den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
     return s.select(
         F.col("n").cast("bigint").alias("n_terms"),
-        F.round(num / den, 6).alias("zipf_slope"),
-        F.round(
-            (F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6
+        F.when(den != 0, F.round(num / den, 6)).alias("zipf_slope"),
+        F.when(
+            den != 0,
+            F.round((F.col("sy") - num / den * F.col("sx")) / F.col("n"), 6),
         ).alias("intercept"),
-        F.round(
-            num * num
-            / (den * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))),
-            6,
-        ).alias("r2"),
+        F.when(denr2 != 0, F.round(num * num / denr2, 6)).alias("r2"),
     )

@@ -99,3 +99,33 @@ def run_foreachbatch_parquet(
         q.awaitTermination()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def file_feed_stream(spark: SparkSession, feed: str) -> DataFrame:
+    """File-source stream over a staged mtime-ordered feed, one file
+    per micro-batch (schema sniffed from the staged parquet) — the
+    reader half of the `_stage_feed` slicing discipline, shared by the
+    stateful drains (quota / EWMA / tws)."""
+    schema = spark.read.parquet(feed).schema
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+
+
+def last_state_per_key(drained: DataFrame, key_col: str, order_col: str) -> DataFrame:
+    """FINAL per-key row from an update-mode memory-sink drain: each
+    micro-batch emits a snapshot per touched key, and the one with the
+    largest monotone ``order_col`` (an event counter in every stateful
+    op here) is the final state. Shared epilogue of all four stateful
+    drains — a tie-handling change lands once."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    w = Window.partitionBy(key_col).orderBy(F.col(order_col).desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -72,17 +72,11 @@ def running_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     drained = run_to_memory(updated, mode="update")
-    # multiple micro-batches emit multiple updates per user → keep the last
-    # (max n_events) per user
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
+    # multiple micro-batches emit multiple updates per user → keep the
+    # last (max n_events) per user
+    from .jobs import last_state_per_key
 
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        drained.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return last_state_per_key(drained, "user_id", "n_events")
 
 
 _Q_OUT = (
@@ -125,13 +119,11 @@ def quota_admissions(spark: SparkSession, sf_dir: str, feed: str) -> DataFrame:
     """Drain a ts-quartile-staged event feed through the quota
     operator; returns the FINAL per-user admission state (last update
     per user across micro-batches)."""
-    schema = spark.read.parquet(feed).schema
-    s = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    updated = s.groupBy("user_id").applyInPandasWithState(
+    from .jobs import file_feed_stream, last_state_per_key
+
+    updated = file_feed_stream(spark, feed).groupBy(
+        "user_id"
+    ).applyInPandasWithState(
         _quota_update,
         outputStructType=_Q_OUT,
         stateStructType=_Q_STATE,
@@ -139,15 +131,7 @@ def quota_admissions(spark: SparkSession, sf_dir: str, feed: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     drained = run_to_memory(updated, mode="update")
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_seen").desc())
-    return (
-        drained.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return last_state_per_key(drained, "user_id", "n_seen")
 
 
 _E_OUT = "event_type string, n_events bigint, n_jumps bigint, ewma16 double"
@@ -207,13 +191,11 @@ def ewma_anomalies(spark: SparkSession, feed: str) -> DataFrame:
     """Drain a ts-tertile-staged event feed through the EWMA/jump
     operator; returns the FINAL per-event-type state (last update per
     key across micro-batches)."""
-    schema = spark.read.parquet(feed).schema
-    s = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    updated = s.groupBy("event_type").applyInPandasWithState(
+    from .jobs import file_feed_stream, last_state_per_key
+
+    updated = file_feed_stream(spark, feed).groupBy(
+        "event_type"
+    ).applyInPandasWithState(
         _ewma_update,
         outputStructType=_E_OUT,
         stateStructType=_E_STATE,
@@ -221,12 +203,4 @@ def ewma_anomalies(spark: SparkSession, feed: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     drained = run_to_memory(updated, mode="update")
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy("event_type").orderBy(F.col("n_events").desc())
-    return (
-        drained.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return last_state_per_key(drained, "event_type", "n_events")

@@ -103,13 +103,11 @@ def user_inventory(spark: SparkSession, feed: str) -> DataFrame:
     """Drain a ts-tertile-staged event feed through the typed-state
     processor; returns the FINAL per-user snapshot (last update per
     key across micro-batches)."""
-    schema = spark.read.parquet(feed).schema
-    s = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(feed)
-    )
-    updated = s.groupBy("user_id").transformWithStateInPandas(
+    from .jobs import file_feed_stream, last_state_per_key
+
+    updated = file_feed_stream(spark, feed).groupBy(
+        "user_id"
+    ).transformWithStateInPandas(
         statefulProcessor=_UserInventory(),
         outputStructType=_OUT,
         outputMode="Update",
@@ -133,12 +131,4 @@ def user_inventory(spark: SparkSession, feed: str) -> DataFrame:
             spark.conf.set(key, old)
         else:
             spark.conf.unset(key)
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
-    return (
-        drained.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .drop("rn")
-    )
+    return last_state_per_key(drained, "user_id", "n_events")

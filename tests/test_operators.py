@@ -872,8 +872,9 @@ def test_hamming_k_join_max_bucket_planted_skew(spark):
     assert (min(c1, c2), max(c1, c2), 2) in got
     assert out.count() == out.distinct().count()
     # (a) the candidate bound: every surviving bucket <= cap, so the
-    # uncapped hot corpus would generate >= C(200,2) candidates from
-    # bucket (0,0) alone; the capped index cannot contain that bucket
+    # uncapped hot corpus would generate C(42,2) = 861 candidates from
+    # bucket (0,0) alone (40 hot + b1 + b2); the capped index cannot
+    # contain that bucket
     from bigdata_imgprocessing_spark.operators.hamming import band_keys
 
     keyed = band_keys(
