@@ -253,6 +253,7 @@ HEADLINE = [
     "jackknife_revenue_variance",
     "zipf_law_fit",
     "observed_scan_metrics",
+    "simhash64_neardup_capped",
 ]
 
 

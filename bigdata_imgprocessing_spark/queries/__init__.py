@@ -36,6 +36,7 @@ _PRIORITY = [
     "mannwhitney_price_shift", "ols_revenue_trend",
     "decontam_store_prefilter", "streaming_ewma_anomaly",
     "jackknife_revenue_variance", "zipf_law_fit", "observed_scan_metrics",
+    "simhash64_neardup_capped",
     # (2) queries whose CODE was refactored in round 10 AFTER their
     # last driver row (ADVICE r10 item 1): the strictly-before /
     # concurrent-write refactor and the semi-join-to-filter change

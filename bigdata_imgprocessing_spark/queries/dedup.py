@@ -827,6 +827,131 @@ def simhash64_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash64_neardup_capped",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+                 FROM documents),
+    h AS (SELECT doc_id,
+                 CAST(('0x' || substr(md5(t),1,10))::UBIGINT AS BIGINT) AS h1,
+                 CAST(('0x' || substr(md5(t),11,10))::UBIGINT AS BIGINT) AS h2
+          FROM tok),
+    v AS (SELECT doc_id, {_simhash64_votes_sql()} FROM h GROUP BY doc_id),
+    s AS (SELECT doc_id, {_simhash64_value_sql()} AS fp FROM v),
+    fps AS (SELECT fp, CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1),
+    keys AS (
+        SELECT fp, n, CAST(t.i AS INTEGER) AS blk,
+               (fp >> (16 * CAST(t.i AS INTEGER))) & 65535 AS kv
+        FROM fps, UNNEST(range(4)) AS t(i)
+    ),
+    surv AS (
+        SELECT blk, kv FROM keys GROUP BY blk, kv HAVING count(*) <= 4
+    ),
+    skeys AS (SELECT k.* FROM keys k JOIN surv USING (blk, kv)),
+    pairs AS (
+        SELECT DISTINCT a.fp AS fa, b.fp AS fb,
+               CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS dist
+        FROM skeys a JOIN skeys b
+          ON a.blk = b.blk AND a.kv = b.kv AND a.fp < b.fp
+        WHERE bit_count(xor(a.fp, b.fp)) <= 3
+    ),
+    near AS (
+        SELECT dist, CAST(count(*) AS BIGINT) AS n_fp_pairs,
+               CAST(sum(na.n * nb.n) AS BIGINT) AS n_doc_pairs
+        FROM pairs
+        JOIN fps na ON na.fp = fa
+        JOIN fps nb ON nb.fp = fb
+        GROUP BY dist
+    ),
+    d0 AS (
+        SELECT 0 AS dist, CAST(count(*) AS BIGINT) AS n_fp_pairs,
+               CAST(sum(n * (n - 1) // 2) AS BIGINT) AS n_doc_pairs
+        FROM fps WHERE n > 1 HAVING count(*) > 0
+    ),
+    cut AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets_cut
+        FROM (SELECT blk, kv FROM keys GROUP BY blk, kv
+              HAVING count(*) > 4)
+    )
+    SELECT u.dist, u.n_fp_pairs, u.n_doc_pairs, cut.n_buckets_cut
+    FROM (SELECT * FROM d0 UNION ALL SELECT * FROM near) u CROSS JOIN cut
+    """,
+)
+def simhash64_neardup_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``simhash64_neardup`` under the hot-block CUTOFF — the
+    driver-checked consumer of ``hamming_k_neighbor_join``'s
+    ``max_bucket`` option (round 11, VERDICT r10 item 4): banded
+    buckets holding more than 4 distinct fingerprints are dropped from
+    candidate generation, and ``n_buckets_cut`` carries the cutoff
+    accounting on every row (~40 buckets at sf0.01 — the cap is
+    deliberately BINDING at driver scale, so the cross-engine hash
+    exercises the census, the survivor join, the capped path's
+    distinct-based exactly-once rule, and the recall loss, not a
+    no-op). The dist-0 exact-collision row comes from the fingerprint
+    multiplicity scan, same as the parent — the cutoff only governs
+    the banded near-pair index.
+
+    Scale: the census rides the join's own (blk, kv) partitioning (a
+    window count, no extra shuffle — plan-checked in the operator);
+    the accounting aggregate re-bands the cached vocabulary once more
+    (|V|*4 rows; a deployment would fold it into the census pass).
+    Candidate volume is bounded by n_buckets * cap^2/2 whatever the
+    skew — the 1M planted-skew run in SCALING.md measured 676.9 s
+    uncapped vs 4.5 s capped."""
+    from ..core.session import cache_parallelism
+    from ..operators.hamming import band_keys, hamming_k_neighbor_join
+
+    cap = 4
+    s = _simhash64_frame(table(spark, sf_dir, "documents"))
+    fps = s.groupBy("simhash64").agg(F.count("*").alias("n"))
+    fps = fps.coalesce(cache_parallelism(s.sparkSession)).cache()
+    pairs = hamming_k_neighbor_join(
+        fps, "simhash64", bits=64, k=3, max_bucket=cap
+    )
+    na = fps.select(
+        F.col("simhash64").cast("long").alias("fp_a"), F.col("n").alias("na")
+    )
+    nb = fps.select(
+        F.col("simhash64").cast("long").alias("fp_b"), F.col("n").alias("nb")
+    )
+    near = (
+        pairs.join(na, "fp_a")
+        .join(nb, "fp_b")
+        .groupBy("dist")
+        .agg(
+            F.count("*").alias("n_fp_pairs"),
+            F.sum(F.col("na") * F.col("nb"))
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+    )
+    d0 = (
+        fps.where(F.col("n") > 1)
+        .agg(
+            F.count("*").alias("n_fp_pairs"),
+            F.sum(F.expr("n * (n - 1) div 2"))
+            .cast("bigint")
+            .alias("n_doc_pairs"),
+        )
+        .where(F.col("n_fp_pairs") > 0)
+        .select(F.lit(0).alias("dist"), "n_fp_pairs", "n_doc_pairs")
+    )
+    cut = (
+        band_keys(
+            fps.select(F.col("simhash64").cast("long").alias("fp")).distinct(),
+            "fp", 64, 3,
+        )
+        .groupBy("blk", "kv")
+        .count()
+        .where(F.col("count") > cap)
+        .agg(F.count("*").cast("bigint").alias("n_buckets_cut"))
+    )
+    return (
+        d0.unionByName(near.select("dist", "n_fp_pairs", "n_doc_pairs"))
+        .crossJoin(F.broadcast(cut))
+    )
+
+
+@query(
     "doc_chain_components",
     oracle="""
     WITH d AS (
