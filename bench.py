@@ -254,6 +254,16 @@ HEADLINE = [
     "zipf_law_fit",
     "observed_scan_metrics",
     "simhash64_neardup_capped",
+    # round 11 continuation-session additions
+    "roc_auc_eval",
+    "dbscan_core_points",
+    "spearman_rank_corr",
+    "theilsen_revenue_trend",
+    "logrank_survival_test",
+    "acf_daily_revenue",
+    "exact_deciles_no_sort",
+    "mixture_epoch_plan",
+    "image_patch_tokens",
 ]
 
 

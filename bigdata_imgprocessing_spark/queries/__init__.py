@@ -37,6 +37,11 @@ _PRIORITY = [
     "decontam_store_prefilter", "streaming_ewma_anomaly",
     "jackknife_revenue_variance", "zipf_law_fit", "observed_scan_metrics",
     "simhash64_neardup_capped",
+    # (1b) registered late in round 11 (continuation session) — zero
+    # driver history, so they lead the remaining window slots.
+    "roc_auc_eval", "dbscan_core_points", "spearman_rank_corr",
+    "theilsen_revenue_trend", "logrank_survival_test", "acf_daily_revenue",
+    "exact_deciles_no_sort", "mixture_epoch_plan", "image_patch_tokens",
     # (2) queries whose CODE was refactored in round 10 AFTER their
     # last driver row (ADVICE r10 item 1): the strictly-before /
     # concurrent-write refactor and the semi-join-to-filter change

@@ -944,3 +944,71 @@ def sql_udf_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         o=o,
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles with NO global sort: histogram-refinement selection —
+# the third member of the decile family (customer_balance_deciles pays
+# a total sort for exactness, approx_balance_deciles sketches; this is
+# exact AND sort-free, the form that survives 100 TB).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "exact_deciles_no_sort",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS c
+        FROM lineitem
+    ), n AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+    t AS (
+        SELECT d.d AS decile,
+               1 + CAST(floor(d.d * (n.n - 1) / 10.0) AS BIGINT) AS rank_k
+        FROM generate_series(1, 9) AS d(d), n
+    )
+    SELECT CAST(t.decile AS INTEGER) AS decile, t.rank_k AS rank_k,
+           r.c / 100.0 AS value
+    FROM t JOIN ranked r ON r.rn = t.rank_k ORDER BY decile
+    """,
+)
+def exact_deciles_no_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT deciles of line-item price via distributed histogram
+    refinement (``operators/selection.py``) — no global sort, no rank
+    window, no sketch error. Each refinement level histograms the
+    value range into 65536 equal-width integer buckets with one
+    map-side-combinable groupBy, locates the bucket holding each
+    target rank from the cumulative counts, and recurses INTO those
+    buckets; at bucket width 1 the bucket id IS the answer, so rows
+    are never sorted and a heavily duplicated value is one width-1
+    bucket (value skew is free). Cents span here -> exactly 2 levels;
+    a full int64 span needs 4.
+
+    Float parity: selection runs entirely on exact int64 CENTS (the
+    grid-sum rule is not even needed — each price is a single 2dp
+    value); rank k = 1 + floor(d*(n-1)/10) is integer arithmetic; the
+    output value is the ONE division c/100.0 of bit-identical
+    operands in both engines (no rounding anywhere). The oracle
+    cross-checks with a row_number selection — the definition, paid
+    as a sort only at oracle scale.
+
+    Scale: per level, the shuffle carries <= 65536 bucket partials and
+    the driver sees exactly |targets| located buckets (the bucket
+    location is joined Spark-side, never collected). The candidate
+    filter is a pushed-down range predicate, so level 2 reads a
+    ~1/65536 slice. This is the decile plan that holds at 100 TB where
+    ``customer_balance_deciles``'s total sort and a rank window's
+    single partition both fail."""
+    from ..operators.selection import exact_rank_values
+
+    li = table(spark, sf_dir, "lineitem")
+    vals = li.select(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
+    )
+    n = vals.count()
+    ranks = [(d, 1 + (d * (n - 1)) // 10) for d in range(1, 10)]
+    hits = exact_rank_values(vals, "c", ranks)
+    return spark.createDataFrame(
+        [(int(d), int(k), c / 100.0) for d, k, c in hits],
+        "decile INT, rank_k BIGINT, value DOUBLE",
+    )

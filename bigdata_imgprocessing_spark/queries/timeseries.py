@@ -1355,3 +1355,375 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("km_survival"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen: median-of-pairwise-slopes robust trend — the robust member
+# of the trend family (OLS fits the mean trend; one corrupted day can
+# move it arbitrarily, while Theil-Sen tolerates ~29% outliers).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theilsen_revenue_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT CAST(EXTRACT(year FROM day) AS BIGINT) AS year,
+               CAST(datediff('day', DATE '1990-01-01', day) AS BIGINT) AS x,
+               yc
+        FROM daily
+    ), pr AS (
+        SELECT a.year, (b.yc - a.yc) * 1.0 / (b.x - a.x) AS sl
+        FROM idx a JOIN idx b ON b.year = a.year AND b.x > a.x
+    ), arr AS (
+        SELECT year, list(sl ORDER BY sl) AS ls, count(*) AS m
+        FROM pr GROUP BY year
+    )
+    SELECT year, CAST(m AS BIGINT) AS n_pairs,
+           round((ls[CAST((m + 1) // 2 AS INTEGER)]
+                  + ls[CAST(m // 2 + 1 AS INTEGER)]) / 2 / 100, 6)
+               AS ts_slope_per_day
+    FROM arr ORDER BY year
+    """,
+)
+def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue per year: the median of
+    all pairwise slopes (yc_j - yc_i)/(x_j - x_i) over the daily
+    spine — the robust companion to ``ols_revenue_trend`` (OLS is the
+    BLUE under gaussian noise but a single corrupted day moves it
+    arbitrarily; the median-of-slopes estimator has a 29.3% breakdown
+    point, the standard robustness monitor for revenue pipelines).
+
+    Float parity: day revenues are exact CENTS (the ols grid-sum
+    rule: 2dp money sums recover exactly under round(*100)); every
+    slope is one division of bit-identical int64 operands, so the
+    slope multiset is bit-identical across engines; the median is an
+    EXPLICIT sorted-array selection ((ls[(m+1)/2] + ls[m/2+1]) / 2 —
+    the same expression shape both sides) rather than each engine's
+    quantile interpolation, so even-count averaging cannot diverge.
+
+    Scale: pairs are generated on the per-YEAR daily spine — a
+    calendar-bounded frame (<= 366 rows/year -> <= 66,795 pairs/year)
+    whose size is INDEPENDENT of fact rows; the only fact-sized pass
+    is the per-day partial aggregation. The per-year slope arrays stay
+    under 67k doubles = ~0.5 MB, far below executor memory."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+    idx = daily.select(
+        F.year("day").cast("bigint").alias("year"),
+        F.datediff("day", F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "yc",
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pr = a.join(
+        b,
+        (F.col("b.year") == F.col("a.year")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.year").alias("year"),
+        (
+            (F.col("b.yc") - F.col("a.yc"))
+            * 1.0
+            / (F.col("b.x") - F.col("a.x"))
+        ).alias("sl"),
+    )
+    arr = pr.groupBy("year").agg(
+        F.sort_array(F.collect_list("sl")).alias("ls"),
+        F.count("*").alias("m"),
+    )
+    lo = F.element_at(
+        "ls", ((F.col("m") + 1) / 2).cast("int")
+    )
+    hi = F.element_at("ls", (F.col("m") / 2 + 1).cast("int"))
+    return arr.select(
+        "year",
+        F.col("m").cast("bigint").alias("n_pairs"),
+        F.round((lo + hi) / 2 / 100, 6).alias("ts_slope_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Log-rank test: two-group survival comparison — the hypothesis-test
+# companion to kaplan_meier_churn (KM draws each curve; the log-rank
+# asks whether the two curves differ beyond chance).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "logrank_survival_test",
+    oracle="""
+    WITH cust AS (
+        SELECT o_custkey, min(o_orderdate) AS f, max(o_orderdate) AS l
+        FROM orders GROUP BY o_custkey
+    ), obs AS (SELECT max(l) AS te FROM cust),
+    j AS (
+        SELECT CAST(floor(datediff('day', f, l) / 180) AS INTEGER) AS t,
+               CASE WHEN datediff('day', l, (SELECT te FROM obs)) >= 365
+                    THEN 1 ELSE 0 END AS churn,
+               CASE WHEN c.c_mktsegment = 'BUILDING' THEN 1 ELSE 0 END AS g1
+        FROM cust JOIN customer c ON c.c_custkey = cust.o_custkey
+    ), buck AS (
+        SELECT t, count(*) AS n_in, sum(churn) AS d,
+               sum(g1) AS n1_in, sum(churn * g1) AS d1
+        FROM j GROUP BY t
+    ), risk AS (
+        SELECT t, d, d1,
+               sum(n_in) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                               PRECEDING AND CURRENT ROW) AS n,
+               sum(n1_in) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                                PRECEDING AND CURRENT ROW) AS n1
+        FROM buck
+    ), ev AS (SELECT t, d, d1, n, n1 FROM risk WHERE d > 0 AND n > 1),
+    folded AS (
+        SELECT CAST(sum(d1) AS BIGINT) AS o1,
+               list_reduce([s.e FOR s IN list(struct_pack(i := t,
+                   e := d * n1 * 1.0 / n) ORDER BY t)],
+                   (a, b) -> a + b) AS e1,
+               list_reduce([s.v FOR s IN list(struct_pack(i := t,
+                   v := d * (n1 * 1.0 / n) * (1 - n1 * 1.0 / n)
+                        * (n - d) / (n - 1)) ORDER BY t)],
+                   (a, b) -> a + b) AS vs
+        FROM ev
+    ), sizes AS (
+        SELECT CAST(sum(g1) AS BIGINT) AS n_grp1,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM j
+    )
+    SELECT n_grp1, n_total, o1, round(e1, 6) AS e1,
+           CASE WHEN vs <> 0
+                THEN round((o1 - e1) * (o1 - e1) / vs, 4) END AS chi2,
+           CASE WHEN vs <> 0
+                THEN (o1 - e1) * (o1 - e1) / vs > 3.841459
+           END AS significant
+    FROM folded CROSS JOIN sizes
+    """,
+)
+def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-rank (Mantel-Cox) test: do BUILDING-segment customers churn
+    on a different survival curve than everyone else? The
+    hypothesis-test companion to ``kaplan_meier_churn`` — KM draws a
+    curve, the log-rank compares two. At each event time the group-1
+    expected deaths under H0 are E = d*n1/n (hypergeometric mean) with
+    variance V = d*(n1/n)*(1-n1/n)*(n-d)/(n-1); the statistic
+    (O1 - sum E)^2 / sum V is chi-square(1).
+
+    Float parity: every per-time ingredient (d, d1, n, n1) is an exact
+    INTEGER in both engines, so each E/V term is the identical
+    expression over bit-identical operands; the cross-time sums run as
+    ORDERED array folds (sort_array + F.aggregate vs list(... ORDER BY
+    t) + list_reduce — the jackknife discipline), so summation order
+    cannot diverge; the n=1 risk tail is filtered by an integer
+    predicate and a V=0 degenerate pins chi2/significant to NULL.
+
+    Scale: one fact scan -> per-customer (min,max) partials; the
+    segment join is broadcast (customer dim); everything after runs on
+    the |half-year buckets| spine (~14 rows) — the folds are over a
+    bounded calendar-sized array, never fact-sized."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    cu = table(spark, sf_dir, "customer")
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    obs = cust.agg(F.max("l").alias("te"))
+    j = (
+        cust.join(F.broadcast(cu), cust.o_custkey == cu.c_custkey)
+        .crossJoin(F.broadcast(obs))
+        .select(
+            F.floor(F.datediff("l", "f") / 180).cast("int").alias("t"),
+            (F.datediff("te", "l") >= 365).cast("int").alias("churn"),
+            (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
+        )
+    )
+    buck = j.groupBy("t").agg(
+        F.count("*").alias("n_in"),
+        F.sum("churn").alias("d"),
+        F.sum("g1").alias("n1_in"),
+        F.sum(F.col("churn") * F.col("g1")).alias("d1"),
+    )
+    w_desc = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = buck.select(
+        "t",
+        "d",
+        "d1",
+        F.sum("n_in").over(w_desc).alias("n"),
+        F.sum("n1_in").over(w_desc).alias("n1"),
+    )
+    ev = risk.where((F.col("d") > 0) & (F.col("n") > 1)).select(
+        "t",
+        "d1",
+        (F.col("d") * F.col("n1") * 1.0 / F.col("n")).alias("e"),
+        (
+            F.col("d")
+            * (F.col("n1") * 1.0 / F.col("n"))
+            * (1 - F.col("n1") * 1.0 / F.col("n"))
+            * (F.col("n") - F.col("d"))
+            / (F.col("n") - 1)
+        ).alias("v"),
+    )
+    fsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
+        col, F.lit(0.0), lambda acc, x: acc + x
+    )
+    folded = ev.agg(
+        F.sum("d1").cast("bigint").alias("o1"),
+        F.array_sort(F.collect_list(F.struct("t", "e", "v"))).alias("a"),
+    ).select(
+        "o1",
+        fsum(F.transform("a", lambda x: x["e"])).alias("e1"),
+        fsum(F.transform("a", lambda x: x["v"])).alias("vs"),
+    )
+    sizes = j.agg(
+        F.sum("g1").cast("bigint").alias("n_grp1"),
+        F.count("*").cast("bigint").alias("n_total"),
+    )
+    chi2 = (
+        (F.col("o1") - F.col("e1"))
+        * (F.col("o1") - F.col("e1"))
+        / F.col("vs")
+    )
+    return folded.crossJoin(F.broadcast(sizes)).select(
+        "n_grp1",
+        "n_total",
+        "o1",
+        F.round("e1", 6).alias("e1"),
+        F.when(F.col("vs") != 0, F.round(chi2, 4)).alias("chi2"),
+        F.when(F.col("vs") != 0, chi2 > 3.841459).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function: lag-k serial correlation of daily revenue —
+# the memory-structure member of the forecasting family (MASE scores a
+# forecast, OLS/Theil-Sen fit the drift; the ACF says whether
+# yesterday predicts today at all, and at which seasonal lags).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), mind AS (SELECT min(day) AS d0 FROM daily),
+    idx AS (
+        SELECT CAST(datediff('day', (SELECT d0 FROM mind), day)
+                    AS BIGINT) AS x, yc
+        FROM daily
+    ), st AS (SELECT sum(yc) * 1.0 / count(*) AS m FROM idx),
+    den AS (
+        SELECT list_reduce([s.t FOR s IN list(struct_pack(i := x,
+                   t := (yc - (SELECT m FROM st))
+                        * (yc - (SELECT m FROM st))) ORDER BY x)],
+               (a, b) -> a + b) AS d
+        FROM idx
+    ), lagp AS (
+        SELECT k.k, a.x,
+               (a.yc - (SELECT m FROM st))
+               * (b.yc - (SELECT m FROM st)) AS term
+        FROM generate_series(1, 7) AS k(k)
+        JOIN idx a ON true
+        JOIN idx b ON b.x = a.x + k.k
+    ), num AS (
+        SELECT k, count(*) AS n_pairs,
+               list_reduce([s.t FOR s IN list(struct_pack(i := x,
+                   t := term) ORDER BY x)], (a, b) -> a + b) AS nm
+        FROM lagp GROUP BY k
+    )
+    SELECT CAST(k AS INTEGER) AS lag, CAST(n_pairs AS BIGINT) AS n_pairs,
+           CASE WHEN d <> 0 THEN round(nm / d, 6) END AS acf
+    FROM num CROSS JOIN den ORDER BY lag
+    """,
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of daily revenue at lags 1..7:
+    acf_k = sum((y_t - m)(y_{t+k} - m)) / sum((y_t - m)^2) over the
+    daily spine — the serial-memory monitor of the forecasting family
+    (``seasonal_naive_mase`` assumes a weekly echo; the ACF at lag 7
+    is the direct measurement of whether that echo exists).
+
+    Float parity: daily revenues are exact CENTS (grid-sum rule); the
+    global mean m = sum/n is ONE division of bit-identical int64
+    operands; every centered product is the identical expression over
+    (int64 - m) doubles; and both the numerator and denominator sums
+    run as ORDERED array folds keyed by day index (sort_array +
+    F.aggregate vs list(... ORDER BY x) + list_reduce), so no
+    engine-specific summation order exists. A constant series makes
+    the denominator exactly 0.0; both engines pin acf to NULL.
+
+    Scale: one fact scan -> per-day partials; the spine (|days| rows,
+    calendar-bounded) is broadcast into a 7-lag self-join; folds run
+    over <= |days| element arrays (~20 KB) on the driver-free
+    aggregation path. Nothing fact-sized crosses a second shuffle."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+    mind = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("day", "d0").cast("bigint").alias("x"), "yc"
+    )
+    st = idx.agg(
+        (F.sum("yc") * 1.0 / F.count("*")).alias("m")
+    )
+    ctr = idx.crossJoin(F.broadcast(st))
+    fsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
+        col, F.lit(0.0), lambda acc, x: acc + x
+    )
+    den = (
+        ctr.select(
+            "x",
+            ((F.col("yc") - F.col("m")) * (F.col("yc") - F.col("m"))).alias(
+                "t"
+            ),
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("x", "t"))).alias("a"))
+        .select(fsum(F.transform("a", lambda s: s["t"])).alias("d"))
+    )
+    ks = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
+    a = ctr.alias("a")
+    b = ctr.alias("b")
+    lagp = (
+        ks.crossJoin(a)
+        .join(F.broadcast(b), F.col("b.x") == F.col("a.x") + F.col("k"))
+        .select(
+            "k",
+            F.col("a.x").alias("x"),
+            (
+                (F.col("a.yc") - F.col("a.m"))
+                * (F.col("b.yc") - F.col("b.m"))
+            ).alias("term"),
+        )
+    )
+    num = (
+        lagp.groupBy("k")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.array_sort(F.collect_list(F.struct("x", "term"))).alias("a"),
+        )
+        .select(
+            "k",
+            "n_pairs",
+            fsum(F.transform("a", lambda s: s["term"])).alias("nm"),
+        )
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("k").cast("int").alias("lag"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.when(F.col("d") != 0, F.round(F.col("nm") / F.col("d"), 6)).alias(
+            "acf"
+        ),
+    )

@@ -1001,3 +1001,44 @@ def test_scene_cut_and_silence_run_iters_vs_python_reference():
         assert (row.n_runs, row.n_silent, row.longest) == (
             n_runs, n_silent, longest,
         ), samples
+
+
+def test_exact_rank_values_vs_sorted_reference(spark):
+    """Histogram-refinement selection equals the sorted-list definition
+    on adversarial inputs: heavy duplicate skew (one value = half the
+    data), a full-range outlier pair, negatives, and n smaller than the
+    bucket count. Small bucket counts force multi-level recursion."""
+    import random
+
+    from bigdata_imgprocessing_spark.operators.selection import (
+        exact_rank_values,
+    )
+
+    rng = random.Random(7)
+    data = (
+        [42] * 500
+        + [rng.randrange(-10_000, 10_000) for _ in range(499)]
+        + [2**40, -(2**40)]
+    )
+    df = spark.createDataFrame([(v,) for v in data], "c BIGINT")
+    ref = sorted(data)
+    ranks = [(i, k) for i, k in enumerate([1, 2, 250, 500, 750, len(data)])]
+    for nb in (4, 16, 65536):  # nb=4 forces deep recursion
+        got = exact_rank_values(df, "c", ranks, n_buckets=nb)
+        assert got == sorted(
+            (tag, k, ref[k - 1]) for tag, k in ranks
+        ), f"n_buckets={nb}"
+
+
+def test_exact_rank_values_single_value_and_empty(spark):
+    from bigdata_imgprocessing_spark.operators.selection import (
+        exact_rank_values,
+    )
+
+    one = spark.createDataFrame([(5,)] * 9, "c BIGINT")
+    assert exact_rank_values(one, "c", [(0, 1), (1, 9)]) == [
+        (0, 1, 5),
+        (1, 9, 5),
+    ]
+    empty = spark.createDataFrame([], "c BIGINT")
+    assert exact_rank_values(empty, "c", [(0, 1)]) == []
