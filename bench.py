@@ -264,6 +264,10 @@ HEADLINE = [
     "exact_deciles_no_sort",
     "mixture_epoch_plan",
     "image_patch_tokens",
+    "cross_source_dup_rate",
+    "pinball_quantile_eval",
+    "trimmed_mean_no_sort",
+    "kendall_tau_trend",
 ]
 
 

@@ -19,35 +19,58 @@ With B = 65536, any 32-bit-span column needs 2 passes; a full int64
 span needs 4. Every pass is a filter + groupBy (map-side partials), so
 the plan survives 100 TB: nothing bigger than B rows crosses a shuffle
 and the driver only ever sees the |ranks|-row bucket locations.
+
+Targets sharing a search range (level 1: ALL of them — the full value
+range) share one histogram, so the per-row work is a single bucket
+projection, not a per-target case analysis; ranges only diverge once
+targets land in different buckets, by which point the row filter has
+already shrunk the scan to ~|targets|/B of the data.
 """
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-DEFAULT_BUCKETS = 65536
+DEFAULT_BUCKETS = 8192
+
+# B trades histogram shuffle volume against pass count: each map task
+# emits up to B partial counts, so the shuffle carries ~B x |map tasks|
+# rows per level, while the number of levels is ceil(log_B(span)).
+# B = 8192 keeps any span <= 2^26 (67M distinct integers — e.g. $670k
+# in cents) at 2 levels with a 260k-partial shuffle on 32 tasks; a full
+# int64 span takes 5 levels. At cluster scale the same bound governs:
+# B x tasks is the quantity to keep under the shuffle budget, not B
+# alone, which is why 65536 measured 2.7x SLOWER here despite needing
+# no fewer levels (32 x 65536 = 2M partials for the same two scans).
 
 
 def exact_rank_values(
     vals: DataFrame,
     col: str,
-    ranks: list[tuple[int, int]],
+    ranks: list[tuple[int, int]] | Callable[[int], list[tuple[int, int]]],
     n_buckets: int = DEFAULT_BUCKETS,
 ) -> list[tuple[int, int, int]]:
     """Exact order statistics of integer column ``col``.
 
-    ``ranks`` is a list of (tag, k) with 1-based global ranks k; the
-    return value is [(tag, k, value)] where value is the k-th smallest
-    element (ties collapse to the same value by definition). Driver
-    traffic is bounded: one 1-row stats collect plus one <= |ranks|-row
-    collect per refinement level (<= 4 levels for int64 spans).
+    ``ranks`` is a list of (tag, k) with 1-based global ranks k — or a
+    callable n -> such a list, so rank positions can depend on the row
+    count without the caller paying a separate count job. Returns
+    [(tag, k, value)] where value is the k-th smallest element (ties
+    collapse to the same value by definition). Driver traffic is
+    bounded: one 1-row stats collect plus one <= |ranks|-row collect
+    per refinement level (<= 4 levels for int64 spans).
     """
     stats = vals.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n")
     ).collect()[0]
-    if stats["n"] == 0:
+    n = int(stats["n"])
+    if n == 0:
         return []
+    if callable(ranks):
+        ranks = ranks(n)
     lo, hi = int(stats["lo"]), int(stats["hi"])
     # per-target search state: (tag, k, range_lo, range_hi, rank_within)
     todo = [(tag, k, lo, hi, k) for tag, k in ranks]
@@ -59,58 +82,82 @@ def exact_rank_values(
         todo = [t for t in todo if t[2] != t[3]]
         if not todo:
             break
-        # one histogram pass refines EVERY pending target: bucket ids
-        # are (target, bucket) so disjoint/overlapping ranges coexist.
-        span_w = {
-            i: max(1, -(-(rhi - rlo + 1) // n_buckets))
-            for i, (_t, _k, rlo, rhi, _w) in enumerate(todo)
+        # Distinct search ranges share one histogram: level 1 has
+        # exactly one range (the full span), so the hot path is a
+        # single bucket projection per row — no per-target case work.
+        ranges: dict[tuple[int, int], int] = {}
+        for _tag, _k, rlo, rhi, _w in todo:
+            ranges.setdefault((rlo, rhi), len(ranges))
+        widths = {
+            rid: max(1, -(-(rhi - rlo + 1) // n_buckets))
+            for (rlo, rhi), rid in ranges.items()
         }
-        conds = None
-        per_bucket = []
-        for i, (_tag, _k, rlo, rhi, _w) in enumerate(todo):
-            w = span_w[i]
-            b = F.floor((F.col("v") - F.lit(rlo)) / F.lit(w)).cast("bigint")
-            sel = (F.col("v") >= rlo) & (F.col("v") <= rhi)
-            per_bucket.append(
-                F.when(sel, F.struct(F.lit(i).alias("t"), b.alias("b")))
+        if len(ranges) == 1:
+            (rlo, rhi), rid = next(iter(ranges.items()))
+            w = widths[rid]
+            sel = cand
+            if (rlo, rhi) != (lo, hi):
+                sel = cand.where(
+                    (F.col("v") >= rlo) & (F.col("v") <= rhi)
+                )
+            keyed = sel.select(
+                F.lit(0).alias("r"),
+                F.floor((F.col("v") - F.lit(rlo)) / F.lit(w))
+                .cast("bigint")
+                .alias("b"),
             )
-            conds = sel if conds is None else (conds | sel)
-        hist = (
-            cand.where(conds)
-            .select(
-                F.explode(
-                    F.filter(
-                        F.array(*per_bucket), lambda x: x.isNotNull()
+        else:
+            conds = None
+            per_bucket = []
+            for (rlo, rhi), rid in ranges.items():
+                w = widths[rid]
+                in_r = (F.col("v") >= rlo) & (F.col("v") <= rhi)
+                per_bucket.append(
+                    F.when(
+                        in_r,
+                        F.struct(
+                            F.lit(rid).alias("r"),
+                            F.floor((F.col("v") - F.lit(rlo)) / F.lit(w))
+                            .cast("bigint")
+                            .alias("b"),
+                        ),
                     )
-                ).alias("tb")
-            )
-            .groupBy(F.col("tb.t").alias("t"), F.col("tb.b").alias("b"))
-            .agg(F.count("*").alias("c"))
-        )
-        wdw = Window.partitionBy("t").orderBy("b").rowsBetween(
+                )
+                conds = in_r if conds is None else (conds | in_r)
+            keyed = cand.where(conds).select(
+                F.explode(
+                    F.filter(F.array(*per_bucket), lambda x: x.isNotNull())
+                ).alias("rb")
+            ).select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        hist = keyed.groupBy("r", "b").agg(F.count("*").alias("c"))
+        wdw = Window.partitionBy("r").orderBy("b").rowsBetween(
             Window.unboundedPreceding, 0
         )
         cum = hist.select(
-            "t", "b", "c", F.sum("c").over(wdw).alias("hi_c")
+            "r", "b", "c", F.sum("c").over(wdw).alias("hi_c")
         ).withColumn("lo_c", F.col("hi_c") - F.col("c"))
         # locate each target's bucket Spark-side (lo_c < rank <= hi_c)
         # so the driver collects exactly |targets| rows, never the
         # B-bucket histogram itself.
         targets = vals.sparkSession.createDataFrame(
-            [(i, t[4]) for i, t in enumerate(todo)], "ti INT, wk BIGINT"
+            [
+                (i, ranges[(t[2], t[3])], t[4])
+                for i, t in enumerate(todo)
+            ],
+            "ti INT, tr INT, wk BIGINT",
         )
         hits = {
-            int(r["t"]): r
-            for r in cum.join(
+            int(row["ti"]): row
+            for row in cum.join(
                 F.broadcast(targets),
-                (F.col("t") == F.col("ti"))
+                (F.col("r") == F.col("tr"))
                 & (F.col("lo_c") < F.col("wk"))
                 & (F.col("wk") <= F.col("hi_c")),
             ).collect()
         }
         nxt = []
         for i, (tag, k, rlo, rhi, within) in enumerate(todo):
-            w = span_w[i]
+            w = widths[ranges[(rlo, rhi)]]
             hit = hits[i]
             b = int(hit["b"])
             nlo = rlo + b * w

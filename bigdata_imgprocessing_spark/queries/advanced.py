@@ -1005,10 +1005,122 @@ def exact_deciles_no_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
     vals = li.select(
         F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("c")
     )
-    n = vals.count()
-    ranks = [(d, 1 + (d * (n - 1)) // 10) for d in range(1, 10)]
-    hits = exact_rank_values(vals, "c", ranks)
+    hits = exact_rank_values(
+        vals,
+        "c",
+        lambda n: [(d, 1 + (d * (n - 1)) // 10) for d in range(1, 10)],
+    )
     return spark.createDataFrame(
         [(int(d), int(k), c / 100.0) for d, k, c in hits],
         "decile INT, rank_k BIGINT, value DOUBLE",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Trimmed & winsorized mean via rank selection — the robust-mean member
+# of the decile family, and the first REUSE of the no-sort selection
+# operator: the cut values come from two histogram-refined order
+# statistics, never a sort.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "trimmed_mean_no_sort",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c FROM orders
+    ), n AS (SELECT count(*) AS n FROM v),
+    ranked AS (SELECT c, row_number() OVER (ORDER BY c) AS rn FROM v),
+    cuts AS (
+        SELECT (SELECT c FROM ranked
+                WHERE rn = 1 + CAST(floor(5 * (n.n - 1) / 100.0) AS BIGINT))
+                   AS vlo,
+               (SELECT c FROM ranked
+                WHERE rn = 1 + CAST(floor(95 * (n.n - 1) / 100.0) AS BIGINT))
+                   AS vhi,
+               n.n AS n
+        FROM n
+    ), agg AS (
+        SELECT cuts.n, cuts.vlo, cuts.vhi,
+               sum(CASE WHEN c >= vlo AND c <= vhi THEN c ELSE 0 END) AS s_in,
+               count(*) FILTER (WHERE c >= vlo AND c <= vhi) AS n_in,
+               count(*) FILTER (WHERE c < vlo) AS n_below,
+               count(*) FILTER (WHERE c > vhi) AS n_above
+        FROM v CROSS JOIN cuts
+        GROUP BY cuts.n, cuts.vlo, cuts.vhi
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, vlo / 100.0 AS p5,
+           vhi / 100.0 AS p95,
+           CAST(n_below + n_above AS BIGINT) AS n_outside,
+           round(s_in * 1.0 / n_in / 100, 6) AS trimmed_mean,
+           round((s_in + n_below * vlo + n_above * vhi) * 1.0 / n / 100, 6)
+               AS winsorized_mean
+    FROM agg
+    """,
+)
+def trimmed_mean_no_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5%-trimmed and winsorized mean of order value — the robust means
+    every revenue dashboard wants next to the raw mean (trimming drops
+    the tails, winsorizing clamps them to the cut values) — with BOTH
+    cut points coming from ``operators/selection.py``'s histogram
+    refinement: two exact order statistics, zero sorts, then ONE
+    aggregation pass computes both means (in-range sum, below/above
+    counts, and the winsorized clamp contribution are all integers).
+
+    Float parity: cents are exact int64, cut values are exact order
+    statistics (selection is integer arithmetic end to end), and each
+    mean is one division of bit-identical integer operands rounded at
+    6dp; p5/p95 are the single division c/100.0. The oracle takes the
+    row_number definition of the same ranks.
+
+    Scale: the selection costs ~3 bounded-shuffle scans (see
+    ``exact_deciles_no_sort``); the means cost one more scan with a
+    map-side-combinable aggregate. No sort, no rank window, no
+    |corpus|-row driver traffic anywhere — the robust-mean plan that
+    survives 100 TB."""
+    from ..operators.selection import exact_rank_values
+
+    o = table(spark, sf_dir, "orders")
+    vals = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    hits = exact_rank_values(
+        vals,
+        "c",
+        lambda n: [
+            (5, 1 + (5 * (n - 1)) // 100),
+            (95, 1 + (95 * (n - 1)) // 100),
+        ],
+    )
+    cuts = {tag: v for tag, _k, v in hits}
+    vlo, vhi = cuts[5], cuts[95]
+    in_rng = (F.col("c") >= vlo) & (F.col("c") <= vhi)
+    agg = vals.agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(in_rng, F.col("c")).otherwise(0)).alias("s_in"),
+        F.sum(in_rng.cast("bigint")).alias("n_in"),
+        F.sum((F.col("c") < vlo).cast("bigint")).alias("n_below"),
+        F.sum((F.col("c") > vhi).cast("bigint")).alias("n_above"),
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.lit(vlo / 100.0).alias("p5"),
+        F.lit(vhi / 100.0).alias("p95"),
+        (F.col("n_below") + F.col("n_above"))
+        .cast("bigint")
+        .alias("n_outside"),
+        F.round(F.col("s_in") * 1.0 / F.col("n_in") / 100, 6).alias(
+            "trimmed_mean"
+        ),
+        F.round(
+            (
+                F.col("s_in")
+                + F.col("n_below") * F.lit(vlo)
+                + F.col("n_above") * F.lit(vhi)
+            )
+            * 1.0
+            / F.col("n")
+            / 100,
+            6,
+        ).alias("winsorized_mean"),
     )

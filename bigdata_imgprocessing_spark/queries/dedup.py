@@ -2521,3 +2521,74 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_strings").cast("bigint").alias("n_name_variants"),
         F.round(F.sum("gp"), 2).alias("golden_price_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplication audit: WHERE does near-dup mass come from —
+# the provenance member of the dedup family (minhash_lsh_pairs finds
+# the pairs, the component family clusters them; this attributes them:
+# intra-source boilerplate vs cross-source syndication need different
+# fixes, and cross-source dup rate is the standard pre-mixing audit).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cross_source_dup_rate",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES}
+    SELECT least(da.source, db.source) AS src_lo,
+           greatest(da.source, db.source) AS src_hi,
+           least(da.source, db.source)
+               <> greatest(da.source, db.source) AS is_cross,
+           CAST(count(*) AS BIGINT) AS n_pairs,
+           max(jaccard) AS max_jaccard,
+           min(jaccard) AS min_jaccard
+    FROM pairs
+    JOIN documents da ON da.doc_id = pairs.doc_a
+    JOIN documents db ON db.doc_id = pairs.doc_b
+    GROUP BY 1, 2, 3 ORDER BY 1, 2
+    """,
+)
+def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup provenance audit: every verified MinHash-LSH pair
+    (Jaccard >= 0.5) attributed to its unordered (source, source)
+    bucket — intra-source pairs are boilerplate/re-posts the source's
+    own cleaner should fix, cross-source pairs are syndication the
+    MIXTURE has to account for (a source whose content is mostly
+    duplicated elsewhere contributes less novel mass than its token
+    count claims; this is the audit run before ``mixture_epoch_plan``
+    shares are trusted).
+
+    Reads the materialized ``_lsh_pairs_store`` (row-identical to the
+    fresh pipeline by test), so the expensive signature->band->verify
+    chain is not re-paid — the production shape: the dedup pipeline
+    lands the pair graph once and provenance/mixture audits join it
+    against the document dims.
+
+    Float parity: pair jaccards are 4dp-rounded store values; the
+    per-group reductions are min/max (order-free) and integer counts —
+    no cross-row float summation exists.
+
+    Scale: the pair graph is orders of magnitude smaller than the
+    corpus; two joins against the doc->source projection shuffle
+    pair-graph-sized rows only, then a |source-pairs|-row aggregate."""
+    pairs = _lsh_pairs_store(spark, sf_dir)
+    d = table(spark, sf_dir, "documents").select("doc_id", "source")
+    da = d.select(F.col("doc_id").alias("ida"), F.col("source").alias("sa"))
+    db = d.select(F.col("doc_id").alias("idb"), F.col("source").alias("sb"))
+    lo = F.least("sa", "sb")
+    hi = F.greatest("sa", "sb")
+    return (
+        pairs.join(da, pairs.doc_a == da.ida)
+        .join(db, pairs.doc_b == db.idb)
+        .groupBy(
+            lo.alias("src_lo"),
+            hi.alias("src_hi"),
+            (lo != hi).alias("is_cross"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.max("jaccard").alias("max_jaccard"),
+            F.min("jaccard").alias("min_jaccard"),
+        )
+    )

@@ -1727,3 +1727,204 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "acf"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Pinball loss: quantile-forecast evaluation — the quantile member of
+# the forecast-eval family (MASE scores the point forecast; pinball
+# scores quantile forecasts, and is INTEGER-exact here because the
+# tenth-quantile losses scale to integers).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "pinball_quantile_eval",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), mind AS (SELECT min(day) AS d0 FROM daily),
+    idx AS (
+        SELECT CAST(datediff('day', (SELECT d0 FROM mind), day)
+                    AS BIGINT) AS x, yc
+        FROM daily
+    ), fc AS (
+        SELECT a.yc - b.yc AS diff
+        FROM idx a JOIN idx b ON b.x = a.x - 7
+    ), q AS (SELECT unnest([1, 5, 9]) AS t)
+    SELECT CAST(t AS INTEGER) AS q_tenths,
+           CAST(count(*) AS BIGINT) AS n_days,
+           CAST(sum(greatest(t * diff, (t - 10) * diff)) AS BIGINT)
+               AS sum_pinball_x10,
+           round(sum(greatest(t * diff, (t - 10) * diff))
+                 / (10.0 * count(*)) / 100, 6) AS mean_pinball
+    FROM q CROSS JOIN fc GROUP BY t ORDER BY t
+    """,
+)
+def pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinball (quantile) loss of the seasonal-naive forecast — the
+    quantile member of the forecast-eval family: MASE
+    (``seasonal_naive_mase``) scores the point forecast; a pipeline
+    shipping P10/P50/P90 revenue bands is scored by pinball loss
+    L_q(y, f) = max(q(y-f), (q-1)(y-f)), here with the same-weekday
+    lag-7 naive as the forecaster under test at q in {0.1, 0.5, 0.9}.
+
+    Float parity: INTEGER-exact by construction — daily revenues are
+    exact cents (grid-sum rule), the forecast error diff is int64, and
+    for tenth quantiles 10*L_q = max(t*diff, (t-10)*diff) with t =
+    10q is pure integer arithmetic, so the summed loss is an exact
+    int64 in both engines (no ordered folds needed); the mean is the
+    identical division shape over bit-identical operands, rounded 6dp.
+
+    Scale: one fact scan -> per-day partials; the lag join and the
+    3-quantile fan-out run on the calendar-bounded spine."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+    mind = daily.agg(F.min("day").alias("d0"))
+    idx = daily.crossJoin(F.broadcast(mind)).select(
+        F.datediff("day", "d0").cast("bigint").alias("x"), "yc"
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    fc = a.join(
+        F.broadcast(b), F.col("b.x") == F.col("a.x") - 7
+    ).select((F.col("a.yc") - F.col("b.yc")).alias("diff"))
+    q = spark.createDataFrame([(1,), (5,), (9,)], "t BIGINT")
+    loss10 = F.greatest(
+        F.col("t") * F.col("diff"), (F.col("t") - 10) * F.col("diff")
+    )
+    return (
+        F.broadcast(q)
+        .crossJoin(fc)
+        .groupBy("t")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(loss10).alias("s10"),
+        )
+        .select(
+            F.col("t").cast("int").alias("q_tenths"),
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("s10").cast("bigint").alias("sum_pinball_x10"),
+            F.round(
+                F.col("s10") / (10.0 * F.col("n")) / 100, 6
+            ).alias("mean_pinball"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b: concordance trend test on the daily spine — completes
+# the correlation family (Spearman ranks the fact table; Kendall counts
+# concordant pairs on the calendar-bounded spine, the Mann-Kendall
+# trend test every monitoring stack runs on daily series).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_tau_trend",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), idx AS (
+        SELECT CAST(EXTRACT(year FROM day) AS BIGINT) AS year,
+               CAST(datediff('day', DATE '1990-01-01', day) AS BIGINT) AS x,
+               yc
+        FROM daily
+    ), pr AS (
+        SELECT a.year,
+               CASE WHEN b.yc > a.yc THEN 1 ELSE 0 END AS c,
+               CASE WHEN b.yc < a.yc THEN 1 ELSE 0 END AS d,
+               CASE WHEN b.yc = a.yc THEN 1 ELSE 0 END AS t
+        FROM idx a JOIN idx b ON b.year = a.year AND b.x > a.x
+    ), m AS (
+        SELECT year, sum(c) AS nc, sum(d) AS nd, sum(t) AS nty,
+               count(*) AS n0
+        FROM pr GROUP BY year
+    )
+    SELECT year, CAST(n0 AS BIGINT) AS n_pairs,
+           CAST(nc AS BIGINT) AS n_concordant,
+           CAST(nd AS BIGINT) AS n_discordant,
+           CAST(nty AS BIGINT) AS n_ties,
+           CASE WHEN n0 > nty THEN
+               round((nc - nd) * 1.0
+                     / sqrt(CAST(n0 AS DOUBLE) * (n0 - nty)), 6)
+           END AS tau_b
+    FROM m ORDER BY year
+    """,
+)
+def kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau-b of daily revenue against time, per year — the
+    Mann-Kendall monotone-trend test: count concordant vs discordant
+    day pairs (x is the day index, so every pair is x-ordered and
+    tau > 0 means revenue tends upward). Completes the correlation
+    family: Spearman (``spearman_rank_corr``) ranks fact-scale
+    columns; Kendall's pair-counting form runs on the calendar-bounded
+    spine where its O(m^2) is a constant (<= 66,795 pairs/year).
+
+    Float parity: concordant/discordant/tie counts are exact INTEGERS
+    (comparisons of exact cents); n0 = m(m-1)/2 <= 66,795, so the
+    variance product n0*(n0 - nty) <= 4.5e9 sits far inside exact
+    int64; tau_b is one sqrt + one division over bit-identical
+    operands (x-ties are structurally zero — days are distinct — so
+    the tau-b denominator keeps only the y-tie term), NULL-pinned if
+    every pair ties. Degenerate years with a single day produce no
+    pairs and drop out of the join in both engines.
+
+    Scale: identical posture to ``theilsen_revenue_trend`` — the only
+    fact-sized pass is the per-day partial aggregation; pairs are
+    generated on the per-year spine whose size is calendar-bounded,
+    independent of fact rows."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+    idx = daily.select(
+        F.year("day").cast("bigint").alias("year"),
+        F.datediff("day", F.lit("1990-01-01").cast("date"))
+        .cast("bigint")
+        .alias("x"),
+        "yc",
+    )
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pr = a.join(
+        b,
+        (F.col("b.year") == F.col("a.year")) & (F.col("b.x") > F.col("a.x")),
+    ).select(
+        F.col("a.year").alias("year"),
+        (F.col("b.yc") > F.col("a.yc")).cast("bigint").alias("c"),
+        (F.col("b.yc") < F.col("a.yc")).cast("bigint").alias("d"),
+        (F.col("b.yc") == F.col("a.yc")).cast("bigint").alias("t"),
+    )
+    m = pr.groupBy("year").agg(
+        F.sum("c").alias("nc"),
+        F.sum("d").alias("nd"),
+        F.sum("t").alias("nty"),
+        F.count("*").alias("n0"),
+    )
+    return m.select(
+        "year",
+        F.col("n0").cast("bigint").alias("n_pairs"),
+        F.col("nc").cast("bigint").alias("n_concordant"),
+        F.col("nd").cast("bigint").alias("n_discordant"),
+        F.col("nty").cast("bigint").alias("n_ties"),
+        F.when(
+            F.col("n0") > F.col("nty"),
+            F.round(
+                (F.col("nc") - F.col("nd"))
+                * 1.0
+                / F.sqrt(
+                    F.col("n0").cast("double")
+                    * (F.col("n0") - F.col("nty"))
+                ),
+                6,
+            ),
+        ).alias("tau_b"),
+    )
