@@ -268,6 +268,8 @@ HEADLINE = [
     "pinball_quantile_eval",
     "trimmed_mean_no_sort",
     "kendall_tau_trend",
+    "runs_test_randomness",
+    "poisson_dispersion_check",
 ]
 
 

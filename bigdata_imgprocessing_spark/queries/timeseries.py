@@ -1928,3 +1928,227 @@ def kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("tau_b"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test: is the daily series random around its
+# median, or does it trend/oscillate — the randomness member of the
+# diagnostics family (ACF measures memory strength per lag; the runs
+# test is the distribution-free yes/no on serial dependence).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "runs_test_randomness",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), arr AS (
+        SELECT list(yc ORDER BY yc) AS ls, count(*) AS m FROM daily
+    ), med AS (
+        SELECT (ls[CAST((m + 1) // 2 AS INTEGER)]
+                + ls[CAST(m // 2 + 1 AS INTEGER)]) / 2.0 AS md
+        FROM arr
+    ), signs AS (
+        SELECT day, yc > (SELECT md FROM med) AS up
+        FROM daily WHERE yc <> (SELECT md FROM med)
+    ), flips AS (
+        SELECT up, CASE WHEN up <> lag(up) OVER (ORDER BY day)
+                        THEN 1 ELSE 0 END AS flip
+        FROM signs
+    ), m AS (
+        SELECT count(*) FILTER (WHERE up) AS n1,
+               count(*) FILTER (WHERE NOT up) AS n2,
+               1 + sum(flip) AS runs, count(*) AS n
+        FROM flips
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
+           CAST(runs AS BIGINT) AS n_runs,
+           round(2.0 * n1 * n2 / n + 1, 6) AS expected_runs,
+           CASE WHEN n1 > 0 AND n2 > 0 AND 2.0 * n1 * n2 <> n THEN
+               round((runs - (2.0 * n1 * n2 / n + 1))
+                     / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
+                            / (1.0 * n * n * (n - 1))), 4)
+           END AS z
+    FROM m
+    """,
+)
+def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test on daily revenue around its median —
+    the distribution-free serial-dependence diagnostic (a trending
+    series produces too FEW runs, an oscillating one too MANY; the ACF
+    says how much memory, this says whether the deviation from
+    randomness is significant at all). Days equal to the median are
+    dropped (the standard treatment); runs counted by sign flips over
+    the day-ordered spine; z from the exact run-count moments
+    mu = 2*n1*n2/n + 1, var = 2*n1*n2*(2*n1*n2 - n)/(n^2*(n-1)).
+
+    Float parity: the median is an EXPLICIT sorted-array selection
+    over exact cents (the theilsen discipline); above/below/run
+    counts are exact integers (comparisons against the same
+    half-grid median double); mu/var/z are identical expression
+    shapes over bit-identical integer operands — one sqrt, one
+    terminal round; the degenerate all-one-side and var=0 cases pin
+    z to NULL in both engines.
+
+    Scale: one fact scan -> per-day partials; the sort, the lag
+    window, and the moments all run on the calendar-bounded spine."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+    arr = daily.agg(
+        F.sort_array(F.collect_list("yc")).alias("ls"),
+        F.count("*").alias("m"),
+    )
+    med = arr.select(
+        (
+            (
+                F.element_at("ls", ((F.col("m") + 1) / 2).cast("int"))
+                + F.element_at("ls", (F.col("m") / 2 + 1).cast("int"))
+            )
+            / 2.0
+        ).alias("md")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .where(F.col("yc") != F.col("md"))
+        .select("day", (F.col("yc") > F.col("md")).alias("up"))
+    )
+    w = Window.orderBy("day")
+    flips = signs.select(
+        "up",
+        F.when(F.col("up") != F.lag("up").over(w), 1)
+        .otherwise(0)
+        .alias("flip"),
+    )
+    m = flips.agg(
+        F.sum(F.col("up").cast("bigint")).alias("n1"),
+        F.sum((~F.col("up")).cast("bigint")).alias("n2"),
+        (1 + F.sum("flip")).alias("runs"),
+        F.count("*").alias("n"),
+    )
+    mu = 2.0 * F.col("n1") * F.col("n2") / F.col("n") + 1
+    var = (
+        2.0
+        * F.col("n1")
+        * F.col("n2")
+        * (2.0 * F.col("n1") * F.col("n2") - F.col("n"))
+        / (1.0 * F.col("n") * F.col("n") * (F.col("n") - 1))
+    )
+    return m.select(
+        F.col("n1").cast("bigint").alias("n_above"),
+        F.col("n2").cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+        F.round(mu, 6).alias("expected_runs"),
+        F.when(
+            (F.col("n1") > 0)
+            & (F.col("n2") > 0)
+            & (2.0 * F.col("n1") * F.col("n2") != F.col("n")),
+            F.round((F.col("runs") - mu) / F.sqrt(var), 4),
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson dispersion check: variance-to-mean of daily event counts —
+# the rate-monitoring diagnostic (a Poisson arrival process has D = 1;
+# D >> 1 means bursty/clumped traffic, D << 1 means throttled).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "poisson_dispersion_check",
+    oracle="""
+    WITH span AS (
+        SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1
+        FROM events
+    ), days AS (
+        SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span
+    ), types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT day, event_type FROM days CROSS JOIN types),
+    cnt AS (
+        SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS c
+        FROM events GROUP BY 1, 2
+    ), filled AS (
+        SELECT g.event_type, coalesce(c.c, 0) AS c
+        FROM grid g LEFT JOIN cnt c
+          ON c.day = g.day AND c.event_type = g.event_type
+    ), m AS (
+        SELECT event_type, count(*) AS n, sum(c) AS s,
+               sum(c * c) AS ss
+        FROM filled GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days,
+           CAST(s AS BIGINT) AS n_events,
+           round(s * 1.0 / n, 4) AS mean_daily,
+           CASE WHEN s > 0 AND n > 1 THEN
+               round((n * ss - s * s) * 1.0 / ((n - 1) * s), 6)
+           END AS dispersion,
+           CASE WHEN s > 0 AND n > 1 THEN
+               (n * ss - s * s) * 1.0 / ((n - 1) * s) > 1.0
+           END AS overdispersed
+    FROM m ORDER BY event_type
+    """,
+)
+def poisson_dispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson dispersion index of daily event counts per type —
+    D = sample variance / mean; a memoryless arrival process pins
+    D = 1, so D >> 1 flags bursty ingestion (retry storms, batch
+    replays) and D << 1 flags throttling — the standard first check
+    on an event-rate monitor before alert thresholds are trusted.
+    Zero-event days COUNT (the gap-filled daily x type grid — a
+    missing day is the strongest burstiness signal there is).
+
+    Float parity: daily counts are exact integers on a gap-filled
+    calendar grid; D = (n*Sum(c^2) - S^2) / ((n-1)*S) is ONE division
+    of bit-identical int64 operands (bounds: c <= events/day, the
+    moments stay far inside int64 at any driver sf), as is the mean;
+    the overdispersed flag compares the UNROUNDED double in both
+    engines; S = 0 / n = 1 degenerates pin D to NULL.
+
+    Scale: one fact scan -> per-(day, type) partials; the calendar
+    grid is |days| x |types| (spine-sized), built with sequence() and
+    a broadcast type dim; the moments are a |types|-row aggregate."""
+    ensure_utc(spark)
+    e = table(spark, sf_dir, "events")
+    span = e.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+    )
+    days = span.select(
+        F.explode(
+            F.sequence("d0", "d1", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    types = e.select("event_type").distinct()
+    grid = days.crossJoin(F.broadcast(types))
+    cnt = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    filled = grid.join(cnt, ["day", "event_type"], "left").select(
+        "event_type", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    m = filled.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    )
+    disp = (
+        (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
+        * 1.0
+        / ((F.col("n") - 1) * F.col("s"))
+    )
+    ok = (F.col("s") > 0) & (F.col("n") > 1)
+    return m.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("n_events"),
+        F.round(F.col("s") * 1.0 / F.col("n"), 4).alias("mean_daily"),
+        F.when(ok, F.round(disp, 6)).alias("dispersion"),
+        F.when(ok, disp > 1.0).alias("overdispersed"),
+    )

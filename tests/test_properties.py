@@ -909,3 +909,31 @@ def test_hamming_k_pigeonhole_block_coverage(bits, k, base, flips, seed):
         assert zero_blocks[0] == min(zero_blocks)
     if dist == 0:
         assert len(zero_blocks) == len(layout)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(
+        st.integers(min_value=-(2**40), max_value=2**40),
+        min_size=1,
+        max_size=60,
+    ),
+    qs=st.lists(
+        st.integers(min_value=1, max_value=9), min_size=1, max_size=4
+    ),
+    nb=st.sampled_from([2, 7, 8192]),
+)
+def test_exact_rank_values_property(spark_prop, vals, qs, nb):
+    """Histogram-refinement selection equals sorted-list indexing for
+    arbitrary int64 multisets, rank sets, and bucket counts (nb=2
+    forces maximal recursion depth ~ log2(span))."""
+    from bigdata_imgprocessing_spark.operators.selection import (
+        exact_rank_values,
+    )
+
+    df = spark_prop.createDataFrame([(v,) for v in vals], "c BIGINT")
+    ref = sorted(vals)
+    n = len(vals)
+    ranks = sorted({(d, 1 + (d * (n - 1)) // 10) for d in qs})
+    got = exact_rank_values(df, "c", list(ranks), n_buckets=nb)
+    assert got == sorted((tag, k, ref[k - 1]) for tag, k in ranks)

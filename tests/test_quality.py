@@ -448,3 +448,163 @@ def test_wordgram_store_matches_fresh(spark, sf_dir):
     again = sorted(tuple(r) for r in _wordgram_store(spark, sf_dir).collect())
     assert again == fresh
     assert os.stat(marker).st_mtime_ns == m0
+
+
+# ---------------------------------------------------------------------------
+# Planted-ground-truth checks for the round-11 statistics queries: the
+# oracle gate proves cross-engine agreement; these prove the STATISTIC
+# itself is right on inputs whose answer is known in closed form.
+# ---------------------------------------------------------------------------
+
+
+def _doubled_rank_auc(scores, labels):
+    """Brute-force probabilistic AUC: P(s_pos > s_neg) + 0.5 P(=)."""
+    pos = [s for s, y in zip(scores, labels) if y]
+    neg = [s for s, y in zip(scores, labels) if not y]
+    wins = sum(1.0 if p > n else 0.5 if p == n else 0.0 for p in pos for n in neg)
+    return wins / (len(pos) * len(neg))
+
+
+def test_roc_auc_rank_sum_identity_matches_bruteforce(spark):
+    """The doubled-rank AUC formula used by roc_auc_eval equals the
+    pairwise definition, including half-credit ties, on a small planted
+    set — plus the separable / inverted / all-tied closed forms."""
+    import itertools
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    def auc_via_query_formula(scores, labels):
+        df = spark.createDataFrame(
+            list(zip(scores, [int(x) for x in labels])), "score DOUBLE, pos INT"
+        )
+        r = df.select(
+            "pos",
+            (
+                2 * F.rank().over(Window.orderBy("score"))
+                + F.count("*").over(Window.partitionBy("score"))
+                - 1
+            ).alias("dr"),
+        )
+        a = r.agg(
+            F.sum(F.when(F.col("pos") == 1, 1).otherwise(0)).alias("n1"),
+            F.sum(F.when(F.col("pos") == 0, 1).otherwise(0)).alias("n0"),
+            F.sum(F.when(F.col("pos") == 1, F.col("dr"))).alias("s2"),
+        ).collect()[0]
+        return (a["s2"] - a["n1"] * (a["n1"] + 1)) / (2 * a["n1"] * a["n0"])
+
+    # separable, inverted, all-tied closed forms
+    assert auc_via_query_formula([1.0, 2.0, 3.0, 4.0], [0, 0, 1, 1]) == 1.0
+    assert auc_via_query_formula([1.0, 2.0, 3.0, 4.0], [1, 1, 0, 0]) == 0.0
+    assert auc_via_query_formula([5.0, 5.0, 5.0, 5.0], [1, 0, 1, 0]) == 0.5
+    # tie-heavy random-ish fixed set vs the pairwise definition
+    scores = [1.0, 2.0, 2.0, 3.0, 3.0, 3.0, 4.0, 1.0]
+    for labels in itertools.combinations(range(8), 3):
+        lab = [1 if i in labels else 0 for i in range(8)]
+        got = auc_via_query_formula(scores, lab)
+        want = _doubled_rank_auc(scores, lab)
+        assert abs(got - want) < 1e-12, (lab, got, want)
+
+
+def test_dbscan_classification_matches_bruteforce(spark, sf_dir):
+    """Grid-cell candidate generation loses no eps-pair: the query's
+    core/border/noise COUNTS match a pure-Python quadratic scan."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    pts = [
+        (int(r["vec_id"]), float(r["embedding"][0]), float(r["embedding"][1]))
+        for r in table(spark, sf_dir, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    ]
+    eps2 = 0.05 * 0.05
+    nb = {
+        i: sum(
+            1
+            for _j, x2, y2 in pts
+            if (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= eps2
+        )
+        for i, x1, y1 in pts
+    }
+    core = {i for i, c in nb.items() if c >= 8}
+    border = {
+        i
+        for i, x1, y1 in pts
+        if i not in core
+        and any(
+            j in core
+            and j != i
+            and (x1 - x2) * (x1 - x2) + (y1 - y2) * (y1 - y2) <= eps2
+            for j, x2, y2 in pts
+        )
+    }
+    want = {
+        "core": len(core),
+        "border": len(border),
+        "noise": len(pts) - len(core) - len(border),
+    }
+    got = {
+        r["point_class"]: r["n_points"]
+        for r in QUERIES["dbscan_core_points"](spark, sf_dir).collect()
+    }
+    assert {k: v for k, v in got.items()} == {
+        k: v for k, v in want.items() if v > 0
+    }
+
+
+def test_trend_stats_on_planted_monotone_series(spark):
+    """Kendall tau-b = 1 and the Theil-Sen median slope is exact on a
+    planted strictly increasing series (the closed-form case)."""
+    from pyspark.sql import functions as F
+
+    # y = 700 + 3*x cents over 40 consecutive days in one year
+    rows = [(d, (700 + 3 * d) / 100.0) for d in range(40)]
+    df = spark.createDataFrame(rows, "d INT, o_totalprice DOUBLE").select(
+        F.date_add(F.lit("2020-01-01").cast("date"), F.col("d"))
+        .cast("timestamp")
+        .alias("o_orderdate"),
+        "o_totalprice",
+    )
+    import bigdata_imgprocessing_spark.queries.timeseries as ts
+
+    orig = ts.table
+    ts.table = lambda _s, _d, _n: df  # noqa: E731
+    try:
+        k = ts.kendall_tau_trend(spark, "ignored").collect()
+        t = ts.theilsen_revenue_trend(spark, "ignored").collect()
+    finally:
+        ts.table = orig
+    assert len(k) == 1 and k[0]["tau_b"] == 1.0
+    assert k[0]["n_pairs"] == 40 * 39 // 2 and k[0]["n_discordant"] == 0
+    # slope is exactly 3 cents/day = 0.03 dollars/day for EVERY pair
+    assert len(t) == 1 and t[0]["ts_slope_per_day"] == 0.03
+
+
+def test_pinball_loss_identity_small_case(spark):
+    """10x-pinball integer identity equals the textbook definition."""
+    diffs = [-300, -1, 0, 2, 150]  # y - f in cents
+    for t in (1, 5, 9):
+        q = t / 10.0
+        want = sum(max(q * d, (q - 1) * d) for d in diffs)
+        got = sum(max(t * d, (t - 10) * d) for d in diffs) / 10.0
+        assert abs(want - got) < 1e-9
+
+
+def test_patchify_iter_matches_numpy_reference():
+    """The reshape/transpose patchify emits exactly the 2x2 block sums."""
+    import numpy as np
+    import pandas as pd
+
+    from bigdata_imgprocessing_spark.queries.multimodal import _patchify_iter
+
+    rng = np.random.RandomState(3)
+    px = rng.randint(0, 256, size=64, dtype=np.int64).astype(np.uint8)
+    pdf = pd.DataFrame({"img_id": [7], "content": [b"FPX8" + px.tobytes()]})
+    out = pd.concat(list(_patchify_iter(iter([pdf]))))
+    img = px.astype(np.int64).reshape(8, 8)
+    assert len(out) == 16
+    for _, r in out.iterrows():
+        pr, pc = int(r["pr"]), int(r["pc"])
+        want = int(img[2 * pr : 2 * pr + 2, 2 * pc : 2 * pc + 2].sum())
+        assert int(r["psum"]) == want and int(r["token"]) == want // 64
