@@ -43,3 +43,14 @@ def ordered_pairs(arr: Column, a_name: str, b_name: str) -> Column:
             ),
         )
     )
+
+
+def ordered_fold_sum(arr: Column) -> Column:
+    """Left fold (init 0.0) over an array of doubles — THE cross-engine
+    float-summation primitive (the jackknife discipline): both engines
+    fold the same sorted array element-by-element (F.aggregate here,
+    list_reduce in the DuckDB oracle; a 0.0 init is exact), so no
+    engine-specific summation order can exist. Callers sort the array
+    by a stable key first (sort_array over a struct / list(... ORDER
+    BY ...)). Shared by jackknife / log-rank / ACF / mixture-plan."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)

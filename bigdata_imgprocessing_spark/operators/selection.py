@@ -15,8 +15,8 @@ statistics in O(log_B(span)) histogram passes over an integer column:
    the value, so no row is ever sorted and value-skew is free: a value
    with a billion duplicates is one width-1 bucket.
 
-With B = 65536, any 32-bit-span column needs 2 passes; a full int64
-span needs 4. Every pass is a filter + groupBy (map-side partials), so
+With B = 65536, any 32-bit-span column needs 2 passes; the widest
+supported span (2^63 - 1; wider is rejected up front) needs 4. Every pass is a filter + groupBy (map-side partials), so
 the plan survives 100 TB: nothing bigger than B rows crosses a shuffle
 and the driver only ever sees the |ranks|-row bucket locations.
 
@@ -61,7 +61,12 @@ def exact_rank_values(
     [(tag, k, value)] where value is the k-th smallest element (ties
     collapse to the same value by definition). Driver traffic is
     bounded: one 1-row stats collect plus one <= |ranks|-row collect
-    per refinement level (<= 4 levels for int64 spans).
+    per refinement level. Domain: the column's SPAN (max - min) must
+    fit in int64 — a full-int64-range column (negative to positive
+    2^62-scale extremes in one column) is rejected up front rather
+    than silently misbucketed; shift such a column into one sign
+    first. Bucket arithmetic is INTEGER division end to end (a double
+    division here would misbucket once the span exceeds 2^53).
     """
     stats = vals.agg(
         F.min(col).alias("lo"), F.max(col).alias("hi"), F.count("*").alias("n")
@@ -71,7 +76,15 @@ def exact_rank_values(
         return []
     if callable(ranks):
         ranks = ranks(n)
+    bad = [(tag, k) for tag, k in ranks if not 1 <= k <= n]
+    if bad:
+        raise ValueError(f"ranks outside [1, n={n}]: {bad}")
     lo, hi = int(stats["lo"]), int(stats["hi"])
+    if hi - lo >= 2**63:
+        raise ValueError(
+            f"value span {hi - lo} exceeds int64; shift the column into "
+            "one sign before selection"
+        )
     # per-target search state: (tag, k, range_lo, range_hi, rank_within)
     todo = [(tag, k, lo, hi, k) for tag, k in ranks]
     out: list[tuple[int, int, int]] = []
@@ -92,6 +105,13 @@ def exact_rank_values(
             rid: max(1, -(-(rhi - rlo + 1) // n_buckets))
             for (rlo, rhi), rid in ranges.items()
         }
+        def _lit(x: int) -> str:
+            # int64 min has no direct SQL literal (unary minus applies
+            # to an overflowing positive literal) — emit it arithmetically
+            if x == -(2**63):
+                return "(-9223372036854775807L - 1L)"
+            return f"({x}L)"
+
         if len(ranges) == 1:
             (rlo, rhi), rid = next(iter(ranges.items()))
             w = widths[rid]
@@ -102,9 +122,9 @@ def exact_rank_values(
                 )
             keyed = sel.select(
                 F.lit(0).alias("r"),
-                F.floor((F.col("v") - F.lit(rlo)) / F.lit(w))
-                .cast("bigint")
-                .alias("b"),
+                # integer `div`, never `/`+floor: double division
+                # misbuckets once the span exceeds 2^53
+                F.expr(f"(v - {_lit(rlo)}) div {w}L").alias("b"),
             )
         else:
             conds = None
@@ -117,9 +137,7 @@ def exact_rank_values(
                         in_r,
                         F.struct(
                             F.lit(rid).alias("r"),
-                            F.floor((F.col("v") - F.lit(rlo)) / F.lit(w))
-                            .cast("bigint")
-                            .alias("b"),
+                            F.expr(f"(v - {_lit(rlo)}) div {w}L").alias("b"),
                         ),
                     )
                 )

@@ -1092,6 +1092,12 @@ def trimmed_mean_no_sort(spark: SparkSession, sf_dir: str) -> DataFrame:
             (95, 1 + (95 * (n - 1)) // 100),
         ],
     )
+    if not hits:  # empty table: the oracle's GROUP BY yields 0 rows too
+        return spark.createDataFrame(
+            [],
+            "n_rows BIGINT, p5 DOUBLE, p95 DOUBLE, n_outside BIGINT,"
+            " trimmed_mean DOUBLE, winsorized_mean DOUBLE",
+        )
     cuts = {tag: v for tag, _k, v in hits}
     vlo, vhi = cuts[5], cuts[95]
     in_rng = (F.col("c") >= vlo) & (F.col("c") <= vhi)

@@ -27,7 +27,7 @@ from pyspark.sql import functions as F
 from ..core.catalog import table
 from ..core.registry import query
 from ..core.session import ensure_utc
-from ..functions.helpers import ordered_pairs
+from ..functions.helpers import ordered_fold_sum, ordered_pairs
 from .curation import _duck_bucket, _md5_bucket
 
 # ---------------------------------------------------------------------------
@@ -1554,9 +1554,7 @@ def jackknife_revenue_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("grp", "s", "c"))).alias("a"),
         F.count("*").alias("ng"),
     )
-    dsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
-        col, F.lit(0.0), lambda acc, x: acc + x
-    )
+    dsum = ordered_fold_sum
     tot = arr.select(
         "ng",
         F.col("a"),
@@ -1677,10 +1675,10 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: three global rank windows (total sorts — the same cost the
     KS/MW monitors already pay) followed by one scalar aggregate; no
     per-pair work (the naive rho is |n^2| concordance pairs).
-    int64 headroom: |sum(u*u)| <= n*(2n)^2 = 4n^3 caps the exact-int64
-    path at n ~ 1.3e6 rows; past that the moments move to
-    DECIMAL(38,0) sums (both engines widen exactly) with the same
-    terminal double conversion."""
+    The moments accumulate as DECIMAL(38,0) (exact to n ~ 2.9e11 rows
+    — int64 sums would overflow past n ~ 1.3e6 since |sum(u*u)| <=
+    4n^3), mirroring DuckDB's HUGEINT widening; both engines convert
+    to double only at the terminal ratio."""
     ensure_utc(spark)
     li = table(spark, sf_dir, "lineitem")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
@@ -1698,13 +1696,21 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         dctr(F.col("l_extendedprice")).alias("up"),
         dctr(rev).alias("ur"),
     )
+    # Products are int64-safe (|u| <= 2n -> |u*u| <= 4n^2, fine to
+    # n ~ 1.5e9 rows) but their SUMS are not past n ~ 1.3e6 (4n^3), so
+    # the moments accumulate as DECIMAL(38,0) — exact to n ~ 2.9e11 —
+    # mirroring DuckDB's HUGEINT sum; both cast to double only at the
+    # terminal ratio.
+    def dsum38(a: str, b: str):
+        return F.sum((F.col(a) * F.col(b)).cast("decimal(38,0)"))
+
     m = c.agg(
         F.count("*").alias("n"),
-        F.sum(F.col("uq") * F.col("up")).alias("sqp"),
-        F.sum(F.col("up") * F.col("ur")).alias("spr"),
-        F.sum(F.col("uq") * F.col("uq")).alias("sqq"),
-        F.sum(F.col("up") * F.col("up")).alias("spp"),
-        F.sum(F.col("ur") * F.col("ur")).alias("srr"),
+        dsum38("uq", "up").alias("sqp"),
+        dsum38("up", "ur").alias("spr"),
+        dsum38("uq", "uq").alias("sqq"),
+        dsum38("up", "up").alias("spp"),
+        dsum38("ur", "ur").alias("srr"),
     )
 
     def rho(num, d1, d2):

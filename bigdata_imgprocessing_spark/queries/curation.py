@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..core.catalog import table
 from ..core.registry import query
+from ..functions.helpers import ordered_fold_sum
 
 # ---------------------------------------------------------------------------
 
@@ -1628,10 +1629,8 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_sort(F.collect_list(F.struct("source", "toks"))).alias("a")
     )
     den = arr.select(
-        F.aggregate(
-            F.transform("a", lambda x: F.sqrt(x["toks"].cast("double"))),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+        ordered_fold_sum(
+            F.transform("a", lambda x: F.sqrt(x["toks"].cast("double")))
         ).alias("d"),
         F.aggregate(
             F.transform("a", lambda x: x["toks"]),

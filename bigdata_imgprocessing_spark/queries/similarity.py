@@ -2295,12 +2295,15 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cx") + F.col("dx")).alias("cx"),
         (F.col("cy") + F.col("dy")).alias("cy"),
     )
+    # cached: the 9x-fan-out candidate join feeds BOTH the neighbor
+    # count and the border semi-join — without persist Spark re-runs
+    # the dominant join per branch (the review finding)
     pairs = cell.join(probe, ["cx", "cy"]).where(
         (F.col("x") - F.col("bx")) * (F.col("x") - F.col("bx"))
         + (F.col("y") - F.col("by")) * (F.col("y") - F.col("by"))
         <= eps2
-    ).select(F.col("vec_id").alias("i"), "j")
-    nb = pairs.groupBy("i").agg(F.count("*").alias("c"))
+    ).select(F.col("vec_id").alias("i"), "j").cache()
+    nb = pairs.groupBy("i").agg(F.count("*").alias("c")).cache()
     core = nb.where(F.col("c") >= 8).select("i")
     near_core = (
         pairs.where(F.col("i") != F.col("j"))

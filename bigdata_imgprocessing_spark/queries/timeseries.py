@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 from ..core.catalog import table
 from ..core.registry import query
 from ..core.session import ensure_utc
+from ..functions.helpers import ordered_fold_sum
 from ..operators.asof import asof_join
 
 
@@ -1357,6 +1358,20 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared daily-revenue spine: per-day order revenue as exact
+    int64 CENTS (the grid-sum rule: 2dp money sums recover exactly
+    under round(*100)) — the input every spine-based trend/eval query
+    derives from (Theil-Sen, ACF, pinball, runs test, Kendall). ONE
+    definition so a change to the cents-grid rule cannot drift across
+    queries (each oracle carries the matching `daily` CTE)."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    return o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Theil-Sen: median-of-pairwise-slopes robust trend — the robust member
 # of the trend family (OLS fits the mean trend; one corrupted day can
@@ -1411,11 +1426,7 @@ def theilsen_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     whose size is INDEPENDENT of fact rows; the only fact-sized pass
     is the per-day partial aggregation. The per-year slope arrays stay
     under 67k doubles = ~0.5 MB, far below executor memory."""
-    ensure_utc(spark)
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
-    )
+    daily = _daily_cents(spark, sf_dir)
     idx = daily.select(
         F.year("day").cast("bigint").alias("year"),
         F.datediff("day", F.lit("1990-01-01").cast("date"))
@@ -1572,16 +1583,22 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("n") - 1)
         ).alias("v"),
     )
-    fsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
-        col, F.lit(0.0), lambda acc, x: acc + x
-    )
+    # No-event degenerate: Spark's empty collect_list folds to 0.0 but
+    # DuckDB's empty list() is NULL — pin e1/vs to NULL here too so the
+    # engines agree on the degenerate row (the review finding).
     folded = ev.agg(
         F.sum("d1").cast("bigint").alias("o1"),
         F.array_sort(F.collect_list(F.struct("t", "e", "v"))).alias("a"),
     ).select(
         "o1",
-        fsum(F.transform("a", lambda x: x["e"])).alias("e1"),
-        fsum(F.transform("a", lambda x: x["v"])).alias("vs"),
+        F.when(
+            F.size("a") > 0,
+            ordered_fold_sum(F.transform("a", lambda x: x["e"])),
+        ).alias("e1"),
+        F.when(
+            F.size("a") > 0,
+            ordered_fold_sum(F.transform("a", lambda x: x["v"])),
+        ).alias("vs"),
     )
     sizes = j.agg(
         F.sum("g1").cast("bigint").alias("n_grp1"),
@@ -1667,11 +1684,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded) is broadcast into a 7-lag self-join; folds run
     over <= |days| element arrays (~20 KB) on the driver-free
     aggregation path. Nothing fact-sized crosses a second shuffle."""
-    ensure_utc(spark)
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
-    )
+    daily = _daily_cents(spark, sf_dir)
     mind = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
         F.datediff("day", "d0").cast("bigint").alias("x"), "yc"
@@ -1680,9 +1693,6 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("yc") * 1.0 / F.count("*")).alias("m")
     )
     ctr = idx.crossJoin(F.broadcast(st))
-    fsum = lambda col: F.aggregate(  # noqa: E731 — fold in array order
-        col, F.lit(0.0), lambda acc, x: acc + x
-    )
     den = (
         ctr.select(
             "x",
@@ -1691,7 +1701,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .agg(F.array_sort(F.collect_list(F.struct("x", "t"))).alias("a"))
-        .select(fsum(F.transform("a", lambda s: s["t"])).alias("d"))
+        .select(ordered_fold_sum(F.transform("a", lambda s: s["t"])).alias("d"))
     )
     ks = spark.range(1, 8).select(F.col("id").cast("bigint").alias("k"))
     a = ctr.alias("a")
@@ -1717,7 +1727,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "k",
             "n_pairs",
-            fsum(F.transform("a", lambda s: s["term"])).alias("nm"),
+            ordered_fold_sum(F.transform("a", lambda s: s["term"])).alias("nm"),
         )
     )
     return num.crossJoin(F.broadcast(den)).select(
@@ -1779,11 +1789,7 @@ def pinball_quantile_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one fact scan -> per-day partials; the lag join and the
     3-quantile fan-out run on the calendar-bounded spine."""
-    ensure_utc(spark)
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
-    )
+    daily = _daily_cents(spark, sf_dir)
     mind = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
         F.datediff("day", "d0").cast("bigint").alias("x"), "yc"
@@ -1880,11 +1886,7 @@ def kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact-sized pass is the per-day partial aggregation; pairs are
     generated on the per-year spine whose size is calendar-bounded,
     independent of fact rows."""
-    ensure_utc(spark)
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
-    )
+    daily = _daily_cents(spark, sf_dir)
     idx = daily.select(
         F.year("day").cast("bigint").alias("year"),
         F.datediff("day", F.lit("1990-01-01").cast("date"))
@@ -1995,11 +1997,7 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: one fact scan -> per-day partials; the sort, the lag
     window, and the moments all run on the calendar-bounded spine."""
-    ensure_utc(spark)
-    o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
-    )
+    daily = _daily_cents(spark, sf_dir)
     arr = daily.agg(
         F.sort_array(F.collect_list("yc")).alias("ls"),
         F.count("*").alias("m"),

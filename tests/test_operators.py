@@ -1042,3 +1042,39 @@ def test_exact_rank_values_single_value_and_empty(spark):
     ]
     empty = spark.createDataFrame([], "c BIGINT")
     assert exact_rank_values(empty, "c", [(0, 1)]) == []
+
+
+def test_exact_rank_values_huge_span_and_guards(spark):
+    """Integer-division bucketing stays exact past 2^53 (a double
+    division would misbucket there — the review finding), including an
+    int64-min endpoint; out-of-range ranks and over-int64 spans fail
+    fast with ValueError."""
+    import pytest
+
+    from bigdata_imgprocessing_spark.operators.selection import (
+        exact_rank_values,
+    )
+
+    data = [-(2**61), -(2**53) - 3, -1, 0, 1, 2**53 + 1, 2**61 - 7]
+    df = spark.createDataFrame([(v,) for v in data], "c BIGINT")
+    ref = sorted(data)
+    ranks = [(i, k) for i, k in enumerate([1, 3, 4, 7])]
+    got = exact_rank_values(df, "c", ranks, n_buckets=16)
+    assert got == sorted((t, k, ref[k - 1]) for t, k in ranks)
+
+    # int64-min endpoint: span still < 2^63
+    lomin = spark.createDataFrame(
+        [(-(2**63),), (-(2**63) + 5,), (-1,)], "c BIGINT"
+    )
+    assert exact_rank_values(lomin, "c", [(0, 1), (1, 3)], n_buckets=4) == [
+        (0, 1, -(2**63)),
+        (1, 3, -1),
+    ]
+
+    with pytest.raises(ValueError, match="ranks outside"):
+        exact_rank_values(df, "c", [(0, 0)])
+    with pytest.raises(ValueError, match="ranks outside"):
+        exact_rank_values(df, "c", [(0, len(data) + 1)])
+    wide = spark.createDataFrame([(-(2**63),), (2**62,)], "c BIGINT")
+    with pytest.raises(ValueError, match="span"):
+        exact_rank_values(wide, "c", [(0, 1)])
