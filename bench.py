@@ -270,6 +270,7 @@ HEADLINE = [
     "kendall_tau_trend",
     "runs_test_randomness",
     "poisson_dispersion_check",
+    "weekday_seasonality_strength",
 ]
 
 

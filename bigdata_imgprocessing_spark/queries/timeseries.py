@@ -2150,3 +2150,111 @@ def poisson_dispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(ok, F.round(disp, 6)).alias("dispersion"),
         F.when(ok, disp > 1.0).alias("overdispersed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Weekday seasonality strength: one-way variance decomposition of the
+# daily series by weekday — the decomposition member of the forecasting
+# family (ACF detects the weekly echo, MASE scores a forecast built on
+# it; this quantifies HOW MUCH of daily variance the weekly cycle
+# explains, the go/no-go number for a seasonal model).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekday_seasonality_strength",
+    oracle="""
+    WITH daily AS (
+        SELECT o_orderdate AS day,
+               CAST(round(sum(o_totalprice) * 100) AS BIGINT) AS yc
+        FROM orders GROUP BY o_orderdate
+    ), wd AS (
+        SELECT dayofweek(day) + 1 AS w, yc FROM daily
+    ), per AS (
+        SELECT w, count(*) AS n, CAST(sum(yc) AS DOUBLE) AS s,
+               CAST(sum(CAST(yc * yc AS HUGEINT)) AS DOUBLE) AS ss
+        FROM wd GROUP BY w
+    ), tot AS (
+        SELECT CAST(sum(n) AS BIGINT) AS n_all,
+               list_reduce([x.v FOR x IN list(struct_pack(i := w,
+                   v := s) ORDER BY w)], (a, b) -> a + b) AS s_all,
+               list_reduce([x.v FOR x IN list(struct_pack(i := w,
+                   v := ss) ORDER BY w)], (a, b) -> a + b) AS ss_all,
+               list_reduce([x.v FOR x IN list(struct_pack(i := w,
+                   v := ss - s * s / n) ORDER BY w)], (a, b) -> a + b)
+                   AS ss_within
+        FROM per
+    )
+    SELECT CAST(p.w AS INTEGER) AS weekday, CAST(p.n AS BIGINT) AS n_days,
+           round(p.s / p.n / 100, 2) AS mean_daily_rev,
+           CASE WHEN t.ss_all - t.s_all * t.s_all / t.n_all <> 0 THEN
+               round(1 - t.ss_within
+                     / (t.ss_all - t.s_all * t.s_all / t.n_all), 6)
+           END AS seasonal_strength
+    FROM per p CROSS JOIN tot t ORDER BY p.w
+    """,
+)
+def weekday_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way variance decomposition of daily revenue by weekday:
+    seasonal_strength = 1 - SS_within / SS_total, where SS_within sums
+    each weekday's centered sum of squares — the fraction of daily
+    variance the weekly cycle explains (the eta-squared of the weekday
+    factor). ~0 here is the honest verdict on this synthetic corpus
+    (no planted weekly cycle), exactly what the monitor should report
+    before anyone ships a weekly-seasonal forecast; per-weekday means
+    are the decomposition itself.
+
+    Float parity: daily cents are exact int64; y^2 sums accumulate as
+    DECIMAL(38,0) in Spark / HUGEINT in DuckDB (int64 would overflow
+    past daily values of ~2e9 cents at large sf — the spearman
+    discipline) and every moment converts to double from the SAME
+    exact integer; the cross-weekday combinations are weekday-ORDERED
+    folds (ordered_fold_sum / list_reduce), the within-group term
+    ss - s*s/n is the identical expression shape per weekday, and the
+    constant-series degenerate (SS_total = 0) pins strength to NULL in
+    both engines.
+
+    Scale: one fact scan -> per-day partials -> a 7-row per-weekday
+    aggregate; the folds and the final join run on the 7-row spine."""
+    daily = _daily_cents(spark, sf_dir)
+    wd = daily.select(
+        F.dayofweek("day").alias("w"),
+        "yc",
+    )
+    per = wd.groupBy("w").agg(
+        F.count("*").alias("n"),
+        F.sum("yc").cast("double").alias("s"),
+        F.sum((F.col("yc") * F.col("yc")).cast("decimal(38,0)"))
+        .cast("double")
+        .alias("ss"),
+    )
+    arr = per.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.array_sort(
+            F.collect_list(F.struct("w", "s", "ss", "n"))
+        ).alias("a"),
+    )
+    tot = arr.select(
+        "n_all",
+        ordered_fold_sum(F.transform("a", lambda x: x["s"])).alias("s_all"),
+        ordered_fold_sum(F.transform("a", lambda x: x["ss"])).alias(
+            "ss_all"
+        ),
+        ordered_fold_sum(
+            F.transform(
+                "a", lambda x: x["ss"] - x["s"] * x["s"] / x["n"]
+            )
+        ).alias("ss_within"),
+    )
+    ss_total = F.col("ss_all") - F.col("s_all") * F.col("s_all") / F.col(
+        "n_all"
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.col("w").cast("int").alias("weekday"),
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(F.col("s") / F.col("n") / 100, 2).alias("mean_daily_rev"),
+        F.when(
+            ss_total != 0,
+            F.round(1 - F.col("ss_within") / ss_total, 6),
+        ).alias("seasonal_strength"),
+    )

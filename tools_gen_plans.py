@@ -37,6 +37,8 @@ PICKS = {
     "ivf_search_served": "IVF serving: one Arrow pass each for assignment + probe selection, probe side broadcast into a cell equi-join, top-k as WindowGroupLimit (no global sort).",
     "heatmap_chart_data": "Chart matrix: 6-row keyword dim broadcast BNLJ, ONE exchange with map-side partial conditional counts -- no pivot distinct-values job.",
     "lone_problem_supplier": "Q21 decorrelated: EXISTS / NOT EXISTS expressed as one per-order aggregation pass; lineitem scanned once instead of three times.",
+    "dbscan_core_points": "Density classification: candidates from ONE equi-join on eps-grid cell keys (probe side exploded 3x3, broadcast offsets), exact distance as a JVM residual; the cached pair frame feeds both the neighbor count and the border semi-join.",
+    "image_patch_tokens": "ViT patchify: encode + decode + reshape/transpose patching inside one Arrow-batched python stage (pixels never cross the shuffle); only 5-int patch summaries reach the 16-position rollup.",
     "fuzzy_match_stats": "Fuzzy matching: distinct-reduced vocab broadcast, JVM levenshtein, per-row argmin as a map-side-partial struct min -- one row per part through the shuffle.",
     "pii_scrub_stats": "PII scrub: pure JVM regexp map over the scan, one low-cardinality rollup shuffle; no UDF, no join.",
     "bm25_search": "BM25: query-term posting lists only through the shuffle (cached tf frame feeds df AND scoring), broadcast corpus stats, TakeOrderedAndProject bounded top-10.",
