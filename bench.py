@@ -271,6 +271,7 @@ HEADLINE = [
     "runs_test_randomness",
     "poisson_dispersion_check",
     "weekday_seasonality_strength",
+    "isotonic_calibration",
 ]
 
 

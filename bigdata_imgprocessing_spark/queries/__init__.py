@@ -45,7 +45,7 @@ _PRIORITY = [
     "cross_source_dup_rate", "pinball_quantile_eval",
     "trimmed_mean_no_sort", "kendall_tau_trend",
     "runs_test_randomness", "poisson_dispersion_check",
-    "weekday_seasonality_strength",
+    "weekday_seasonality_strength", "isotonic_calibration",
     # (2) queries whose CODE was refactored in round 10 AFTER their
     # last driver row (ADVICE r10 item 1): the strictly-before /
     # concurrent-write refactor and the semi-join-to-filter change

@@ -2329,3 +2329,138 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("c").cast("bigint").alias("min_neighbors"),
         F.max("c").cast("bigint").alias("max_neighbors"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration: the monotone recalibration the calibration audit
+# calls for — computed via the MINIMAX closed form (no PAV loop), so it
+# is fully declarative and bit-identical across engines.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "isotonic_calibration",
+    oracle=f"""
+    WITH w AS (SELECT {str(_W)}::DOUBLE[] AS wv),
+    scored AS (
+        SELECT vec_id, label,
+               round(list_sum(list_transform(range(64),
+                     i -> embedding[i+1]::DOUBLE * wv[i+1])), 4) AS score
+        FROM embeddings, w
+    ),
+    b AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+    binned AS (
+        SELECT least(CAST(floor((score - lo) / (hi - lo) * 10) AS BIGINT),
+                     9) AS bin,
+               CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+        FROM scored, b
+    ),
+    per AS (SELECT bin, count(*) AS n, sum(pos) AS s FROM binned GROUP BY bin),
+    pre AS (
+        SELECT bin, n, s,
+               sum(n) OVER (ORDER BY bin) AS np,
+               sum(s) OVER (ORDER BY bin) AS sp
+        FROM per
+    ),
+    mm AS (
+        SELECT i.bin AS i, j.bin AS j,
+               min((k.sp - j.sp + j.s) * 1.0
+                   / (k.np - j.np + j.n)) AS mn
+        FROM pre i JOIN pre j ON j.bin <= i.bin
+                   JOIN pre k ON k.bin >= i.bin
+        GROUP BY i.bin, j.bin
+    ),
+    fit AS (SELECT i, max(mn) AS iso FROM mm GROUP BY i)
+    SELECT CAST(p.bin AS BIGINT) AS bin, CAST(p.n AS BIGINT) AS n,
+           CAST(p.s AS BIGINT) AS n_pos,
+           round(p.s * 1.0 / p.n, 4) AS raw_rate,
+           round(f.iso, 6) AS iso_rate,
+           f.iso <> p.s * 1.0 / p.n AS pooled
+    FROM per p JOIN fit f ON f.i = p.bin ORDER BY p.bin
+    """,
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (monotone) recalibration of the linear scorer's decile
+    bins — the fix ``score_calibration_bins`` tells you to apply: the
+    unique nondecreasing fit to the per-bin positive rates, weighted by
+    bin counts. Computed via the MINIMAX closed form
+    fit_i = max_{{j<=i}} min_{{k>=i}} mean(j..k) instead of the PAV
+    loop, so the whole operator is three joins over the 10-row bin
+    spine — fully declarative, no iteration, no driver loop, and the
+    answer is the identical unique isotonic solution.
+
+    Float parity: bin assignment and positives reuse the calibration
+    query's exact machinery; segment means derive from integer PREFIX
+    sums ((sp_k - sp_j + s_j) / (np_k - np_j + n_j) — one division of
+    bit-identical int64 operands per (j, k) pair), and min/max select
+    among identical doubles, so the fit is bit-identical before the
+    terminal round; the pooled flag compares the UNROUNDED doubles.
+
+    Scale: one scoring scan -> a 10-row per-bin aggregate; the minimax
+    triple join is 10^3 spine rows. At B bins the closed form costs
+    O(B^3) spine work — B is a calibration knob (10-100), never
+    corpus-sized, which is exactly why the closed form beats shipping
+    a sequential PAV loop into a distributed engine."""
+    e = table(spark, sf_dir, "embeddings")
+    scorer = make_linear_scorer(spark, _W)
+    scored = e.select(
+        "label", F.round(scorer(F.col("embedding")), 4).alias("score")
+    )
+    b = scored.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    binned = scored.crossJoin(F.broadcast(b)).select(
+        F.least(
+            F.floor(
+                (F.col("score") - F.col("lo"))
+                / (F.col("hi") - F.col("lo"))
+                * 10
+            ).cast("bigint"),
+            F.lit(9),
+        ).alias("bin"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+    per = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("s")
+    )
+    wd = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pre = per.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(wd).alias("np"),
+        F.sum("s").over(wd).alias("sp"),
+    )
+    i = pre.select(F.col("bin").alias("i"))
+    j = pre.select(
+        F.col("bin").alias("jb"),
+        F.col("n").alias("jn"),
+        F.col("s").alias("js"),
+        F.col("np").alias("jnp"),
+        F.col("sp").alias("jsp"),
+    )
+    k = pre.select(
+        F.col("bin").alias("kb"),
+        F.col("np").alias("knp"),
+        F.col("sp").alias("ksp"),
+    )
+    mm = (
+        i.join(F.broadcast(j), F.col("jb") <= F.col("i"))
+        .join(F.broadcast(k), F.col("kb") >= F.col("i"))
+        .groupBy("i", "jb")
+        .agg(
+            F.min(
+                (F.col("ksp") - F.col("jsp") + F.col("js"))
+                * 1.0
+                / (F.col("knp") - F.col("jnp") + F.col("jn"))
+            ).alias("mn")
+        )
+    )
+    fit = mm.groupBy("i").agg(F.max("mn").alias("iso"))
+    raw = F.col("s") * 1.0 / F.col("n")
+    return per.join(fit, per.bin == fit.i).select(
+        F.col("bin").cast("bigint").alias("bin"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("s").cast("bigint").alias("n_pos"),
+        F.round(raw, 4).alias("raw_rate"),
+        F.round(F.col("iso"), 6).alias("iso_rate"),
+        (F.col("iso") != raw).alias("pooled"),
+    )

@@ -608,3 +608,68 @@ def test_patchify_iter_matches_numpy_reference():
         pr, pc = int(r["pr"]), int(r["pc"])
         want = int(img[2 * pr : 2 * pr + 2, 2 * pc : 2 * pc + 2].sum())
         assert int(r["psum"]) == want and int(r["token"]) == want // 64
+
+
+def test_isotonic_minimax_equals_pav_reference(spark, sf_dir):
+    """The minimax closed form used by isotonic_calibration equals the
+    classic pool-adjacent-violators fit (the unique isotonic solution),
+    checked on the real query output AND on random weighted bins."""
+    import random
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    def pav(ns, ss):
+        # stack of pools [n, s, span]; merge while means decrease
+        # (integer cross-multiplied mean comparison — no float ordering)
+        pools = []
+        for n, s in zip(ns, ss):
+            pools.append([n, s, 1])
+            while len(pools) > 1 and (
+                pools[-1][1] * pools[-2][0] <= pools[-2][1] * pools[-1][0]
+            ):
+                n2, s2, c2 = pools.pop()
+                pools[-1][0] += n2
+                pools[-1][1] += s2
+                pools[-1][2] += c2
+        fits = []
+        for n, s, c in pools:
+            fits.extend([s / n] * c)
+        return fits
+
+    def minimax(ns, ss):
+        B = len(ns)
+        sp = [0]
+        np_ = [0]
+        for n, s in zip(ns, ss):
+            sp.append(sp[-1] + s)
+            np_.append(np_[-1] + n)
+        fits = []
+        for i in range(B):
+            best = None
+            for j in range(i + 1):
+                mn = min(
+                    (sp[k + 1] - sp[j]) / (np_[k + 1] - np_[j])
+                    for k in range(i, B)
+                )
+                best = mn if best is None else max(best, mn)
+            fits.append(best)
+        return fits
+
+    rng = random.Random(11)
+    for _ in range(50):
+        B = rng.randrange(1, 12)
+        ns = [rng.randrange(1, 40) for _ in range(B)]
+        ss = [rng.randrange(0, n + 1) for n in ns]
+        a, b = pav(ns, ss), minimax(ns, ss)
+        assert all(abs(x - y) < 1e-12 for x, y in zip(a, b)), (ns, ss)
+
+    rows = sorted(
+        QUERIES["isotonic_calibration"](spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    iso = [r["iso_rate"] for r in rows]
+    assert iso == sorted(iso)  # monotone by construction
+    ns = [r["n"] for r in rows]
+    ss = [r["n_pos"] for r in rows]
+    want = pav(ns, ss)
+    assert all(abs(r["iso_rate"] - w) < 5e-7 for r, w in zip(rows, want))
