@@ -272,6 +272,7 @@ HEADLINE = [
     "poisson_dispersion_check",
     "weekday_seasonality_strength",
     "isotonic_calibration",
+    "mcnemar_filter_agreement",
 ]
 
 

@@ -46,6 +46,7 @@ _PRIORITY = [
     "trimmed_mean_no_sort", "kendall_tau_trend",
     "runs_test_randomness", "poisson_dispersion_check",
     "weekday_seasonality_strength", "isotonic_calibration",
+    "mcnemar_filter_agreement",
     # (2) queries whose CODE was refactored in round 10 AFTER their
     # last driver row (ADVICE r10 item 1): the strictly-before /
     # concurrent-write refactor and the semi-join-to-filter change

@@ -1132,3 +1132,95 @@ def observed_scan_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, real.schema
     ).crossJoin(F.broadcast(metrics))
+
+
+# ---------------------------------------------------------------------------
+# McNemar filter-agreement test: do two quality filters disagree beyond
+# chance — the paired test a curation team runs before swapping filters
+# (an unpaired rate comparison is wrong here: both filters score the
+# SAME documents, so only the discordant cells carry information).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "mcnemar_filter_agreement",
+    oracle="""
+    WITH f AS (
+        SELECT CASE WHEN n_chars < 300 THEN 1 ELSE 0 END AS fa,
+               CASE WHEN len(string_split(text, ' ')) < 50
+                    THEN 1 ELSE 0 END AS fb
+        FROM documents
+    ), m AS (
+        SELECT count(*) FILTER (WHERE fa = 1 AND fb = 1) AS a,
+               count(*) FILTER (WHERE fa = 1 AND fb = 0) AS b,
+               count(*) FILTER (WHERE fa = 0 AND fb = 1) AS c,
+               count(*) FILTER (WHERE fa = 0 AND fb = 0) AS d
+        FROM f
+    )
+    SELECT CAST(a AS BIGINT) AS n_both, CAST(b AS BIGINT) AS n_only_a,
+           CAST(c AS BIGINT) AS n_only_b, CAST(d AS BIGINT) AS n_neither,
+           CASE WHEN a + b + c > 0
+                THEN round(a * 1.0 / (a + b + c), 4) END AS flag_jaccard,
+           CASE WHEN b + c > 0 THEN
+               round((b - c) * (b - c) * 1.0 / (b + c), 4)
+           END AS mcnemar_chi2,
+           CASE WHEN b + c > 0 THEN
+               (b - c) * (b - c) * 1.0 / (b + c) > 3.841459
+           END AS significant
+    FROM m
+    """,
+)
+def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test between two document quality filters
+    (filter A: n_chars < 300; filter B: whitespace tokens < 50) — the
+    statistically correct way to ask "does the candidate filter flag a
+    DIFFERENT population than the incumbent": both filters score the
+    same documents, so the concordant cells are uninformative and the
+    test runs on the discordant counts alone, chi2 = (b-c)^2/(b+c).
+    Alongside: the flagged-set Jaccard (how much the filters overlap at
+    all) and the full 2x2 agreement table — the numbers a filter-swap
+    review actually reads.
+
+    Float parity: the 2x2 cells are exact integer counts from
+    identical predicates; chi2 and the Jaccard are single divisions of
+    bit-identical int64 operands; the all-concordant (b + c = 0) and
+    nothing-flagged degenerates pin their ratios to NULL in both
+    engines, and the significance flag compares the UNROUNDED double.
+
+    Scale: ONE corpus scan into four map-side-combinable conditional
+    counts — the audit costs a rounding error on top of either filter
+    it compares."""
+    d = table(spark, sf_dir, "documents")
+    fa = (F.col("n_chars") < 300).cast("int")
+    fb = (F.size(F.split("text", " ", -1)) < 50).cast("int")
+    m = d.select(fa.alias("fa"), fb.alias("fb")).agg(
+        F.sum(((F.col("fa") == 1) & (F.col("fb") == 1)).cast("bigint")).alias("a"),
+        F.sum(((F.col("fa") == 1) & (F.col("fb") == 0)).cast("bigint")).alias("b"),
+        F.sum(((F.col("fa") == 0) & (F.col("fb") == 1)).cast("bigint")).alias("c"),
+        F.sum(((F.col("fa") == 0) & (F.col("fb") == 0)).cast("bigint")).alias("d"),
+    )
+    chi2 = (
+        (F.col("b") - F.col("c"))
+        * (F.col("b") - F.col("c"))
+        * 1.0
+        / (F.col("b") + F.col("c"))
+    )
+    return m.select(
+        F.col("a").cast("bigint").alias("n_both"),
+        F.col("b").cast("bigint").alias("n_only_a"),
+        F.col("c").cast("bigint").alias("n_only_b"),
+        F.col("d").cast("bigint").alias("n_neither"),
+        F.when(
+            F.col("a") + F.col("b") + F.col("c") > 0,
+            F.round(
+                F.col("a") * 1.0 / (F.col("a") + F.col("b") + F.col("c")),
+                4,
+            ),
+        ).alias("flag_jaccard"),
+        F.when(F.col("b") + F.col("c") > 0, F.round(chi2, 4)).alias(
+            "mcnemar_chi2"
+        ),
+        F.when(F.col("b") + F.col("c") > 0, chi2 > 3.841459).alias(
+            "significant"
+        ),
+    )
