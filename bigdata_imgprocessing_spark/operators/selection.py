@@ -176,6 +176,19 @@ def exact_rank_values(
         nxt = []
         for i, (tag, k, rlo, rhi, within) in enumerate(todo):
             w = widths[ranges[(rlo, rhi)]]
+            if i not in hits:
+                # The bucket-locate join returned no row: the rank
+                # invariant (lo_c < within <= hi_c for exactly one
+                # bucket) was violated, which can only happen if the
+                # input changed between the stats collect and this
+                # refinement pass (ADVICE r11: a bare KeyError here is
+                # undiagnosable deep in the loop).
+                raise RuntimeError(
+                    f"exact-selection invariant broken: no bucket "
+                    f"contains rank {within} for target {tag!r} in "
+                    f"range [{rlo}, {rhi}] — was the input mutated "
+                    f"during refinement?"
+                )
             hit = hits[i]
             b = int(hit["b"])
             nlo = rlo + b * w

@@ -2244,17 +2244,23 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     thresholds are tuned (dense cores are near-dup candidates, noise
     points are the coverage tail a pruner must not drop).
 
-    Spark plan: NO all-pairs join — points land in eps-wide grid
-    cells, the probe side explodes each point into its 3x3 neighbor
-    cells, and candidates come from ONE equi-join on the cell key
-    (the same blocking discipline as the banded hamming join); the
-    exact eps test then filters candidates. Per-cell occupancy is
-    corpus-density-bounded (avg ~2 here), the join fan-out is 9x —
-    constant — and a hot cell is capped by density, not corpus size.
-    The DuckDB oracle uses the naive quadratic self-join (fine at
-    oracle scale); the cell plan produces the identical pair set
-    because any pair within eps is at most one cell apart on each
-    axis.
+    Spark plan: NO all-pairs join — points land in grid cells of
+    width eps*(1+1e-9), the probe side explodes each point into its
+    3x3 neighbor cells, and candidates come from ONE equi-join on the
+    cell key (the same blocking discipline as the banded hamming
+    join); the exact eps test then filters candidates. Per-cell
+    occupancy is corpus-density-bounded (avg ~2 here), the join
+    fan-out is 9x — constant — and a hot cell is capped by density,
+    not corpus size. The DuckDB oracle uses the naive quadratic
+    self-join (fine at oracle scale); the cell plan produces the
+    identical pair set because any pair within eps is at most one
+    cell apart on each axis — the 1e-9 width guard (ADVICE r11)
+    makes that hold even for a pair whose distance sits within ~1 ulp
+    of exactly eps, where floor(x/eps) under fp rounding could
+    otherwise place the points 2 cells apart while the squared test
+    still passes; the guard only widens cells (candidate superset),
+    and the exact <= eps^2 filter is unchanged, so the output is
+    provably identical.
 
     Float parity: coordinates are the same parquet floats widened to
     double; the distance test is the identical expression both
@@ -2277,12 +2283,17 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at("embedding", 1).cast("double").alias("x"),
         F.element_at("embedding", 2).cast("double").alias("y"),
     )
+    # Cell width is eps widened by 1e-9: guarantees any pair passing
+    # the exact <= eps^2 test below is at most one cell apart per axis
+    # even at the fp boundary (see docstring); output is unaffected
+    # because the distance filter is unchanged.
+    cw = F.lit(0.05 * (1.0 + 1e-9))
     cell = p.select(
         "vec_id",
         "x",
         "y",
-        F.floor(F.col("x") / eps).cast("bigint").alias("cx"),
-        F.floor(F.col("y") / eps).cast("bigint").alias("cy"),
+        F.floor(F.col("x") / cw).cast("bigint").alias("cx"),
+        F.floor(F.col("y") / cw).cast("bigint").alias("cy"),
     )
     offs = spark.range(9).select(
         (F.col("id") % 3 - 1).cast("bigint").alias("dx"),

@@ -1963,12 +1963,15 @@ def kendall_tau_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), m AS (
         SELECT count(*) FILTER (WHERE up) AS n1,
                count(*) FILTER (WHERE NOT up) AS n2,
-               1 + sum(flip) AS runs, count(*) AS n
+               CASE WHEN count(*) = 0 THEN 0
+                    ELSE 1 + sum(flip) END AS runs,
+               count(*) AS n
         FROM flips
     )
     SELECT CAST(n1 AS BIGINT) AS n_above, CAST(n2 AS BIGINT) AS n_below,
            CAST(runs AS BIGINT) AS n_runs,
-           round(2.0 * n1 * n2 / n + 1, 6) AS expected_runs,
+           CASE WHEN n > 0 THEN round(2.0 * n1 * n2 / n + 1, 6)
+           END AS expected_runs,
            CASE WHEN n1 > 0 AND n2 > 0 AND 2.0 * n1 * n2 <> n THEN
                round((runs - (2.0 * n1 * n2 / n + 1))
                      / sqrt(2.0 * n1 * n2 * (2.0 * n1 * n2 - n)
@@ -1993,7 +1996,9 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
     half-grid median double); mu/var/z are identical expression
     shapes over bit-identical integer operands — one sqrt, one
     terminal round; the degenerate all-one-side and var=0 cases pin
-    z to NULL in both engines.
+    z to NULL in both engines, and the constant-series case (every
+    day equals the median, signs empty) pins counts/runs to 0 and
+    expected_runs/z to NULL symmetrically (ADVICE r11).
 
     Scale: one fact scan -> per-day partials; the sort, the lag
     window, and the moments all run on the calendar-bounded spine."""
@@ -2023,10 +2028,20 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("flip"),
     )
+    # Degenerate guard (ADVICE r11): if every day equals the median,
+    # `signs` is empty — Spark's sum over the empty frame yields NULL
+    # where DuckDB's count(*) FILTER yields 0. Coalesce the counts to
+    # 0, pin runs to 0, and gate expected_runs on n > 0 so the
+    # constant-series case is NULL-pinned symmetrically in both
+    # engines (the logrank/acf discipline).
     m = flips.agg(
-        F.sum(F.col("up").cast("bigint")).alias("n1"),
-        F.sum((~F.col("up")).cast("bigint")).alias("n2"),
-        (1 + F.sum("flip")).alias("runs"),
+        F.coalesce(F.sum(F.col("up").cast("bigint")), F.lit(0)).alias("n1"),
+        F.coalesce(F.sum((~F.col("up")).cast("bigint")), F.lit(0)).alias(
+            "n2"
+        ),
+        F.when(F.count("*") == 0, F.lit(0))
+        .otherwise(1 + F.sum("flip"))
+        .alias("runs"),
         F.count("*").alias("n"),
     )
     mu = 2.0 * F.col("n1") * F.col("n2") / F.col("n") + 1
@@ -2041,7 +2056,7 @@ def runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n1").cast("bigint").alias("n_above"),
         F.col("n2").cast("bigint").alias("n_below"),
         F.col("runs").cast("bigint").alias("n_runs"),
-        F.round(mu, 6).alias("expected_runs"),
+        F.when(F.col("n") > 0, F.round(mu, 6)).alias("expected_runs"),
         F.when(
             (F.col("n1") > 0)
             & (F.col("n2") > 0)

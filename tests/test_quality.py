@@ -673,3 +673,49 @@ def test_isotonic_minimax_equals_pav_reference(spark, sf_dir):
     ss = [r["n_pos"] for r in rows]
     want = pav(ns, ss)
     assert all(abs(r["iso_rate"] - w) < 5e-7 for r, w in zip(rows, want))
+
+
+def test_runs_test_constant_series_null_pinned(spark, tmp_path):
+    """ADVICE r11: when every day's revenue equals the median, `signs`
+    is empty — both engines must pin counts/runs to 0 and
+    expected_runs/z to NULL (the logrank/acf NULL-pinning discipline),
+    instead of Spark emitting NULL counts while DuckDB divides by 0."""
+    import datetime
+
+    import duckdb
+
+    from bigdata_imgprocessing_spark.queries import ORACLES, QUERIES
+
+    rows = [
+        (
+            i,
+            1,
+            "O",
+            100.0,
+            datetime.datetime(2024, 1, 1 + i),
+            "1-URGENT",
+        )
+        for i in range(4)
+    ]
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, "
+        "o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    sf_dir = str(tmp_path)
+    got = QUERIES["runs_test_randomness"](spark, sf_dir).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["n_above"], r["n_below"], r["n_runs"]) == (0, 0, 0)
+    assert r["expected_runs"] is None and r["z"] is None
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW orders AS SELECT * FROM "
+        f"'{sf_dir}/orders.parquet/*.parquet'"
+    )
+    orow = con.execute(ORACLES["runs_test_randomness"]).fetchall()[0]
+    assert tuple(orow) == (0, 0, 0, None, None)
