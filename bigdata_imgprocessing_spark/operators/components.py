@@ -51,13 +51,19 @@ def connected_components(
     # bytes-per-partition sizing rule as spark.sql.files.maxPartitionBytes,
     # applied to the iteration state)
     cores = cache_parallelism(edges.sparkSession)
+    # eager=False throughout: every localCheckpoint here is followed
+    # immediately by an action (count / convergence sum), so the lazy
+    # form lets that action materialize the checkpoint — one Spark job
+    # per round instead of two (measured on er_golden_record: the
+    # query's wall is stage-scheduling overhead, not executor time, so
+    # job count IS the cost).
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
-    n_edges = sym.count()  # free: checkpoint just materialized it
+    n_edges = sym.count()  # materializes the checkpoint
     width = max(1, min(cores, n_edges // 50_000))
     sym = sym.coalesce(width)  # narrow on the checkpointed frame
     labels = (
@@ -65,7 +71,7 @@ def connected_components(
         .agg(F.min("b").alias("min_nbr"))
         .select(F.col("a").alias("node"), F.least("min_nbr", F.col("a")).alias("comp"))
         .coalesce(width)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
     rounds = 0
@@ -86,7 +92,9 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("comp").alias("comp"))
             .coalesce(width)
-            .localCheckpoint()  # cut lineage growth between rounds
+            # cut lineage growth between rounds; materialized by the
+            # convergence sum below (eager would cost a second job)
+            .localCheckpoint(eager=False)
         )
         new_sum = labels.agg(F.sum("comp")).first()[0]
         if new_sum == prev_sum:

@@ -28,67 +28,52 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 11) with zero driver history —
+    # (1) NEW this round (round 12) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round (the
     # lsh_incremental_pairs lesson from VERDICT r7). Names appended as
     # each operator lands.
-    "kaplan_meier_churn", "benford_amount_audit",
-    "mannwhitney_price_shift", "ols_revenue_trend",
-    "decontam_store_prefilter", "streaming_ewma_anomaly",
-    "jackknife_revenue_variance", "zipf_law_fit", "observed_scan_metrics",
-    "simhash64_neardup_capped",
-    # (1b) registered late in round 11 (continuation session) — zero
-    # driver history, so they lead the remaining window slots.
-    "roc_auc_eval", "dbscan_core_points", "spearman_rank_corr",
-    "theilsen_revenue_trend", "logrank_survival_test", "acf_daily_revenue",
-    "exact_deciles_no_sort", "mixture_epoch_plan", "image_patch_tokens",
-    "cross_source_dup_rate", "pinball_quantile_eval",
-    "trimmed_mean_no_sort", "kendall_tau_trend",
-    "runs_test_randomness", "poisson_dispersion_check",
-    "weekday_seasonality_strength", "isotonic_calibration",
-    "mcnemar_filter_agreement",
-    # (2) queries whose CODE was refactored in round 10 AFTER their
-    # last driver row (ADVICE r10 item 1): the strictly-before /
-    # concurrent-write refactor and the semi-join-to-filter change
-    # shipped without a fresh cross-engine hash row — re-check first.
-    "streaming_lsh_ingest", "streaming_decontam_ingest",
-    "decontam_bloom_prefilter",
-    # (3) the 31 rows whose latest driver row is still round 6 — the
-    # tail of the r6 cohort past round 10's 50-slot window (VERDICT
-    # r10 item 1: no row older than r7 after this round).
-    "detection_class_names", "audio_feature_extract", "distinct_counts",
-    "knn_bruteforce", "ann_ivf_topk", "nearest_centroid_counts",
-    "embedding_norm_stats", "embedding_model_scores", "doc_token_stats",
-    "doc_quality_scores", "lang_id_confusion", "doc_fingerprints",
-    "conditional_agg_ratio", "keyword_doc_stats", "keyword_lang_stats",
-    "tfidf_top_terms", "stats_pipeline_e2e", "jsonl_roundtrip_stats",
-    "bucketed_join_revenue", "report_text_roundtrip", "vocab_top_terms",
-    "repetition_ngram_stats", "streaming_stateful_totals",
-    "doc_embedding_join_stats", "cached_predictions_stats",
-    "interval_merge_coverage", "rfm_segmentation", "weighted_doc_sample",
-    "null_safe_reconcile", "streaming_erasure_feed",
-    "image_corrupt_quarantine",
-    # (4) the 49-row r7 cohort, oldest-first (registration order); the
-    # tail past the 50-slot window leads the round-12 rotation.
-    "approx_balance_deciles", "doc_chunk_windows", "doc_quality_filter",
-    "decontam_ngram_overlap", "dedup_exact", "minhash_lsh_pairs",
-    "ngram_jaccard_hist", "simhash_fingerprints", "doc_chain_components",
-    "label_prop_communities", "pair_rouge_stats", "minhash_estimate_error",
-    "freq_event_pairs", "kll_quantile_drift", "equidepth_price_buckets",
-    "image_avg_color", "image_dominant_hist", "image_detection_counts",
-    "image_predictions", "image_phash_neardup", "image_letterbox_stats",
-    "video_frame_sample", "cluster_profile", "pricing_summary",
-    "alphabet_stats", "top_orders", "region_revenue",
-    "name_length_buckets", "semi_join_customers", "anti_join_customers",
-    "outer_join_order_counts", "window_topk_orders", "moving_avg_orders",
-    "rollup_revenue", "cube_order_stats", "set_ops_customers",
-    "full_outer_nation_counts", "exists_late_orders",
-    "small_quantity_revenue", "inactive_rich_customers",
-    "customer_balance_deciles", "priority_multiset_diff",
-    "market_share_by_year", "ann_ivf_learned", "quantized_ann_recall",
-    "pq_ann_recall", "mmr_diverse_topk", "bpe_apply_stats",
-    "session_funnel_stats",
-    # (5) r8+-green rows follow in registration order.
+    # (2) queries whose CODE or ORACLE changed in round 12 AFTER their
+    # r11 driver row — re-check first: the lsh ingest got the F.expr
+    # plan-construction rewrite + write restructure (and the shared
+    # _shingles/_minhash_signatures/_band_frame builders moved to
+    # F.expr, touching the whole minhash family), runs_test gained the
+    # symmetric degenerate guard (oracle text changed), dbscan gained
+    # the cell-width boundary guard.
+    "streaming_lsh_ingest", "runs_test_randomness", "dbscan_core_points",
+    "minhash_lsh_pairs", "lsh_incremental_pairs", "minhash_band_stats",
+    "minhash_estimate_error", "ngram_jaccard_hist", "cross_source_dup_rate",
+    "winnowing_fingerprints", "pair_rouge_stats",
+    # (2b) connected_components moved to lazy localCheckpoint and
+    # er_golden_record's survivorship collapsed to one aggregation —
+    # re-check the closure consumers whose plans changed (values
+    # proven identical by the r12 targeted driver-sim).
+    "er_golden_record", "doc_chain_components", "neardup_component_dedup",
+    "component_safe_split", "image_phash_neardup", "embedding_lsh_neardup",
+    "simhash64_neardup",
+    # (3) the r8 cohort (48 rows, oldest driver rows remaining after
+    # the judge's manual r6+r7 re-verify in round 11 — VERDICT r11
+    # item 2: the window drains oldest-first from r8), in their r8
+    # driver-row order.
+    "map_measure_rollup", "lag_order_gaps", "grouping_sets_revenue",
+    "regex_token_stats", "percentile_stats", "approx_sketch_stats",
+    "event_histogram", "json_map_extract", "pivot_event_counts",
+    "asof_purchase_click", "range_join_funnel", "daily_counts_gapfilled",
+    "event_transition_counts", "range_window_counts", "orc_roundtrip_stats",
+    "compaction_file_stats", "heatmap_chart_data", "ivf_search_served",
+    "pii_scrub_stats", "fuzzy_match_stats", "lone_problem_supplier",
+    "neardup_component_dedup", "mixture_sample_stats", "bm25_search",
+    "funnel_conversion_stats", "jsonl_corrupt_handling",
+    "lateral_topk_customers", "outlier_order_stats", "locf_daily_values",
+    "pmi_collocations", "equidepth_approx_audit", "gopher_quality_rules",
+    "psi_release_drift", "kcore_neardup", "component_safe_split",
+    "hyperball_reach", "sorted_neighbor_lcp", "dim_truncation_recall",
+    "k_anonymity_audit", "vocab_growth_curve", "cdc_chunk_dedup",
+    "attribution_touchpoints", "kmeans_lloyd_rounds", "dpp_partition_join",
+    "streaming_quota_admission", "er_golden_record",
+    "hll_intersection_audit",
+    # (4) the r9 cohort follows (48 rows, registration order) for the
+    # slots past this round's window; then r10/r11 in registration
+    # order.
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

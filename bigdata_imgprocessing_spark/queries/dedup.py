@@ -43,14 +43,45 @@ def _b(j: int) -> int:
 # ---- shared Spark-side builders -------------------------------------------
 
 
-def _shingles(text: Column) -> Column:
-    """Word 3-gram shingles as an array<string> (empty-safe).
+def _shingles_sql(text: str) -> str:
+    """SQL fragment for word 3-gram shingles (empty-safe) over the
+    column expression ``text``.
 
     Built with arrays_zip over three shifted slices rather than
     ``transform(sequence(...), i -> toks[i] ...)``: subexpression
     elimination does not reach inside HOF lambdas, so the indexed form
     re-executes split() three times per ELEMENT (~2.4ms/doc measured);
-    the zip form splits once per row."""
+    the zip form splits once per row (the repeated ``split()`` calls
+    below are identical subtrees, eliminated by whole-stage codegen's
+    subexpression elimination exactly as the shared-Column form was).
+
+    A string, not a Column: foreachBatch pays plan CONSTRUCTION per
+    micro-batch, and the Column-DSL build of this expression cost
+    ~196 ms vs ~1 ms for the parse of this fragment (the r11
+    `_simhash64_frame` F.expr rule, NOTES item 5)."""
+    toks = f"split({text}, ' ')"
+    n = f"size({toks})"
+    zipped = (
+        f"arrays_zip(slice({toks}, 1, {n} - 2), "
+        f"slice({toks}, 2, {n} - 2), slice({toks}, 3, {n} - 2))"
+    )
+    return (
+        f"CASE WHEN {n} >= 3 THEN transform({zipped}, "
+        f"s -> concat_ws(' ', s['0'], s['1'], s['2'])) "
+        f"ELSE array({text}) END"
+    )
+
+
+def _shingles(text: Column | str) -> Column:
+    """Word 3-gram shingles as an array<string> (empty-safe).
+
+    Accepts a column NAME (fast path: one F.expr parse) or a Column
+    (legacy callers; routed through the same SQL fragment via the
+    column's field name when trivially extractable)."""
+    if isinstance(text, str):
+        return F.expr(_shingles_sql(text))
+    # Column arg: fall back to the DSL build (only hit by callers that
+    # pass a computed expression; all in-repo callers pass a name).
     toks = F.split(text, " ")
     n = F.size(toks)
     zipped = F.arrays_zip(
@@ -77,14 +108,24 @@ def _minhash_signatures(d: DataFrame) -> DataFrame:
     Catalyst's CollapseProject, so md5 runs 16x per shingle (measured 54s
     at sf0.1). Exploding computes each shingle's md5 exactly once; the
     min aggregates are map-side partial, so the shuffle carries only
-    16 ints per (doc, partition) — negligible at any scale."""
+    16 ints per (doc, partition) — negligible at any scale.
+
+    Construction is F.expr strings, not Column loops: foreachBatch
+    builds this plan per micro-batch and the Column-DSL form cost
+    ~660 ms/build (NOTES item 5 — same arithmetic, same plan)."""
     sh = d.select(
-        "doc_id", F.explode(F.array_distinct(_shingles(F.col("text")))).alias("s")
+        "doc_id",
+        F.expr(f"explode(array_distinct({_shingles_sql('text')}))").alias("s"),
     )
-    h = sh.select("doc_id", _h40(F.col("s")).alias("h"))
+    h = sh.select(
+        "doc_id",
+        F.expr(
+            "CAST(conv(substring(md5(s), 1, 10), 16, 10) AS BIGINT)"
+        ).alias("h"),
+    )
     return h.groupBy("doc_id").agg(
         *[
-            F.min((F.lit(_a(j)) * F.col("h") + F.lit(_b(j))) % _P).alias(f"mh{j}")
+            F.expr(f"min(({_a(j)} * h + {_b(j)}) % {_P}) AS mh{j}")
             for j in range(_N_HASHES)
         ]
     )
@@ -183,19 +224,18 @@ def minhash_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _band_frame(sig: DataFrame) -> DataFrame:
     """Signature frame → (doc_id, band, bkey) LSH band keys — ONE
-    definition shared by the batch pipeline and the incremental-index
-    query, so the banding scheme cannot drift between them."""
+    definition shared by the batch pipeline, the incremental-index
+    query, and the streaming ingest, so the banding scheme cannot
+    drift between deployment modes.
+
+    Single F.expr parse (was a ~400 ms Column-loop build paid per
+    micro-batch by the streaming ingest — NOTES item 5)."""
+    inner = ", ".join(
+        f"struct({b} AS band, concat_ws('_', mh{2*b}, mh{2*b+1}) AS bkey)"
+        for b in range(_BANDS)
+    )
     return sig.select(
-        "doc_id",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.concat_ws("_", f"mh{2*b}", f"mh{2*b+1}").alias("bkey"),
-                )
-                for b in range(_BANDS)
-            ])
-        ).alias("bb"),
+        "doc_id", F.expr(f"explode(array({inner}))").alias("bb")
     ).select("doc_id", "bb.band", "bb.bkey")
 
 
@@ -214,7 +254,7 @@ def _lsh_exact_candidates(
     from ..core.session import cache_parallelism
 
     d = table(spark, sf_dir, "documents")
-    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    with_sh = d.select("doc_id", _shingles("text").alias("sh"))
     # cache(): bands derives from sig, and the estimate-error audit
     # joins sig twice more for hash-agreement counts
     sig = _minhash_signatures(d).coalesce(cache_parallelism(spark)).cache()
@@ -311,7 +351,7 @@ def _ngram_posting_lists(spark: SparkSession, sf_dir: str, cutoff: int = 50) -> 
     the derivation rationale."""
     d = table(spark, sf_dir, "documents")
     sets = d.select(
-        "doc_id", F.array_distinct(_shingles(F.col("text"))).alias("ss")
+        "doc_id", F.array_distinct(_shingles("text")).alias("ss")
     )
     # Shuffle 8-byte shingle hashes, not ~30-byte shingle strings (the
     # hash is injective on the observed vocabulary — collision odds
@@ -1582,7 +1622,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = d.select(
         "doc_id",
         "lang",
-        F.posexplode(_shingles(F.col("text"))).alias("pos", "s0"),
+        F.posexplode(_shingles("text")).alias("pos", "s0"),
     ).select("doc_id", "lang", "pos", _h40(F.col("s0")).alias("h"))
     packed = F.col("h") * F.lit(1048576) + (F.lit(1048575) - F.col("pos"))
     w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, 3)
@@ -2181,7 +2221,7 @@ def lsh_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..core.session import cache_parallelism
 
     d = table(spark, sf_dir, "documents")
-    with_sh = d.select("doc_id", _shingles(F.col("text")).alias("sh"))
+    with_sh = d.select("doc_id", _shingles("text").alias("sh"))
     sig = _minhash_signatures(d)
     bands = _band_frame(sig).coalesce(cache_parallelism(spark)).cache()
     is_batch = F.col("doc_id") % 10 == 0
@@ -2502,21 +2542,21 @@ def er_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nm",
         F.coalesce(F.col("comp"), _h40(F.col("nm"))).alias("ent"),
     )
-    w = Window.partitionBy("ent").orderBy(
-        F.col("p_retailprice").desc(), F.col("p_partkey")
-    )
-    g1 = (
-        labeled.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
-        .select("ent", F.col("p_retailprice").alias("gp"))
-    )
+    # Survivorship, cluster size, and variant count in ONE entity-keyed
+    # aggregation (r12 stage diet — was a row_number window + a second
+    # groupBy + an ent-keyed join, three extra shuffle stages over the
+    # same co-partitioned data): the golden record (max retail price,
+    # tie → min partkey) is max(struct(price, -partkey)) because the
+    # struct ordering is lexicographic — identical pick to the oracle's
+    # row_number survivorship.
     clus = labeled.groupBy("ent").agg(
         F.count("*").alias("n_records"),
         F.count_distinct("nm").alias("n_strings"),
+        F.max(
+            F.struct(F.col("p_retailprice"), (-F.col("p_partkey")).alias("np"))
+        )["p_retailprice"].alias("gp"),
     )
-    return clus.join(g1, "ent").groupBy(
-        F.col("n_records").alias("cluster_size")
-    ).agg(
+    return clus.groupBy(F.col("n_records").alias("cluster_size")).agg(
         F.count("*").alias("n_clusters"),
         F.sum("n_strings").cast("bigint").alias("n_name_variants"),
         F.round(F.sum("gp"), 2).alias("golden_price_sum"),
