@@ -307,6 +307,10 @@ HEADLINE = [
     "streaming_windowed_counts",
     "unpivot_event_counts",
     "xml_roundtrip_stats",
+    # round 12 additions
+    "welch_ttest_price",
+    "cramers_v_association",
+    "topk_capture_eval",
 ]
 
 

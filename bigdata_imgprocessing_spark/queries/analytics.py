@@ -1737,3 +1737,314 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         rho("spr", "spp", "srr").alias("rho"),
     )
     return qp.unionAll(pr)
+
+
+# ---------------------------------------------------------------------------
+# Welch's t-test: unequal-variance two-sample mean test — the parametric
+# companion to Mann-Whitney (the rank test asks "did the location move";
+# Welch asks "did the MEAN move", without the classical equal-variance
+# assumption that real segment comparisons never satisfy).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "welch_ttest_price",
+    oracle="""
+    WITH c AS (
+        SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+        FROM orders
+    ), m AS (
+        SELECT count(*) FILTER (WHERE grp = 1) AS n1,
+               count(*) FILTER (WHERE grp = 0) AS n2,
+               sum(yc) FILTER (WHERE grp = 1) AS s1,
+               sum(yc) FILTER (WHERE grp = 0) AS s2,
+               sum(yc * yc) FILTER (WHERE grp = 1) AS ss1,
+               sum(yc * yc) FILTER (WHERE grp = 0) AS ss2
+        FROM c
+    ), v AS (
+        SELECT n1, n2, s1, s2,
+               CAST(n1 * ss1 - s1 * s1 AS DOUBLE)
+                   / (CAST(n1 AS DOUBLE) * (n1 - 1)) AS v1,
+               CAST(n2 * ss2 - s2 * s2 AS DOUBLE)
+                   / (CAST(n2 AS DOUBLE) * (n2 - 1)) AS v2
+        FROM m WHERE n1 > 1 AND n2 > 1
+    ), t AS (
+        SELECT n1, n2, v1, v2,
+               (CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2) AS dc,
+               ((v1 / n1) + (v2 / n2)) AS se2
+        FROM v
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_high, CAST(n2 AS BIGINT) AS n_low,
+           round(dc / 100, 4) AS mean_shift,
+           CASE WHEN se2 > 0 THEN round(dc / sqrt(se2), 4) END AS t_stat,
+           CASE WHEN se2 > 0 THEN round(
+               (se2 * se2)
+               / (((v1 / n1) * (v1 / n1)) / (n1 - 1)
+                  + ((v2 / n2) * (v2 / n2)) / (n2 - 1)), 2)
+           END AS welch_df,
+           CASE WHEN se2 > 0 THEN abs(dc / sqrt(se2)) > 1.96 END
+               AS significant
+    FROM t
+    """,
+)
+def welch_ttest_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test for a mean shift in order
+    amounts between high-priority (URGENT/HIGH) and other orders — the
+    parametric member of the drift family next to
+    ``mannwhitney_price_shift`` (the rank test is robust to tails, the
+    t-test quantifies the mean difference itself, and Welch's form
+    drops the equal-variance assumption that segment comparisons never
+    satisfy). Degrees of freedom via Welch-Satterthwaite.
+
+    Float parity: amounts become exact int64 CENTS; per-group sums are
+    int64 and sums of squares exact DECIMAL(38,0)/HUGEINT (cents^2 <=
+    3.6e15 per row, the sum overflows int64 at sf >= 0.1 — the
+    spearman widening rule); each variance is ONE double division of
+    bit-identical exact operands (n*ss - s^2 computed in decimal), and
+    t/df run the IDENTICAL double expression shape — same
+    associativity, one sqrt — in both engines before the terminal
+    rounds. n<=1 groups drop the row; se2 = 0 (both groups constant)
+    pins t/df/significant to NULL symmetrically.
+
+    Scale: one fact scan -> ONE 6-aggregate map-side-partial reduce to
+    a single row; no window, no sort (contrast: the rank test pays a
+    total sort) — this is the cheapest drift monitor in the family."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        )
+        .otherwise(0)
+        .alias("grp"),
+        F.round(F.col("o_totalprice") * 100)
+        .cast("bigint")
+        .alias("yc"),
+    )
+    m = c.agg(
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("n2"),
+        F.sum(F.when(F.col("grp") == 1, F.col("yc"))).alias("s1"),
+        F.sum(F.when(F.col("grp") == 0, F.col("yc"))).alias("s2"),
+        F.sum(
+            F.when(F.col("grp") == 1, F.col("yc") * F.col("yc")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ss1"),
+        F.sum(
+            F.when(F.col("grp") == 0, F.col("yc") * F.col("yc")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("ss2"),
+    ).where((F.col("n1") > 1) & (F.col("n2") > 1))
+    dd = "decimal(38,0)"
+    v1 = (
+        (F.col("n1").cast(dd) * F.col("ss1") - F.col("s1").cast(dd) * F.col("s1").cast(dd))
+        .cast("double")
+        / (F.col("n1").cast("double") * (F.col("n1") - 1))
+    )
+    v2 = (
+        (F.col("n2").cast(dd) * F.col("ss2") - F.col("s2").cast(dd) * F.col("s2").cast(dd))
+        .cast("double")
+        / (F.col("n2").cast("double") * (F.col("n2") - 1))
+    )
+    t = m.select(
+        "n1",
+        "n2",
+        (
+            F.col("s1").cast("double") / F.col("n1")
+            - F.col("s2").cast("double") / F.col("n2")
+        ).alias("dc"),
+        v1.alias("v1"),
+        v2.alias("v2"),
+    ).select(
+        "n1",
+        "n2",
+        "dc",
+        "v1",
+        "v2",
+        ((F.col("v1") / F.col("n1")) + (F.col("v2") / F.col("n2"))).alias(
+            "se2"
+        ),
+    )
+    return t.select(
+        F.col("n1").cast("bigint").alias("n_high"),
+        F.col("n2").cast("bigint").alias("n_low"),
+        F.round(F.col("dc") / 100, 4).alias("mean_shift"),
+        F.when(
+            F.col("se2") > 0, F.round(F.col("dc") / F.sqrt("se2"), 4)
+        ).alias("t_stat"),
+        F.when(
+            F.col("se2") > 0,
+            F.round(
+                (F.col("se2") * F.col("se2"))
+                / (
+                    ((F.col("v1") / F.col("n1")) * (F.col("v1") / F.col("n1")))
+                    / (F.col("n1") - 1)
+                    + ((F.col("v2") / F.col("n2")) * (F.col("v2") / F.col("n2")))
+                    / (F.col("n2") - 1)
+                ),
+                2,
+            ),
+        ).alias("welch_df"),
+        F.when(
+            F.col("se2") > 0,
+            F.abs(F.col("dc") / F.sqrt("se2")) > 1.96,
+        ).alias("significant"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cramér's V: effect size for categorical association — chi2's missing
+# half (chi2_lang_source answers "is the association significant", V
+# answers "is it LARGE"; at corpus scale everything is significant, so
+# the effect size is the number that actually drives decisions).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cramers_v_association",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderstatus AS s,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS g,
+               count(*) AS o
+        FROM orders GROUP BY 1, 2
+    ), tot AS (
+        SELECT sum(o) AS n, count(DISTINCT s) AS nr,
+               count(DISTINCT g) AS nc
+        FROM c
+    ), rows_ AS (SELECT s, sum(o) AS rt FROM c GROUP BY s),
+    cols_ AS (SELECT g, sum(o) AS ct FROM c GROUP BY g),
+    grid AS (
+        -- zero cells are ABSENT from the grouped counts but still
+        -- contribute their full expected mass to chi2 — gap-fill the
+        -- r x c grid before the cell terms
+        SELECT rows_.s, cols_.g, rows_.rt, cols_.ct,
+               coalesce(c.o, 0) AS o
+        FROM rows_ CROSS JOIN cols_
+        LEFT JOIN c ON c.s = rows_.s AND c.g = cols_.g
+    ), cells AS (
+        SELECT grid.s, grid.g,
+               CAST((tot.n * grid.o - grid.rt * grid.ct)
+                    * (tot.n * grid.o - grid.rt * grid.ct) AS DOUBLE)
+               / CAST(tot.n * grid.rt * grid.ct AS DOUBLE) AS term
+        FROM grid, tot
+    ), folded AS (
+        SELECT tot.n, tot.nr, tot.nc,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       [x.t FOR x IN
+                           list({'s': s, 'g': g, 't': term}
+                                ORDER BY s, g)]),
+                   (a, b) -> a + b) AS chi2
+        FROM cells, tot
+        GROUP BY tot.n, tot.nr, tot.nc
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows,
+           CAST(nr AS BIGINT) AS n_statuses,
+           CAST(nc AS BIGINT) AS n_groups,
+           round(chi2, 6) AS chi2,
+           CASE WHEN least(nr, nc) > 1 THEN
+               round(sqrt(chi2 / (n * (least(nr, nc) - 1))), 6)
+           END AS cramers_v
+    FROM folded
+    """,
+)
+def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V between order status and priority tier — the effect
+    size chi2 alone does not give (``chi2_lang_source`` tests
+    significance; at corpus row counts everything is 'significant', so
+    V = sqrt(chi2 / (n * (min(r,c) - 1))) is the scale-free 0..1
+    association strength a mixture audit actually compares across
+    releases). chi2 via the integer identity
+    (n*o - rt*ct)^2 / (n*rt*ct) per cell — no expected-count doubles —
+    over the GAP-FILLED r x c grid (a zero cell is absent from the
+    grouped counts but still contributes its expected mass; the
+    planted perfect-association test pins exactly this).
+
+    Float parity: cell/row/col/total counts are exact int64; each
+    cell's numerator is exact DECIMAL (n*o <= 4e10 squared overflows
+    int64 at sf 1+ — widened pre-emptively, the welch rule), so each
+    term is ONE double division of bit-identical operands; the 6-cell
+    sum folds over a (status, group)-SORTED bounded array with a 0.0
+    init in the SAME order in both engines (the jackknife/zipf HOF-fold
+    rule — never a groupBy sum of off-grid doubles); sqrt last, round
+    terminal. A single-category degenerate pins V to NULL in both
+    engines.
+
+    Scale: one fact scan -> |statuses x tiers| cell counts (map-side
+    partial), row/col margins derive from the 6-row cell frame, and
+    the fold is a 1-row array op — no second fact scan, no sort."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    c = (
+        o.select(
+            F.col("o_orderstatus").alias("s"),
+            F.when(
+                F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+            )
+            .otherwise(0)
+            .alias("g"),
+        )
+        .groupBy("s", "g")
+        .agg(F.count("*").alias("o"))
+    )
+    rt = c.groupBy("s").agg(F.sum("o").alias("rt"))
+    ct = c.groupBy("g").agg(F.sum("o").alias("ct"))
+    tot = c.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("s").alias("nr"),
+        F.count_distinct("g").alias("nc"),
+    )
+    dd = "decimal(38,0)"
+    num = (
+        F.col("n").cast(dd) * F.col("o").cast(dd)
+        - F.col("rt").cast(dd) * F.col("ct").cast(dd)
+    )
+    # zero cells are absent from the grouped counts but still carry
+    # their expected mass — gap-fill the r x c grid (margin frames are
+    # category-sized, so the cross join is trivially bounded)
+    grid = (
+        rt.crossJoin(F.broadcast(ct))
+        .join(c, ["s", "g"], "left")
+        .select("s", "g", "rt", "ct", F.coalesce("o", F.lit(0)).alias("o"))
+    )
+    cells = grid.crossJoin(F.broadcast(tot)).select(
+        "s",
+        "g",
+        "n",
+        "nr",
+        "nc",
+        (
+            (num * num).cast("double")
+            / (
+                F.col("n").cast(dd)
+                * F.col("rt").cast(dd)
+                * F.col("ct").cast(dd)
+            ).cast("double")
+        ).alias("term"),
+    )
+    folded = cells.groupBy("n", "nr", "nc").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("s", "g", "term"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["term"],
+        ).alias("chi2")
+    )
+    mindim = F.least("nr", "nc")
+    return folded.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("nr").cast("bigint").alias("n_statuses"),
+        F.col("nc").cast("bigint").alias("n_groups"),
+        F.round(F.col("chi2"), 6).alias("chi2"),
+        F.when(
+            mindim > 1,
+            F.round(
+                F.sqrt(F.col("chi2") / (F.col("n") * (mindim - 1))), 6
+            ),
+        ).alias("cramers_v"),
+    )

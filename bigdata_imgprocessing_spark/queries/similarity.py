@@ -2475,3 +2475,121 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("iso"), 6).alias("iso_rate"),
         (F.col("iso") != raw).alias("pooled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Top-k capture: precision/recall/lift at selection cutoffs — the
+# selection-quality eval (AUC says "can the score rank at all"; this
+# says "if I keep the top k docs my filter scores highest, what do I
+# actually capture" — the number a DSIR-style selection decision reads).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "topk_capture_eval",
+    oracle="""
+    WITH s AS (
+        SELECT vec_id,
+               CASE WHEN label < 5 THEN 1 ELSE 0 END AS pos,
+               list_reduce([CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                            for v in embedding], (a, b) -> a + b) AS score
+        FROM embeddings
+    ), r AS (
+        SELECT pos,
+               row_number() OVER (ORDER BY score DESC, vec_id) AS rn
+        FROM s
+    ), cum AS (
+        SELECT rn, sum(pos) OVER (ORDER BY rn) AS np
+        FROM r
+    ), tot AS (
+        SELECT count(*) AS n, sum(pos) AS n_pos FROM r
+    ), ks AS (SELECT unnest([64, 256, 1024]) AS k)
+    SELECT k,
+           CAST(least(CAST(ks.k AS BIGINT), tot.n) AS BIGINT) AS k_eff,
+           CAST(max(cum.np) AS BIGINT) AS n_pos_at_k,
+           round(max(cum.np) * 1.0 / least(CAST(ks.k AS BIGINT), tot.n), 6)
+               AS precision_at_k,
+           CASE WHEN tot.n_pos > 0 THEN
+               round(max(cum.np) * 1.0 / tot.n_pos, 6) END AS recall_at_k,
+           CASE WHEN tot.n_pos > 0 THEN
+               round((max(cum.np) * 1.0
+                      / least(CAST(ks.k AS BIGINT), tot.n))
+                     / (tot.n_pos * 1.0 / tot.n), 4) END AS lift_at_k
+    FROM ks
+    CROSS JOIN tot
+    JOIN cum ON cum.rn <= ks.k
+    GROUP BY ks.k, tot.n, tot.n_pos
+    ORDER BY k
+    """,
+)
+def topk_capture_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision / recall / lift at k for the embedding-energy score
+    against the binary label (positive = label < 5; the roc_auc_eval
+    score and label, so the two evals read together): at each cutoff
+    k in {64, 256, 1024}, what fraction of the kept docs is positive
+    (precision), what fraction of positives is captured (recall), and
+    how much better than random keeping is (lift) — the concrete
+    selection numbers behind a quality-filter cutoff decision, where
+    AUC alone cannot say what a specific budget buys.
+
+    Deterministic ranking: score DESC with vec_id as the tie-break, so
+    both engines enumerate the identical prefix (scores are identical
+    doubles — the roc_auc fold — and vec_id is unique).
+
+    Float parity: the cumulative positive count rides the row_number
+    spine as an exact integer; k_eff = min(k, n) handles small-sf
+    tables; precision/recall/lift are single divisions (lift is one
+    division of two already-exact ratios in the same shape both
+    engines) rounded terminally; an all-negative corpus pins
+    recall/lift to NULL symmetrically.
+
+    Scale: one embedding scan -> one global sort (the documented
+    KS/MW/AUC total-sort cost) -> a cumulative window; the cutoff join
+    fans each row to at most |ks| = 3 rows. At 100 TB the sort is the
+    cost — and is exactly the sort a real top-k selection job pays to
+    materialize its keep-list, so the eval is not more expensive than
+    the operation it audits."""
+    e = table(spark, sf_dir, "embeddings")
+    score = F.aggregate(
+        F.transform("embedding", lambda v: v.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x * x,
+    )
+    s = e.select(
+        "vec_id",
+        (F.col("label") < 5).cast("int").alias("pos"),
+        score.alias("score"),
+    )
+    r = s.select(
+        "pos",
+        F.row_number()
+        .over(Window.orderBy(F.col("score").desc(), F.col("vec_id")))
+        .alias("rn"),
+    )
+    cum = r.select("rn", F.sum("pos").over(Window.orderBy("rn")).alias("np"))
+    tot = r.agg(
+        F.count("*").alias("n"), F.sum("pos").alias("n_pos")
+    )
+    ks = spark.createDataFrame([(64,), (256,), (1024,)], "k int")
+    joined = (
+        ks.crossJoin(F.broadcast(tot))
+        .join(cum, cum.rn <= ks.k)
+        .groupBy("k", "n", "n_pos")
+        .agg(F.max("np").alias("np"))
+    )
+    k_eff = F.least(F.col("k").cast("bigint"), F.col("n"))
+    prec = F.col("np") * 1.0 / k_eff
+    return joined.select(
+        "k",
+        k_eff.cast("bigint").alias("k_eff"),
+        F.col("np").cast("bigint").alias("n_pos_at_k"),
+        F.round(prec, 6).alias("precision_at_k"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(F.col("np") * 1.0 / F.col("n_pos"), 6),
+        ).alias("recall_at_k"),
+        F.when(
+            F.col("n_pos") > 0,
+            F.round(prec / (F.col("n_pos") * 1.0 / F.col("n")), 4),
+        ).alias("lift_at_k"),
+    ).orderBy("k")

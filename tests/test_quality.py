@@ -719,3 +719,102 @@ def test_runs_test_constant_series_null_pinned(spark, tmp_path):
     )
     orow = con.execute(ORACLES["runs_test_randomness"]).fetchall()[0]
     assert tuple(orow) == (0, 0, 0, None, None)
+
+
+def test_welch_ttest_matches_closed_form(spark, tmp_path):
+    """Planted two-group fixture: the query must reproduce the Welch
+    t statistic and Welch-Satterthwaite df computed independently in
+    plain Python from the same cents."""
+    import datetime
+
+    rows = []
+    high = [100.0, 110.0, 120.0, 90.0]
+    low = [200.0, 220.0, 180.0]
+    for i, p in enumerate(high):
+        rows.append((i, 1, "O", p, datetime.datetime(2024, 1, 1), "1-URGENT"))
+    for i, p in enumerate(low):
+        rows.append(
+            (100 + i, 1, "O", p, datetime.datetime(2024, 1, 1), "5-LOW")
+        )
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    r = QUERIES["welch_ttest_price"](spark, str(tmp_path)).collect()[0]
+    hc = [int(p * 100) for p in high]
+    lc = [int(p * 100) for p in low]
+
+    def var(xs):
+        n, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+        return (n * ss - s * s) / (n * (n - 1))
+
+    v1, v2 = var(hc), var(lc)
+    n1, n2 = len(hc), len(lc)
+    dc = sum(hc) / n1 - sum(lc) / n2
+    se2 = v1 / n1 + v2 / n2
+    t = dc / se2**0.5
+    df = se2**2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert (r["n_high"], r["n_low"]) == (n1, n2)
+    assert abs(r["mean_shift"] - round(dc / 100, 4)) < 1e-9
+    assert abs(r["t_stat"] - round(t, 4)) < 1e-9
+    assert abs(r["welch_df"] - round(df, 2)) < 1e-9
+    assert r["significant"] == (abs(t) > 1.96)
+
+
+def test_cramers_v_perfect_association_is_one(spark, tmp_path):
+    """A 2x2 table where status determines priority exactly must give
+    Cramér's V = 1 (and an independent table must give ~0)."""
+    import datetime
+
+    rows = []
+    for i in range(10):
+        rows.append((i, 1, "A", 10.0, datetime.datetime(2024, 1, 1), "1-URGENT"))
+    for i in range(10):
+        rows.append((50 + i, 1, "B", 10.0, datetime.datetime(2024, 1, 1), "5-LOW"))
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    r = QUERIES["cramers_v_association"](spark, str(tmp_path)).collect()[0]
+    assert r["n_rows"] == 20 and r["n_statuses"] == 2 and r["n_groups"] == 2
+    assert abs(r["cramers_v"] - 1.0) < 1e-9
+    assert abs(r["chi2"] - 20.0) < 1e-9  # chi2 = n for a perfect 2x2
+
+
+def test_topk_capture_planted_ranking(spark, tmp_path):
+    """Positives planted at the top of the score order: k >= n must
+    capture everything (recall 1, precision = base-rate-at-k, lift =
+    1/base_rate at full capture)."""
+    rows = [
+        (i, [float(i)], 1 if i >= 5 else 9)  # top-5 scores are positive
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    out = {
+        r["k"]: r
+        for r in QUERIES["topk_capture_eval"](spark, str(tmp_path)).collect()
+    }
+    assert set(out) == {64, 256, 1024}
+    for k, r in out.items():
+        assert r["k_eff"] == 10 and r["n_pos_at_k"] == 5
+        assert abs(r["precision_at_k"] - 0.5) < 1e-9
+        assert abs(r["recall_at_k"] - 1.0) < 1e-9
+        assert abs(r["lift_at_k"] - 1.0) < 1e-9
