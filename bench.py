@@ -311,6 +311,7 @@ HEADLINE = [
     "welch_ttest_price",
     "cramers_v_association",
     "topk_capture_eval",
+    "minhash_lsh_capped",
 ]
 
 

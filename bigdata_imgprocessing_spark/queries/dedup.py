@@ -2632,3 +2632,123 @@ def cross_source_dup_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("jaccard").alias("min_jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH under the hot-bucket cutoff: the minhash twin of
+# simhash64_neardup_capped, closing the one dedup path whose skew story
+# was argued but not driver-exercised (VERDICT r11 item 6 + the 10M-doc
+# measurement in SCALING.md r12).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "minhash_lsh_capped",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    census AS (
+        SELECT band, bkey, count(*) AS k FROM bands GROUP BY band, bkey
+    ),
+    surv AS (SELECT band, bkey FROM census WHERE k <= 2),
+    sbands AS (SELECT b.* FROM bands b JOIN surv USING (band, bkey)),
+    ccand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sbands a JOIN sbands b ON a.band = b.band AND a.bkey = b.bkey
+                                    AND a.doc_id < b.doc_id
+    ),
+    cver AS (
+        SELECT doc_a, doc_b,
+               round(len(list_intersect(sa.ss, sb.ss)) * 1.0
+                     / (len(sa.ss) + len(sb.ss)
+                        - len(list_intersect(sa.ss, sb.ss))), 4) AS jaccard
+        FROM ccand JOIN sets sa ON sa.doc_id = doc_a
+                   JOIN sets sb ON sb.doc_id = doc_b
+        WHERE len(list_intersect(sa.ss, sb.ss)) * 1.0
+              / (len(sa.ss) + len(sb.ss)
+                 - len(list_intersect(sa.ss, sb.ss))) >= 0.5
+    ),
+    cut AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_buckets_cut,
+               CAST(coalesce(sum(k), 0) AS BIGINT) AS n_band_rows_cut
+        FROM census WHERE k > 2
+    )
+    SELECT doc_a, doc_b, jaccard, cut.n_buckets_cut, cut.n_band_rows_cut
+    FROM cver CROSS JOIN cut
+    """,
+)
+def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``minhash_lsh_pairs`` under a ``max_bucket`` CUTOFF — band
+    buckets holding more than 2 docs are dropped from candidate
+    generation, and every emitted pair carries the cutoff accounting
+    (n_buckets_cut, n_band_rows_cut). The cap is deliberately BINDING
+    at driver scale (14 size-3 buckets exist at sf0.01 — the simhash
+    discipline: the hash must exercise the census, the survivor join,
+    and the recall loss, not a no-op), so this output is a strict
+    subset of the uncapped pairs whenever a true pair is reachable
+    ONLY through a hot bucket.
+
+    Why the cap is the scale path: the r12 10M-doc measurement
+    (tools_scale_r12.py, SCALING.md) shows a natural corpus needs no
+    cap (max bucket 3 at 10M docs — candidates stay linear), but ONE
+    syndicated/boilerplate cohort concentrates ~70% of its docs on a
+    single (band, bkey) per band — 14k-deep buckets at 1M docs, 4e8
+    uncapped candidates (analytic) vs ~10k capped with planted-pair
+    recall IDENTICAL (0.9874), because docs that truly agree on a hot
+    band also agree on a surviving band. The cap converts the
+    quadratic hot-cluster enumeration into bounded work; the cut
+    accounting is the signal to route the hot residue to a
+    cluster-representative pass instead of pairwise enumeration.
+
+    Scale: census = one groupBy on the band keys the join already
+    shuffles on; survivors semi-join band-rows; candidate volume is
+    bounded by n_buckets * cap^2 regardless of skew."""
+    from ..core.session import cache_parallelism
+
+    cap = 2
+    d = table(spark, sf_dir, "documents")
+    sig = _minhash_signatures(d)
+    bands = (
+        _band_frame(sig).coalesce(cache_parallelism(spark)).cache()
+    )
+    census = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    census = census.coalesce(cache_parallelism(spark)).cache()
+    surv = census.where(F.col("k") <= cap).select("band", "bkey")
+    sbands = bands.join(surv, ["band", "bkey"])
+    a = sbands.alias("a")
+    b = sbands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss")
+    )
+    ids = cand.select(F.col("doc_a").alias("doc_id")).union(
+        cand.select(F.col("doc_b").alias("doc_id"))
+    )
+    sets = sets.join(ids.distinct(), "doc_id", "semi")
+    sa = sets.alias("sa")
+    sb = sets.alias("sb")
+    inter = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    uni = F.size(F.col("sa.ss")) + F.size(F.col("sb.ss")) - inter
+    pairs = (
+        cand.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .where(inter * 1.0 / uni >= 0.5)
+        .select(
+            "doc_a", "doc_b", F.round(inter * 1.0 / uni, 4).alias("jaccard")
+        )
+    )
+    cut = census.where(F.col("k") > cap).agg(
+        F.count("*").cast("bigint").alias("n_buckets_cut"),
+        F.coalesce(F.sum("k"), F.lit(0))
+        .cast("bigint")
+        .alias("n_band_rows_cut"),
+    )
+    return pairs.crossJoin(F.broadcast(cut))

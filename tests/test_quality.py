@@ -818,3 +818,24 @@ def test_topk_capture_planted_ranking(spark, tmp_path):
         assert abs(r["precision_at_k"] - 0.5) < 1e-9
         assert abs(r["recall_at_k"] - 1.0) < 1e-9
         assert abs(r["lift_at_k"] - 1.0) < 1e-9
+
+
+def test_minhash_capped_subset_and_binding(spark, sf_dir):
+    """The capped pair set must be a strict subset of the uncapped
+    pairs (same verify threshold, fewer candidates), with constant
+    binding accounting on every row."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    capped = QUERIES["minhash_lsh_capped"](spark, sf_dir).collect()
+    uncapped = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["minhash_lsh_pairs"](spark, sf_dir).collect()
+    }
+    assert capped
+    cuts = {(r["n_buckets_cut"], r["n_band_rows_cut"]) for r in capped}
+    assert len(cuts) == 1  # the accounting is a corpus constant
+    (nb, nr), = cuts
+    assert nb > 0 and nr > 2 * nb  # binding at driver scale
+    got = {(r["doc_a"], r["doc_b"]) for r in capped}
+    assert got <= uncapped
+    assert len(got) < len(uncapped)  # the cap really cut something
