@@ -312,6 +312,7 @@ HEADLINE = [
     "cramers_v_association",
     "topk_capture_eval",
     "minhash_lsh_capped",
+    "hot_bucket_rep_dedup",
 ]
 
 

@@ -33,7 +33,7 @@ _PRIORITY = [
     # lsh_incremental_pairs lesson from VERDICT r7). Names appended as
     # each operator lands.
     "welch_ttest_price", "cramers_v_association", "topk_capture_eval",
-    "minhash_lsh_capped",
+    "minhash_lsh_capped", "hot_bucket_rep_dedup",
     # (2) queries whose CODE or ORACLE changed in round 12 AFTER their
     # r11 driver row — re-check first: the lsh ingest got the F.expr
     # plan-construction rewrite + write restructure (and the shared

@@ -2752,3 +2752,139 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_band_rows_cut"),
     )
     return pairs.crossJoin(F.broadcast(cut))
+
+
+# ---------------------------------------------------------------------------
+# Hot-bucket representative dedup: the bounded treatment of exactly the
+# residue minhash_lsh_capped cuts — members of a hot bucket verify
+# against the bucket REPRESENTATIVE only (O(k) per bucket, never the
+# O(k^2) pairwise enumeration the cap exists to prevent).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "hot_bucket_rep_dedup",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    census AS (
+        SELECT band, bkey, count(*) AS k FROM bands GROUP BY band, bkey
+    ),
+    hot AS (SELECT band, bkey FROM census WHERE k > 2),
+    hb AS (SELECT b.band, b.bkey, b.doc_id
+           FROM bands b JOIN hot USING (band, bkey)),
+    rep AS (SELECT band, bkey, min(doc_id) AS rep
+            FROM hb GROUP BY band, bkey),
+    mem AS (
+        SELECT DISTINCT hb.doc_id, rep.rep
+        FROM hb JOIN rep USING (band, bkey)
+        WHERE hb.doc_id <> rep.rep
+    ),
+    ver AS (
+        SELECT mem.doc_id,
+               round(len(list_intersect(sm.ss, sr.ss)) * 1.0
+                     / (len(sm.ss) + len(sr.ss)
+                        - len(list_intersect(sm.ss, sr.ss))), 4) AS j
+        FROM mem JOIN sets sm ON sm.doc_id = mem.doc_id
+                 JOIN sets sr ON sr.doc_id = mem.rep
+    ),
+    per_doc AS (
+        SELECT doc_id, max(j) AS best_j,
+               max(CASE WHEN j >= 0.5 THEN 1 ELSE 0 END) AS is_dup
+        FROM ver GROUP BY doc_id
+    ),
+    acct AS (SELECT CAST(count(*) AS BIGINT) AS n_hot_buckets FROM hot)
+    SELECT d.lang,
+           CAST(count(*) AS BIGINT) AS n_members,
+           CAST(sum(p.is_dup) AS BIGINT) AS n_dup_members,
+           max(p.best_j) AS max_rep_jaccard,
+           acct.n_hot_buckets
+    FROM per_doc p JOIN documents d ON d.doc_id = p.doc_id
+    CROSS JOIN acct
+    GROUP BY d.lang, acct.n_hot_buckets ORDER BY d.lang
+    """,
+)
+def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-based dedup of the HOT-bucket residue — the
+    consumer of `minhash_lsh_capped`'s cut accounting (NOTES r12 item
+    11): band buckets deeper than the cap (2, the same binding cutoff)
+    are not pairwise-enumerated; instead each bucket elects its min
+    doc_id as REPRESENTATIVE and every other member verifies exact
+    Jaccard against the representative only. Per member the best
+    representative Jaccard decides duplication — the standard
+    cluster-representative move (SemDeDup's within-cluster discipline
+    applied to LSH hot buckets), reported per lang with the hot-bucket
+    count as the accounting column.
+
+    Why this composes with the cap: SCALING.md r12 measured that a
+    syndicated cohort concentrates ~70% of its docs on ONE (band,bkey)
+    per band (138,953-deep at 10M docs — 4e10 pairwise candidates);
+    rep-verification makes that bucket cost k-1 = 138,952 comparisons
+    instead of k(k-1)/2 ≈ 9.7e9. A member within 0.5 Jaccard of the
+    boilerplate representative is the duplicate mass the pairwise pass
+    was never going to enumerate anyway.
+
+    Float parity: jaccard is the shared inter/uni integer expression
+    rounded at 4dp; per-doc best_j is a max over identical grids;
+    counts are exact integers; max only — no off-grid summation
+    exists anywhere in the output.
+
+    Scale: census rides the banding shuffle; hot membership and rep
+    election are one groupBy each on (band, bkey); the verify join is
+    Σ(k-1) rows — LINEAR in hot-bucket membership, cap-independent;
+    the doc->lang join is a fact-side projection."""
+    from ..core.session import cache_parallelism
+
+    cap = 2
+    d = table(spark, sf_dir, "documents")
+    bands = (
+        _band_frame(_minhash_signatures(d))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    census = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    hot = census.where(F.col("k") > cap).select("band", "bkey")
+    hb = bands.join(hot, ["band", "bkey"])
+    rep = hb.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    mem = (
+        hb.join(rep, ["band", "bkey"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select("doc_id", "rep")
+        .distinct()
+    )
+    sets = d.select(
+        "doc_id", F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss")
+    )
+    ids = mem.select("doc_id").union(mem.select(F.col("rep").alias("doc_id")))
+    sets = sets.join(ids.distinct(), "doc_id", "semi")
+    sm = sets.alias("sm")
+    sr = sets.alias("sr")
+    inter = F.size(F.array_intersect(F.col("sm.ss"), F.col("sr.ss")))
+    uni = F.size(F.col("sm.ss")) + F.size(F.col("sr.ss")) - inter
+    mem2 = mem.select(
+        F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep")
+    )
+    ver = (
+        mem2.join(sm, F.col("m_doc") == F.col("sm.doc_id"))
+        .join(sr, F.col("m_rep") == F.col("sr.doc_id"))
+        .select("m_doc", F.round(inter * 1.0 / uni, 4).alias("j"))
+    )
+    per_doc = ver.groupBy("m_doc").agg(
+        F.max("j").alias("best_j"),
+        F.max((F.col("j") >= 0.5).cast("int")).alias("is_dup"),
+    )
+    acct = hot.agg(F.count("*").cast("bigint").alias("n_hot_buckets"))
+    return (
+        per_doc.join(d.select("doc_id", "lang"), per_doc.m_doc == F.col("doc_id"))
+        .crossJoin(F.broadcast(acct))
+        .groupBy("lang", "n_hot_buckets")
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("is_dup").cast("bigint").alias("n_dup_members"),
+            F.max("best_j").alias("max_rep_jaccard"),
+        )
+        .select(
+            "lang", "n_members", "n_dup_members", "max_rep_jaccard",
+            "n_hot_buckets",
+        )
+        .orderBy("lang")
+    )

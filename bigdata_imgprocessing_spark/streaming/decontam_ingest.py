@@ -59,7 +59,12 @@ def run_decontam_ingest(
         batch = batch.cache()
         grams_b = _wordgram_5h(batch).cache()
         ext = _prior_extensions(state_root, bid)
-        idx = spark.read.parquet(base_index_dir, *ext)
+        # explicit schema: the base index and every extension land as
+        # (gram_h string); inference re-reads parquet footers on every
+        # micro-batch otherwise (the r12 lsh_ingest rule)
+        idx = spark.read.schema("gram_h string").parquet(
+            base_index_dir, *ext
+        )
         # the probe result is CACHED as the small contaminated-doc-id
         # frame: both per-batch writes derive from it, so the index
         # probe executes once per batch (the r9 version re-read the

@@ -107,8 +107,12 @@ def run_simhash_ingest(stream_df: DataFrame, state_root: str) -> None:
         # bitwise (round 11: this replaces a per-batch distinct()
         # exchange — pure driver-latency cost on an arrivals-sized set).
         news = new_fp.withColumn("is_new", F.lit(True))
+        # explicit schema on the state read: the fps store layout is
+        # fixed by this module, and inference re-reads footers per
+        # micro-batch (the r12 lsh_ingest rule)
         all_fp = (
-            spark.read.parquet(*old)
+            spark.read.schema("doc_id bigint, fp bigint")
+            .parquet(*old)
             .withColumn("is_new", F.lit(False))
             .unionByName(news)
             if old
