@@ -8,11 +8,12 @@ from ..core.registry import ORACLES, QUERIES
 
 # Import order feeds registration; the explicit priority list below is
 # the driver check order (dict insertion order). The driver checks ~50
-# entries per round, so the round-8 order is: (1) the one query with
-# zero driver history, (2) queries NEW or with CHANGED outputs this
-# round (2b = registered late in round 8, first driver row pending),
-# (3) the 50 queries whose latest driver row is round 4 (oldest-first
-# refresh rotation), (4) everything else in registration order.
+# entries per round: (1) queries NEW this round with zero driver
+# history, (2) queries whose code or oracle CHANGED after their last
+# driver row, (3) the oldest-driver-row cohort in its original order
+# (staleness refresh rotation), (4) everything else in registration
+# order. tests/test_layout.py::test_priority_rotation_names_valid
+# enforces that every name resolves, is unique, and leads iteration.
 from . import advanced  # noqa: F401
 from . import analytics  # noqa: F401
 from . import curation  # noqa: F401
@@ -63,15 +64,15 @@ _PRIORITY = [
     "event_transition_counts", "range_window_counts", "orc_roundtrip_stats",
     "compaction_file_stats", "heatmap_chart_data", "ivf_search_served",
     "pii_scrub_stats", "fuzzy_match_stats", "lone_problem_supplier",
-    "neardup_component_dedup", "mixture_sample_stats", "bm25_search",
+    "mixture_sample_stats", "bm25_search",
     "funnel_conversion_stats", "jsonl_corrupt_handling",
     "lateral_topk_customers", "outlier_order_stats", "locf_daily_values",
     "pmi_collocations", "equidepth_approx_audit", "gopher_quality_rules",
-    "psi_release_drift", "kcore_neardup", "component_safe_split",
+    "psi_release_drift", "kcore_neardup",
     "hyperball_reach", "sorted_neighbor_lcp", "dim_truncation_recall",
     "k_anonymity_audit", "vocab_growth_curve", "cdc_chunk_dedup",
     "attribution_touchpoints", "kmeans_lloyd_rounds", "dpp_partition_join",
-    "streaming_quota_admission", "er_golden_record",
+    "streaming_quota_admission",
     "hll_intersection_audit",
     # (4) the r9 cohort follows (48 rows, registration order) for the
     # slots past this round's window; then r10/r11 in registration
