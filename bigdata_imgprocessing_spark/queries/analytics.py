@@ -2048,3 +2048,326 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).alias("cramers_v"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Kruskal-Wallis: the k-group extension of Mann-Whitney — one rank pass
+# answers "did ANY priority tier's price distribution shift", the
+# omnibus check run before pairwise rank tests are even considered.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kruskal_wallis_price",
+    oracle="""
+    WITH ranked AS (
+        SELECT o_orderpriority AS grp,
+               2 * rank() OVER (ORDER BY o_totalprice)
+                 + count(*) OVER (PARTITION BY o_totalprice) - 1 AS dr
+        FROM orders
+    ), per_g AS (
+        SELECT grp, count(*) AS nj, sum(dr) AS dj
+        FROM ranked GROUP BY grp
+    ), folded AS (
+        SELECT CAST(sum(nj) AS BIGINT) AS n,
+               CAST(count(*) AS BIGINT) AS k,
+               list_reduce(
+                   list_prepend(CAST(0 AS DOUBLE),
+                       [x.t FOR x IN list(
+                           {'g': grp,
+                            't': CAST(CAST(dj AS HUGEINT)
+                                      * CAST(dj AS HUGEINT) AS DOUBLE)
+                                 / nj}
+                           ORDER BY grp)]),
+                   (a, b) -> a + b) AS a4
+        FROM per_g
+    ), ties AS (
+        SELECT sum(c * c * c - c) AS tt
+        FROM (SELECT count(*) AS c FROM orders GROUP BY o_totalprice)
+    ), h AS (
+        SELECT n, k,
+               (3.0 * a4 / 4) / (n * (n + 1)) - 3.0 * (n + 1) AS h_raw,
+               1.0 - tt / (1.0 * n * n * n - n) AS cc
+        FROM folded CROSS JOIN ties
+    )
+    SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
+           round(h_raw, 6) AS h,
+           CASE WHEN cc <> 0 THEN round(h_raw / cc, 6) END AS h_corrected,
+           CASE WHEN cc <> 0 THEN h_raw / cc > 9.487729036781154 END
+               AS significant
+    FROM h
+    """,
+)
+def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across all five order-priority tiers on order
+    amount — the omnibus k-group rank test (Mann-Whitney answers a
+    2-group shift; this answers "did ANY tier move" in ONE rank pass,
+    the test run before pairwise comparisons are licensed). Tie-
+    corrected: H / (1 - sum(t^3 - t)/(n^3 - n)); significance against
+    the df=4 chi-square 5% critical value.
+
+    Float parity: tie-averaged ranks stay exact INTEGERS via the
+    doubled-rank identity (dr = 2*rank + tiesize - 1), so each group's
+    doubled rank-sum dj is exact int64 and dj^2 exact DECIMAL/HUGEINT
+    (dj <= 2n^2 overflows int64 on squaring at any sf — the welch
+    widening rule); sum(Rj^2/nj) = sum(dj^2/nj)/4 folds over a
+    priority-SORTED 5-element array of single divisions; H and the
+    tie correction are identical double expression shapes, the
+    critical value is an identical repr literal in both engines, the
+    significance flag compares the UNROUNDED ratio, and the all-equal
+    degenerate (cc = 0) NULL-pins h_corrected/significant.
+
+    Scale: one global rank (the documented KS/MW total-sort cost),
+    tie sizes ride a window over the sorted run, then a 5-row fold —
+    no per-pair work, no per-group re-scan."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    ranked = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        (
+            2 * F.rank().over(Window.orderBy("o_totalprice"))
+            + F.count("*").over(Window.partitionBy("o_totalprice"))
+            - 1
+        ).alias("dr"),
+    )
+    per_g = ranked.groupBy("grp").agg(
+        F.count("*").alias("nj"), F.sum("dr").alias("dj")
+    )
+    dd = "decimal(38,0)"
+    folded = per_g.agg(
+        F.sum("nj").alias("n"),
+        F.count("*").alias("k"),
+        F.aggregate(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("grp").alias("g"),
+                        (
+                            (F.col("dj").cast(dd) * F.col("dj").cast(dd))
+                            .cast("double")
+                            / F.col("nj")
+                        ).alias("t"),
+                    )
+                )
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x["t"],
+        ).alias("a4"),
+    )
+    ties = (
+        o.groupBy("o_totalprice")
+        .agg(F.count("*").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
+                "tt"
+            )
+        )
+    )
+    h_raw = (3.0 * F.col("a4") / 4) / (F.col("n") * (F.col("n") + 1)) - 3.0 * (
+        F.col("n") + 1
+    )
+    cc = 1.0 - F.col("tt") / (
+        1.0 * F.col("n") * F.col("n") * F.col("n") - F.col("n")
+    )
+    return (
+        folded.crossJoin(F.broadcast(ties))
+        .select(
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.col("k").cast("bigint").alias("n_groups"),
+            h_raw.alias("h_raw"),
+            cc.alias("cc"),
+        )
+        .select(
+            "n_rows",
+            "n_groups",
+            F.round(F.col("h_raw"), 6).alias("h"),
+            F.when(
+                F.col("cc") != 0, F.round(F.col("h_raw") / F.col("cc"), 6)
+            ).alias("h_corrected"),
+            F.when(
+                F.col("cc") != 0,
+                F.col("h_raw") / F.col("cc") > 9.487729036781154,
+            ).alias("significant"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap: the ONE-PASS bootstrap for massive data — classic
+# resampling redraws the corpus R times (impossible at 100 TB); the
+# Poisson approximation gives every row an independent Poisson(1)
+# weight per replicate, so all R resamples ride a single scan with R
+# counters (the streaming-bootstrap construction of Chamandy et al.,
+# "Estimating uncertainty for massive data streams", 2012).
+# ---------------------------------------------------------------------------
+
+_POIS1_CDF = [
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253",
+]
+_BOOT_R = 64
+
+
+@query(
+    "poisson_bootstrap_ci",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderkey,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+        FROM orders
+    ), fan AS (
+        SELECT r.r, c.yc,
+               ('0x' || substr(md5(CAST(c.o_orderkey AS VARCHAR)
+                                  || '_br' || CAST(r.r AS VARCHAR)),
+                               1, 13))::UBIGINT
+                   / 4503599627370496.0 AS u
+        FROM c CROSS JOIN (SELECT unnest(range({_BOOT_R})) AS r) r
+    ), w AS (
+        SELECT r, yc,
+               {" + ".join(f"CASE WHEN u >= {t} THEN 1 ELSE 0 END" for t in _POIS1_CDF)}
+                   AS wt
+        FROM fan
+    ), reps AS (
+        SELECT r, sum(wt * yc) AS t, sum(wt) AS m
+        FROM w GROUP BY r
+    ), means AS (
+        SELECT list({{'r': r,
+                      'v': CAST(t AS DOUBLE) / m}} ORDER BY r) AS ms
+        FROM reps WHERE m > 0
+    ), mbar AS (
+        SELECT ms, len(ms) AS nr,
+               list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [x.v FOR x IN ms]), (a, b) -> a + b) / len(ms) AS mb
+        FROM means
+    ), se AS (
+        SELECT nr, mb,
+               sqrt(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                   [(x.v - mb) * (x.v - mb) FOR x IN ms]),
+                   (a, b) -> a + b) / (nr - 1)) AS s
+        FROM mbar
+    ), pt AS (
+        SELECT count(*) AS n, sum(yc) AS sy FROM c
+    )
+    SELECT CAST(pt.n AS BIGINT) AS n_orders,
+           CAST(se.nr AS BIGINT) AS n_replicates,
+           round(CAST(pt.sy AS DOUBLE) / pt.n / 100, 4) AS mean_price,
+           round(se.s / 100, 4) AS boot_se,
+           round((CAST(pt.sy AS DOUBLE) / pt.n - 1.96 * se.s) / 100, 4)
+               AS ci_lo,
+           round((CAST(pt.sy AS DOUBLE) / pt.n + 1.96 * se.s) / 100, 4)
+               AS ci_hi
+    FROM pt CROSS JOIN se
+    """,
+)
+def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """95% bootstrap CI on mean order amount via the POISSON bootstrap
+    — the resampling scheme that actually works at corpus scale: each
+    row draws an independent Poisson(1) weight per replicate (inverse
+    CDF on a deterministic md5-uniform), so all 64 resamples ride ONE
+    scan with 64 counters instead of 64 corpus redraws (Chamandy et
+    al. 2012 — the standard error a data card should print when the
+    jackknife's group structure doesn't apply).
+
+    Determinism + float parity: the uniform is 52 exact bits of
+    md5(orderkey || '_br' || replicate) — identical in both engines by
+    construction; the Poisson(1) CDF thresholds are identical repr
+    literals (the benford literal-injection rule); weights and
+    replicate totals are exact int64 (w <= 8, cents*w sums bounded
+    far inside int64 at any sf); each replicate mean is ONE double
+    division of exact operands; the across-replicate mean and SE fold
+    over the replicate-index-SORTED 64-element array (the jackknife
+    HOF-fold rule); empty replicates (impossible beyond toy n) drop
+    before the fold; sqrt once, rounds terminal.
+
+    Scale: the 64x fan-out is map-side (explode + hash, no shuffle
+    until the 64-group partial-aggregated reduce); contrast the naive
+    bootstrap's R corpus shuffles. At 100 TB this is THE way error
+    bars get computed in one pass."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
+    fan = c.crossJoin(
+        F.broadcast(
+            spark.range(_BOOT_R).select(F.col("id").cast("int").alias("r"))
+        )
+    ).select(
+        "r",
+        "yc",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("o_orderkey").cast("string"),
+                            F.lit("_br"),
+                            F.col("r").cast("string"),
+                        )
+                    ),
+                    1,
+                    13,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            / 4503599627370496.0
+        ).alias("u"),
+    )
+    wt = None
+    for t in _POIS1_CDF:
+        term = F.when(F.col("u") >= float(t), 1).otherwise(0)
+        wt = term if wt is None else wt + term
+    reps = (
+        fan.select("r", "yc", wt.alias("wt"))
+        .groupBy("r")
+        .agg(
+            F.sum(F.col("wt") * F.col("yc")).alias("t"),
+            F.sum("wt").alias("m"),
+        )
+        .where(F.col("m") > 0)
+    )
+    means = reps.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("r"),
+                    (F.col("t").cast("double") / F.col("m")).alias("v"),
+                )
+            )
+        ).alias("ms")
+    )
+    mbar = means.select(
+        "ms",
+        F.size("ms").alias("nr"),
+        (
+            F.aggregate(
+                F.col("ms"), F.lit(0.0), lambda a, x: a + x["v"]
+            )
+            / F.size("ms")
+        ).alias("mb"),
+    )
+    se = mbar.select(
+        "nr",
+        "mb",
+        F.sqrt(
+            F.aggregate(
+                F.col("ms"),
+                F.lit(0.0),
+                lambda a, x: a + (x["v"] - F.col("mb")) * (x["v"] - F.col("mb")),
+            )
+            / (F.col("nr") - 1)
+        ).alias("s"),
+    )
+    pt = c.agg(F.count("*").alias("n"), F.sum("yc").alias("sy"))
+    m0 = F.col("sy").cast("double") / F.col("n")
+    return pt.crossJoin(F.broadcast(se)).select(
+        F.col("n").cast("bigint").alias("n_orders"),
+        F.col("nr").cast("bigint").alias("n_replicates"),
+        F.round(m0 / 100, 4).alias("mean_price"),
+        F.round(F.col("s") / 100, 4).alias("boot_se"),
+        F.round((m0 - 1.96 * F.col("s")) / 100, 4).alias("ci_lo"),
+        F.round((m0 + 1.96 * F.col("s")) / 100, 4).alias("ci_hi"),
+    )

@@ -839,3 +839,27 @@ def test_minhash_capped_subset_and_binding(spark, sf_dir):
     got = {(r["doc_a"], r["doc_b"]) for r in capped}
     assert got <= uncapped
     assert len(got) < len(uncapped)  # the cap really cut something
+
+
+def test_bands_store_matches_fresh(spark, sf_dir):
+    """The materialized band-index store must be row-identical to the
+    fresh shingle→signature→band pipeline (md5-derived determinism),
+    so the capped/hot-bucket consumers read exactly what the fresh
+    family computes."""
+    from bigdata_imgprocessing_spark.core.catalog import table as _t
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _band_frame,
+        _minhash_bands_store,
+        _minhash_signatures,
+    )
+
+    fresh = sorted(
+        tuple(r)
+        for r in _band_frame(
+            _minhash_signatures(_t(spark, sf_dir, "documents"))
+        ).collect()
+    )
+    stored = sorted(
+        tuple(r) for r in _minhash_bands_store(spark, sf_dir).collect()
+    )
+    assert fresh == stored and len(fresh) > 0
