@@ -313,6 +313,8 @@ HEADLINE = [
     "topk_capture_eval",
     "minhash_lsh_capped",
     "hot_bucket_rep_dedup",
+    "kruskal_wallis_price",
+    "poisson_bootstrap_ci",
 ]
 
 

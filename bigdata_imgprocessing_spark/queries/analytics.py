@@ -2086,7 +2086,7 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT count(*) AS c FROM orders GROUP BY o_totalprice)
     ), h AS (
         SELECT n, k,
-               (3.0 * a4 / 4) / (n * (n + 1)) - 3.0 * (n + 1) AS h_raw,
+               (3.0 * a4) / (n * (n + 1)) - 3.0 * (n + 1) AS h_raw,
                1.0 - tt / (1.0 * n * n * n - n) AS cc
         FROM folded CROSS JOIN ties
     )
@@ -2163,7 +2163,7 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    h_raw = (3.0 * F.col("a4") / 4) / (F.col("n") * (F.col("n") + 1)) - 3.0 * (
+    h_raw = (3.0 * F.col("a4")) / (F.col("n") * (F.col("n") + 1)) - 3.0 * (
         F.col("n") + 1
     )
     cc = 1.0 - F.col("tt") / (

@@ -863,3 +863,76 @@ def test_bands_store_matches_fresh(spark, sf_dir):
         tuple(r) for r in _minhash_bands_store(spark, sf_dir).collect()
     )
     assert fresh == stored and len(fresh) > 0
+
+
+def test_kruskal_wallis_matches_closed_form(spark, tmp_path):
+    """Tiny fixture with known groups: the query must reproduce H
+    computed independently in pure Python (tie-corrected)."""
+    import datetime
+
+    data = {
+        "1-URGENT": [10.0, 12.0, 14.0],
+        "3-MEDIUM": [11.0, 12.0, 20.0],
+        "5-LOW": [30.0, 31.0],
+    }
+    rows = []
+    i = 0
+    for prio, ps in data.items():
+        for p in ps:
+            rows.append((i, 1, "O", p, datetime.datetime(2024, 1, 1), prio))
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    r = QUERIES["kruskal_wallis_price"](spark, str(tmp_path)).collect()[0]
+    # independent reference: avg ranks with ties
+    vals = [(p, g) for g, ps in data.items() for p in ps]
+    svals = sorted(v for v, _ in vals)
+    import collections
+
+    cnt = collections.Counter(svals)
+    rank = {}
+    pos = 1
+    for v in sorted(cnt):
+        c = cnt[v]
+        rank[v] = pos + (c - 1) / 2
+        pos += c
+    n = len(vals)
+    by_g = collections.defaultdict(list)
+    for v, g in vals:
+        by_g[g].append(rank[v])
+    h = 12 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in by_g.values()
+    ) - 3 * (n + 1)
+    tie = sum(c**3 - c for c in cnt.values())
+    hc = h / (1 - tie / (n**3 - n))
+    assert r["n_rows"] == n and r["n_groups"] == 3
+    assert abs(r["h"] - round(h, 6)) < 1e-9
+    assert abs(r["h_corrected"] - round(hc, 6)) < 1e-9
+
+
+def test_poisson_bootstrap_deterministic_and_sane(spark, sf_dir):
+    """The bootstrap is hash-deterministic (byte-identical on re-run)
+    and the CI must bracket the point estimate with a positive SE."""
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    a = QUERIES["poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    b = QUERIES["poisson_bootstrap_ci"](spark, sf_dir).collect()[0]
+    assert tuple(a) == tuple(b)
+    assert a["n_replicates"] == 64
+    assert a["boot_se"] > 0
+    assert a["ci_lo"] < a["mean_price"] < a["ci_hi"]
+    # Poisson-bootstrap SE of a mean tracks sigma/sqrt(n) — sanity band
+    import duckdb
+
+    sd, n = duckdb.connect().execute(
+        f"SELECT stddev_samp(o_totalprice), count(*) FROM '{sf_dir}/orders.parquet'"
+    ).fetchall()[0]
+    expect = sd / n**0.5
+    assert 0.5 * expect < a["boot_se"] < 2.0 * expect
