@@ -1992,6 +1992,11 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("s", "g")
         .agg(F.count("*").alias("o"))
+        # cached: the cell frame feeds FOUR branches (row margins, col
+        # margins, totals, and the gap-filled grid) - without it the
+        # fact scan + aggregation re-runs per branch (r12 review); the
+        # frame is category-sized, so the cache is trivial
+        .cache()
     )
     rt = c.groupBy("s").agg(F.sum("o").alias("rt"))
     ct = c.groupBy("g").agg(F.sum("o").alias("ct"))
@@ -2062,15 +2067,18 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH ranked AS (
         SELECT o_orderpriority AS grp,
+               count(*) OVER (PARTITION BY o_totalprice) AS c,
                2 * rank() OVER (ORDER BY o_totalprice)
                  + count(*) OVER (PARTITION BY o_totalprice) - 1 AS dr
         FROM orders
     ), per_g AS (
-        SELECT grp, count(*) AS nj, sum(dr) AS dj
+        SELECT grp, count(*) AS nj, sum(dr) AS dj,
+               sum(c * c - 1) AS ttg
         FROM ranked GROUP BY grp
     ), folded AS (
         SELECT CAST(sum(nj) AS BIGINT) AS n,
                CAST(count(*) AS BIGINT) AS k,
+               sum(ttg) AS tt,
                list_reduce(
                    list_prepend(CAST(0 AS DOUBLE),
                        [x.t FOR x IN list(
@@ -2081,14 +2089,11 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
                            ORDER BY grp)]),
                    (a, b) -> a + b) AS a4
         FROM per_g
-    ), ties AS (
-        SELECT sum(c * c * c - c) AS tt
-        FROM (SELECT count(*) AS c FROM orders GROUP BY o_totalprice)
     ), h AS (
         SELECT n, k,
                (3.0 * a4) / (n * (n + 1)) - 3.0 * (n + 1) AS h_raw,
                1.0 - tt / (1.0 * n * n * n - n) AS cc
-        FROM folded CROSS JOIN ties
+        FROM folded
     )
     SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
            round(h_raw, 6) AS h,
@@ -2117,13 +2122,19 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     significance flag compares the UNROUNDED ratio, and the all-equal
     degenerate (cc = 0) NULL-pins h_corrected/significant.
 
-    Scale: one global rank (the documented KS/MW total-sort cost),
-    tie sizes ride a window over the sorted run, then a 5-row fold —
-    no per-pair work, no per-group re-scan."""
+    Scale: one global rank (the documented KS/MW total-sort cost);
+    the tie term folds from the SAME pass via
+    sum_rows(c^2 - 1) = sum_prices(c^3 - c), so there is no second
+    fact scan; then a 5-row fold — no per-pair work."""
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
+    # the tie size c rides the SAME rank pass (r12 review: a separate
+    # groupBy(o_totalprice) re-scanned the fact table; the identity
+    # sum_over_distinct_prices(c^3 - c) = sum_over_rows(c^2 - 1) folds
+    # the tie term from the per-row window value instead)
     ranked = o.select(
         F.col("o_orderpriority").alias("grp"),
+        F.count("*").over(Window.partitionBy("o_totalprice")).alias("c"),
         (
             2 * F.rank().over(Window.orderBy("o_totalprice"))
             + F.count("*").over(Window.partitionBy("o_totalprice"))
@@ -2131,12 +2142,15 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dr"),
     )
     per_g = ranked.groupBy("grp").agg(
-        F.count("*").alias("nj"), F.sum("dr").alias("dj")
+        F.count("*").alias("nj"),
+        F.sum("dr").alias("dj"),
+        F.sum(F.col("c") * F.col("c") - 1).alias("ttg"),
     )
     dd = "decimal(38,0)"
     folded = per_g.agg(
         F.sum("nj").alias("n"),
         F.count("*").alias("k"),
+        F.sum("ttg").alias("tt"),
         F.aggregate(
             F.array_sort(
                 F.collect_list(
@@ -2154,15 +2168,6 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x["t"],
         ).alias("a4"),
     )
-    ties = (
-        o.groupBy("o_totalprice")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c")).alias(
-                "tt"
-            )
-        )
-    )
     h_raw = (3.0 * F.col("a4")) / (F.col("n") * (F.col("n") + 1)) - 3.0 * (
         F.col("n") + 1
     )
@@ -2170,7 +2175,7 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         1.0 * F.col("n") * F.col("n") * F.col("n") - F.col("n")
     )
     return (
-        folded.crossJoin(F.broadcast(ties))
+        folded
         .select(
             F.col("n").cast("bigint").alias("n_rows"),
             F.col("k").cast("bigint").alias("n_groups"),

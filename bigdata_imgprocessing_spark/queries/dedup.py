@@ -313,6 +313,43 @@ def _lsh_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _fingerprinted_store(
+    spark: SparkSession,
+    sf_dir: str,
+    name: str,
+    version: str,
+    build,
+    schema: str | None = None,
+) -> DataFrame:
+    """Shared corpus-fingerprinted /tmp store machinery (r12 review:
+    this pattern existed as four inline copies, each independently
+    responsible for the two safety rules). The rules, centralized:
+
+    1. the token fingerprints the CONSUMED table (mtime+size of
+       documents.parquet), so a regenerated corpus rebuilds instead of
+       reading stale rows (the r4 advisor lesson);
+    2. ``version`` must be BUMPED whenever the derivation code
+       changes — the fingerprint cannot see code, so a stale-version
+       store on a long-lived machine would otherwise serve old rows
+       while fresh-start CI passes.
+
+    ``build()`` returns the frame to land (already repartitioned per
+    the store write rule); ``schema`` optionally pins the read schema
+    (skips footer inference for fixed layouts)."""
+    import hashlib as _h
+    import os as _os
+
+    st = _os.stat(f"{sf_dir}/documents.parquet")
+    token = _h.md5(
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|{version}".encode()
+    ).hexdigest()[:12]
+    path = f"/tmp/bdip_{name}_{token}"
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build().write.mode("overwrite").parquet(path)
+    reader = spark.read.schema(schema) if schema else spark.read
+    return reader.parquet(path)
+
+
 def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The verified near-dup pair graph as a MATERIALIZED, corpus-
     fingerprinted parquet store — computed once per corpus version and
@@ -328,19 +365,10 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     are row-identical (pinned by ``test_lsh_pairs_store_matches_fresh``).
     ``minhash_lsh_pairs`` itself stays on the FRESH pipeline so the
     end-to-end cost remains measured in the bench."""
-    import hashlib as _h
-    import os as _os
-
-    st = _os.stat(f"{sf_dir}/documents.parquet")
-    token = _h.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/bdip_pairs_{token}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _lsh_verified_pairs(spark, sf_dir).coalesce(4).write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    return _fingerprinted_store(
+        spark, sf_dir, "pairs", "pairs-v1",
+        lambda: _lsh_verified_pairs(spark, sf_dir).coalesce(4),
+    )
 
 
 def _ngram_posting_lists(spark: SparkSession, sf_dir: str, cutoff: int = 50) -> DataFrame:
@@ -379,25 +407,16 @@ def _ngram_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     source parquet mtime+size (stale-cache lesson); sort_array makes
     the stored lists deterministic, so cached and fresh reads are
     row-identical (``test_ngram_postings_store_matches_fresh``)."""
-    import hashlib as _h
-    import os as _os
-
-    st = _os.stat(f"{sf_dir}/documents.parquet")
-    token = _h.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/bdip_postings_{token}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        # repartition BY KEY, not coalesce: AQE coalesces the tiny
-        # posting shuffle to 1 partition at test scale, and a 1-file
-        # store single-threads every consumer's pair-explode stage
-        # (profiled 1.6 s on one task vs ~0.2 s across 8). Hash
-        # placement keeps the layout deterministic; a real deployment
-        # sizes file count to the landed volume the same way.
-        _ngram_posting_lists(spark, sf_dir).repartition(8, "s").write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    # repartition BY KEY, not coalesce: AQE coalesces the tiny posting
+    # shuffle to 1 partition at test scale, and a 1-file store
+    # single-threads every consumer's pair-explode stage (profiled
+    # 1.6 s on one task vs ~0.2 s across 8). Hash placement keeps the
+    # layout deterministic; a real deployment sizes file count to the
+    # landed volume the same way.
+    return _fingerprinted_store(
+        spark, sf_dir, "postings", "postings-v1",
+        lambda: _ngram_posting_lists(spark, sf_dir).repartition(8, "s"),
+    )
 
 
 def _wordgram_occurrences(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -429,21 +448,12 @@ def _wordgram_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     same store pattern as ``_ngram_postings_store``; the gram key is
     hashed before landing, so consumers join/aggregate on fixed 8-byte
     keys and the raw 40-char grams never hit a shuffle."""
-    import hashlib as _h
-    import os as _os
-
-    st = _os.stat(f"{sf_dir}/documents.parquet")
-    token = _h.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/bdip_wordgrams_{token}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        # keyed repartition for the same read-parallelism reason as
-        # _ngram_postings_store (doc-keyed: consumers aggregate by doc)
-        _wordgram_occurrences(spark, sf_dir).repartition(8, "doc_id").write.mode(
-            "overwrite"
-        ).parquet(path)
-    return spark.read.parquet(path)
+    # keyed repartition for the same read-parallelism reason as
+    # _ngram_postings_store (doc-keyed: consumers aggregate by doc)
+    return _fingerprinted_store(
+        spark, sf_dir, "wordgrams", "wordgrams-v1",
+        lambda: _wordgram_occurrences(spark, sf_dir).repartition(8, "doc_id"),
+    )
 
 
 # Shared CTE chain: shingles → signatures → bands → candidates →
@@ -2862,7 +2872,15 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(cache_parallelism(spark))
         .cache()
     )
-    census = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    # census cached: hot feeds BOTH the member join and the accounting
+    # count (the sibling minhash_lsh_capped caches the identical frame
+    # for the same dual consumption - r12 review)
+    census = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count("*").alias("k"))
+        .coalesce(4)
+        .cache()
+    )
     hot = census.where(F.col("k") > cap).select("band", "bkey")
     hb = bands.join(hot, ["band", "bkey"])
     rep = hb.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
@@ -2938,20 +2956,10 @@ def _minhash_bands_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end cost remains measured in the bench; the md5-derived
     derivation is deterministic, so cached and fresh reads are
     row-identical (pinned by ``test_bands_store_matches_fresh``)."""
-    import hashlib as _h
-    import os as _os
-
-    st = _os.stat(f"{sf_dir}/documents.parquet")
-    token = _h.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|bands-v1".encode()
-    ).hexdigest()[:12]
-    path = f"/tmp/bdip_bands_{token}"
-    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        _band_frame(
+    return _fingerprinted_store(
+        spark, sf_dir, "bands", "bands-v1",
+        lambda: _band_frame(
             _minhash_signatures(table(spark, sf_dir, "documents"))
-        ).repartition(8, "band", "bkey").write.mode("overwrite").parquet(
-            path
-        )
-    return spark.read.schema("doc_id bigint, band int, bkey string").parquet(
-        path
+        ).repartition(8, "band", "bkey"),
+        schema="doc_id bigint, band int, bkey string",
     )

@@ -2276,7 +2276,12 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     the space (PCA/UMAP coords), which is how density diagnosis is
     actually run at scale — never in the raw 64-d space."""
     e = table(spark, sf_dir, "embeddings")
-    eps = F.lit(0.05)
+    # ONE python constant feeds both the exact radius test and the
+    # guarded cell width below (r12 review: a literal 0.05 in the cell
+    # width would silently decouple from a tuned eps and re-open the
+    # 2-cells-apart boundary miss the guard exists to prevent)
+    EPS = 0.05
+    eps = F.lit(EPS)
     eps2 = eps * eps
     p = e.select(
         "vec_id",
@@ -2287,7 +2292,7 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the exact <= eps^2 test below is at most one cell apart per axis
     # even at the fp boundary (see docstring); output is unaffected
     # because the distance filter is unchanged.
-    cw = F.lit(0.05 * (1.0 + 1e-9))
+    cw = F.lit(EPS * (1.0 + 1e-9))
     cell = p.select(
         "vec_id",
         "x",
