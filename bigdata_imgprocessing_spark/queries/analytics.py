@@ -2290,11 +2290,18 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     bootstrap's R corpus shuffles. At 100 TB this is THE way error
     bars get computed in one pass."""
     ensure_utc(spark)
+    from ..core.session import cache_parallelism
+
     o = table(spark, sf_dir, "orders")
+    # repartition the fan input to the core count: the orders table is
+    # one parquet file at test SFs, so without this the 64x fan-out's
+    # 9.6M md5 evaluations run on the scan's 1-2 input splits (bench:
+    # 9.7 s) instead of all cores (~1.5 s); the shuffled frame is the
+    # pre-fan projection — corpus-sized, 2 columns, cheap
     c = o.select(
         "o_orderkey",
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
-    )
+    ).repartition(cache_parallelism(spark))
     fan = c.crossJoin(
         F.broadcast(
             spark.range(_BOOT_R).select(F.col("id").cast("int").alias("r"))

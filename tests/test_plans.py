@@ -721,3 +721,59 @@ def test_simhash64_neardup_banded_join_contract(spark, sf_dir):
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
     assert _n_nodes(plan, "InMemoryTableScan") == 5
+
+
+def test_welch_single_scan_no_sort(spark, sf_dir):
+    """welch_ttest_price: the whole test is ONE map-side-partial
+    aggregation over one orders scan — no window, no sort, no join
+    (contrast the rank tests' documented total-sort cost); everything
+    stays JVM-side."""
+    plan = _formatted(spark, QUERIES["welch_ttest_price"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert "Sort" not in plan or _n_nodes(plan, "Sort") == 0
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan
+    assert _n_nodes(plan, "HashAggregate") >= 2  # partial + final
+
+
+def test_kruskal_single_fact_scan(spark, sf_dir):
+    """kruskal_wallis_price: the tie term rides the SAME rank pass
+    (r12 review — sum_rows(c^2-1) = sum_prices(c^3-c)), so exactly ONE
+    orders scan appears in the plan; the rank windows are the
+    documented total-sort cost."""
+    plan = _formatted(spark, QUERIES["kruskal_wallis_price"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_poisson_bootstrap_one_scan_one_shuffle(spark, sf_dir):
+    """poisson_bootstrap_ci: the 64x replicate fan-out is a broadcast
+    nested-loop against a 64-row range (map-side, no shuffle of the
+    fact table by replicate); the only wide reduction is the 64-group
+    partial-aggregated groupBy — the one-pass claim the docstring
+    makes is the plan's actual shape."""
+    plan = _formatted(spark, QUERIES["poisson_bootstrap_ci"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") <= 2  # fan branch + point branch
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_capped_lsh_reads_bands_store(spark, sf_dir):
+    """minhash_lsh_capped / hot_bucket_rep_dedup: the band index comes
+    from the materialized store (no shingle/md5 derivation in the
+    plan — the signature explode would show as a Generate over the
+    documents scan feeding an md5 projection), and candidate
+    generation is an equi join, never a cartesian."""
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _minhash_bands_store,
+    )
+
+    _minhash_bands_store(spark, sf_dir)  # ensure landed
+    for name in ("minhash_lsh_capped", "hot_bucket_rep_dedup"):
+        plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+        assert "bdip_bands_" in plan  # store scan present
+        assert "CartesianProduct" not in plan
+        # exactly one BNLJ is allowed: the broadcast cross of the
+        # 1-row accounting frame onto every output row — bounded by
+        # construction, not a candidate-generation shape
+        assert _n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
