@@ -241,3 +241,60 @@ def main():
 
 if __name__ == "__main__":
     main()
+
+
+def run_rep_dedup(spark, n: int, cap: int = 64):
+    """Part C (r12 addendum): the hot-bucket REPRESENTATIVE pass on the
+    syndicated corpus — the bounded treatment of exactly the residue
+    the cap cuts (`hot_bucket_rep_dedup`'s scale claim, measured):
+    members of each hot bucket verify against the bucket's min-doc
+    representative only, so a k-deep bucket costs k-1 comparisons, not
+    k(k-1)/2."""
+    docs = corpus(spark, n, heavy=True)
+    bands = _band_frame(_minhash_signatures(docs)).persist()
+    bands.count()
+    census = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    census = census.persist()
+    hot = census.where(F.col("k") > cap).select("band", "bkey")
+    t0 = time.time()
+    hb = bands.join(hot, ["band", "bkey"])
+    rep = hb.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    mem = (
+        hb.join(rep, ["band", "bkey"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("m_doc"), F.col("rep").alias("m_rep"))
+        .distinct()
+        .persist()
+    )
+    n_mem = mem.count()
+    ids = mem.select(F.col("m_doc").alias("doc_id")).union(
+        mem.select(F.col("m_rep").alias("doc_id"))
+    ).distinct()
+    sets = docs.join(ids, "doc_id", "semi").select(
+        "doc_id",
+        F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss"),
+    ).persist()
+    sm, sr = sets.alias("sm"), sets.alias("sr")
+    inter = F.size(F.array_intersect(F.col("sm.ss"), F.col("sr.ss")))
+    uni = F.size(F.col("sm.ss")) + F.size(F.col("sr.ss")) - inter
+    n_dup = (
+        mem.join(sm, F.col("m_doc") == F.col("sm.doc_id"))
+        .join(sr, F.col("m_rep") == F.col("sr.doc_id"))
+        .where(inter * 1.0 / uni >= 0.5)
+        .select("m_doc")
+        .distinct()
+        .count()
+    )
+    dt = time.time() - t0
+    uncapped = census.where(F.col("k") > cap).agg(
+        F.sum(F.col("k").cast("double") * (F.col("k") - 1) / 2)
+    ).collect()[0][0]
+    print(
+        f"C rep-dedup n={n} cap={cap}: members={n_mem} "
+        f"dup_vs_rep={n_dup} wall={dt:.1f}s "
+        f"(pairwise-equivalent candidates: {uncapped:.3e})",
+        flush=True,
+    )
+    for fr in (sets, mem, census, bands):
+        fr.unpersist()
+    spark.catalog.clearCache()
