@@ -936,3 +936,34 @@ def test_poisson_bootstrap_deterministic_and_sane(spark, sf_dir):
     ).fetchall()[0]
     expect = sd / n**0.5
     assert 0.5 * expect < a["boot_se"] < 2.0 * expect
+
+
+def test_fingerprinted_store_version_and_reuse(spark, sf_dir):
+    """The centralized store helper's two safety rules: same version →
+    the second call reads the landed files without rebuilding; a
+    bumped version → a NEW path (code changes must never be served
+    stale rows from /tmp)."""
+    import glob
+    import os
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _fingerprinted_store,
+    )
+
+    calls = []
+
+    def build():
+        calls.append(1)
+        return spark.createDataFrame([(1,), (2,)], "x bigint")
+
+    for path in glob.glob("/tmp/bdip_testst*_*"):
+        import shutil
+        shutil.rmtree(path, ignore_errors=True)
+    a = _fingerprinted_store(spark, sf_dir, "teststore", "t-v1", build)
+    assert a.count() == 2 and len(calls) == 1
+    b = _fingerprinted_store(spark, sf_dir, "teststore", "t-v1", build)
+    assert b.count() == 2 and len(calls) == 1  # no rebuild on reuse
+    c = _fingerprinted_store(spark, sf_dir, "teststore", "t-v2", build)
+    assert c.count() == 2 and len(calls) == 2  # version bump rebuilds
+    # distinct versions land at distinct paths
+    assert len({p for p in glob.glob("/tmp/bdip_teststore_*")}) == 2
