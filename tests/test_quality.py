@@ -967,3 +967,95 @@ def test_fingerprinted_store_version_and_reuse(spark, sf_dir):
     assert c.count() == 2 and len(calls) == 2  # version bump rebuilds
     # distinct versions land at distinct paths
     assert len({p for p in glob.glob("/tmp/bdip_teststore_*")}) == 2
+
+
+def test_stats_family_random_fixtures_match_python(spark, tmp_path):
+    """Seeded randomized sweep: welch / kruskal / cramers on 4 random
+    small orders tables must match pure-python closed forms — the
+    reference class of test that caught the kruskal H constant (shared
+    Spark+oracle constants make cross-engine parity blind to them)."""
+    import collections
+    import datetime
+    import random
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rng = random.Random(1207)
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECI", "5-LOW"]
+    for trial in range(4):
+        n = rng.randrange(30, 80)
+        rows = []
+        for i in range(n):
+            price = rng.randrange(100, 5000) / 4.0  # deliberate ties
+            rows.append((
+                i, 1, rng.choice("OFP"), price,
+                datetime.datetime(2024, 1, 1), rng.choice(prios),
+            ))
+        out = str(tmp_path / f"t{trial}")
+        spark.createDataFrame(
+            rows,
+            "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+            "o_totalprice DOUBLE, o_orderdate TIMESTAMP, "
+            "o_orderpriority STRING",
+        ).coalesce(1).write.mode("overwrite").parquet(f"{out}/orders.parquet")
+
+        cents = [(int(round(r[3] * 100)), r[5], r[2]) for r in rows]
+
+        # --- welch ---
+        hi = [c for c, p, _ in cents if p in ("1-URGENT", "2-HIGH")]
+        lo = [c for c, p, _ in cents if p not in ("1-URGENT", "2-HIGH")]
+        w = QUERIES["welch_ttest_price"](spark, out).collect()
+        if len(hi) > 1 and len(lo) > 1:
+            def var(xs):
+                m, s, ss = len(xs), sum(xs), sum(x * x for x in xs)
+                return (m * ss - s * s) / (m * (m - 1))
+            v1, v2 = var(hi), var(lo)
+            n1, n2 = len(hi), len(lo)
+            dc = sum(hi) / n1 - sum(lo) / n2
+            se2 = v1 / n1 + v2 / n2
+            r = w[0]
+            assert abs(r["mean_shift"] - round(dc / 100, 4)) < 1e-9
+            if se2 > 0:
+                assert abs(r["t_stat"] - round(dc / se2**0.5, 4)) < 1e-9
+        else:
+            assert w == []
+
+        # --- kruskal ---
+        vals = sorted(c for c, _, _ in cents)
+        cnt = collections.Counter(vals)
+        rank, pos = {}, 1
+        for v in sorted(cnt):
+            rank[v] = pos + (cnt[v] - 1) / 2
+            pos += cnt[v]
+        by_g = collections.defaultdict(list)
+        for c, p, _ in cents:
+            by_g[p].append(rank[c])
+        h = 12 / (n * (n + 1)) * sum(
+            sum(rs) ** 2 / len(rs) for rs in by_g.values()
+        ) - 3 * (n + 1)
+        r = QUERIES["kruskal_wallis_price"](spark, out).collect()[0]
+        assert r["n_groups"] == len(by_g)
+        assert abs(r["h"] - round(h, 6)) < 1e-6
+
+        # --- cramers ---
+        cells = collections.Counter(
+            (s, 1 if p in ("1-URGENT", "2-HIGH") else 0)
+            for _, p, s in cents
+        )
+        rt = collections.Counter()
+        ct = collections.Counter()
+        for (s_, g), o in cells.items():
+            rt[s_] += o
+            ct[g] += o
+        chi2 = sum(
+            (n * cells.get((s_, g), 0) - rt[s_] * ct[g]) ** 2
+            / (n * rt[s_] * ct[g])
+            for s_ in rt for g in ct
+        )
+        r = QUERIES["cramers_v_association"](spark, out).collect()[0]
+        assert abs(r["chi2"] - round(chi2, 6)) < 1e-6
+        md = min(len(rt), len(ct))
+        if md > 1:
+            assert abs(
+                r["cramers_v"] - round((chi2 / (n * (md - 1))) ** 0.5, 6)
+            ) < 1e-6
