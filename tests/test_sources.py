@@ -1079,6 +1079,24 @@ def test_streaming_lsh_ingest_crash_replay_is_idempotent(spark, tmp_path):
         for r in read_final_pairs(spark, state).collect()
     )
     assert replayed == first
+    # second crash window introduced by the r12 bands-first write
+    # order: the bands write (the cache-materialization barrier)
+    # landed but the overlapped pairs+shingles writes did NOT — on
+    # replay the batch must regenerate both from strictly-earlier
+    # state and converge to the identical pair set
+    import shutil as _sh
+
+    _sh.rmtree(f"{state}/pairs/b1")
+    _sh.rmtree(f"{state}/shingles/b1")
+    _os.remove(f"{state}/ckpt/commits/1")
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    partial_replayed = sorted(
+        (r.doc_a, r.doc_b, r.wave)
+        for r in read_final_pairs(spark, state).collect()
+    )
+    assert partial_replayed == first
 
 
 def test_streaming_simhash_ingest_discovers_once_and_restarts(spark, tmp_path):
