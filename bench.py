@@ -315,6 +315,7 @@ HEADLINE = [
     "hot_bucket_rep_dedup",
     "kruskal_wallis_price",
     "poisson_bootstrap_ci",
+    "blocklist_safety_filter",
 ]
 
 

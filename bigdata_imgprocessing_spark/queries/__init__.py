@@ -36,6 +36,7 @@ _PRIORITY = [
     "welch_ttest_price", "cramers_v_association", "topk_capture_eval",
     "minhash_lsh_capped", "hot_bucket_rep_dedup",
     "kruskal_wallis_price", "poisson_bootstrap_ci",
+    "blocklist_safety_filter",
     # (2) queries whose CODE or ORACLE changed in round 12 AFTER their
     # r11 driver row — re-check first: the lsh ingest got the F.expr
     # plan-construction rewrite + write restructure (and the shared

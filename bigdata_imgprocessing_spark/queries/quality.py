@@ -1224,3 +1224,106 @@ def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             "significant"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Blocklist safety filter: the safety stage every training-data
+# pipeline runs between quality scoring and mixing — C4 drops any doc
+# containing a blocklisted term (hard block), Gopher-style rate rules
+# drop docs where flagged mass exceeds a threshold (rate block). Both
+# verdicts in ONE scan, with per-lang accounting (safety filters have
+# notoriously uneven per-language false-positive rates — the rollup IS
+# the audit).
+# ---------------------------------------------------------------------------
+
+_HARD_BLOCK = ["dup"]
+_SOFT_BLOCK = ["slow", "batch"]
+_SOFT_RATE = 0.08
+
+
+@query(
+    "blocklist_safety_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               len(toks) AS n_tokens,
+               len(list_filter(toks,
+                   x -> list_contains({_HARD_BLOCK!r}, x))) AS n_hard,
+               len(list_filter(toks,
+                   x -> list_contains({_SOFT_BLOCK!r}, x))) * 1.0
+                   / len(toks) AS soft_rate
+        FROM t
+    ), verdicts AS (
+        SELECT lang, n_tokens, soft_rate,
+               CASE WHEN n_hard > 0 THEN 'hard_block'
+                    WHEN soft_rate > {_SOFT_RATE!r} THEN 'rate_block'
+                    ELSE 'pass' END AS verdict
+        FROM scored
+    )
+    SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           round(max(soft_rate), 6) AS max_soft_rate
+    FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict
+    """,
+)
+def blocklist_safety_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon safety filtering — the stage between quality scoring and
+    mixing that every production corpus pipeline runs: a HARD blocklist
+    (any occurrence rejects the doc — the C4 badwords discipline) and a
+    SOFT rate rule (flagged-token fraction > 0.08 rejects — the
+    Gopher-style rate form that tolerates incidental mentions), both
+    computed in ONE scan, rolled up per (lang, verdict) because safety
+    lexicons have uneven per-language false-positive rates and the
+    rollup is exactly the audit a release review reads. The lexicons
+    are identical repr literals in both engines (the benford
+    literal-injection rule); on this synthetic corpus they are fixture
+    tokens chosen to make every verdict class non-empty.
+
+    Float parity: token and hit counts are exact integers via array
+    HOF filters (no tokenizer UDF); soft_rate is ONE int/int division
+    per doc; the verdict compares the UNROUNDED rate against an
+    identical threshold literal; per-group reductions are count / sum /
+    max only — no off-grid summation.
+
+    Scale: one corpus scan, all scoring inside whole-stage codegen
+    (split + filter + size HOFs), one low-cardinality (lang, verdict)
+    shuffle with map-side partials. A real lexicon (hundreds of terms)
+    swaps the literal arrays for a broadcast set — same plan shape."""
+    d = table(spark, sf_dir, "documents")
+    hard = ", ".join(f"'{w}'" for w in _HARD_BLOCK)
+    soft = ", ".join(f"'{w}'" for w in _SOFT_BLOCK)
+    scored = d.select(
+        "lang",
+        F.expr("size(split(text, ' '))").alias("n_tokens"),
+        F.expr(
+            f"size(filter(split(text, ' '), x -> array_contains(array({hard}), x)))"
+        ).alias("n_hard"),
+        (
+            F.expr(
+                f"size(filter(split(text, ' '), x -> array_contains(array({soft}), x)))"
+            )
+            * 1.0
+            / F.expr("size(split(text, ' '))")
+        ).alias("soft_rate"),
+    )
+    verdicts = scored.select(
+        "lang",
+        "n_tokens",
+        "soft_rate",
+        F.when(F.col("n_hard") > 0, "hard_block")
+        .when(F.col("soft_rate") > _SOFT_RATE, "rate_block")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("lang", "verdict")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+            F.round(F.max("soft_rate"), 6).alias("max_soft_rate"),
+        )
+        .orderBy("lang", "verdict")
+    )
