@@ -36,6 +36,8 @@ construction, so recall = detected planted / planted (verified with
 the production exact-Jaccard expression over shingle arrays).
 
 Usage: python tools_scale_r12.py [1000000] [10000000]
+(runs V1/V2 cases per n, the 10M incremental probe, and the 1M
+representative-pass measurement)
 Writes per-case lines; summarize into SCALING.md.
 """
 
@@ -236,6 +238,10 @@ def main():
         run_case(spark, n, heavy=True, caps=[None, 64],
                  run_uncapped_join=(n <= 200_000))
     run_incremental(spark, max(ns))
+    # part C: the representative pass on the hot residue (SCALING.md
+    # r12 addendum) — measured at the smaller corpus (the hot-bucket
+    # structure is already extreme at 1M; part A covers 10M analytics)
+    run_rep_dedup(spark, min(ns))
     spark.stop()
 
 
