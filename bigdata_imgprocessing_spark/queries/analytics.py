@@ -2141,12 +2141,15 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             - 1
         ).alias("dr"),
     )
+    dd = "decimal(38,0)"
     per_g = ranked.groupBy("grp").agg(
         F.count("*").alias("nj"),
         F.sum("dr").alias("dj"),
-        F.sum(F.col("c") * F.col("c") - 1).alias("ttg"),
+        # tie term widened to decimal like dj^2: DuckDB's BIGINT sum
+        # promotes to HUGEINT while Spark's int64 sum would silently
+        # wrap on a heavily tied column (sum approaches n^3)
+        F.sum((F.col("c") * F.col("c") - 1).cast(dd)).alias("ttg"),
     )
-    dd = "decimal(38,0)"
     folded = per_g.agg(
         F.sum("nj").alias("n"),
         F.count("*").alias("k"),

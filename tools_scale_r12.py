@@ -245,10 +245,6 @@ def main():
     spark.stop()
 
 
-if __name__ == "__main__":
-    main()
-
-
 def run_rep_dedup(spark, n: int, cap: int = 64):
     """Part C (r12 addendum): the hot-bucket REPRESENTATIVE pass on the
     syndicated corpus — the bounded treatment of exactly the residue
@@ -304,3 +300,7 @@ def run_rep_dedup(spark, n: int, cap: int = 64):
     for fr in (sets, mem, census, bands):
         fr.unpersist()
     spark.catalog.clearCache()
+
+
+if __name__ == "__main__":
+    main()
