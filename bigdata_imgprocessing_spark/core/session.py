@@ -63,6 +63,21 @@ def cache_parallelism(spark: SparkSession) -> int:
     return spark.sparkContext.defaultParallelism
 
 
+def scaled_width(spark: SparkSession, floor: int = 4) -> int:
+    """Partition width for CORPUS-PROPORTIONAL intermediate and store
+    frames (LSH candidate/member/shingle-set frames, landed stores).
+
+    A fixed ``coalesce(4)`` is right at driver sf — these frames hold
+    dozens of rows and task overhead dominates — but candidate volume
+    grows with the corpus (98,793 pairs at 10M docs per SCALING.md), so
+    a fixed width serializes the exact-Jaccard verify join and the
+    store write onto 4-8 tasks at 100x. Scale with the deployment's
+    core count instead (defaultParallelism = total cores on any
+    cluster); ``floor`` keeps artificially narrow local sessions at
+    least as wide as the old fixed values (VERDICT r12 item 1)."""
+    return max(floor, cache_parallelism(spark))
+
+
 def ensure_utc(spark: SparkSession) -> SparkSession:
     """Pin session timezone to UTC (idempotent, runtime-mutable conf).
 

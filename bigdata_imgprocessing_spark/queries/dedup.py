@@ -365,9 +365,13 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     are row-identical (pinned by ``test_lsh_pairs_store_matches_fresh``).
     ``minhash_lsh_pairs`` itself stays on the FRESH pipeline so the
     end-to-end cost remains measured in the bench."""
+    from ..core.session import scaled_width
+
     return _fingerprinted_store(
-        spark, sf_dir, "pairs", "pairs-v1",
-        lambda: _lsh_verified_pairs(spark, sf_dir).coalesce(4),
+        spark, sf_dir, "pairs", "pairs-v2",
+        lambda: _lsh_verified_pairs(spark, sf_dir).coalesce(
+            scaled_width(spark)
+        ),
     )
 
 
@@ -413,9 +417,13 @@ def _ngram_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # 1.6 s on one task vs ~0.2 s across 8). Hash placement keeps the
     # layout deterministic; a real deployment sizes file count to the
     # landed volume the same way.
+    from ..core.session import scaled_width
+
     return _fingerprinted_store(
-        spark, sf_dir, "postings", "postings-v1",
-        lambda: _ngram_posting_lists(spark, sf_dir).repartition(8, "s"),
+        spark, sf_dir, "postings", "postings-v2",
+        lambda: _ngram_posting_lists(spark, sf_dir).repartition(
+            scaled_width(spark, 8), "s"
+        ),
     )
 
 
@@ -450,9 +458,13 @@ def _wordgram_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys and the raw 40-char grams never hit a shuffle."""
     # keyed repartition for the same read-parallelism reason as
     # _ngram_postings_store (doc-keyed: consumers aggregate by doc)
+    from ..core.session import scaled_width
+
     return _fingerprinted_store(
-        spark, sf_dir, "wordgrams", "wordgrams-v1",
-        lambda: _wordgram_occurrences(spark, sf_dir).repartition(8, "doc_id"),
+        spark, sf_dir, "wordgrams", "wordgrams-v2",
+        lambda: _wordgram_occurrences(spark, sf_dir).repartition(
+            scaled_width(spark, 8), "doc_id"
+        ),
     )
 
 
@@ -2716,7 +2728,7 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
     keys the join already shuffles on; survivors semi-join band-rows;
     candidate volume is bounded by n_buckets * cap^2 regardless of
     skew."""
-    from ..core.session import cache_parallelism
+    from ..core.session import cache_parallelism, scaled_width
 
     cap = 2
     d = table(spark, sf_dir, "documents")
@@ -2744,7 +2756,7 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .coalesce(4)
+        .coalesce(scaled_width(spark))
         .cache()
     )
     ids = (
@@ -2758,7 +2770,7 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss"),
         )
-        .coalesce(4)
+        .coalesce(scaled_width(spark))
         .cache()
     )
     sa = sets.alias("sa")
@@ -2863,7 +2875,7 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     LINEAR in hot-bucket membership, cap-independent; docs are
     semi-join-pruned to members BEFORE shingling; the doc->lang join
     is a fact-side projection."""
-    from ..core.session import cache_parallelism
+    from ..core.session import cache_parallelism, scaled_width
 
     cap = 2
     d = table(spark, sf_dir, "documents")
@@ -2878,7 +2890,7 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     census = (
         bands.groupBy("band", "bkey")
         .agg(F.count("*").alias("k"))
-        .coalesce(4)
+        .coalesce(scaled_width(spark))
         .cache()
     )
     hot = census.where(F.col("k") > cap).select("band", "bkey")
@@ -2892,7 +2904,7 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("doc_id") != F.col("rep"))
         .select("doc_id", "rep")
         .distinct()
-        .coalesce(4)
+        .coalesce(scaled_width(spark))
         .cache()
     )
     ids = (
@@ -2906,7 +2918,7 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss"),
         )
-        .coalesce(4)
+        .coalesce(scaled_width(spark))
         .cache()
     )
     sm = sets.alias("sm")
@@ -2956,10 +2968,12 @@ def _minhash_bands_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end cost remains measured in the bench; the md5-derived
     derivation is deterministic, so cached and fresh reads are
     row-identical (pinned by ``test_bands_store_matches_fresh``)."""
+    from ..core.session import scaled_width
+
     return _fingerprinted_store(
-        spark, sf_dir, "bands", "bands-v1",
+        spark, sf_dir, "bands", "bands-v2",
         lambda: _band_frame(
             _minhash_signatures(table(spark, sf_dir, "documents"))
-        ).repartition(8, "band", "bkey"),
+        ).repartition(scaled_width(spark, 8), "band", "bkey"),
         schema="doc_id bigint, band int, bkey string",
     )
