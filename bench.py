@@ -316,6 +316,8 @@ HEADLINE = [
     "kruskal_wallis_price",
     "poisson_bootstrap_ci",
     "blocklist_safety_filter",
+    # round 13 additions
+    "streaming_lsh_ingest_capped",
 ]
 
 
@@ -333,6 +335,7 @@ MULTI_BATCH_CONTRACT = [
     "streaming_decontam_ingest",  # 3 waves: order-dependent index growth
     "streaming_dedup_within_watermark",  # 2 batches: cross-batch dedup state
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
+    "streaming_lsh_ingest_capped",  # 4 waves: capped probe + accounting
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
     "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
     "streaming_simhash_ingest",  # 3 waves: exactly-once banded discovery

@@ -29,56 +29,44 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 12) with zero driver history —
-    # front-loaded so the first CORRECTNESS row lands this round (the
-    # lsh_incremental_pairs lesson from VERDICT r7). Names appended as
-    # each operator lands.
-    "welch_ttest_price", "cramers_v_association", "topk_capture_eval",
-    "minhash_lsh_capped", "hot_bucket_rep_dedup",
-    "kruskal_wallis_price", "poisson_bootstrap_ci",
-    "blocklist_safety_filter",
-    # (2) queries whose CODE or ORACLE changed in round 12 AFTER their
-    # r11 driver row — re-check first: the lsh ingest got the F.expr
-    # plan-construction rewrite + write restructure (and the shared
-    # _shingles/_minhash_signatures/_band_frame builders moved to
-    # F.expr, touching the whole minhash family), runs_test gained the
-    # symmetric degenerate guard (oracle text changed), dbscan gained
-    # the cell-width boundary guard.
-    "streaming_lsh_ingest", "runs_test_randomness", "dbscan_core_points",
-    "minhash_lsh_pairs", "lsh_incremental_pairs", "minhash_band_stats",
-    "minhash_estimate_error", "ngram_jaccard_hist", "cross_source_dup_rate",
-    "winnowing_fingerprints", "pair_rouge_stats",
-    # (2b) connected_components moved to lazy localCheckpoint and
-    # er_golden_record's survivorship collapsed to one aggregation —
-    # re-check the closure consumers whose plans changed (values
-    # proven identical by the r12 targeted driver-sim).
-    "er_golden_record", "doc_chain_components", "neardup_component_dedup",
-    "component_safe_split", "image_phash_neardup", "embedding_lsh_neardup",
-    "simhash64_neardup",
-    # (3) the r8 cohort (48 rows, oldest driver rows remaining after
-    # the judge's manual r6+r7 re-verify in round 11 — VERDICT r11
-    # item 2: the window drains oldest-first from r8), in their r8
-    # driver-row order.
-    "map_measure_rollup", "lag_order_gaps", "grouping_sets_revenue",
-    "regex_token_stats", "percentile_stats", "approx_sketch_stats",
-    "event_histogram", "json_map_extract", "pivot_event_counts",
-    "asof_purchase_click", "range_join_funnel", "daily_counts_gapfilled",
-    "event_transition_counts", "range_window_counts", "orc_roundtrip_stats",
-    "compaction_file_stats", "heatmap_chart_data", "ivf_search_served",
-    "pii_scrub_stats", "fuzzy_match_stats", "lone_problem_supplier",
-    "mixture_sample_stats", "bm25_search",
-    "funnel_conversion_stats", "jsonl_corrupt_handling",
-    "lateral_topk_customers", "outlier_order_stats", "locf_daily_values",
-    "pmi_collocations", "equidepth_approx_audit", "gopher_quality_rules",
-    "psi_release_drift", "kcore_neardup",
-    "hyperball_reach", "sorted_neighbor_lcp", "dim_truncation_recall",
-    "k_anonymity_audit", "vocab_growth_curve", "cdc_chunk_dedup",
-    "attribution_touchpoints", "kmeans_lloyd_rounds", "dpp_partition_join",
-    "streaming_quota_admission",
-    "hll_intersection_audit",
-    # (4) the r9 cohort follows (48 rows, registration order) for the
-    # slots past this round's window; then r10/r11 in registration
-    # order.
+    # (1) NEW this round (round 13) with zero driver history —
+    # front-loaded so the first CORRECTNESS row lands this round.
+    # Names appended as each operator lands.
+    "streaming_lsh_ingest_capped",
+    # (2) queries whose CODE changed in round 13 after their r12
+    # driver row: kruskal's tie-term sum widened to decimal(38,0); the
+    # capped-dedup/store family moved to scaled_width partitioning and
+    # the landed stores were re-versioned (pairs/postings/wordgrams/
+    # bands -v2) — values proven identical by store-freshness tests +
+    # a 41-query dedup-family driver-sim, re-checked here by the
+    # driver itself. Representative store consumers follow the heads.
+    "kruskal_wallis_price", "minhash_lsh_capped", "hot_bucket_rep_dedup",
+    "minhash_lsh_pairs", "doc_chain_components", "neardup_component_dedup",
+    "ngram_containment_hist", "dup_ngram_coverage", "label_prop_communities",
+    "pagerank_neardup", "split_leakage_audit",
+    # (3) the r8 TAIL (21 rows whose latest driver row is still r8 —
+    # NOTES round-13 bookkeeping: drain oldest-first), in r8 order.
+    "image_format_ingest", "equidepth_approx_audit", "gopher_quality_rules",
+    "psi_release_drift", "kcore_neardup", "hyperball_reach",
+    "sorted_neighbor_lcp", "dim_truncation_recall", "k_anonymity_audit",
+    "vocab_growth_curve", "cdc_chunk_dedup", "attribution_touchpoints",
+    "kmeans_lloyd_rounds", "dpp_partition_join", "streaming_quota_admission",
+    "hll_intersection_audit", "jsonl_corrupt_handling",
+    "lateral_topk_customers", "locf_daily_values", "outlier_order_stats",
+    "pmi_collocations",
+    # (4) the r9 cohort head (47 stale rows, r9 driver-row order) fills
+    # the remaining window slots; r10/r11 follow in later rounds.
+    "hamming1_neighbor_pairs", "salted_event_sum", "schema_evolution_union",
+    "session_windows", "sliding_window_agg", "streaming_dedup_counts",
+    "streaming_enriched_counts", "streaming_event_counts",
+    "streaming_foreachbatch_counts", "streaming_interval_join",
+    "streaming_kafka_roundtrip", "streaming_replay_dedup",
+    "streaming_session_windows", "streaming_upsert_latest",
+    "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
+    "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
+    "zorder_pruned_scan", "ab_test_zscore", "ann_rerank_topk",
+    "backfill_partition_overwrite", "bar_chart_data",
+    "bloom_prefilter_stats", "bm25_ndcg_eval", "bpe_merge_pairs",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

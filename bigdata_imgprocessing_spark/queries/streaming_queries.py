@@ -865,6 +865,140 @@ def streaming_lsh_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "streaming_lsh_ingest_capped",
+    oracle=f"""
+    WITH {_DUCK_PAIRS_CTES},
+    wb AS (
+        SELECT doc_id, band, bkey, CAST(doc_id % 4 AS BIGINT) AS wave
+        FROM bands
+    ),
+    per_wave AS (
+        SELECT band, bkey, wave, count(*) AS c
+        FROM wb GROUP BY band, bkey, wave
+    ),
+    cum AS (
+        SELECT band, bkey, wave,
+               sum(c) OVER (PARTITION BY band, bkey ORDER BY wave) AS k_cum
+        FROM per_wave
+    ),
+    shared AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.band, a.bkey,
+               greatest(a.wave, b.wave) AS wave
+        FROM wb a JOIN wb b ON a.band = b.band AND a.bkey = b.bkey
+                            AND a.doc_id < b.doc_id
+    ),
+    scand AS (
+        SELECT DISTINCT s.doc_a, s.doc_b, s.wave
+        FROM shared s JOIN cum c
+          ON s.band = c.band AND s.bkey = c.bkey AND c.wave = s.wave
+        WHERE c.k_cum <= 2
+    ),
+    sver AS (
+        SELECT doc_a, doc_b, s.wave,
+               len(list_intersect(sa.ss, sb.ss)) AS inter,
+               len(sa.ss) + len(sb.ss)
+                   - len(list_intersect(sa.ss, sb.ss)) AS uni
+        FROM scand s JOIN sets sa ON sa.doc_id = s.doc_a
+                     JOIN sets sb ON sb.doc_id = s.doc_b
+    ),
+    sp AS (SELECT * FROM sver WHERE inter * 1.0 / uni >= 0.5),
+    pw AS (
+        SELECT wave, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(inter) AS BIGINT) AS sum_inter,
+               CAST(sum(uni) AS BIGINT) AS sum_uni
+        FROM sp GROUP BY wave
+    ),
+    aw AS (
+        SELECT wave, CAST(count(*) AS BIGINT) AS n_buckets_cut,
+               CAST(sum(k_cum) AS BIGINT) AS n_band_rows_cut
+        FROM cum WHERE k_cum > 2 GROUP BY wave
+    ),
+    waves AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS wave)
+    SELECT w.wave,
+           CAST(coalesce(pw.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(pw.sum_inter, 0) AS BIGINT) AS sum_inter,
+           CAST(coalesce(pw.sum_uni, 0) AS BIGINT) AS sum_uni,
+           CAST(coalesce(aw.n_buckets_cut, 0) AS BIGINT) AS n_buckets_cut,
+           CAST(coalesce(aw.n_band_rows_cut, 0) AS BIGINT)
+               AS n_band_rows_cut
+    FROM waves w LEFT JOIN pw ON pw.wave = w.wave
+                 LEFT JOIN aw ON aw.wave = w.wave
+    """,
+)
+def streaming_lsh_ingest_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`streaming_lsh_ingest` under the batch census cutoff
+    (`minhash_lsh_capped`) — VERDICT r12 item 3: uncapped, a syndicated
+    cohort arriving over time makes every later batch's probe join
+    quadratic in its hot (band, bkey); capped, each micro-batch probes
+    only buckets whose ACCUMULATED depth (strictly-earlier index ∪ this
+    batch) is ≤ max_bucket and lands per-batch
+    (n_buckets_cut, n_band_rows_cut) accounting — the routing signal
+    for the representative pass (`hot_bucket_rep_dedup`).
+
+    The oracle recomputes the whole drain analytically: cumulative
+    bucket depth per (band, bkey, wave) via a windowed running sum, a
+    pair survives iff SOME shared bucket is within the cap at the
+    later doc's wave, and the accounting row for wave w counts exactly
+    the buckets TOUCHED at w whose depth then exceeds the cap — so the
+    hash pins both the capped discovery semantics and the accounting
+    arithmetic. max_bucket=2 BINDS at driver sf (cut buckets and
+    dropped pairs are both nonzero), mirroring the batch twin.
+
+    Scale: the census semi-join reads the same band rows the probe
+    join touches, folded to counts; per-batch cost is bounded by
+    arrivals x cap instead of arrivals x hot-depth (measured in
+    tools_scale_r13.py against the streamed syndicated cohort)."""
+    import shutil as _sh
+
+    from ..streaming.lsh_ingest import (
+        read_acct,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_lshcap", src="documents")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = _stage_feed(
+        root,
+        [(f"wave{i}", docs.where(F.col("doc_id") % 4 == i)) for i in range(4)],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_lsh_ingest(stream, state, max_bucket=2)
+    pairs = read_final_pairs(spark, state)
+    acct = read_acct(spark, state)
+    pe = pairs.groupBy("wave").agg(
+        F.count("*").alias("p_n"),
+        F.sum("inter").cast("bigint").alias("p_i"),
+        F.sum("uni").cast("bigint").alias("p_u"),
+    )
+    waves = spark.range(4).select(F.col("id").alias("wave"))
+    return (
+        waves.join(pe, "wave", "left")
+        .join(acct, "wave", "left")
+        .select(
+            "wave",
+            F.coalesce("p_n", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("p_i", F.lit(0)).cast("bigint").alias("sum_inter"),
+            F.coalesce("p_u", F.lit(0)).cast("bigint").alias("sum_uni"),
+            F.coalesce("n_buckets_cut", F.lit(0))
+            .cast("bigint")
+            .alias("n_buckets_cut"),
+            F.coalesce("n_band_rows_cut", F.lit(0))
+            .cast("bigint")
+            .alias("n_band_rows_cut"),
+        )
+    )
+
+
+@query(
     "streaming_decontam_ingest",
     oracle="""
     WITH assigned AS (

@@ -61,9 +61,28 @@ def _prior_state(state_root: str, store: str, bid: int) -> list[str]:
     return prior_batch_dirs(state_root, store, bid)
 
 
-def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
+def run_lsh_ingest(
+    stream_df: DataFrame, state_root: str, max_bucket: int | None = None
+) -> None:
     """Drain a (doc_id, text) stream with availableNow, maintaining the
-    band index and discovered-pairs store under ``state_root``."""
+    band index and discovered-pairs store under ``state_root``.
+
+    ``max_bucket`` ports the batch census cutoff (`minhash_lsh_capped`,
+    queries/dedup.py) into the per-batch probe: without it, a
+    syndicated cohort that concentrates ~70% of its docs on one
+    (band, bkey) per band (SCALING.md r12: 138,953-deep buckets at 10M
+    docs) arriving OVER TIME makes every subsequent batch's probe join
+    quadratic in the hot bucket. With it, each batch censuses only the
+    buckets its arrivals TOUCH (a semi-join — the same rows the probe
+    join would read anyway, as a count instead of a product), probes
+    only buckets whose accumulated depth is within the cap, and lands
+    (n_buckets_cut, n_band_rows_cut) accounting per batch under
+    ``acct/b{N}`` — the signal that routes the hot residue to the
+    representative pass (`hot_bucket_rep_dedup`) instead of pairwise
+    enumeration. A pair is therefore discovered iff SOME shared band
+    bucket is within the cap at the later doc's batch; the census is
+    deterministic from strictly-earlier state + the batch, so the
+    replay invariants hold unchanged."""
     from concurrent.futures import ThreadPoolExecutor
 
     from ..queries.dedup import (
@@ -104,7 +123,42 @@ def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
             if old_s
             else new_sh
         )
-        a = new_bands.alias("a")
+        census = None
+        probe = new_bands
+        if max_bucket is not None:
+            # Census only the buckets this batch TOUCHES: the semi-join
+            # (broadcast of the arrivals' keys — the index side never
+            # shuffles) reads exactly the band rows the probe join
+            # would read, folded to one count per bucket instead of an
+            # arrivals x depth product. Restricting the PROBE side to
+            # surviving buckets suffices for the cutoff: cut keys
+            # simply vanish from the a-side of the equi-join. Cached
+            # (touched-bucket-sized) because BOTH the pairs write and
+            # the acct write consume it; the acct write runs first,
+            # synchronously, as the cache barrier. Three structures
+            # were measured at sf0.1 (4-wave drain): this one 12.8 s;
+            # census-uncached + concurrent acct 19.0 s (the pairs job
+            # re-derives the semi-join + groupBy inline and the probe
+            # loses its broadcast shape); caching the touched rows as
+            # the pair join's index side 14.2 s (the wide cached
+            # partitioning costs more than the saved scan at this
+            # batch size). Uncapped drain is ~9.5 s in the same
+            # windows — the cap's steady cost is the one extra
+            # census-fold job per batch.
+            census = (
+                all_bands.join(
+                    new_bands.select("band", "bkey"), ["band", "bkey"], "semi"
+                )
+                .groupBy("band", "bkey")
+                .agg(F.count("*").alias("k"))
+                .coalesce(4)
+                .cache()
+            )
+            surv = census.where(F.col("k") <= max_bucket).select(
+                "band", "bkey"
+            )
+            probe = new_bands.join(surv, ["band", "bkey"], "semi")
+        a = probe.alias("a")
         b = all_bands.alias("b")
         cand = (
             a.join(
@@ -156,6 +210,20 @@ def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
         new_bands.write.mode("overwrite").parquet(
             f"{state_root}/bands/b{bid}"
         )
+        if census is not None:
+            # Synchronous, BEFORE the pair write: this one-row landing
+            # doubles as the census cache barrier (the pairs job reads
+            # census through surv — a concurrent cold fill would
+            # recompute the semi-join per thread, same rule as the
+            # bands barrier above). Always lands exactly one row, so
+            # an un-cut batch reads as explicit zeros.
+            census.where(F.col("k") > max_bucket).agg(
+                F.lit(bid).cast("bigint").alias("wave"),
+                F.count("*").cast("bigint").alias("n_buckets_cut"),
+                F.coalesce(F.sum("k"), F.lit(0))
+                .cast("bigint")
+                .alias("n_band_rows_cut"),
+            ).write.mode("overwrite").parquet(f"{state_root}/acct/b{bid}")
         with ThreadPoolExecutor(2) as pool:
             futs = [
                 pool.submit(
@@ -170,6 +238,8 @@ def run_lsh_ingest(stream_df: DataFrame, state_root: str) -> None:
                 f.result()
         for frame in (sets, cand, new_bands, batch):
             frame.unpersist()
+        if census is not None:
+            census.unpersist()
 
     (
         stream_df.writeStream.foreachBatch(step)
@@ -187,6 +257,18 @@ def read_final_pairs(spark: SparkSession, state_root: str) -> DataFrame:
     if not dirs:
         return spark.createDataFrame(
             [], "doc_a bigint, doc_b bigint, inter int, uni int, wave bigint"
+        )
+    return spark.read.parquet(*dirs)
+
+
+def read_acct(spark: SparkSession, state_root: str) -> DataFrame:
+    """Per-batch cut accounting landed by a ``max_bucket``-capped drain:
+    one (wave, n_buckets_cut, n_band_rows_cut) row per micro-batch —
+    zeros when nothing was cut."""
+    dirs = sorted(glob.glob(f"{state_root}/acct/b*"))
+    if not dirs:
+        return spark.createDataFrame(
+            [], "wave bigint, n_buckets_cut bigint, n_band_rows_cut bigint"
         )
     return spark.read.parquet(*dirs)
 

@@ -790,6 +790,80 @@ def test_streaming_lsh_ingest_discovers_once_and_restarts(spark, tmp_path):
     assert got2 == {**got, (3, 4): 3, (3, 5): 3}
 
 
+def test_streaming_lsh_ingest_capped_cuts_hot_bucket(spark, tmp_path):
+    """max_bucket mode of the streaming LSH ingest (VERDICT r12 item
+    3): identical-text docs share every band bucket, so the bucket's
+    accumulated depth crosses the cap on the third arrival — the pair
+    against the newcomer is NOT enumerated (that residue is the
+    representative pass' job), the per-batch accounting lands the cut
+    (all 8 bands of the hot doc, depth 3 each), and a RESTART against
+    the same checkpoint keeps both stores consistent."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.queries.dedup import _BANDS
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        read_acct,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    a_text = "q w e r t y u i o p k j"
+    b_text = "m n b v c x z l h g f d"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+
+    def write_wave(i, rows):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    write_wave(0, [(0, a_text), (4, b_text)])
+    write_wave(1, [(1, a_text), (5, b_text)])
+    write_wave(2, [(2, a_text)])
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state, max_bucket=2)
+
+    drain()
+    got = {
+        (r.doc_a, r.doc_b): r.wave
+        for r in read_final_pairs(spark, state).collect()
+    }
+    # doc 2's buckets hold 3 docs at its arrival -> its pairs are cut
+    assert got == {(0, 1): 1, (4, 5): 1}
+    acct = {
+        r.wave: (r.n_buckets_cut, r.n_band_rows_cut)
+        for r in read_acct(spark, state).collect()
+    }
+    assert acct == {0: (0, 0), 1: (0, 0), 2: (_BANDS, 3 * _BANDS)}
+    # restart: a third B doc arrives -> B buckets now depth 3, cut too
+    write_wave(3, [(3, b_text)])
+    drain()
+    got2 = {
+        (r.doc_a, r.doc_b): r.wave
+        for r in read_final_pairs(spark, state).collect()
+    }
+    assert got2 == got
+    acct2 = {
+        r.wave: (r.n_buckets_cut, r.n_band_rows_cut)
+        for r in read_acct(spark, state).collect()
+    }
+    assert acct2 == {**acct, 3: (_BANDS, 3 * _BANDS)}
+
+
 def test_streaming_quota_restart_keeps_caps(spark, tmp_path):
     """Quota-admission state machine under REPLAY: each drain runs the
     whole feed through fresh state (run_to_memory uses a temp
