@@ -318,6 +318,7 @@ HEADLINE = [
     "blocklist_safety_filter",
     # round 13 additions
     "streaming_lsh_ingest_capped",
+    "blocklist_lexicon_filter",
 ]
 
 

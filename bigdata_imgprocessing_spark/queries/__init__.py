@@ -32,7 +32,7 @@ _PRIORITY = [
     # (1) NEW this round (round 13) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
-    "streaming_lsh_ingest_capped",
+    "streaming_lsh_ingest_capped", "blocklist_lexicon_filter",
     # (2) queries whose CODE changed in round 13 after their r12
     # driver row: kruskal's tie-term sum widened to decimal(38,0); the
     # capped-dedup/store family moved to scaled_width partitioning and

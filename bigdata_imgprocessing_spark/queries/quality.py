@@ -1327,3 +1327,118 @@ def blocklist_safety_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "verdict")
     )
+
+
+# ---------------------------------------------------------------------------
+# The deployment-shaped lexicon: blocklist_safety_filter proves the
+# verdict machinery on a 3-term fixture; a real release pipeline ships
+# HUNDREDS of terms. The promise in its docstring — "a real lexicon
+# swaps the literal arrays for a broadcast set, same plan shape" — is
+# proven here: the lexicon is a term -> kind MAP literal that Catalyst
+# constant-folds into a single plan-shipped Literal (the broadcast-set
+# shape: built once, carried in the serialized plan, never a join), so
+# membership is ONE lookup per token instead of one array scan per
+# list, and the whole scoring stage stays inside the same single
+# codegen'd corpus scan (plan-asserted).
+# ---------------------------------------------------------------------------
+
+_LEX_HARD = _HARD_BLOCK + [f"badterm{i:03d}" for i in range(160)]
+_LEX_SOFT = _SOFT_BLOCK + [f"flagterm{i:03d}" for i in range(160)]
+
+
+@query(
+    "blocklist_lexicon_filter",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS toks
+        FROM documents
+    ), scored AS (
+        SELECT lang,
+               len(toks) AS n_tokens,
+               len(list_filter(toks,
+                   x -> list_contains({_LEX_HARD!r}, x))) AS n_hard,
+               len(list_filter(toks,
+                   x -> list_contains({_LEX_SOFT!r}, x))) * 1.0
+                   / len(toks) AS soft_rate
+        FROM t
+    ), verdicts AS (
+        SELECT lang, n_tokens, soft_rate,
+               CASE WHEN n_hard > 0 THEN 'hard_block'
+                    WHEN soft_rate > {_SOFT_RATE!r} THEN 'rate_block'
+                    ELSE 'pass' END AS verdict
+        FROM scored
+    )
+    SELECT lang, verdict, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens_total,
+           round(max(soft_rate), 6) AS max_soft_rate,
+           CAST({len(_LEX_HARD) + len(_LEX_SOFT)} AS BIGINT)
+               AS n_lexicon_terms
+    FROM verdicts GROUP BY lang, verdict ORDER BY lang, verdict
+    """,
+)
+def blocklist_lexicon_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`blocklist_safety_filter` at deployment lexicon size (VERDICT
+    r12 item 5): 322 terms (the 3 corpus-hitting fixture terms so
+    every verdict class stays non-empty, plus 320 synthetic terms — a
+    real pipeline loads these from the lexicon release file). The
+    lexicon rides the plan as ONE constant-folded term->kind map
+    Literal — the broadcast-set discipline: built once on the driver,
+    shipped inside the serialized plan to every task, membership is a
+    single map lookup per token (`coalesce(blk[x], 0)`), and the map
+    appears ONCE in the expression tree (each token classified once,
+    the hard/soft counts then fold over the small kinds array) instead
+    of once per blocklist. No join, no shuffle before the final
+    (lang, verdict) rollup, no Python — the scoring stage is the same
+    single codegen'd scan as the fixture query (plan-asserted by
+    test_blocklist_lexicon_plan).
+
+    Float parity: identical to the fixture query — exact integer
+    counts via array HOFs, one int/int division per doc, unrounded
+    threshold compare, count/sum/max reductions only.
+
+    Scale: one corpus scan; per-token cost is O(1) in lexicon size
+    (map lookup), so a 10k-term production lexicon changes the plan
+    literal, not the plan. n_lexicon_terms pins the shipped lexicon
+    size into the audited output."""
+    d = table(spark, sf_dir, "documents")
+    entries = ", ".join(
+        [f"'{w}', 1" for w in _LEX_HARD] + [f"'{w}', 2" for w in _LEX_SOFT]
+    )
+    kinds = d.select(
+        "lang",
+        F.expr(
+            f"transform(split(text, ' '), x -> coalesce(map({entries})[x], 0))"
+        ).alias("kinds"),
+    )
+    scored = kinds.select(
+        "lang",
+        F.size("kinds").alias("n_tokens"),
+        F.expr("size(filter(kinds, k -> k = 1))").alias("n_hard"),
+        (
+            F.expr("size(filter(kinds, k -> k = 2))")
+            * 1.0
+            / F.size("kinds")
+        ).alias("soft_rate"),
+    )
+    verdicts = scored.select(
+        "lang",
+        "n_tokens",
+        "soft_rate",
+        F.when(F.col("n_hard") > 0, "hard_block")
+        .when(F.col("soft_rate") > _SOFT_RATE, "rate_block")
+        .otherwise("pass")
+        .alias("verdict"),
+    )
+    return (
+        verdicts.groupBy("lang", "verdict")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens_total"),
+            F.round(F.max("soft_rate"), 6).alias("max_soft_rate"),
+        )
+        .withColumn(
+            "n_lexicon_terms",
+            F.lit(len(_LEX_HARD) + len(_LEX_SOFT)).cast("bigint"),
+        )
+        .orderBy("lang", "verdict")
+    )

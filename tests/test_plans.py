@@ -777,3 +777,21 @@ def test_capped_lsh_reads_bands_store(spark, sf_dir):
         # 1-row accounting frame onto every output row — bounded by
         # construction, not a candidate-generation shape
         assert _n_nodes(plan, "BroadcastNestedLoopJoin") <= 1
+
+
+def test_blocklist_lexicon_plan(spark, sf_dir):
+    """blocklist_lexicon_filter (the deployment-size lexicon): the 323
+    term->kind entries must ride the plan as ONE constant-folded map
+    Literal — no join, no extra scan, no Python — so the scoring stage
+    is the same single codegen'd corpus scan as the 3-term fixture
+    query, and the only exchanges are the (lang, verdict) rollup and
+    the final orderBy."""
+    plan = _formatted(spark, QUERIES["blocklist_lexicon_filter"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    assert _n_nodes(plan, "Exchange") <= 2
+    # constant folding proof: a NOT-folded CreateMap would render the
+    # raw map(badterm000, 1, ...) call tree in the Project expression;
+    # the folded Literal renders as keys:/values: array dumps
+    assert "map(badterm" not in plan and "keys:" in plan
