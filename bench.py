@@ -345,7 +345,64 @@ MULTI_BATCH_CONTRACT = [
 ]
 
 
+def compare(prev_path: str, cur_path: str | None = None) -> None:
+    """Round-over-round drift-vs-regression adjudication (VERDICT r12
+    item 6): ``python bench.py --compare BENCH_DETAIL.prev.json``
+    compares the CURRENT BENCH_DETAIL.json (or an explicit second
+    path) against a previous round's detail, using the recorded
+    per-query MINS — the robust statistic the last three VERDICTs
+    derived by hand. Prints the common-subset totals + ratio, the
+    added/removed query sets, and every >1.5x mover in either
+    direction with its sample spread (a large spread says busy box,
+    a small spread with a moved min says the plan changed)."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    cur_path = cur_path or os.path.join(here, "BENCH_DETAIL.json")
+    with open(prev_path) as fh:
+        prev = json.load(fh)
+    with open(cur_path) as fh:
+        cur = json.load(fh)
+    pq, cq = prev["queries"], cur["queries"]
+    common = sorted(set(pq) & set(cq))
+    pt = sum(pq[n] for n in common)
+    ct = sum(cq[n] for n in common)
+    print(f"common subset: {len(common)} queries")
+    print(
+        f"  prev {pt:8.1f} s   cur {ct:8.1f} s   ratio {ct / pt:.3f}x"
+        if pt
+        else "  (empty)"
+    )
+    added = sorted(set(cq) - set(pq))
+    removed = sorted(set(pq) - set(cq))
+    if added:
+        print(
+            f"added ({len(added)}): {sum(cq[n] for n in added):.1f} s — "
+            + ", ".join(added)
+        )
+    if removed:
+        print(f"removed ({len(removed)}): " + ", ".join(removed))
+    movers = [
+        (cq[n] / pq[n], n)
+        for n in common
+        if pq[n] > 0 and (cq[n] / pq[n] > 1.5 or cq[n] / pq[n] < 1 / 1.5)
+        # sub-second movements are scheduling noise, not plan changes
+        and abs(cq[n] - pq[n]) >= 0.5
+    ]
+    if movers:
+        print(f">1.5x movers ({len(movers)}):")
+        for r, n in sorted(movers, reverse=True):
+            spread = cur.get("spread", {}).get(n)
+            print(
+                f"  {n:40s} {pq[n]:7.2f} -> {cq[n]:7.2f} s "
+                f"({r:5.2f}x, cur spread {spread})"
+            )
+    else:
+        print(">1.5x movers: none")
+
+
 def main() -> None:
+    if len(sys.argv) >= 3 and sys.argv[1] == "--compare":
+        compare(sys.argv[2], sys.argv[3] if len(sys.argv) > 3 else None)
+        return
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = build_session("bench")
