@@ -319,6 +319,7 @@ HEADLINE = [
     # round 13 additions
     "streaming_lsh_ingest_capped",
     "blocklist_lexicon_filter",
+    "bh_fdr_price_tests",
 ]
 
 

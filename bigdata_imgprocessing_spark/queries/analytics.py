@@ -2386,3 +2386,203 @@ def poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((m0 - 1.96 * F.col("s")) / 100, 4).alias("ci_lo"),
         F.round((m0 + 1.96 * F.col("s")) / 100, 4).alias("ci_hi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR control: the MULTIPLE-testing governance layer
+# the stats family was missing — a release audit never runs one test,
+# it runs one per segment (lang, tier, shard), and at alpha=0.05 a
+# 20-segment audit fires a false alarm every release without
+# correction. BH (step-up on sorted p-values, p(i) <= i*alpha/m) is
+# the standard FDR control. p-values need the normal CDF, which
+# neither engine exposes portably — so the per-RANK critical values
+# zcrit(i) = Phi^{-1}(1 - (i*alpha/m)/2) are computed ONCE in Python
+# (deterministic 200-step bisection on math.erfc — converges to the
+# unique double) and injected as identical literals into both engines:
+# p(i) <= i*alpha/m  <=>  |z(i)| >= zcrit(i) with |z| sorted DESC.
+# ---------------------------------------------------------------------------
+
+
+def _z_upper(p: float) -> float:
+    """Upper-tail standard-normal quantile: z with P(Z > z) = p, via
+    bisection on erfc (monotone; 200 halvings of [0,10] land on one
+    double — deterministic for the literal-injection rule)."""
+    lo, hi = 0.0, 10.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if _math.erfc(mid / _math.sqrt(2.0)) / 2.0 > p:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+_BH_ALPHA = 0.05
+_BH_M = 5  # the five order-priority tiers
+_BH_ZCRIT = [repr(_z_upper(i * _BH_ALPHA / _BH_M / 2.0)) for i in range(1, _BH_M + 1)]
+
+
+@query(
+    "bh_fdr_price_tests",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS tier,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc
+        FROM orders
+    ), per AS (
+        SELECT tier, count(*) AS nj, sum(yc) AS sj, sum(yc * yc) AS ssj
+        FROM c GROUP BY tier
+    ), tot AS (
+        SELECT sum(nj) AS n, sum(sj) AS s, sum(ssj) AS ss FROM per
+    ), z AS (
+        SELECT tier, nj,
+               CAST(sj AS DOUBLE) / nj / 100 AS mean_price,
+               (CAST(sj AS DOUBLE) / nj
+                   - CAST(tot.s - sj AS DOUBLE) / (tot.n - nj)) AS dc,
+               CAST(nj * ssj - sj * sj AS DOUBLE)
+                   / (CAST(nj AS DOUBLE) * (nj - 1)) AS vj,
+               CAST((tot.n - nj) * (tot.ss - ssj)
+                    - (tot.s - sj) * (tot.s - sj) AS DOUBLE)
+                   / (CAST(tot.n - nj AS DOUBLE) * ((tot.n - nj) - 1)) AS vr,
+               (tot.n - nj) AS nr
+        FROM per, tot WHERE nj > 1 AND tot.n - nj > 1
+    ), zz AS (
+        SELECT tier, nj, mean_price,
+               CASE WHEN (vj / nj + vr / nr) > 0
+                    THEN dc / sqrt(vj / nj + vr / nr) END AS zval
+        FROM z
+    ), ranked AS (
+        SELECT tier, nj, mean_price, zval,
+               row_number() OVER (ORDER BY abs(zval) DESC, tier) AS r
+        FROM zz
+    ), flagged AS (
+        SELECT *,
+               zval IS NOT NULL
+                   AND abs(zval) >= ([{", ".join(_BH_ZCRIT)}])[r] AS cond
+        FROM ranked
+    ), cut AS (
+        SELECT *, max(CASE WHEN cond THEN r END) OVER () AS istar
+        FROM flagged
+    )
+    SELECT tier, CAST(nj AS BIGINT) AS n_orders,
+           round(mean_price, 4) AS mean_price,
+           round(zval, 6) AS z,
+           CAST(r AS BIGINT) AS z_rank,
+           CASE WHEN zval IS NOT NULL
+                THEN abs(zval) >= {_BH_ZCRIT[-1]} END AS raw_significant,
+           CASE WHEN zval IS NOT NULL
+                THEN r <= coalesce(istar, 0) END AS bh_rejected
+    FROM cut ORDER BY tier
+    """,
+)
+def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-vs-rest Welch z per order-priority tier with
+    Benjamini-Hochberg FDR control across the five tests — the
+    multiple-testing form every segment-level release audit needs
+    (`welch_ttest_price` is one test; a real audit runs one per
+    segment and must control the family-wise false-discovery rate).
+    Step-up rule: sort |z| descending (= p ascending), find the
+    largest rank i with p(i) <= i*alpha/m, reject ranks 1..i.
+
+    Float parity: the welch discipline per tier — exact int64 cents,
+    DECIMAL(38,0)/HUGEINT squared sums, rest-group moments by exact
+    subtraction from the totals (no second scan), each variance ONE
+    double division of exact operands, z the identical expression
+    shape in both engines; the BH thresholds are bisection-derived
+    literals injected into BOTH engines (no erf/quantile calls
+    anywhere), compared against the UNROUNDED |z|, and the rank order
+    (abs(z) desc, tier) is total. raw_significant uses the rank-m
+    threshold = the uncorrected alpha=0.05 two-sided cut.
+
+    Scale: ONE fact scan -> 5-row groupBy with map-side partials;
+    totals fold from the 5 rows (broadcast back, no second scan);
+    the rank/step-up windows run over 5 rows on one partition."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    dd = "decimal(38,0)"
+    c = o.select(
+        F.col("o_orderpriority").alias("tier"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+    )
+    per = c.groupBy("tier").agg(
+        F.count("*").alias("nj"),
+        F.sum("yc").alias("sj"),
+        F.sum((F.col("yc") * F.col("yc")).cast(dd)).alias("ssj"),
+    )
+    tot = per.agg(
+        F.sum("nj").alias("n"),
+        F.sum("sj").alias("s"),
+        F.sum("ssj").alias("ss"),
+    )
+    z = (
+        per.crossJoin(F.broadcast(tot))
+        .where((F.col("nj") > 1) & (F.col("n") - F.col("nj") > 1))
+        .select(
+            "tier",
+            "nj",
+            (F.col("sj").cast("double") / F.col("nj") / 100).alias(
+                "mean_price"
+            ),
+            (
+                F.col("sj").cast("double") / F.col("nj")
+                - (F.col("s") - F.col("sj")).cast("double")
+                / (F.col("n") - F.col("nj"))
+            ).alias("dc"),
+            (
+                (
+                    F.col("nj").cast(dd) * F.col("ssj")
+                    - F.col("sj").cast(dd) * F.col("sj").cast(dd)
+                ).cast("double")
+                / (F.col("nj").cast("double") * (F.col("nj") - 1))
+            ).alias("vj"),
+            (
+                (
+                    (F.col("n") - F.col("nj")).cast(dd)
+                    * (F.col("ss") - F.col("ssj"))
+                    - (F.col("s") - F.col("sj")).cast(dd)
+                    * (F.col("s") - F.col("sj")).cast(dd)
+                ).cast("double")
+                / (
+                    (F.col("n") - F.col("nj")).cast("double")
+                    * ((F.col("n") - F.col("nj")) - 1)
+                )
+            ).alias("vr"),
+            (F.col("n") - F.col("nj")).alias("nr"),
+        )
+    )
+    se2 = F.col("vj") / F.col("nj") + F.col("vr") / F.col("nr")
+    zz = z.select(
+        "tier",
+        "nj",
+        "mean_price",
+        F.when(se2 > 0, F.col("dc") / F.sqrt(se2)).alias("zval"),
+    )
+    rw = Window.orderBy(F.abs(F.col("zval")).desc(), "tier")
+    zcrit = F.expr(f"array({', '.join(_BH_ZCRIT)})")
+    ranked = zz.withColumn("r", F.row_number().over(rw)).withColumn(
+        "cond",
+        F.col("zval").isNotNull()
+        & (F.abs(F.col("zval")) >= F.element_at(zcrit, F.col("r"))),
+    )
+    iw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cut = ranked.withColumn(
+        "istar",
+        F.max(F.when(F.col("cond"), F.col("r"))).over(iw),
+    )
+    return cut.select(
+        "tier",
+        F.col("nj").cast("bigint").alias("n_orders"),
+        F.round("mean_price", 4).alias("mean_price"),
+        F.round("zval", 6).alias("z"),
+        F.col("r").cast("bigint").alias("z_rank"),
+        F.when(
+            F.col("zval").isNotNull(),
+            F.abs(F.col("zval")) >= float(_BH_ZCRIT[-1]),
+        ).alias("raw_significant"),
+        F.when(
+            F.col("zval").isNotNull(),
+            F.col("r") <= F.coalesce(F.col("istar"), F.lit(0)),
+        ).alias("bh_rejected"),
+    ).orderBy("tier")

@@ -1059,3 +1059,79 @@ def test_stats_family_random_fixtures_match_python(spark, tmp_path):
             assert abs(
                 r["cramers_v"] - round((chi2 / (n * (md - 1))) ** 0.5, 6)
             ) < 1e-6
+
+
+def test_bh_fdr_planted_divergence(spark, tmp_path):
+    """Planted fixture where BH and raw-alpha DISAGREE — the pattern
+    the corpus data never exercises (its tiers are exchangeable, all
+    flags False): URGENT is shifted hard (|z|=3.18 > zcrit(1)=2.576,
+    BH-rejected), HIGH moderately (|z|=2.13: above the uncorrected
+    1.96 cut but below its rank-2 step-up threshold 2.326 — raw flags
+    it, BH does NOT), and the contaminated unshifted tiers stay under
+    1.96. Flags recomputed independently in pure Python from the same
+    planted cents; every margin to its threshold is >= 0.05, so
+    float-grid jitter cannot flip a branch."""
+    import datetime
+    import math
+
+    def mk(shift_c, seed):
+        return [10000 + ((i * 37 + seed) % 200) * 50 + shift_c for i in range(40)]
+
+    data = {
+        "1-URGENT": mk(2000, 0),
+        "2-HIGH": mk(1750, 1),
+        "3-MEDIUM": mk(0, 2),
+        "4-NOT SPECIFIED": mk(0, 3),
+        "5-LOW": mk(0, 4),
+    }
+    rows = []
+    i = 0
+    for prio, cents in data.items():
+        for c in cents:
+            rows.append(
+                (i, 1, "O", c / 100.0, datetime.datetime(2024, 1, 1), prio)
+            )
+            i += 1
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+    # independent reference (same exact-cents arithmetic, pure Python)
+    from bigdata_imgprocessing_spark.queries.analytics import _BH_ZCRIT
+
+    zc = [float(v) for v in _BH_ZCRIT]
+    N = sum(len(v) for v in data.values())
+    S = sum(sum(v) for v in data.values())
+    SS = sum(sum(x * x for x in v) for v in data.values())
+    zref = {}
+    for t, v in data.items():
+        nj, sj, ssj = len(v), sum(v), sum(x * x for x in v)
+        nr, sr, ssr = N - nj, S - sj, SS - ssj
+        vj = (nj * ssj - sj * sj) / (nj * (nj - 1))
+        vr = (nr * ssr - sr * sr) / (nr * (nr - 1))
+        zref[t] = (sj / nj - sr / nr) / math.sqrt(vj / nj + vr / nr)
+    order = sorted(zref, key=lambda k: (-abs(zref[k]), k))
+    istar = max(
+        (i + 1 for i in range(5) if abs(zref[order[i]]) >= zc[i]), default=0
+    )
+    want = {
+        t: (
+            order.index(t) + 1,
+            abs(zref[t]) >= zc[-1],
+            order.index(t) + 1 <= istar,
+        )
+        for t in data
+    }
+    # the fixture must actually exercise the divergence
+    assert [want[t][2] for t in sorted(data)].count(True) == 1
+    assert [want[t][1] for t in sorted(data)].count(True) == 2
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    got = {
+        r.tier: (r.z_rank, r.raw_significant, r.bh_rejected)
+        for r in QUERIES["bh_fdr_price_tests"](spark, str(tmp_path)).collect()
+    }
+    assert got == want
