@@ -320,6 +320,7 @@ HEADLINE = [
     "streaming_lsh_ingest_capped",
     "blocklist_lexicon_filter",
     "bh_fdr_price_tests",
+    "conformal_coverage_eval",
 ]
 
 

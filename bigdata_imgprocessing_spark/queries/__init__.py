@@ -33,7 +33,7 @@ _PRIORITY = [
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
     "streaming_lsh_ingest_capped", "blocklist_lexicon_filter",
-    "bh_fdr_price_tests",
+    "bh_fdr_price_tests", "conformal_coverage_eval",
     # (2) queries whose CODE changed in round 13 after their r12
     # driver row: kruskal's tie-term sum widened to decimal(38,0); the
     # capped-dedup/store family moved to scaled_width partitioning and

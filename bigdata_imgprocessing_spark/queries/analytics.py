@@ -2586,3 +2586,157 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r") <= F.coalesce(F.col("istar"), F.lit(0)),
         ).alias("bh_rejected"),
     ).orderBy("tier")
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal coverage: the distribution-free prediction-interval
+# guarantee, evaluated the way a model-serving release audit does it —
+# calibrate a residual quantile on one half, measure empirical
+# coverage on the other. Finite-sample conformal uses the
+# ceil((n_cal+1)(1-alpha))-th smallest calibration residual, so with
+# an integer-cents MEDIAN predictor the whole pipeline is EXACT
+# integer selection end-to-end (the sorted-selection discipline) —
+# no float quantile interpolation in either engine.
+# ---------------------------------------------------------------------------
+
+_CONF_ALPHA = 0.1  # target coverage 0.9
+
+
+@query(
+    "conformal_coverage_eval",
+    oracle=f"""
+    WITH c AS (
+        SELECT o_orderpriority AS tier,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS yc,
+               CASE WHEN {_duck_bucket("CAST(o_orderkey AS VARCHAR) || '_conf'", 2)} = 0
+                    THEN 'cal' ELSE 'eval' END AS split
+        FROM orders
+    ), med AS (
+        SELECT tier, yc AS med FROM (
+            SELECT tier, yc,
+                   row_number() OVER (PARTITION BY tier ORDER BY yc) AS rn,
+                   count(*) OVER (PARTITION BY tier) AS n
+            FROM c WHERE split = 'cal'
+        ) WHERE rn = (n + 1) // 2
+    ), calr AS (
+        SELECT abs(c.yc - med.med) AS r
+        FROM c JOIN med USING (tier) WHERE split = 'cal'
+    ), q AS (
+        SELECT r AS qv, k, n_cal FROM (
+            SELECT r, row_number() OVER (ORDER BY r) AS rn,
+                   count(*) OVER () AS n_cal,
+                   CAST(ceil((count(*) OVER () + 1) * {1 - _CONF_ALPHA!r})
+                        AS BIGINT) AS k
+            FROM calr
+        ) WHERE rn = k
+    ), ev AS (
+        SELECT count(*) AS n_eval,
+               sum(CASE WHEN abs(c.yc - med.med) <= q.qv
+                        THEN 1 ELSE 0 END) AS n_cov
+        FROM c JOIN med USING (tier) CROSS JOIN q
+        WHERE split = 'eval'
+    )
+    SELECT CAST(q.n_cal AS BIGINT) AS n_cal,
+           CAST(ev.n_eval AS BIGINT) AS n_eval,
+           CAST(q.k AS BIGINT) AS k_index,
+           round(q.qv / 100.0, 2) AS q_width,
+           CAST(ev.n_cov AS BIGINT) AS n_covered,
+           round(ev.n_cov * 1.0 / ev.n_eval, 6) AS coverage,
+           CAST({1 - _CONF_ALPHA!r} AS DOUBLE) AS target
+    FROM q CROSS JOIN ev
+    """,
+)
+def conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal prediction-interval coverage on order amounts —
+    the distribution-free guarantee audit (Vovk et al.; the serving-
+    side release check that a model's claimed 90% intervals really
+    cover 90%): a deterministic md5 coin splits orders into
+    calibration/evaluation halves; the per-tier calibration MEDIAN is
+    the point predictor; the interval half-width is the finite-sample
+    conformal quantile — the ceil((n_cal+1)*0.9)-th SMALLEST absolute
+    calibration residual; empirical coverage on the held-out half must
+    then be >= 0.9 in expectation under exchangeability.
+
+    Float parity: cents, medians (lower-middle position (n+1)//2 of
+    the sorted multiset), residuals, and the conformal quantile are
+    ALL exact integers selected by position — never an interpolating
+    quantile in either engine (the sorted-selection discipline);
+    coverage is one int/int division rounded at 6dp; the split is the
+    shared md5-bucket literal expression.
+
+    Scale: one fact scan feeds both halves; the median is a
+    tier-partitioned sort and the quantile ONE global sort of
+    calibration residuals (the documented rank-family total-sort cost
+    — `exact_deciles_no_sort` shows the histogram-refinement path when
+    a total sort is unaffordable); med (5 rows) and q (1 row)
+    broadcast back onto the eval half."""
+    ensure_utc(spark)
+    o = table(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("tier"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("yc"),
+        (
+            _md5_bucket(
+                F.concat(F.col("o_orderkey").cast("string"), F.lit("_conf")), 2
+            )
+            == 0
+        ).alias("is_cal"),
+    )
+    cal = c.where("is_cal")
+    tw = Window.partitionBy("tier").orderBy("yc")
+    med = (
+        cal.select(
+            "tier",
+            "yc",
+            F.row_number().over(tw).alias("rn"),
+            F.count("*").over(Window.partitionBy("tier")).alias("n"),
+        )
+        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("tier", F.col("yc").alias("med"))
+    )
+    calr = cal.join(F.broadcast(med), "tier").select(
+        F.abs(F.col("yc") - F.col("med")).alias("r")
+    )
+    qw = Window.orderBy("r")
+    q = (
+        calr.select(
+            "r",
+            F.row_number().over(qw).alias("rn"),
+            F.count("*").over(
+                Window.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ).alias("n_cal"),
+        )
+        .withColumn(
+            "k",
+            F.ceil((F.col("n_cal") + 1) * (1 - _CONF_ALPHA)).cast("bigint"),
+        )
+        .where(F.col("rn") == F.col("k"))
+        .select(F.col("r").alias("qv"), "k", "n_cal")
+    )
+    ev = (
+        c.where(~F.col("is_cal"))
+        .join(F.broadcast(med), "tier")
+        .crossJoin(F.broadcast(q))
+        .agg(
+            F.count("*").alias("n_eval"),
+            F.sum(
+                (F.abs(F.col("yc") - F.col("med")) <= F.col("qv")).cast(
+                    "long"
+                )
+            ).alias("n_cov"),
+            F.first("n_cal").alias("n_cal"),
+            F.first("k").alias("k"),
+            F.first("qv").alias("qv"),
+        )
+    )
+    return ev.select(
+        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.col("n_eval").cast("bigint").alias("n_eval"),
+        F.col("k").cast("bigint").alias("k_index"),
+        F.round(F.col("qv") / 100.0, 2).alias("q_width"),
+        F.col("n_cov").cast("bigint").alias("n_covered"),
+        F.round(F.col("n_cov") * 1.0 / F.col("n_eval"), 6).alias("coverage"),
+        F.lit(1 - _CONF_ALPHA).alias("target"),
+    )
