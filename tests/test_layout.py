@@ -302,3 +302,36 @@ def test_bench_headline_names_valid_and_cover_new_queries():
     # contract lists must stay consistent too
     stray = [n for n in bench.MULTI_BATCH_CONTRACT if n not in headline]
     assert not stray, f"MULTI_BATCH_CONTRACT not in HEADLINE: {stray}"
+
+
+def test_bench_compare_adjudication(tmp_path, capsys):
+    """bench.py --compare: the drift-vs-regression table from recorded
+    per-query mins — common-subset ratio, added/removed sets, and only
+    the >1.5x AND >=0.5s movers (sub-second jitter must not list)."""
+    import json as _json
+    import sys as _sys
+
+    prev = {
+        "queries": {"a": 2.0, "b": 1.0, "c": 4.0, "gone": 1.0},
+        "spread": {},
+    }
+    cur = {
+        # a: 2.0 -> 3.5 (1.75x, +1.5s) -> lists; b: 1.0 -> 1.6 (1.6x,
+        # +0.6s) -> lists; c: 4.0 -> 4.4 (1.1x) -> no
+        "queries": {"a": 3.5, "b": 1.6, "c": 4.4, "new": 9.9},
+        "spread": {"a": 0.2, "b": 0.1},
+    }
+    pp, cp = tmp_path / "prev.json", tmp_path / "cur.json"
+    pp.write_text(_json.dumps(prev))
+    cp.write_text(_json.dumps(cur))
+    _sys.path.insert(0, "/root/repo")
+    import bench
+
+    bench.compare(str(pp), str(cp))
+    out = capsys.readouterr().out
+    assert "common subset: 3 queries" in out
+    assert "ratio 1.357x" in out  # (3.5+1.6+4.4)/(2+1+4)
+    assert "added (1): 9.9 s — new" in out
+    assert "removed (1): gone" in out
+    assert "a " in out and "b " in out
+    assert "c " not in out.split("movers")[1]
