@@ -2492,7 +2492,12 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals injected into BOTH engines (no erf/quantile calls
     anywhere), compared against the UNROUNDED |z|, and the rank order
     (abs(z) desc, tier) is total. raw_significant uses the rank-m
-    threshold = the uncorrected alpha=0.05 two-sided cut.
+    threshold = the uncorrected alpha=0.05 two-sided cut. m is PINNED
+    to the five canonical tiers: a corpus growing extra segments ranks
+    them past the threshold table, where out-of-range indexing yields
+    NULL in BOTH engines (try_element_at / DuckDB list semantics) —
+    extra segments are never BH-rejected (conservative), never an
+    error.
 
     Scale: ONE fact scan -> 5-row groupBy with map-side partials;
     totals fold from the 5 rows (broadcast back, no second scan);
@@ -2559,10 +2564,14 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rw = Window.orderBy(F.abs(F.col("zval")).desc(), "tier")
     zcrit = F.expr(f"array({', '.join(_BH_ZCRIT)})")
+    # try_element_at: a corpus with MORE segments than the pinned m
+    # ranks past the threshold table — out-of-range yields NULL (like
+    # DuckDB list indexing), so extra segments are never BH-rejected
+    # (conservative) instead of erroring under ANSI element_at
     ranked = zz.withColumn("r", F.row_number().over(rw)).withColumn(
         "cond",
         F.col("zval").isNotNull()
-        & (F.abs(F.col("zval")) >= F.element_at(zcrit, F.col("r"))),
+        & (F.abs(F.col("zval")) >= F.try_element_at(zcrit, F.col("r"))),
     )
     iw = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
