@@ -320,6 +320,7 @@ def _fingerprinted_store(
     version: str,
     build,
     schema: str | None = None,
+    keys: tuple[str, ...] = (),
 ) -> DataFrame:
     """Shared corpus-fingerprinted /tmp store machinery (r12 review:
     this pattern existed as four inline copies, each independently
@@ -333,9 +334,23 @@ def _fingerprinted_store(
        store on a long-lived machine would otherwise serve old rows
        while fresh-start CI passes.
 
-    ``build()`` returns the frame to land (already repartitioned per
-    the store write rule); ``schema`` optionally pins the read schema
-    (skips footer inference for fixed layouts)."""
+    ``build()`` returns the frame to land, UNPARTITIONED; the helper
+    sizes the landing width from the frame's actual row count —
+    repartitioned by ``keys`` (the store write rule: keyed placement
+    keeps probes bucket-local) or coalesced when no keys are given.
+    Width = rows / ~500k per file, floored at 8 so tiny test-scale
+    stores still read with a few parallel tasks (the 1-file store
+    lesson), capped at 4096 files. Sizing by COUNT instead of a fixed
+    number matters in both directions: fixed 8 serializes the landing
+    and every consumer scan at 100x corpus (VERDICT r12 item 1), and a
+    fixed core-count width (32 on local[32]) was measured REGRESSING
+    every repeat-reader at sf0.1 — the iterative graph consumers
+    (k-core, HyperBall, PageRank) re-scan the store per round, paying
+    32 tiny-file tasks each time (kcore 1.19 -> 2.49 s, hyperball
+    2.25 -> 3.71 s isolated before this fix). The count() is one extra
+    job paid ONCE per corpus landing, amortized across every consumer.
+    ``schema`` optionally pins the read schema (skips footer inference
+    for fixed layouts)."""
     import hashlib as _h
     import os as _os
 
@@ -345,7 +360,14 @@ def _fingerprinted_store(
     ).hexdigest()[:12]
     path = f"/tmp/bdip_{name}_{token}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        build().write.mode("overwrite").parquet(path)
+        df = build()
+        width = max(8, min(df.count() // 500_000 + 1, 4096))
+        df = (
+            df.repartition(width, *keys)
+            if keys
+            else df.coalesce(width)
+        )
+        df.write.mode("overwrite").parquet(path)
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(path)
 
@@ -365,13 +387,9 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     are row-identical (pinned by ``test_lsh_pairs_store_matches_fresh``).
     ``minhash_lsh_pairs`` itself stays on the FRESH pipeline so the
     end-to-end cost remains measured in the bench."""
-    from ..core.session import scaled_width
-
     return _fingerprinted_store(
-        spark, sf_dir, "pairs", "pairs-v2",
-        lambda: _lsh_verified_pairs(spark, sf_dir).coalesce(
-            scaled_width(spark)
-        ),
+        spark, sf_dir, "pairs", "pairs-v3",
+        lambda: _lsh_verified_pairs(spark, sf_dir),
     )
 
 
@@ -411,19 +429,16 @@ def _ngram_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     source parquet mtime+size (stale-cache lesson); sort_array makes
     the stored lists deterministic, so cached and fresh reads are
     row-identical (``test_ngram_postings_store_matches_fresh``)."""
-    # repartition BY KEY, not coalesce: AQE coalesces the tiny posting
-    # shuffle to 1 partition at test scale, and a 1-file store
-    # single-threads every consumer's pair-explode stage (profiled
-    # 1.6 s on one task vs ~0.2 s across 8). Hash placement keeps the
-    # layout deterministic; a real deployment sizes file count to the
-    # landed volume the same way.
-    from ..core.session import scaled_width
-
+    # keys=("s",): repartition BY KEY, not coalesce — AQE coalesces the
+    # tiny posting shuffle to 1 partition at test scale, and a 1-file
+    # store single-threads every consumer's pair-explode stage
+    # (profiled 1.6 s on one task vs ~0.2 s across 8). Hash placement
+    # keeps the layout deterministic; the helper sizes the file COUNT
+    # to the landed row volume.
     return _fingerprinted_store(
-        spark, sf_dir, "postings", "postings-v2",
-        lambda: _ngram_posting_lists(spark, sf_dir).repartition(
-            scaled_width(spark, 8), "s"
-        ),
+        spark, sf_dir, "postings", "postings-v3",
+        lambda: _ngram_posting_lists(spark, sf_dir),
+        keys=("s",),
     )
 
 
@@ -456,15 +471,12 @@ def _wordgram_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     same store pattern as ``_ngram_postings_store``; the gram key is
     hashed before landing, so consumers join/aggregate on fixed 8-byte
     keys and the raw 40-char grams never hit a shuffle."""
-    # keyed repartition for the same read-parallelism reason as
-    # _ngram_postings_store (doc-keyed: consumers aggregate by doc)
-    from ..core.session import scaled_width
-
+    # doc-keyed placement for the same read-parallelism reason as
+    # _ngram_postings_store (consumers aggregate by doc)
     return _fingerprinted_store(
-        spark, sf_dir, "wordgrams", "wordgrams-v2",
-        lambda: _wordgram_occurrences(spark, sf_dir).repartition(
-            scaled_width(spark, 8), "doc_id"
-        ),
+        spark, sf_dir, "wordgrams", "wordgrams-v3",
+        lambda: _wordgram_occurrences(spark, sf_dir),
+        keys=("doc_id",),
     )
 
 
@@ -2968,12 +2980,11 @@ def _minhash_bands_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     end-to-end cost remains measured in the bench; the md5-derived
     derivation is deterministic, so cached and fresh reads are
     row-identical (pinned by ``test_bands_store_matches_fresh``)."""
-    from ..core.session import scaled_width
-
     return _fingerprinted_store(
-        spark, sf_dir, "bands", "bands-v2",
+        spark, sf_dir, "bands", "bands-v3",
         lambda: _band_frame(
             _minhash_signatures(table(spark, sf_dir, "documents"))
-        ).repartition(scaled_width(spark, 8), "band", "bkey"),
+        ),
         schema="doc_id bigint, band int, bkey string",
+        keys=("band", "bkey"),
     )

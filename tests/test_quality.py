@@ -381,7 +381,7 @@ def test_lsh_pairs_store_matches_fresh(spark, sf_dir):
 
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v2".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v3".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_pairs_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -412,7 +412,7 @@ def test_ngram_postings_store_matches_fresh(spark, sf_dir):
     assert stored == fresh and len(fresh) > 0
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v2".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v3".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_postings_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -441,7 +441,7 @@ def test_wordgram_store_matches_fresh(spark, sf_dir):
     assert stored == fresh and len(fresh) > 0
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v2".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v3".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_wordgrams_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns

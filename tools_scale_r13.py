@@ -14,11 +14,13 @@ A. The representative pass at 10M docs (item 4): r12 measured
 B. The PRODUCTION capped-dedup queries at a staged 1M corpus
    (item 1 done-criterion): `minhash_lsh_capped` and
    `hot_bucket_rep_dedup` run against a synthetic documents.parquet
-   through their real code path — after the scaled_width change the
-   candidate/member/shingle-set frames and the landed band store
-   carry cache_parallelism-derived widths, so the exact-Jaccard
-   verify join spreads over the full core count instead of
-   serializing onto 4 tasks. The landed store's file count is the
+   through their real code path — after the r13 width changes the
+   candidate/member/shingle-set CACHES carry cache_parallelism-derived
+   widths (the verify join spreads over the full core count instead of
+   serializing onto 4 tasks) and the landed stores are VOLUME-sized
+   (rows/~500k per file, floor 8: a fixed core-count width was
+   measured regressing every repeat-reader at sf0.1 — see
+   _fingerprinted_store). The landed store's file count is the
    on-disk proof of the write width.
 
 C. The capped STREAMING probe under the syndicated cohort (item 3
@@ -89,11 +91,11 @@ def part_b(spark, n: int = 1_000_000):
         dt = time.time() - t0
         print(f"B {name} n={n}: wall={dt:.1f}s rows={len(rows)}", flush=True)
         spark.catalog.clearCache()
-    stores = sorted(glob.glob("/tmp/bdip_bands_*"))
-    for s in stores:
-        nfiles = len(glob.glob(f"{s}/part-*"))
-        print(f"B bands store {os.path.basename(s)}: {nfiles} part files "
-              f"(write width — was 8 before scaled_width)", flush=True)
+    stores = sorted(glob.glob("/tmp/bdip_bands_*"), key=os.path.getmtime)
+    nfiles = len(glob.glob(f"{stores[-1]}/part-*"))
+    print(f"B bands store {os.path.basename(stores[-1])}: {nfiles} part "
+          f"files (volume-sized landing width — fixed 8 before r13)",
+          flush=True)
 
 
 def _stage_feed(spark, n: int, root: str, waves: int = 4) -> str:
