@@ -362,11 +362,11 @@ def _fingerprinted_store(
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         df = build()
         width = max(8, min(df.count() // 500_000 + 1, 4096))
-        df = (
-            df.repartition(width, *keys)
-            if keys
-            else df.coalesce(width)
-        )
+        # repartition in BOTH branches: coalesce cannot widen past the
+        # build frame's partition count, so a narrow upstream (e.g. a
+        # single-file scan) would silently cap the landing below the
+        # volume-derived width
+        df = df.repartition(width, *keys) if keys else df.repartition(width)
         df.write.mode("overwrite").parquet(path)
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(path)
@@ -388,7 +388,7 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_lsh_pairs`` itself stays on the FRESH pipeline so the
     end-to-end cost remains measured in the bench."""
     return _fingerprinted_store(
-        spark, sf_dir, "pairs", "pairs-v3",
+        spark, sf_dir, "pairs", "pairs-v4",
         lambda: _lsh_verified_pairs(spark, sf_dir),
     )
 

@@ -381,7 +381,7 @@ def test_lsh_pairs_store_matches_fresh(spark, sf_dir):
 
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v3".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v4".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_pairs_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -1135,3 +1135,36 @@ def test_bh_fdr_planted_divergence(spark, tmp_path):
         for r in QUERIES["bh_fdr_price_tests"](spark, str(tmp_path)).collect()
     }
     assert got == want
+
+
+def test_fingerprinted_store_width_tracks_volume(spark, sf_dir):
+    """The r13 landing-width contract: file count = rows/~500k with
+    floor 8, keyed placement when keys are given. Tiny frames land at
+    the floor (a fixed core-count width measurably regressed every
+    repeat-reader at sf0.1); past 8 x 500k rows the volume term takes
+    over and a 9th file appears."""
+    import glob
+    import shutil
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _fingerprinted_store,
+    )
+
+    for path in glob.glob("/tmp/bdip_widthstore_*"):
+        shutil.rmtree(path, ignore_errors=True)
+    tiny = _fingerprinted_store(
+        spark, sf_dir, "widthstore", "w-tiny",
+        lambda: spark.range(100).selectExpr("id AS x"),
+        keys=("x",),
+    )
+    assert tiny.count() == 100
+    big = _fingerprinted_store(
+        spark, sf_dir, "widthstore", "w-big",
+        lambda: spark.range(4_200_000).selectExpr("id AS x"),
+    )
+    assert big.count() == 4_200_000
+    widths = {}
+    for p in glob.glob("/tmp/bdip_widthstore_*"):
+        widths[len(glob.glob(f"{p}/part-*"))] = p
+    assert 8 in widths, f"tiny store must land at the floor: {widths}"
+    assert 9 in widths, f"4.2M rows must land 9 files: {widths}"
