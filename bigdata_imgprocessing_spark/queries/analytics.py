@@ -2672,13 +2672,27 @@ def conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantile in either engine (the sorted-selection discipline);
     coverage is one int/int division rounded at 6dp; the split is the
     shared md5-bucket literal expression.
+    Scale: NO sort anywhere — both the per-tier medians and the
+    conformal quantile come from `operators/selection.py`'s
+    distributed histogram refinement (exact order statistics in
+    O(log_B(span)) map-side-combinable passes; a rank window here
+    would single-partition the calibration half). The five medians
+    ride ONE selection call on a composite tier<<31|cents column
+    (per-tier ranks become global ranks offset by the preceding
+    tiers' calibration counts — a bounded 5-row collect), the
+    residual quantile one more; med and q return to the plan as
+    literals, so the eval pass is a single scan-and-aggregate.
+    Driver traffic is bounded (5-row tier counts + the operator's
+    <=|ranks|-row refinement collects). Measured crossover, recorded
+    honestly: at sf0.1 the two-window-sort formulation reads 3.5 s and
+    this one 6.7 s (each refinement level is a ~0.4 s job at tiny
+    data) — selection wins where it matters, where a window partition
+    holding 20% (per-tier median) or 50% (global residual sort) of
+    the corpus on one task is not runnable at all."""
+    import math as _m
 
-    Scale: one fact scan feeds both halves; the median is a
-    tier-partitioned sort and the quantile ONE global sort of
-    calibration residuals (the documented rank-family total-sort cost
-    — `exact_deciles_no_sort` shows the histogram-refinement path when
-    a total sort is unaffordable); med (5 rows) and q (1 row)
-    broadcast back onto the eval half."""
+    from ..operators.selection import exact_rank_values
+
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
     c = o.select(
@@ -2691,60 +2705,70 @@ def conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             == 0
         ).alias("is_cal"),
     )
-    cal = c.where("is_cal")
-    tw = Window.partitionBy("tier").orderBy("yc")
-    med = (
-        cal.select(
-            "tier",
-            "yc",
-            F.row_number().over(tw).alias("rn"),
-            F.count("*").over(Window.partitionBy("tier")).alias("n"),
-        )
-        .where(F.col("rn") == F.floor((F.col("n") + 1) / 2))
-        .select("tier", F.col("yc").alias("med"))
+    cal = c.where("is_cal").cache()
+    tier_counts = sorted(
+        (r["tier"], r["cnt"])
+        for r in cal.groupBy("tier").agg(F.count("*").alias("cnt")).collect()
     )
-    calr = cal.join(F.broadcast(med), "tier").select(
-        F.abs(F.col("yc") - F.col("med")).alias("r")
+    # composite tier<<31 | cents: one selection call serves all five
+    # medians — the k-th smallest within tier t is the global rank
+    # (preceding tiers' counts + k). cents are positive and < 2^31
+    # ($21M per order); the tight shift keeps the composite span at
+    # 3 refinement levels instead of 4.
+    idx = {t: i for i, (t, _) in enumerate(tier_counts)}
+    targets, cum = [], 0
+    for t, cnt in tier_counts:
+        targets.append((t, cum + (cnt + 1) // 2))
+        cum += cnt
+    comp = (
+        F.element_at(
+            F.expr(
+                "map("
+                + ", ".join(f"'{t}', {i}" for t, i in idx.items())
+                + ")"
+            ),
+            F.col("tier"),
+        ).cast("bigint")
+        * F.lit(1 << 31)
+        + F.col("yc")
     )
-    qw = Window.orderBy("r")
-    q = (
-        calr.select(
-            "r",
-            F.row_number().over(qw).alias("rn"),
-            F.count("*").over(
-                Window.rowsBetween(
-                    Window.unboundedPreceding, Window.unboundedFollowing
-                )
-            ).alias("n_cal"),
+    meds = {
+        tag: val - idx[tag] * (1 << 31)
+        for tag, _k, val in exact_rank_values(
+            cal.select(comp.alias("v")), "v", targets
         )
-        .withColumn(
-            "k",
-            F.ceil((F.col("n_cal") + 1) * (1 - _CONF_ALPHA)).cast("bigint"),
-        )
-        .where(F.col("rn") == F.col("k"))
-        .select(F.col("r").alias("qv"), "k", "n_cal")
+    }
+    med_expr = F.element_at(
+        F.expr(
+            "map(" + ", ".join(f"'{t}', {m}L" for t, m in meds.items()) + ")"
+        ),
+        F.col("tier"),
     )
+    calr = cal.select(F.abs(F.col("yc") - med_expr).alias("r"))
+    seen = {}
+
+    def q_rank(n: int):
+        seen["n_cal"] = n
+        return [("q", int(_m.ceil((n + 1) * (1 - _CONF_ALPHA))))]
+
+    ((_tag, k, qv),) = exact_rank_values(calr, "r", q_rank)
+    n_cal = seen["n_cal"]
+    cal.unpersist()
     ev = (
         c.where(~F.col("is_cal"))
-        .join(F.broadcast(med), "tier")
-        .crossJoin(F.broadcast(q))
+        .where(med_expr.isNotNull())
         .agg(
             F.count("*").alias("n_eval"),
             F.sum(
-                (F.abs(F.col("yc") - F.col("med")) <= F.col("qv")).cast(
-                    "long"
-                )
+                (F.abs(F.col("yc") - med_expr) <= F.lit(qv)).cast("long")
             ).alias("n_cov"),
-            F.first("n_cal").alias("n_cal"),
-            F.first("k").alias("k"),
-            F.first("qv").alias("qv"),
         )
     )
     return ev.select(
-        F.col("n_cal").cast("bigint").alias("n_cal"),
+        F.lit(n_cal).cast("bigint").alias("n_cal"),
         F.col("n_eval").cast("bigint").alias("n_eval"),
-        F.col("k").cast("bigint").alias("k_index"),
-        F.round(F.col("qv") / 100.0, 2).alias("q_width"),
+        F.lit(k).cast("bigint").alias("k_index"),
+        F.round(F.lit(qv) / 100.0, 2).alias("q_width"),
         F.col("n_cov").cast("bigint").alias("n_covered"),
         F.round(F.col("n_cov") * 1.0 / F.col("n_eval"), 6).alias("coverage"),
         F.lit(1 - _CONF_ALPHA).alias("target"),
