@@ -1413,3 +1413,73 @@ def test_tws_user_inventory_gated(spark, tmp_path):
     assert got[1] == (3, 2, "click", 2, 11)
     # user 2: ties view=2 only type; penult = 20 (ids 20, 21)
     assert got[2] == (2, 1, "view", 2, 20)
+
+
+def test_streaming_lsh_ingest_capped_crash_replay(spark, tmp_path):
+    """Crash-replay idempotence of the CAPPED drain's two extra
+    artifacts: the acct store (landed between the bands barrier and
+    the pairs/shingles pool — its own crash window) and the capped
+    pair set. Batch 1's stores land but its commit does not; the
+    replay must census against strictly-earlier state only and
+    overwrite acct/b1 + pairs/b1 with identical content."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.queries.dedup import _BANDS
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        read_acct,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    a_text = "q w e r t y u i o p k j"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    # wave0: two A docs (bucket depth 2 = cap -> pair found at w1? no:
+    # found at wave 0, within-batch); wave1: a third A doc -> depth 3
+    # exceeds cap=2 -> cut, accounted
+    for i, rows in enumerate([[(0, a_text), (1, a_text)], [(2, a_text)]]):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state, max_bucket=2)
+
+    drain()
+    pairs0 = sorted(
+        (r.doc_a, r.doc_b, r.wave)
+        for r in read_final_pairs(spark, state).collect()
+    )
+    acct0 = sorted(
+        (r.wave, r.n_buckets_cut, r.n_band_rows_cut)
+        for r in read_acct(spark, state).collect()
+    )
+    assert pairs0 == [(0, 1, 0)]
+    assert acct0 == [(0, 0, 0), (1, _BANDS, 3 * _BANDS)]
+    # crash: batch 1's stores (incl. acct/b1) landed, commit missing
+    _os.remove(f"{state}/ckpt/commits/1")
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    assert sorted(
+        (r.doc_a, r.doc_b, r.wave)
+        for r in read_final_pairs(spark, state).collect()
+    ) == pairs0
+    assert sorted(
+        (r.wave, r.n_buckets_cut, r.n_band_rows_cut)
+        for r in read_acct(spark, state).collect()
+    ) == acct0
