@@ -2418,8 +2418,22 @@ def _z_upper(p: float) -> float:
 
 
 _BH_ALPHA = 0.05
-_BH_M = 5  # the five order-priority tiers
-_BH_ZCRIT = [repr(_z_upper(i * _BH_ALPHA / _BH_M / 2.0)) for i in range(1, _BH_M + 1)]
+_BH_MAX_M = 10
+# 2-D threshold table: row m holds zcrit(i*alpha/m / 2) for i = 1..m,
+# so the step-up works for ANY segment count up to _BH_MAX_M with m
+# read from the data (count of tested groups); past the table both
+# engines' out-of-range list indexing yields NULL -> conservative.
+_BH_ZTAB = [
+    [repr(_z_upper(i * _BH_ALPHA / m / 2.0)) for i in range(1, m + 1)]
+    for m in range(1, _BH_MAX_M + 1)
+]
+_Z_RAW = repr(_z_upper(_BH_ALPHA / 2.0))  # uncorrected two-sided cut
+_DUCK_ZTAB = "[" + ", ".join(
+    "[" + ", ".join(row) + "]" for row in _BH_ZTAB
+) + "]"
+_SPARK_ZTAB = "array(" + ", ".join(
+    "array(" + ", ".join(row) + ")" for row in _BH_ZTAB
+) + ")"
 
 
 @query(
@@ -2453,12 +2467,13 @@ _BH_ZCRIT = [repr(_z_upper(i * _BH_ALPHA / _BH_M / 2.0)) for i in range(1, _BH_M
         FROM z
     ), ranked AS (
         SELECT tier, nj, mean_price, zval,
-               row_number() OVER (ORDER BY abs(zval) DESC, tier) AS r
+               row_number() OVER (ORDER BY abs(zval) DESC, tier) AS r,
+               count(*) OVER () AS m
         FROM zz
     ), flagged AS (
         SELECT *,
                zval IS NOT NULL
-                   AND abs(zval) >= ([{", ".join(_BH_ZCRIT)}])[r] AS cond
+                   AND abs(zval) >= ({_DUCK_ZTAB})[m][r] AS cond
         FROM ranked
     ), cut AS (
         SELECT *, max(CASE WHEN cond THEN r END) OVER () AS istar
@@ -2469,7 +2484,7 @@ _BH_ZCRIT = [repr(_z_upper(i * _BH_ALPHA / _BH_M / 2.0)) for i in range(1, _BH_M
            round(zval, 6) AS z,
            CAST(r AS BIGINT) AS z_rank,
            CASE WHEN zval IS NOT NULL
-                THEN abs(zval) >= {_BH_ZCRIT[-1]} END AS raw_significant,
+                THEN abs(zval) >= {_Z_RAW} END AS raw_significant,
            CASE WHEN zval IS NOT NULL
                 THEN r <= coalesce(istar, 0) END AS bh_rejected
     FROM cut ORDER BY tier
@@ -2491,12 +2506,14 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape in both engines; the BH thresholds are bisection-derived
     literals injected into BOTH engines (no erf/quantile calls
     anywhere), compared against the UNROUNDED |z|, and the rank order
-    (abs(z) desc, tier) is total. raw_significant uses the rank-m
-    threshold = the uncorrected alpha=0.05 two-sided cut. m is PINNED
-    to the five canonical tiers: a corpus growing extra segments ranks
-    them past the threshold table, where out-of-range indexing yields
-    NULL in BOTH engines (try_element_at / DuckDB list semantics) —
-    extra segments are never BH-rejected (conservative), never an
+    (abs(z) desc, tier) is total. raw_significant is the uncorrected
+    alpha=0.05 two-sided cut. m is DATA-DERIVED (the count of tested
+    groups) and indexes a precomputed m x rank threshold table
+    covering m <= 10 — a corpus growing or losing segments gets the
+    CORRECT step-up thresholds for its actual m (the variant corpus'
+    sixth priority is tested against the m=6 row, not m=5's); past
+    the table, out-of-range indexing yields NULL in BOTH engines
+    (try_element_at / DuckDB list semantics) — conservative, never an
     error.
 
     Scale: ONE fact scan -> 5-row groupBy with map-side partials;
@@ -2563,15 +2580,28 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(se2 > 0, F.col("dc") / F.sqrt(se2)).alias("zval"),
     )
     rw = Window.orderBy(F.abs(F.col("zval")).desc(), "tier")
-    zcrit = F.expr(f"array({', '.join(_BH_ZCRIT)})")
-    # try_element_at: a corpus with MORE segments than the pinned m
-    # ranks past the threshold table — out-of-range yields NULL (like
-    # DuckDB list indexing), so extra segments are never BH-rejected
-    # (conservative) instead of erroring under ANSI element_at
-    ranked = zz.withColumn("r", F.row_number().over(rw)).withColumn(
-        "cond",
-        F.col("zval").isNotNull()
-        & (F.abs(F.col("zval")) >= F.try_element_at(zcrit, F.col("r"))),
+    mw = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    ztab = F.expr(_SPARK_ZTAB)
+    # row m of the threshold table is selected by the DATA-DERIVED
+    # group count; try_element_at (not ANSI element_at) so a corpus
+    # with more segments than the table ranks past it and yields NULL
+    # (like DuckDB list indexing) — conservative, never an error
+    ranked = (
+        zz.withColumn("r", F.row_number().over(rw))
+        .withColumn("m", F.count("*").over(mw))
+        .withColumn(
+            "cond",
+            F.col("zval").isNotNull()
+            & (
+                F.abs(F.col("zval"))
+                >= F.try_element_at(
+                    F.try_element_at(ztab, F.col("m").cast("int")),
+                    F.col("r"),
+                )
+            ),
+        )
     )
     iw = Window.rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
@@ -2588,7 +2618,7 @@ def bh_fdr_price_tests(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("r").cast("bigint").alias("z_rank"),
         F.when(
             F.col("zval").isNotNull(),
-            F.abs(F.col("zval")) >= float(_BH_ZCRIT[-1]),
+            F.abs(F.col("zval")) >= float(_Z_RAW),
         ).alias("raw_significant"),
         F.when(
             F.col("zval").isNotNull(),

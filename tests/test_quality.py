@@ -1100,9 +1100,9 @@ def test_bh_fdr_planted_divergence(spark, tmp_path):
         str(tmp_path / "orders.parquet")
     )
     # independent reference (same exact-cents arithmetic, pure Python)
-    from bigdata_imgprocessing_spark.queries.analytics import _BH_ZCRIT
+    from bigdata_imgprocessing_spark.queries.analytics import _BH_ZTAB
 
-    zc = [float(v) for v in _BH_ZCRIT]
+    zc = [float(v) for v in _BH_ZTAB[4]]  # the m=5 row
     N = sum(len(v) for v in data.values())
     S = sum(sum(v) for v in data.values())
     SS = sum(sum(x * x for x in v) for v in data.values())
