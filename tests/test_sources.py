@@ -1483,3 +1483,120 @@ def test_streaming_lsh_ingest_capped_crash_replay(spark, tmp_path):
         (r.wave, r.n_buckets_cut, r.n_band_rows_cut)
         for r in read_acct(spark, state).collect()
     ) == acct0
+
+
+def test_streaming_lsh_ingest_capped_randomized(spark, tmp_path):
+    """Seeded randomized semantic pin for the capped drain: random
+    small corpora with md5-planted duplicate clusters drain in 3
+    waves, and the resulting pairs + per-batch accounting must match
+    an INDEPENDENT pure-Python replay of the cap semantics (cumulative
+    bucket depth, probe-iff-within-cap at the later doc's wave, cut =
+    touched-and-over-cap) computed from the batch banding pipeline's
+    own band rows — the fixed-fixture tests pin known shapes; this
+    pins the drain against corpora nobody hand-picked."""
+    import hashlib as _h
+    import os as _os
+    from collections import defaultdict
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _band_frame,
+        _minhash_signatures,
+        _shingles_sql,
+    )
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        read_acct,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+    from pyspark.sql import functions as F
+
+    CAP, WAVES = 2, 3
+    for seed in range(3):
+        # 24 docs in md5-deterministic clusters of size 1-4: cluster
+        # members share the text, so they share every band bucket
+        docs, i = [], 0
+        cl = 0
+        while i < 24:
+            size = int(_h.md5(f"{seed}_{cl}".encode()).hexdigest(), 16) % 4 + 1
+            words = [
+                f"w{int(_h.md5(f'{seed}_{cl}_{j}'.encode()).hexdigest(), 16) % 50}"
+                for j in range(12)
+            ]
+            for _ in range(min(size, 24 - i)):
+                docs.append((i, " ".join(words)))
+                i += 1
+            cl += 1
+        sdf = spark.createDataFrame(docs, "doc_id bigint, text string")
+        bands = [
+            (r.doc_id, r.band, r.bkey)
+            for r in _band_frame(_minhash_signatures(sdf)).collect()
+        ]
+        sets = {
+            r.doc_id: set(r.ss)
+            for r in sdf.select(
+                "doc_id",
+                F.expr(f"array_distinct({_shingles_sql('text')})").alias("ss"),
+            ).collect()
+        }
+        # pure-Python replay of the capped drain
+        wave = {d: d % WAVES for d, _ in docs}
+        by_key = defaultdict(list)  # (band,bkey) -> [(wave, doc)]
+        for d, b, k in bands:
+            by_key[(b, k)].append((wave[d], d))
+        exp_pairs, exp_acct = set(), {
+            w: [0, 0] for w in range(WAVES)
+        }
+        for key, members in by_key.items():
+            members.sort()
+            waves_present = sorted({w for w, _ in members})
+            for w in waves_present:
+                depth = sum(1 for mw, _ in members if mw <= w)
+                if depth > CAP:
+                    exp_acct[w][0] += 1
+                    exp_acct[w][1] += depth
+                else:
+                    news = [d for mw, d in members if mw == w]
+                    olds = [d for mw, d in members if mw <= w]
+                    for dn in news:
+                        for do in olds:
+                            if do != dn:
+                                a, b2 = min(dn, do), max(dn, do)
+                                ss_a, ss_b = sets[a], sets[b2]
+                                inter = len(ss_a & ss_b)
+                                uni = len(ss_a | ss_b)
+                                if inter / uni >= 0.5:
+                                    exp_pairs.add((a, b2, w))
+        # stage the feed and drain
+        feed = tmp_path / f"feed{seed}"
+        feed.mkdir()
+        con = _duck.connect()
+        for w in range(WAVES):
+            rows = [(d, t) for d, t in docs if d % WAVES == w]
+            vals = ", ".join(
+                f"({d}, '{t}')" for d, t in rows
+            )
+            dst = str(feed / f"w{w}.parquet")
+            con.execute(
+                f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+                f"TO '{dst}' (FORMAT PARQUET)"
+            )
+            _os.utime(dst, (1_700_000_000 + 60 * w,) * 2)
+        state = str(tmp_path / f"state{seed}")
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state, max_bucket=CAP)
+        got_pairs = {
+            (r.doc_a, r.doc_b, r.wave)
+            for r in read_final_pairs(spark, state).collect()
+        }
+        got_acct = {
+            r.wave: [r.n_buckets_cut, r.n_band_rows_cut]
+            for r in read_acct(spark, state).collect()
+        }
+        assert got_pairs == exp_pairs, f"seed {seed}"
+        assert got_acct == exp_acct, f"seed {seed}"
