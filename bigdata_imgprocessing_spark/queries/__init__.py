@@ -29,45 +29,40 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 13) with zero driver history —
+    # (1) NEW this round (round 14) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
-    "streaming_lsh_ingest_capped", "blocklist_lexicon_filter",
-    "bh_fdr_price_tests", "conformal_coverage_eval",
-    # (2) queries whose CODE changed in round 13 after their r12
-    # driver row: kruskal's tie-term sum widened to decimal(38,0); the
-    # capped-dedup/store family moved to scaled_width partitioning and
-    # the landed stores were re-versioned (pairs/postings/wordgrams/
-    # bands -v2) — values proven identical by store-freshness tests +
-    # a 41-query dedup-family driver-sim, re-checked here by the
-    # driver itself. Representative store consumers follow the heads.
-    "kruskal_wallis_price", "minhash_lsh_capped", "hot_bucket_rep_dedup",
-    "minhash_lsh_pairs", "doc_chain_components", "neardup_component_dedup",
-    "ngram_containment_hist", "dup_ngram_coverage", "label_prop_communities",
-    "pagerank_neardup", "split_leakage_audit",
-    # (3) the r8 TAIL (21 rows whose latest driver row is still r8 —
-    # NOTES round-13 bookkeeping: drain oldest-first), in r8 order.
-    "image_format_ingest", "equidepth_approx_audit", "gopher_quality_rules",
-    "psi_release_drift", "kcore_neardup", "hyperball_reach",
-    "sorted_neighbor_lcp", "dim_truncation_recall", "k_anonymity_audit",
-    "vocab_growth_curve", "cdc_chunk_dedup", "attribution_touchpoints",
-    "kmeans_lloyd_rounds", "dpp_partition_join", "streaming_quota_admission",
-    "hll_intersection_audit", "jsonl_corrupt_handling",
-    "lateral_topk_customers", "locf_daily_values", "outlier_order_stats",
-    "pmi_collocations",
-    # (4) the r9 cohort head (47 stale rows, r9 driver-row order) fills
-    # the remaining window slots; r10/r11 follow in later rounds.
-    "hamming1_neighbor_pairs", "salted_event_sum", "schema_evolution_union",
-    "session_windows", "sliding_window_agg", "streaming_dedup_counts",
-    "streaming_enriched_counts", "streaming_event_counts",
-    "streaming_foreachbatch_counts", "streaming_interval_join",
-    "streaming_kafka_roundtrip", "streaming_replay_dedup",
-    "streaming_session_windows", "streaming_upsert_latest",
-    "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
-    "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
-    "zorder_pruned_scan", "ab_test_zscore", "ann_rerank_topk",
-    "backfill_partition_overwrite", "bar_chart_data",
-    "bloom_prefilter_stats", "bm25_ndcg_eval", "bpe_merge_pairs",
+    # (2) queries whose CODE changed in round 14 after their r13
+    # driver row: kruskal gained the one-tier NULL-significance guard
+    # and conformal the degenerate-corpus empty short-circuit (both
+    # ADVICE r13 — values at sf0.01 identical, re-checked by the
+    # driver itself). The store-floor change (8 -> 4 files, versions
+    # -v4/-v5) alters LAYOUT only; row-identity is pinned by the
+    # store-freshness tests, so its consumers stay in rotation order.
+    "kruskal_wallis_price", "conformal_coverage_eval",
+    # (3) staleness refresh, oldest-first (VERDICT r13 item 3): the 12
+    # rows last driver-checked at r6, in their r6 driver-file order...
+    "interval_merge_coverage", "rfm_segmentation", "weighted_doc_sample",
+    "null_safe_reconcile", "streaming_erasure_feed", "image_corrupt_quarantine",
+    "cached_predictions_stats", "doc_embedding_join_stats", "repetition_ngram_stats",
+    "report_text_roundtrip", "streaming_stateful_totals", "vocab_top_terms",
+    # ...then the 42 rows last driver-checked at r7, in r7 order. The
+    # ~50-slot window drains r6 fully and most of r7; the r7 tail
+    # leads round 15, then the remaining r9 cohort, then r10/r11.
+    "bpe_apply_stats", "freq_event_pairs", "mmr_diverse_topk",
+    "session_funnel_stats", "kll_quantile_drift", "equidepth_price_buckets",
+    "pq_ann_recall", "alphabet_stats", "ann_ivf_learned",
+    "anti_join_customers", "approx_balance_deciles", "cluster_profile",
+    "cube_order_stats", "customer_balance_deciles", "decontam_ngram_overlap",
+    "dedup_exact", "doc_chunk_windows", "doc_quality_filter",
+    "exists_late_orders", "full_outer_nation_counts", "image_avg_color",
+    "image_detection_counts", "image_dominant_hist", "image_letterbox_stats",
+    "image_predictions", "inactive_rich_customers", "market_share_by_year",
+    "moving_avg_orders", "name_length_buckets", "outer_join_order_counts",
+    "pricing_summary", "priority_multiset_diff", "quantized_ann_recall",
+    "region_revenue", "rollup_revenue", "semi_join_customers",
+    "set_ops_customers", "simhash_fingerprints", "small_quantity_revenue",
+    "top_orders", "video_frame_sample", "window_topk_orders",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

@@ -2263,7 +2263,13 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cc") != 0, F.round(F.col("h_raw") / F.col("cc"), 6)
             ).alias("h_corrected"),
             F.when(
-                F.col("cc") != 0,
+                # n_groups > 1: with a single tier df = 0 and Spark's
+                # try_element_at(tab, 0) RAISES (INVALID_INDEX_OF_ZERO)
+                # where DuckDB's tab[0] is NULL — gate the degenerate
+                # one-tier corpus to NULL explicitly so both engines
+                # agree (ADVICE r13). Indexes past the table (k > 11)
+                # are genuinely NULL-conservative in both engines.
+                (F.col("cc") != 0) & (F.col("n_groups") > 1),
                 F.col("h_raw") / F.col("cc")
                 > F.try_element_at(
                     F.expr(_SPARK_CHI2_TAB),
@@ -2814,6 +2820,19 @@ def conformal_coverage_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (r["tier"], r["cnt"])
         for r in cal.groupBy("tier").agg(F.count("*").alias("cnt")).collect()
     )
+    # Degenerate-corpus short-circuit (ADVICE r13): with fewer than 9
+    # calibration rows k = ceil((n_cal+1)*0.9) exceeds n_cal and the
+    # rank selection would raise (and an EMPTY calibration half would
+    # break the 1-tuple unpack); the DuckDB oracle's q CTE is simply
+    # empty there, so mirror its empty-result semantics exactly.
+    n_cal_pre = sum(cnt for _, cnt in tier_counts)
+    if n_cal_pre == 0 or _m.ceil((n_cal_pre + 1) * (1 - _CONF_ALPHA)) > n_cal_pre:
+        cal.unpersist()
+        return spark.createDataFrame(
+            [],
+            "n_cal bigint, n_eval bigint, k_index bigint, q_width double,"
+            " n_covered bigint, coverage double, target double",
+        )
     # composite tier<<31 | cents: one selection call serves all five
     # medians — the k-th smallest within tier t is the global rank
     # (preceding tiers' counts + k). cents are positive and < 2^31

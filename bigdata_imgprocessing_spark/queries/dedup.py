@@ -336,9 +336,12 @@ def _fingerprinted_store(
 
     ``build()`` returns the frame to land, UNPARTITIONED; the helper
     sizes the landing width from the frame's actual row count —
-    repartitioned by ``keys`` (the store write rule: keyed placement
-    keeps probes bucket-local) or coalesced when no keys are given.
-    Width = rows / ~500k per file, floored at 8 so tiny test-scale
+    repartitioned in BOTH branches (round-robin without keys,
+    hash-by-``keys`` with — the store write rule: keyed placement
+    keeps probes bucket-local; coalesce cannot WIDEN past the build
+    frame's partition count, so a narrow upstream would silently cap
+    the landing below the volume-derived width).
+    Width = rows / ~500k per file, floored at 4 so tiny test-scale
     stores still read with a few parallel tasks (the 1-file store
     lesson), capped at 4096 files. Sizing by COUNT instead of a fixed
     number matters in both directions: fixed 8 serializes the landing
@@ -347,10 +350,16 @@ def _fingerprinted_store(
     every repeat-reader at sf0.1 — the iterative graph consumers
     (k-core, HyperBall, PageRank) re-scan the store per round, paying
     32 tiny-file tasks each time (kcore 1.19 -> 2.49 s, hyperball
-    2.25 -> 3.71 s isolated before this fix). The count() is one extra
-    job paid ONCE per corpus landing, amortized across every consumer.
-    ``schema`` optionally pins the read schema (skips footer inference
-    for fixed layouts)."""
+    2.25 -> 3.71 s isolated before this fix). The floor itself got the
+    same treatment (VERDICT r13 item 1): floor 8 left every iterative
+    consumer paying 8 tiny-file tasks per round at driver sf where 4
+    suffices — volume still widens the landing at 1M+ docs (17 files
+    at 1M, 161 at 10M per SCALING.md). The built frame is PERSISTED
+    across the count+write pair (ADVICE r13): without it the sizing
+    count executes the full build pipeline once and the write replays
+    it from scratch — an expensive build like ``_lsh_verified_pairs``
+    paid ~2x on every first landing. ``schema`` optionally pins the
+    read schema (skips footer inference for fixed layouts)."""
     import hashlib as _h
     import os as _os
 
@@ -360,14 +369,15 @@ def _fingerprinted_store(
     ).hexdigest()[:12]
     path = f"/tmp/bdip_{name}_{token}"
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
-        df = build()
-        width = max(8, min(df.count() // 500_000 + 1, 4096))
-        # repartition in BOTH branches: coalesce cannot widen past the
-        # build frame's partition count, so a narrow upstream (e.g. a
-        # single-file scan) would silently cap the landing below the
-        # volume-derived width
-        df = df.repartition(width, *keys) if keys else df.repartition(width)
-        df.write.mode("overwrite").parquet(path)
+        df = build().persist()
+        try:
+            width = max(4, min(df.count() // 500_000 + 1, 4096))
+            landed = (
+                df.repartition(width, *keys) if keys else df.repartition(width)
+            )
+            landed.write.mode("overwrite").parquet(path)
+        finally:
+            df.unpersist()
     reader = spark.read.schema(schema) if schema else spark.read
     return reader.parquet(path)
 
@@ -388,7 +398,7 @@ def _lsh_pairs_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``minhash_lsh_pairs`` itself stays on the FRESH pipeline so the
     end-to-end cost remains measured in the bench."""
     return _fingerprinted_store(
-        spark, sf_dir, "pairs", "pairs-v4",
+        spark, sf_dir, "pairs", "pairs-v5",
         lambda: _lsh_verified_pairs(spark, sf_dir),
     )
 
@@ -436,7 +446,7 @@ def _ngram_postings_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # keeps the layout deterministic; the helper sizes the file COUNT
     # to the landed row volume.
     return _fingerprinted_store(
-        spark, sf_dir, "postings", "postings-v3",
+        spark, sf_dir, "postings", "postings-v4",
         lambda: _ngram_posting_lists(spark, sf_dir),
         keys=("s",),
     )
@@ -474,7 +484,7 @@ def _wordgram_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     # doc-keyed placement for the same read-parallelism reason as
     # _ngram_postings_store (consumers aggregate by doc)
     return _fingerprinted_store(
-        spark, sf_dir, "wordgrams", "wordgrams-v3",
+        spark, sf_dir, "wordgrams", "wordgrams-v4",
         lambda: _wordgram_occurrences(spark, sf_dir),
         keys=("doc_id",),
     )
@@ -2981,7 +2991,7 @@ def _minhash_bands_store(spark: SparkSession, sf_dir: str) -> DataFrame:
     derivation is deterministic, so cached and fresh reads are
     row-identical (pinned by ``test_bands_store_matches_fresh``)."""
     return _fingerprinted_store(
-        spark, sf_dir, "bands", "bands-v3",
+        spark, sf_dir, "bands", "bands-v4",
         lambda: _band_frame(
             _minhash_signatures(table(spark, sf_dir, "documents"))
         ),

@@ -381,7 +381,7 @@ def test_lsh_pairs_store_matches_fresh(spark, sf_dir):
 
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v4".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|pairs-v5".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_pairs_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -412,7 +412,7 @@ def test_ngram_postings_store_matches_fresh(spark, sf_dir):
     assert stored == fresh and len(fresh) > 0
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v3".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|postings-v4".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_postings_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -441,7 +441,7 @@ def test_wordgram_store_matches_fresh(spark, sf_dir):
     assert stored == fresh and len(fresh) > 0
     st = os.stat(f"{sf_dir}/documents.parquet")
     token = hashlib.md5(
-        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v3".encode()
+        f"{sf_dir}|{st.st_mtime_ns}|{st.st_size}|wordgrams-v4".encode()
     ).hexdigest()[:12]
     marker = f"/tmp/bdip_wordgrams_{token}/_SUCCESS"
     m0 = os.stat(marker).st_mtime_ns
@@ -1138,11 +1138,13 @@ def test_bh_fdr_planted_divergence(spark, tmp_path):
 
 
 def test_fingerprinted_store_width_tracks_volume(spark, sf_dir):
-    """The r13 landing-width contract: file count = rows/~500k with
-    floor 8, keyed placement when keys are given. Tiny frames land at
-    the floor (a fixed core-count width measurably regressed every
-    repeat-reader at sf0.1); past 8 x 500k rows the volume term takes
-    over and a 9th file appears."""
+    """The landing-width contract (r13, floor lowered r14): file count
+    = rows/~500k with floor 4, keyed placement when keys are given.
+    Tiny frames land at the floor (a fixed core-count width measurably
+    regressed every repeat-reader at sf0.1, and floor 8 cost the
+    iterative store consumers ~2x at driver sf — VERDICT r13 item 1);
+    past 4 x 500k rows the volume term takes over and more files
+    appear (4.2M rows -> 9)."""
     import glob
     import shutil
 
@@ -1166,5 +1168,128 @@ def test_fingerprinted_store_width_tracks_volume(spark, sf_dir):
     widths = {}
     for p in glob.glob("/tmp/bdip_widthstore_*"):
         widths[len(glob.glob(f"{p}/part-*"))] = p
-    assert 8 in widths, f"tiny store must land at the floor: {widths}"
+    assert 4 in widths, f"tiny store must land at the floor: {widths}"
     assert 9 in widths, f"4.2M rows must land 9 files: {widths}"
+
+
+def _write_orders(spark, tmp_path, rows):
+    spark.createDataFrame(
+        rows,
+        "o_orderkey BIGINT, o_custkey BIGINT, o_orderstatus STRING, "
+        "o_totalprice DOUBLE, o_orderdate TIMESTAMP, o_orderpriority STRING",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "orders.parquet")
+    )
+
+
+def test_conformal_coverage_matches_sorted_reference(spark, tmp_path):
+    """Planted-truth test for conformal_coverage_eval (VERDICT r13 item
+    4): on seeded randomized corpora the selection-operator pipeline
+    must reproduce a driver-side FULLY-SORTED reference exactly — the
+    per-tier calibration medians, the k-index, the conformal quantile,
+    and the held-out coverage — and the finite-sample coverage must sit
+    at >= 0.9 - eps (the split-conformal guarantee is >= 0.9 in
+    expectation under exchangeability; eps absorbs one-draw noise)."""
+    import datetime
+    import hashlib
+    import math
+    import random
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    tiers = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    for seed in (1400, 1401, 1402):
+        rng = random.Random(seed)
+        rows, ref = [], []
+        for i in range(3000):
+            t = tiers[rng.randrange(5)]
+            # integer cents keep the double exact; heavier tail on one
+            # tier so the tiers have genuinely different medians
+            cents = rng.randrange(100, 5_000_000)
+            if t == "5-LOW":
+                cents += 20_000_000
+            price = cents / 100.0
+            rows.append((i, 1, "O", price, datetime.datetime(2024, 1, 1), t))
+            # Spark's round(price*100) is BigDecimal HALF_UP on the
+            # double product; floor(x+0.5) matches it for positive x
+            # (exact binary halves cannot arise from cents/100*100)
+            yc = math.floor(price * 100 + 0.5)
+            is_cal = (
+                int(hashlib.md5(f"{i}_conf".encode()).hexdigest()[:10], 16) % 2
+                == 0
+            )
+            ref.append((t, yc, is_cal))
+        _write_orders(spark, tmp_path, rows)
+
+        # driver-side sorted reference: lower-middle median per tier,
+        # ceil((n+1)*0.9)-th smallest absolute residual, eval coverage
+        from collections import defaultdict
+
+        by_tier = defaultdict(list)
+        for t, yc, is_cal in ref:
+            if is_cal:
+                by_tier[t].append(yc)
+        meds = {}
+        for t, vs in by_tier.items():
+            vs.sort()
+            meds[t] = vs[(len(vs) + 1) // 2 - 1]
+        resid = sorted(
+            abs(yc - meds[t]) for t, yc, is_cal in ref if is_cal
+        )
+        n_cal = len(resid)
+        k = math.ceil((n_cal + 1) * 0.9)
+        qv = resid[k - 1]
+        ev = [(t, yc) for t, yc, is_cal in ref if not is_cal and t in meds]
+        n_cov = sum(1 for t, yc in ev if abs(yc - meds[t]) <= qv)
+
+        got = QUERIES["conformal_coverage_eval"](spark, str(tmp_path)).collect()
+        assert len(got) == 1
+        r = got[0]
+        assert r["n_cal"] == n_cal
+        assert r["k_index"] == k
+        assert r["q_width"] == round(qv / 100.0, 2)
+        assert r["n_eval"] == len(ev)
+        assert r["n_covered"] == n_cov
+        assert r["coverage"] == round(n_cov / len(ev), 6)
+        assert r["coverage"] >= 0.9 - 0.05, f"seed {seed}: {r['coverage']}"
+
+
+def test_conformal_degenerate_corpus_empty_like_oracle(spark, tmp_path):
+    """ADVICE r13: fewer than 9 calibration rows makes the conformal
+    rank k exceed n_cal — the oracle's q CTE is empty there, so the
+    query must return an EMPTY frame with the contract schema instead
+    of raising from the rank selection (and an all-eval split must not
+    break on the empty calibration half)."""
+    import datetime
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rows = [
+        (i, 1, "O", 100.0 + i, datetime.datetime(2024, 1, 1), "1-URGENT")
+        for i in range(6)
+    ]
+    _write_orders(spark, tmp_path, rows)
+    df = QUERIES["conformal_coverage_eval"](spark, str(tmp_path))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "n_cal", "n_eval", "k_index", "q_width",
+        "n_covered", "coverage", "target",
+    ]
+
+
+def test_kruskal_single_tier_null_significant(spark, tmp_path):
+    """ADVICE r13: a one-tier corpus (k=1, df=0) must yield NULL
+    significance like the DuckDB oracle's tab[0], not raise Spark's
+    INVALID_INDEX_OF_ZERO from try_element_at(tab, 0)."""
+    import datetime
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rows = [
+        (i, 1, "O", float(10 + i), datetime.datetime(2024, 1, 1), "3-MEDIUM")
+        for i in range(5)
+    ]
+    _write_orders(spark, tmp_path, rows)
+    r = QUERIES["kruskal_wallis_price"](spark, str(tmp_path)).collect()[0]
+    assert r["n_groups"] == 1
+    assert r["significant"] is None

@@ -1600,3 +1600,134 @@ def test_streaming_lsh_ingest_capped_randomized(spark, tmp_path):
         }
         assert got_pairs == exp_pairs, f"seed {seed}"
         assert got_acct == exp_acct, f"seed {seed}"
+
+
+def test_streaming_capped_residue_rep_pass_closes_the_loop(spark, tmp_path):
+    """End-to-end residue loop (VERDICT r13 item 5): the capped
+    stream's docstring claims `hot_bucket_rep_dedup` run over the
+    LANDED band state IS the residue consumer — bucket depth is
+    monotone over the drain, so the final index's over-cap buckets are
+    exactly the ever-cut set. Prove it on a planted hot-cohort corpus:
+    drain capped, replay the representative pass over the landed
+    bands/shingles state, and check that the duplicate-group PARTITION
+    induced by (capped pairs ∪ rep-pass dups) equals the one induced
+    by an UNCAPPED drain of the same feed — no document's group
+    membership is lost to the cap."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.lsh_ingest import (
+        read_acct,
+        read_final_pairs,
+        run_lsh_ingest,
+    )
+
+    # planted corpus: a 5-doc hot cohort (depth far past the cap), a
+    # 3-doc cohort (crosses the cap on its last arrival), a clean
+    # 2-doc pair (never hot), and a singleton
+    t_a = "a b c d e f g h i j k l"
+    t_d = "z y x w v u t s r q p o"
+    t_b = "1 2 3 4 5 6 7 8 9 10 11 12"
+    t_s = "n m l k j i h g f e d c"
+    waves = [
+        [(0, t_a), (10, t_b), (30, t_s)],
+        [(1, t_a), (20, t_d), (21, t_d)],
+        [(2, t_a), (3, t_a), (11, t_b)],
+        [(4, t_a), (22, t_d)],
+    ]
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    for i, rows in enumerate(waves):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+
+    def drain(state, cap):
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_lsh_ingest(s, state, max_bucket=cap)
+
+    capped_state = str(tmp_path / "capped")
+    uncapped_state = str(tmp_path / "uncapped")
+    drain(capped_state, 2)
+    drain(uncapped_state, None)
+
+    # the cap must BIND on this corpus (otherwise the test is a no-op)
+    acct = read_acct(spark, capped_state).collect()
+    assert sum(r.n_buckets_cut for r in acct) > 0
+    capped = {
+        (r.doc_a, r.doc_b) for r in read_final_pairs(spark, capped_state).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b)
+        for r in read_final_pairs(spark, uncapped_state).collect()
+    }
+    assert capped < uncapped  # strictly fewer pairs discovered
+
+    # representative pass over the LANDED capped state — the exact
+    # hot_bucket_rep_dedup discipline: census the final band index,
+    # elect min(doc_id) per over-cap bucket, members verify exact
+    # Jaccard against the representative ONLY (O(k) per bucket)
+    bands = spark.read.schema("doc_id bigint, band int, bkey string").parquet(
+        f"{capped_state}/bands/b*"
+    )
+    sh = spark.read.schema("doc_id bigint, ss array<string>").parquet(
+        f"{capped_state}/shingles/b*"
+    )
+    census = bands.groupBy("band", "bkey").agg(F.count("*").alias("k"))
+    hot = census.where(F.col("k") > 2).select("band", "bkey")
+    hb = bands.join(hot, ["band", "bkey"])
+    rep = hb.groupBy("band", "bkey").agg(F.min("doc_id").alias("rep"))
+    mem = (
+        hb.join(rep, ["band", "bkey"])
+        .where(F.col("doc_id") != F.col("rep"))
+        .select(F.col("doc_id").alias("m_id"), "rep")
+        .distinct()
+    )
+    sm, sr = sh.alias("sm"), sh.alias("sr")
+    inter = F.size(F.array_intersect(F.col("sm.ss"), F.col("sr.ss")))
+    uni = F.size(F.col("sm.ss")) + F.size(F.col("sr.ss")) - inter
+    rep_dups = {
+        (min(r.m_id, r.rep), max(r.m_id, r.rep))
+        for r in (
+            mem.join(sm, F.col("m_id") == F.col("sm.doc_id"))
+            .join(sr, F.col("rep") == F.col("sr.doc_id"))
+            .where(inter * 1.0 / uni >= 0.5)
+            .select("m_id", "rep")
+            .collect()
+        )
+    }
+    assert rep_dups  # the residue pass found the cut members
+
+    # duplicate-group partitions must MATCH: union-find both edge sets
+    def groups(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        out = {}
+        for x in list(parent):
+            out.setdefault(find(x), set()).add(x)
+        return sorted(frozenset(g) for g in out.values())
+
+    assert groups(capped | rep_dups) == groups(uncapped)
+    # and the planted truth itself
+    assert groups(uncapped) == sorted(
+        [frozenset({0, 1, 2, 3, 4}), frozenset({10, 11}), frozenset({20, 21, 22})]
+    )
