@@ -321,6 +321,9 @@ HEADLINE = [
     "blocklist_lexicon_filter",
     "bh_fdr_price_tests",
     "conformal_coverage_eval",
+    # round 14 additions
+    "paragraph_dedup_stats",
+    "wasserstein_source_drift",
 ]
 
 

@@ -460,6 +460,101 @@ def ks_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "wasserstein_source_drift",
+    oracle="""
+    WITH sc AS (SELECT source, count(*) AS cnt FROM documents GROUP BY source),
+    r AS (SELECT source, cnt,
+                 row_number() OVER (ORDER BY cnt DESC, source) AS rk
+          FROM sc),
+    top2 AS (SELECT * FROM r WHERE rk <= 2),
+    t AS (SELECT rk, n_chars FROM documents JOIN top2 USING (source)),
+    pv AS (SELECT n_chars,
+                  sum(CASE WHEN rk = 1 THEN 1 ELSE 0 END) AS d1,
+                  sum(CASE WHEN rk = 2 THEN 1 ELSE 0 END) AS d2
+           FROM t GROUP BY n_chars),
+    cum AS (SELECT n_chars,
+                   sum(d1) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c1,
+                   sum(d2) OVER (ORDER BY n_chars ROWS UNBOUNDED PRECEDING) AS c2,
+                   lead(n_chars) OVER (ORDER BY n_chars) - n_chars AS dx
+            FROM pv),
+    tt AS (SELECT max(CASE WHEN rk = 1 THEN source END) AS src_a,
+                  max(CASE WHEN rk = 2 THEN source END) AS src_b,
+                  max(CASE WHEN rk = 1 THEN cnt END) AS n1,
+                  max(CASE WHEN rk = 2 THEN cnt END) AS n2
+           FROM top2)
+    SELECT src_a, src_b, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+           CAST(sum(abs(c1 * n2 - c2 * n1) * dx) AS BIGINT) AS w1_num,
+           CAST(sum(abs(c1 * n2 - c2 * n1) * dx) * 1000000 // (n1 * n2)
+                AS BIGINT) AS w1_e6
+    FROM cum CROSS JOIN tt
+    WHERE dx IS NOT NULL
+    GROUP BY src_a, src_b, n1, n2
+    """,
+)
+def wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D Wasserstein-1 (earth-mover) distance between the doc-length
+    distributions of the two largest sources — the transport-aware
+    complement to `ks_score_drift`'s sup-gap (KS sees only the single
+    worst CDF gap; W1 integrates ALL displaced mass, so a long mild
+    shift registers even when no single gap is large — the standard
+    release-drift pairing). W1 = integral of |F1 - F2| over the value
+    axis, computed in EXACT integer arithmetic on the distinct-length
+    domain: ``w1_num = sum |c1*n2 - c2*n1| * dx`` over consecutive
+    observed lengths, emitted with the floor-divided ``w1_e6 =
+    w1_num*1e6 // (n1*n2)`` (in n_chars units) — no float quotient
+    ever rounds (the ks_score_drift discipline).
+
+    Scale: identical shape to `ks_score_drift` — one grouped scan
+    collapses the corpus to the (source, length) contingency frame;
+    the cumulative/lead window runs over the bounded distinct-length
+    DOMAIN, never corpus rows."""
+    from ..core.session import cache_parallelism
+
+    d = table(spark, sf_dir, "documents").select("source", "n_chars")
+    base = (
+        d.groupBy("source", "n_chars")
+        .agg(F.count("*").alias("c"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
+    )
+    sc = base.groupBy("source").agg(F.sum("c").alias("cnt"))
+    wr = Window.orderBy(F.desc("cnt"), "source")  # tiny frame: one row/source
+    top2 = sc.withColumn("rk", F.row_number().over(wr)).where(F.col("rk") <= 2)
+    t = base.join(F.broadcast(top2), "source").select("rk", "n_chars", "c")
+    pv = t.groupBy("n_chars").agg(
+        F.sum(F.when(F.col("rk") == 1, F.col("c")).otherwise(0)).alias("d1"),
+        F.sum(F.when(F.col("rk") == 2, F.col("c")).otherwise(0)).alias("d2"),
+    )
+    wv = Window.orderBy("n_chars").rowsBetween(Window.unboundedPreceding, 0)
+    wl = Window.orderBy("n_chars")
+    cum = pv.select(
+        F.sum("d1").over(wv).alias("c1"),
+        F.sum("d2").over(wv).alias("c2"),
+        (F.lead("n_chars").over(wl) - F.col("n_chars")).alias("dx"),
+    ).where(F.col("dx").isNotNull())
+    tt = top2.agg(
+        F.max(F.when(F.col("rk") == 1, F.col("source"))).alias("src_a"),
+        F.max(F.when(F.col("rk") == 2, F.col("source"))).alias("src_b"),
+        F.max(F.when(F.col("rk") == 1, F.col("cnt"))).alias("n1"),
+        F.max(F.when(F.col("rk") == 2, F.col("cnt"))).alias("n2"),
+    )
+    gap = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return (
+        cum.crossJoin(F.broadcast(tt))
+        .groupBy("src_a", "src_b", "n1", "n2")
+        .agg(F.sum(gap * F.col("dx")).alias("w1_num"))
+        .select(
+            "src_a",
+            "src_b",
+            F.col("n1").cast("bigint").alias("n1"),
+            F.col("n2").cast("bigint").alias("n2"),
+            F.col("w1_num").cast("bigint").alias("w1_num"),
+            F.expr("CAST(w1_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("w1_e6"),
+        )
+    )
+
+
+@query(
     "gini_revenue_concentration",
     oracle="""
     WITH per AS (

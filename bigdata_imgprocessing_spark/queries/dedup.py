@@ -2998,3 +2998,124 @@ def _minhash_bands_store(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="doc_id bigint, band int, bkey string",
         keys=("band", "bkey"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-level exact dedup: the CCNet discipline (Wenzek et al. 2020,
+# "CCNet: Extracting High Quality Monolingual Datasets from Web Crawl
+# Data") — dedup the corpus at PARAGRAPH granularity, first occurrence
+# wins, so boilerplate shared across otherwise-distinct documents is
+# counted (and removable) without dropping whole docs. Reference scope:
+# gero0/bigdata_imgprocessing has no text dedup at all; this extends the
+# dedup family the same way minhash/simhash do.
+# ---------------------------------------------------------------------------
+
+_PARA_W = 8  # words per paragraph unit (the synthetic corpus has no
+# newline structure, so fixed non-overlapping 8-word windows stand in
+# for paragraphs; on a real crawl this is split(text, '\n\n'))
+
+
+@query(
+    "paragraph_dedup_stats",
+    oracle=f"""
+    WITH w AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, lang, CAST(i AS BIGINT) AS chunk_no,
+               array_to_string(ws[(i*{_PARA_W}+1):(i*{_PARA_W}+{_PARA_W})], ' ') AS chunk
+        FROM w, unnest(range(CAST(floor(len(ws)/{_PARA_W}) AS BIGINT))) AS t(i)
+    ),
+    marked AS (
+        SELECT doc_id, lang,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY chunk ORDER BY doc_id, chunk_no) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM ch
+    ),
+    per_doc AS (
+        SELECT doc_id, lang, count(*) AS n_ch, sum(keep) AS n_keep
+        FROM marked GROUP BY doc_id, lang
+    )
+    SELECT lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_ch) AS BIGINT) AS n_chunks,
+           CAST(sum(n_ch - n_keep) AS BIGINT) AS n_dup_chunks,
+           CAST(sum(CASE WHEN n_keep = n_ch THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_docs_all_unique,
+           round(sum(n_ch - n_keep) * 1.0 / sum(n_ch), 6) AS dup_frac
+    FROM per_doc GROUP BY lang ORDER BY lang
+    """,
+)
+def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity exact dedup audit (CCNet, Wenzek et al.
+    2020): split every document into non-overlapping 8-word
+    units, keep only the globally FIRST occurrence of each distinct
+    unit (ordered by (doc_id, chunk_no) — deterministic and
+    replayable), and report per lang how much of the corpus is
+    paragraph-level boilerplate: doc/chunk counts, duplicated-chunk
+    count, docs untouched by the pass, and the duplicated fraction as
+    ONE int/int division rounded at 6dp (the float-parity rule).
+
+    Scale: units shuffle as 8-byte xxhash64 keys, never the ~50-char
+    strings (the `_ngram_posting_lists` discipline; injectivity on the
+    observed vocabulary is guarded by the corpus-wide collision test
+    family). First-occurrence election is a map-side-combinable
+    min(struct(doc_id, chunk_no)) groupBy — skew-IMMUNE for the
+    election itself; the mark-back join on the same hash key is a
+    plain equi-join, so a web-scale hot paragraph ("subscribe to our
+    newsletter" x 10M) is handled by AQE's skew-join split, which a
+    window row_number() formulation (one sorted partition per hot
+    paragraph) would rule out. Both shuffles share the hash key, so
+    the join reuses the groupBy's partitioning."""
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split("text", " ").alias("w")
+    )
+    ch = d.select(
+        "doc_id",
+        "lang",
+        F.posexplode(
+            F.expr(
+                f"CASE WHEN size(w) >= {_PARA_W} THEN"
+                f" transform(sequence(0, size(w) DIV {_PARA_W} - 1),"
+                f" i -> xxhash64(concat_ws(' ', slice(w, i*{_PARA_W} + 1, {_PARA_W}))))"
+                " ELSE array() END"
+            )
+        ).alias("chunk_no", "h"),
+    )
+    first = ch.groupBy("h").agg(
+        F.min(F.struct("doc_id", "chunk_no")).alias("f")
+    )
+    marked = ch.join(first, "h").select(
+        "doc_id",
+        "lang",
+        (
+            (F.col("doc_id") == F.col("f.doc_id"))
+            & (F.col("chunk_no") == F.col("f.chunk_no"))
+        )
+        .cast("long")
+        .alias("keep"),
+    )
+    per_doc = marked.groupBy("doc_id", "lang").agg(
+        F.count("*").alias("n_ch"), F.sum("keep").alias("n_keep")
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("n_ch").cast("bigint").alias("n_chunks"),
+            F.sum(F.col("n_ch") - F.col("n_keep"))
+            .cast("bigint")
+            .alias("n_dup_chunks"),
+            F.sum((F.col("n_keep") == F.col("n_ch")).cast("long"))
+            .cast("bigint")
+            .alias("n_docs_all_unique"),
+            F.round(
+                F.sum(F.col("n_ch") - F.col("n_keep"))
+                * 1.0
+                / F.sum("n_ch"),
+                6,
+            ).alias("dup_frac"),
+        )
+        .orderBy("lang")
+    )

@@ -1293,3 +1293,80 @@ def test_kruskal_single_tier_null_significant(spark, tmp_path):
     r = QUERIES["kruskal_wallis_price"](spark, str(tmp_path)).collect()[0]
     assert r["n_groups"] == 1
     assert r["significant"] is None
+
+
+def test_paragraph_dedup_planted_truth(spark, tmp_path):
+    """Planted corpus with hand-countable 8-word-unit duplication: the
+    first occurrence (ordered by doc_id, chunk_no) survives, later
+    copies count as dups, sub-8-word docs contribute no chunks, and
+    within-doc repeats dedup too."""
+    import duckdb
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    u1 = "w1 w2 w3 w4 w5 w6 w7 w8"          # shared boilerplate unit
+    u2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    u3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    texts = [
+        ("en", f"{u1} {u2}"),        # doc 0: first occurrence of u1, u2
+        ("en", f"{u1} {u3}"),        # doc 1: u1 dup, u3 first
+        ("en", f"{u1} {u1}"),        # doc 2: both chunks dups (within-doc too)
+        ("de", f"{u2} tail words"),  # doc 3: u2 dup (cross-lang), tail < 8 ignored
+        ("de", "short doc"),         # doc 4: no chunks -> not in n_docs
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}', '{lg}', 'src0', {len(t)})"
+        for i, (lg, t) in enumerate(texts)
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) "
+        "v(doc_id, text, lang, source, n_chars)) "
+        f"TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.lang: (
+            r.n_docs, r.n_chunks, r.n_dup_chunks,
+            r.n_docs_all_unique, r.dup_frac,
+        )
+        for r in QUERIES["paragraph_dedup_stats"](spark, str(tmp_path)).collect()
+    }
+    # en: docs 0,1,2 -> 6 chunks; dups: doc1's u1, doc2's both = 3;
+    #     all-unique docs: doc 0 only
+    # de: doc 3 -> 1 chunk (u2, dup of doc 0's), doc 4 contributes none
+    assert got == {
+        "en": (3, 6, 3, 1, 0.5),
+        "de": (1, 1, 1, 0, 1.0),
+    }
+
+
+def test_wasserstein_matches_closed_form(spark, tmp_path):
+    """Planted two-source corpus with a hand-computable earth-mover
+    distance: src a lengths [10, 10, 20], src b [10, 30, 30].
+    Domain 10 < 20 < 30; scaled CDF gaps (x3 counts each side, n1*n2=9):
+      at 10: |2*3 - 1*3| = 3, dx = 10 -> 30
+      at 20: |3*3 - 1*3| = 6, dx = 10 -> 60
+    w1_num = 90, W1 = 90/9 = 10 chars of transported mass (exactly the
+    mean shift here since the CDFs never cross)."""
+    import duckdb
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rows = [
+        (0, "a", 10), (1, "a", 10), (2, "a", 20),
+        (3, "b", 10), (4, "b", 30), (5, "b", 30),
+    ]
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, 'x', 'en', 'src_{s}', {n})" for i, s, n in rows
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) "
+        "v(doc_id, text, lang, source, n_chars)) "
+        f"TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    r = QUERIES["wasserstein_source_drift"](spark, str(tmp_path)).collect()[0]
+    assert (r.src_a, r.src_b) == ("src_a", "src_b")  # count tie -> name asc
+    assert (r.n1, r.n2) == (3, 3)
+    assert r.w1_num == 90
+    assert r.w1_e6 == 10_000_000
