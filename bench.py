@@ -324,6 +324,7 @@ HEADLINE = [
     # round 14 additions
     "paragraph_dedup_stats",
     "wasserstein_source_drift",
+    "streaming_paragraph_ingest",
 ]
 
 
@@ -343,6 +344,7 @@ MULTI_BATCH_CONTRACT = [
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
     "streaming_lsh_ingest_capped",  # 4 waves: capped probe + accounting
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
+    "streaming_paragraph_ingest",  # 4 waves: first-occurrence unit state
     "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
     "streaming_simhash_ingest",  # 3 waves: exactly-once banded discovery
     "streaming_sketch_rollup",  # 3 files: segmentation-independent merge

@@ -33,6 +33,7 @@ _PRIORITY = [
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
     "paragraph_dedup_stats", "wasserstein_source_drift",
+    "streaming_paragraph_ingest",
     # (2) queries whose CODE changed in round 14 after their r13
     # driver row: kruskal gained the one-tier NULL-significance guard
     # and conformal the degenerate-corpus empty short-circuit (both

@@ -1366,3 +1366,87 @@ def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_jumps",
         F.round("ewma16", 6).alias("ewma16"),
     )
+
+
+@query(
+    "streaming_paragraph_ingest",
+    oracle="""
+    WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws,
+               CAST(doc_id % 4 AS BIGINT) AS wave
+        FROM documents
+    ),
+    ch AS (
+        SELECT doc_id, wave, CAST(i AS BIGINT) AS chunk_no,
+               array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
+        FROM w, unnest(range(CAST(floor(len(ws)/8) AS BIGINT))) AS t(i)
+    ),
+    rn AS (
+        SELECT wave, doc_id,
+               CASE WHEN row_number() OVER (
+                   PARTITION BY chunk ORDER BY wave, doc_id, chunk_no) = 1
+                    THEN 1 ELSE 0 END AS keep
+        FROM ch
+    ),
+    s AS (
+        SELECT wave,
+               CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_units,
+               CAST(sum(1 - keep) AS BIGINT) AS n_dup_units,
+               CAST(sum(keep) AS BIGINT) AS n_new_units
+        FROM rn GROUP BY wave
+    ),
+    waves AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS wave)
+    SELECT waves.wave,
+           coalesce(s.n_docs, 0) AS n_docs,
+           coalesce(s.n_units, 0) AS n_units,
+           coalesce(s.n_dup_units, 0) AS n_dup_units,
+           coalesce(s.n_new_units, 0) AS n_new_units
+    FROM waves LEFT JOIN s USING (wave)
+    """,
+)
+def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`paragraph_dedup_stats` as a CONTINUOUS ingest loop
+    (streaming/paragraph_ingest.py) — the CCNet paragraph-hash scan is
+    THE classic incremental dedup state: documents arrive in 4
+    mtime-ordered waves (doc_id % 4, one file per micro-batch), each
+    micro-batch counts how many of its 8-word-unit instances are
+    boilerplate already seen (accumulated store OR earlier in the same
+    batch — first occurrence wins globally) and lands only the
+    genuinely NEW distinct unit hashes as the store extension for
+    later waves.
+
+    The oracle replays the whole drain analytically: a global
+    first-occurrence row_number over (wave, doc_id, chunk_no) per
+    chunk, aggregated per wave — so the hash pins the cross-batch
+    first-occurrence semantics exactly (a batch double-counting its
+    own within-batch repeats, or re-probing its own landings, would
+    mismatch).
+
+    Scale: per batch ONE arrivals-distinct-vs-store left join on
+    8-byte hash keys and two 1-row aggregates — no verification stage
+    exists (hash equality IS the verdict), so this is the cheapest
+    member of the ingest family; the store grows by exactly the new
+    distinct units (disjoint per-batch dirs, never re-distinct'd on
+    read); replay invariants shared with streaming/lsh_ingest.py."""
+    import shutil as _sh
+
+    from ..streaming.paragraph_ingest import read_stats, run_paragraph_ingest
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_paraing", src="documents")
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feed = _stage_feed(
+        root,
+        [(f"wave{i}", docs.where(F.col("doc_id") % 4 == i)) for i in range(4)],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_paragraph_ingest(stream, state)
+    return read_stats(spark, state).orderBy("wave")

@@ -1731,3 +1731,77 @@ def test_streaming_capped_residue_rep_pass_closes_the_loop(spark, tmp_path):
     assert groups(uncapped) == sorted(
         [frozenset({0, 1, 2, 3, 4}), frozenset({10, 11}), frozenset({20, 21, 22})]
     )
+
+
+def test_streaming_paragraph_ingest_planted_and_crash_replay(spark, tmp_path):
+    """Planted drain for the paragraph-ingest state machine
+    (streaming/paragraph_ingest.py): known unit-dup structure across
+    waves (cross-batch repeat, within-batch repeat, sub-8-word doc),
+    then the crash-replay contract — the stream restarts after a
+    batch's units/stats landed but BEFORE its checkpoint committed and
+    must converge to identical stats (a replay probing its OWN landed
+    units would flip its new units to dups)."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.paragraph_ingest import (
+        n_store_versions,
+        read_stats,
+        run_paragraph_ingest,
+    )
+
+    u1 = "w1 w2 w3 w4 w5 w6 w7 w8"
+    u2 = "x1 x2 x3 x4 x5 x6 x7 x8"
+    u3 = "y1 y2 y3 y4 y5 y6 y7 y8"
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    waves = [
+        # wave 0: u1 first + within-batch repeat of u2 (docs 0, 1)
+        [(0, f"{u1} {u2}"), (1, f"{u2} tail")],
+        # wave 1: cross-batch dups (u1, u2) + new u3; doc 12 too short
+        [(10, f"{u1} {u3}"), (11, f"{u2} x"), (12, "short doc")],
+    ]
+    for i, rows in enumerate(waves):
+        vals = ", ".join(f"({d}, '{t}')" for d, t in rows)
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(doc_id, text)) "
+            f"TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    state = str(tmp_path / "state")
+
+    def drain():
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_paragraph_ingest(s, state)
+
+    drain()
+    assert n_store_versions(state) == 2
+    got = {
+        r.wave: (r.n_docs, r.n_units, r.n_dup_units, r.n_new_units)
+        for r in read_stats(spark, state).collect()
+    }
+    # wave 0: docs 0,1 -> units u1,u2,u2 (doc 1's u2 repeats doc 0's
+    #         within the batch): 3 instances, 1 dup, 2 new
+    # wave 1: doc 10 -> u1(dup),u3(new); doc 11 -> u2(dup); doc 12 no
+    #         units: 2 docs with units... doc 11 has 1 unit (u2 + 'x'
+    #         tail < 8 ignored) -> 3 instances, 2 dups, 1 new
+    assert got == {0: (2, 3, 1, 2), 1: (2, 3, 2, 1)}
+    # crash window: batch 1's units+stats landed, commit missing
+    _os.remove(f"{state}/ckpt/commits/1")
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    replayed = {
+        r.wave: (r.n_docs, r.n_units, r.n_dup_units, r.n_new_units)
+        for r in read_stats(spark, state).collect()
+    }
+    assert replayed == got
+    assert n_store_versions(state) == 2
