@@ -175,14 +175,51 @@ def part_b(spark, n: int = 500_000, cap: int = 64):
         shutil.rmtree(p, ignore_errors=True)
 
 
+def part_c(spark, ns=(500_000, 1_000_000)):
+    """Streaming paragraph ingest drain wall at scale: the heavy
+    corpus's syndicated cohort makes the leading units corpus-wide hot,
+    so the per-batch distinct-vs-store join carries real dup mass."""
+    from bigdata_imgprocessing_spark.streaming.paragraph_ingest import (
+        read_stats,
+        run_paragraph_ingest,
+    )
+
+    for n in ns:
+        feed = _stage_feed(spark, n, f"/tmp/scale14c_feed_{n}")
+        state = f"/tmp/scale14c_state_{n}"
+        shutil.rmtree(state, ignore_errors=True)
+        s = (
+            spark.readStream.schema("doc_id bigint, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(feed)
+        )
+        t0 = time.time()
+        run_paragraph_ingest(s, state)
+        dt = time.time() - t0
+        rows = read_stats(spark, state).collect()
+        tot_u = sum(r.n_units for r in rows)
+        tot_d = sum(r.n_dup_units for r in rows)
+        print(
+            f"C paragraph ingest n={n}: drain_wall={dt:.1f}s "
+            f"units={tot_u} dup_units={tot_d} "
+            f"frac={tot_d / tot_u:.4f} waves={len(rows)}",
+            flush=True,
+        )
+        for p in (feed, state):
+            shutil.rmtree(p, ignore_errors=True)
+        spark.catalog.clearCache()
+
+
 def main():
-    parts = [p.upper() for p in sys.argv[1:]] or ["A", "B"]
+    parts = [p.upper() for p in sys.argv[1:]] or ["A", "B", "C"]
     spark = build_session("scale-r14")
     spark.sparkContext.setLogLevel("ERROR")
     if "A" in parts:
         part_a(spark)
     if "B" in parts:
         part_b(spark)
+    if "C" in parts:
+        part_c(spark)
     spark.stop()
 
 
