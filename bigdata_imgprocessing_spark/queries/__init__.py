@@ -42,7 +42,7 @@ _PRIORITY = [
     # -v4/-v5) alters LAYOUT only; row-identity is pinned by the
     # store-freshness tests, so its consumers stay in rotation order.
     "kruskal_wallis_price", "conformal_coverage_eval",
-    "lsh_incremental_pairs",
+    "lsh_incremental_pairs", "ks_score_drift",
     # (3) staleness refresh, oldest-first (VERDICT r13 item 3): the 12
     # rows last driver-checked at r6, in their r6 driver-file order...
     "interval_merge_coverage", "rfm_segmentation", "weighted_doc_sample",

@@ -454,7 +454,13 @@ def ks_score_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
             "d_num",
-            F.expr("CAST(d_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("ks_e6"),
+            # same DECIMAL(38,0) widening as wasserstein_source_drift:
+            # d_num <= n1*n2 fits int64 at any plausible scale, but
+            # d_num*1e6 wraps once the source pair passes ~3M docs each
+            F.expr(
+                "CAST(CAST(d_num AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n1 AS BIGINT) * n2) AS BIGINT)"
+            ).alias("ks_e6"),
         )
     )
 
@@ -542,14 +548,26 @@ def wasserstein_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cum.crossJoin(F.broadcast(tt))
         .groupBy("src_a", "src_b", "n1", "n2")
-        .agg(F.sum(gap * F.col("dx")).alias("w1_num"))
+        # widen the transported-mass sum and the *1e6 numerator to
+        # DECIMAL(38,0) (the kruskal/welch HUGEINT-parity rule): at
+        # 10M-doc sources w1_num ~ 1e16 fits int64 but w1_num*1e6 does
+        # NOT — int64 would wrap (or raise under ANSI) exactly in the
+        # scale regime this query advertises, while DuckDB's sum
+        # promotes to HUGEINT and stays exact. Decimal DIV matches
+        # DuckDB's // bit-for-bit (verified live at 1.4e19).
+        .agg(
+            F.sum((gap * F.col("dx")).cast("decimal(38,0)")).alias("w1_num")
+        )
         .select(
             "src_a",
             "src_b",
             F.col("n1").cast("bigint").alias("n1"),
             F.col("n2").cast("bigint").alias("n2"),
             F.col("w1_num").cast("bigint").alias("w1_num"),
-            F.expr("CAST(w1_num * 1000000 DIV (n1 * n2) AS BIGINT)").alias("w1_e6"),
+            F.expr(
+                "CAST(CAST(w1_num AS DECIMAL(38,0)) * 1000000"
+                " DIV (CAST(n1 AS BIGINT) * n2) AS BIGINT)"
+            ).alias("w1_e6"),
         )
     )
 
@@ -2362,8 +2380,9 @@ def kruskal_wallis_price(spark: SparkSession, sf_dir: str) -> DataFrame:
                 # try_element_at(tab, 0) RAISES (INVALID_INDEX_OF_ZERO)
                 # where DuckDB's tab[0] is NULL — gate the degenerate
                 # one-tier corpus to NULL explicitly so both engines
-                # agree (ADVICE r13). Indexes past the table (k > 11)
-                # are genuinely NULL-conservative in both engines.
+                # agree (ADVICE r13). Indexes past the table (k > 10,
+                # i.e. df > 9 on the 9-entry table) are genuinely
+                # NULL-conservative in both engines.
                 (F.col("cc") != 0) & (F.col("n_groups") > 1),
                 F.col("h_raw") / F.col("cc")
                 > F.try_element_at(

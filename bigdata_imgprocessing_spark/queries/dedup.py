@@ -3024,6 +3024,23 @@ _PARA_W = 8  # words per paragraph unit (the synthetic corpus has no
 # for paragraphs; on a real crawl this is split(text, '\n\n'))
 
 
+def _para_units_sql(words_expr: str) -> str:
+    """SQL expr: the array of xxhash64 keys of ``words_expr``'s
+    non-overlapping ``_PARA_W``-word units (empty for shorter docs).
+    The ONE definition of the paragraph-unit hash — shared by
+    `paragraph_dedup_stats` and the streaming ingest
+    (streaming/paragraph_ingest.py), so a width change cannot split
+    the batch and streaming semantics apart (their cross-validation at
+    1M docs is a SCALING.md claim)."""
+    return (
+        f"CASE WHEN size({words_expr}) >= {_PARA_W} THEN"
+        f" transform(sequence(0, size({words_expr}) DIV {_PARA_W} - 1),"
+        f" i -> xxhash64(concat_ws(' ',"
+        f" slice({words_expr}, i*{_PARA_W} + 1, {_PARA_W}))))"
+        " ELSE array() END"
+    )
+
+
 @query(
     "paragraph_dedup_stats",
     oracle=f"""
@@ -3083,14 +3100,7 @@ def paragraph_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ch = d.select(
         "doc_id",
         "lang",
-        F.posexplode(
-            F.expr(
-                f"CASE WHEN size(w) >= {_PARA_W} THEN"
-                f" transform(sequence(0, size(w) DIV {_PARA_W} - 1),"
-                f" i -> xxhash64(concat_ws(' ', slice(w, i*{_PARA_W} + 1, {_PARA_W}))))"
-                " ELSE array() END"
-            )
-        ).alias("chunk_no", "h"),
+        F.posexplode(F.expr(_para_units_sql("w"))).alias("chunk_no", "h"),
     )
     first = ch.groupBy("h").agg(
         F.min(F.struct("doc_id", "chunk_no")).alias("f")

@@ -788,7 +788,7 @@ def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFr
     return run_to_memory(agg, mode="complete")
 
 
-from .dedup import _DUCK_PAIRS_CTES  # noqa: E402  (one banding scheme)
+from .dedup import _DUCK_PAIRS_CTES, _PARA_W  # noqa: E402  (one banding scheme)
 
 
 @query(
@@ -1370,7 +1370,7 @@ def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "streaming_paragraph_ingest",
-    oracle="""
+    oracle=f"""
     WITH w AS (
         SELECT doc_id, string_split(text, ' ') AS ws,
                CAST(doc_id % 4 AS BIGINT) AS wave
@@ -1378,8 +1378,8 @@ def streaming_ewma_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     ch AS (
         SELECT doc_id, wave, CAST(i AS BIGINT) AS chunk_no,
-               array_to_string(ws[(i*8+1):(i*8+8)], ' ') AS chunk
-        FROM w, unnest(range(CAST(floor(len(ws)/8) AS BIGINT))) AS t(i)
+               array_to_string(ws[(i*{_PARA_W}+1):(i*{_PARA_W}+{_PARA_W})], ' ') AS chunk
+        FROM w, unnest(range(CAST(floor(len(ws)/{_PARA_W}) AS BIGINT))) AS t(i)
     ),
     rn AS (
         SELECT wave, doc_id,

@@ -35,23 +35,19 @@ import glob
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_W = 8  # words per paragraph unit — mirrors queries/dedup.py:_PARA_W
-
 
 def _units(batch: DataFrame) -> DataFrame:
     """(doc_id, chunk_no, h) unit-hash instances of a (doc_id, text)
-    frame — the same expression as `paragraph_dedup_stats` (one F.expr
-    SQL string per the py4j construction rule)."""
+    frame — IMPORTS the batch query's unit expression
+    (queries/dedup.py:_para_units_sql, the lsh_ingest convention of
+    sharing the derivation with its batch twin) so the streaming and
+    batch semantics cannot drift apart."""
+    from ..queries.dedup import _para_units_sql
+
     return batch.select(
         "doc_id",
         F.posexplode(
-            F.expr(
-                f"CASE WHEN size(split(text, ' ')) >= {_W} THEN"
-                f" transform(sequence(0, size(split(text, ' ')) DIV {_W} - 1),"
-                f" i -> xxhash64(concat_ws(' ',"
-                f" slice(split(text, ' '), i*{_W} + 1, {_W}))))"
-                " ELSE array() END"
-            )
+            F.expr(_para_units_sql("split(text, ' ')"))
         ).alias("chunk_no", "h"),
     )
 
