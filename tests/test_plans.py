@@ -795,3 +795,40 @@ def test_blocklist_lexicon_plan(spark, sf_dir):
     # raw map(badterm000, 1, ...) call tree in the Project expression;
     # the folded Literal renders as keys:/values: array dumps
     assert "map(badterm" not in plan and "keys:" in plan
+
+
+def test_paragraph_dedup_plan(spark, sf_dir):
+    """paragraph_dedup_stats scale contract: the corpus scans prune to
+    exactly the consumed columns (no n_chars/source), the
+    first-occurrence election + mark-back is ONE equi-join (broadcast
+    at test scale, shuffled-hash/sort-merge at scale — NEVER a nested
+    loop, which is what makes a web-scale hot paragraph
+    AQE-skew-splittable), and nothing drops to Python."""
+    plan = _formatted(spark, QUERIES["paragraph_dedup_stats"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    equi = (
+        _n_nodes(plan, "BroadcastHashJoin")
+        + _n_nodes(plan, "SortMergeJoin")
+        + _n_nodes(plan, "ShuffledHashJoin")
+    )
+    assert equi == 1, f"expected exactly one equi mark-back join: {plan[:500]}"
+    assert "n_chars" not in plan and "source" not in plan  # pruned
+
+
+def test_wasserstein_single_scan_domain_windows(spark, sf_dir):
+    """wasserstein_source_drift scale contract: ONE corpus scan
+    (collapsed to the (source, n_chars) contingency frame feeding
+    every branch through the cache), windows run over the bounded
+    distinct-length DOMAIN (their input is the post-aggregate frame,
+    never corpus rows), and the only nested-loop join is the
+    deliberate 1-row broadcast of the totals frame."""
+    plan = _formatted(
+        spark, QUERIES["wasserstein_source_drift"](spark, sf_dir)
+    )
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row totals
+    assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan
