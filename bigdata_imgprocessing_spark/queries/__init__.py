@@ -37,10 +37,12 @@ _PRIORITY = [
     # (2) queries whose CODE changed in round 14 after their r13
     # driver row: kruskal gained the one-tier NULL-significance guard
     # and conformal the degenerate-corpus empty short-circuit (both
-    # ADVICE r13 — values at sf0.01 identical, re-checked by the
-    # driver itself). The store-floor change (8 -> 4 files, versions
-    # -v4/-v5) alters LAYOUT only; row-identity is pinned by the
-    # store-freshness tests, so its consumers stay in rotation order.
+    # ADVICE r13); lsh_incremental_pairs moved to the bands store and
+    # ks_score_drift widened its e6 quotient to decimal — values at
+    # sf0.01 identical in all four, re-checked by the driver itself.
+    # The store-floor change (8 -> 4 files, versions -v4/-v5) alters
+    # LAYOUT only; row-identity is pinned by the store-freshness
+    # tests, so its consumers stay in rotation order.
     "kruskal_wallis_price", "conformal_coverage_eval",
     "lsh_incremental_pairs", "ks_score_drift",
     # (3) staleness refresh, oldest-first (VERDICT r13 item 3): the 12
