@@ -1805,3 +1805,54 @@ def test_streaming_paragraph_ingest_planted_and_crash_replay(spark, tmp_path):
     }
     assert replayed == got
     assert n_store_versions(state) == 2
+
+
+def test_paragraph_batch_stream_totals_agree(spark, tmp_path):
+    """The SCALING.md part-C cross-validation as a randomized gate:
+    on a seeded corpus with planted unit repeats, the BATCH dedup
+    (paragraph_dedup_stats) and the STREAMING ingest
+    (streaming_paragraph_ingest) must agree on total unit instances
+    and total duplicated instances — both count instances minus
+    global first occurrences, so any drift in the unit expression,
+    the wave assignment, or the first-occurrence semantics breaks
+    this equality."""
+    import random
+
+    import duckdb
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rng = random.Random(1414)
+    units = [
+        " ".join(f"u{u}t{j}" for j in range(8)) for u in range(40)
+    ]
+    rows = []
+    for i in range(120):
+        # 1-3 units per doc, drawn WITH repetition from a small pool so
+        # cross-doc, cross-wave, and within-doc dups all occur; some
+        # docs get a short tail that must be ignored
+        k = rng.randrange(1, 4)
+        text = " ".join(rng.choice(units) for _ in range(k))
+        if rng.random() < 0.3:
+            text += " tail"
+        lang = rng.choice(["en", "de"])
+        rows.append((i, text, lang))
+    con = duckdb.connect()
+    vals = ", ".join(
+        f"({i}, '{t}', '{lg}', 'src0', {len(t)})" for i, t, lg in rows
+    )
+    con.execute(
+        f"COPY (SELECT * FROM (VALUES {vals}) "
+        "v(doc_id, text, lang, source, n_chars)) "
+        f"TO '{tmp_path}/documents.parquet' (FORMAT PARQUET)"
+    )
+    batch = QUERIES["paragraph_dedup_stats"](spark, str(tmp_path)).collect()
+    stream = QUERIES["streaming_paragraph_ingest"](
+        spark, str(tmp_path)
+    ).collect()
+    assert sum(r.n_chunks for r in batch) == sum(r.n_units for r in stream)
+    assert sum(r.n_dup_chunks for r in batch) == sum(
+        r.n_dup_units for r in stream
+    )
+    # the pool is small enough that dups are guaranteed present
+    assert sum(r.n_dup_chunks for r in batch) > 0
