@@ -937,3 +937,51 @@ def test_exact_rank_values_property(spark_prop, vals, qs, nb):
     ranks = sorted({(d, 1 + (d * (n - 1)) // 10) for d in qs})
     got = exact_rank_values(df, "c", list(ranks), n_buckets=nb)
     assert got == sorted((tag, k, ref[k - 1]) for tag, k in ranks)
+
+
+# ---------------------------------------------------------------------------
+# Paragraph-unit chunking vs a trivial Python reference: the
+# transform/sequence/slice construction (dedup._para_units_sql, shared
+# by the batch query, the streaming ingest, and both oracles) must
+# produce exactly the naive non-overlapping 8-word windows for
+# arbitrary token streams — including the <8-word degenerate (empty
+# array, NOT a throw from a descending sequence()) and the
+# tail-dropping boundary at every length mod 8.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    toks=st.lists(
+        st.text(alphabet="abc", min_size=1, max_size=3),
+        min_size=0,
+        max_size=20,
+    )
+)
+def test_paragraph_units_match_python(spark_prop, toks):
+    from pyspark.sql import Row
+
+    from bigdata_imgprocessing_spark.queries.dedup import (
+        _PARA_W,
+        _para_units_sql,
+    )
+
+    text = " ".join(toks)
+    got = (
+        spark_prop.createDataFrame([Row(text=text)])
+        .select(F.expr(_para_units_sql("split(text, ' ')")).alias("v"))
+        .collect()[0]
+        .v
+    )
+    words = text.split(" ")  # split(" ") semantics: "" -> [""]
+    chunks = [
+        " ".join(words[i : i + _PARA_W])
+        for i in range(0, len(words) - _PARA_W + 1, _PARA_W)
+    ]
+    expected = [
+        spark_prop.sql(
+            "SELECT xxhash64(" + repr(c).replace('"', '\\"') + ")"
+        ).collect()[0][0]
+        for c in chunks
+    ]
+    assert got == expected
