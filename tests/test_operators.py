@@ -413,6 +413,36 @@ def test_shingle_hash_collision_free_on_corpus(spark, sf_dir):
     )
 
 
+def test_paragraph_unit_hash_collision_free_on_corpus(spark, sf_dir):
+    """paragraph_dedup_stats (and the streaming ingest) key first-
+    occurrence election on xxhash64(8-word unit) — correct only while
+    the hash is injective on the observed unit vocabulary. The shingle
+    test above covers shingles, NOT these units (ADVICE r14); a
+    collision would silently merge distinct paragraphs in Spark while
+    the string-keyed DuckDB oracle keeps them apart."""
+    from bigdata_imgprocessing_spark.core.catalog import table
+    from bigdata_imgprocessing_spark.queries.dedup import _PARA_W
+
+    units_sql = (
+        f"CASE WHEN size(w) >= {_PARA_W} THEN"
+        f" transform(sequence(0, size(w) DIV {_PARA_W} - 1),"
+        f" i -> concat_ws(' ', slice(w, i*{_PARA_W} + 1, {_PARA_W})))"
+        " ELSE array() END"
+    )
+    d = table(spark, sf_dir, "documents").select(
+        F.split("text", " ").alias("w")
+    )
+    ex = d.select(F.explode(F.expr(units_sql)).alias("u0"))
+    row = ex.agg(
+        F.count_distinct("u0").alias("n_units"),
+        F.count_distinct(F.xxhash64("u0")).alias("n_hashes"),
+    ).first()
+    assert row.n_units == row.n_hashes, (
+        f"xxhash64 collision on paragraph-unit vocabulary: "
+        f"{row.n_units} units -> {row.n_hashes} hashes"
+    )
+
+
 def test_connected_components_stats_round_count(spark):
     """The stats hook must report >1 pointer-jumping rounds on a long
     chain (diameter >> 1) and exactly the deduped edge count."""

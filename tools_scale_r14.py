@@ -101,7 +101,13 @@ def part_b(spark, n: int = 500_000, cap: int = 64):
     # landed state: accumulated index (strictly earlier b*) ∪ batch,
     # semi-joined by the batch's touched keys, grouped to counts —
     # byte-for-byte the drain's census plan.
-    bdirs = sorted(glob.glob(f"{state}/bands/b*"))
+    # Numeric b<N> order (ADVICE r14): lexicographic sorts b10 < b2,
+    # which would leak LATER batches into `prior` on drains with >=10
+    # batches — matching streaming/batchstate.prior_batch_dirs.
+    bdirs = sorted(
+        glob.glob(f"{state}/bands/b*"),
+        key=lambda d: int(d.rsplit("/b", 1)[1]),
+    )
     census_wall = 0.0
     for i in range(1, len(bdirs)):
         prior = bdirs[:i]
