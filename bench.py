@@ -369,6 +369,16 @@ def compare(prev_path: str, cur_path: str | None = None) -> None:
     with open(cur_path) as fh:
         cur = json.load(fh)
     pq, cq = prev["queries"], cur["queries"]
+    # Host-load context first (VERDICT r14 item 2): a run whose loadavg
+    # START is already high, or whose per-query loads sit far above the
+    # other run's, is a busy-box artifact — say so before the ratios.
+    for tag, d in (("prev", prev), ("cur", cur)):
+        rl = d.get("run_loadavg")
+        if rl:
+            print(
+                f"{tag} run loadavg: start {rl['start']} end {rl['end']}"
+                f" (ncpus {d.get('ncpus', '?')})"
+            )
     common = sorted(set(pq) & set(cq))
     pt = sum(pq[n] for n in common)
     ct = sum(cq[n] for n in common)
@@ -398,9 +408,15 @@ def compare(prev_path: str, cur_path: str | None = None) -> None:
         print(f">1.5x movers ({len(movers)}):")
         for r, n in sorted(movers, reverse=True):
             spread = cur.get("spread", {}).get(n)
+            # Per-repeat [before, after] 1-min loadavg for the mover in
+            # BOTH runs: a mover whose cur loads dwarf its prev loads is
+            # host noise, not a plan change.
+            pl = prev.get("loads", {}).get(n)
+            cl = cur.get("loads", {}).get(n)
             print(
                 f"  {n:40s} {pq[n]:7.2f} -> {cq[n]:7.2f} s "
-                f"({r:5.2f}x, cur spread {spread})"
+                f"({r:5.2f}x, cur spread {spread}, "
+                f"load prev {pl} -> cur {cl})"
             )
     else:
         print(">1.5x movers: none")
@@ -455,13 +471,26 @@ def main() -> None:
     times: dict[str, float] = {}
     spreads: dict[str, float] = {}
     walls: dict[str, list[float]] = {}
+    loads: dict[str, list[list[float]]] = {}
+    # Host-load telemetry (VERDICT r14 item 2): two rounds in a row the
+    # headline number needed manual loaded-host-vs-regression
+    # adjudication (r13 365.9s, r14 372.5s — both host load). Record
+    # 1-min loadavg around every repeat and for the whole run so the
+    # artifact carries its own verdict: on a quiet local[32] box the
+    # bench itself drives load, so sustained loadavg far above the
+    # bench's own steady state (or a high START load) says "busy box"
+    # without a judge re-run.
+    run_load_start = [round(v, 2) for v in os.getloadavg()]
     for name in names:
         samples: list[float] = []
+        rep_loads: list[list[float]] = []
         for _ in range(repeats):
+            l0 = os.getloadavg()[0]
             t0 = time.perf_counter()
             df = QUERIES[name](spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+            rep_loads.append([round(l0, 2), round(os.getloadavg()[0], 2)])
             # Untimed between runs: drop cached frames (the LSH queries
             # cache fan-out frames and never unpersist — 68 queries of
             # accumulated storage blocks showed up as erratic
@@ -482,6 +511,7 @@ def main() -> None:
         # so the next round's drift-vs-regression adjudication compares
         # mins directly instead of re-running an isolated audit.
         walls[name] = [round(s, 3) for s in samples]
+        loads[name] = rep_loads
 
     total = round(sum(times.values()), 3)
     # Streaming entries are dominated by fixed micro-batch drain latency
@@ -511,6 +541,12 @@ def main() -> None:
         ),
         "repeats": repeats,
         "sf": float(sf),
+        "loads": loads,
+        "run_loadavg": {
+            "start": run_load_start,
+            "end": [round(v, 2) for v in os.getloadavg()],
+        },
+        "ncpus": os.cpu_count(),
     }
     detail_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
