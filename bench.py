@@ -325,6 +325,8 @@ HEADLINE = [
     "paragraph_dedup_stats",
     "wasserstein_source_drift",
     "streaming_paragraph_ingest",
+    # round 15 additions
+    "streaming_ivf_assign_ingest",
 ]
 
 
@@ -344,6 +346,7 @@ MULTI_BATCH_CONTRACT = [
     "streaming_lsh_ingest",  # 4 waves: exactly-once incremental discovery
     "streaming_lsh_ingest_capped",  # 4 waves: capped probe + accounting
     "streaming_outer_join",  # real + 2 sentinel batches: watermark flush
+    "streaming_ivf_assign_ingest",  # 4 waves: pinned-codebook occupancy drift
     "streaming_paragraph_ingest",  # 4 waves: first-occurrence unit state
     "streaming_quota_admission",  # 3 ts-tertiles: quota carry across batches
     "streaming_simhash_ingest",  # 3 waves: exactly-once banded discovery

@@ -29,45 +29,40 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 14) with zero driver history —
+    # (1) NEW this round (round 15) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
-    "paragraph_dedup_stats", "wasserstein_source_drift",
-    "streaming_paragraph_ingest",
-    # (2) queries whose CODE changed in round 14 after their r13
-    # driver row: kruskal gained the one-tier NULL-significance guard
-    # and conformal the degenerate-corpus empty short-circuit (both
-    # ADVICE r13); lsh_incremental_pairs moved to the bands store and
-    # ks_score_drift widened its e6 quotient to decimal — values at
-    # sf0.01 identical in all four, re-checked by the driver itself.
-    # The store-floor change (8 -> 4 files, versions -v4/-v5) alters
-    # LAYOUT only; row-identity is pinned by the store-freshness
-    # tests, so its consumers stay in rotation order.
-    "kruskal_wallis_price", "conformal_coverage_eval",
-    "lsh_incremental_pairs", "ks_score_drift",
-    # (3) staleness refresh, oldest-first (VERDICT r13 item 3): the 12
-    # rows last driver-checked at r6, in their r6 driver-file order...
-    "interval_merge_coverage", "rfm_segmentation", "weighted_doc_sample",
-    "null_safe_reconcile", "streaming_erasure_feed", "image_corrupt_quarantine",
-    "cached_predictions_stats", "doc_embedding_join_stats", "repetition_ngram_stats",
-    "report_text_roundtrip", "streaming_stateful_totals", "vocab_top_terms",
-    # ...then the 42 rows last driver-checked at r7, in r7 order. The
-    # ~50-slot window drains r6 fully and most of r7; the r7 tail
-    # leads round 15, then the remaining r9 cohort, then r10/r11.
-    "bpe_apply_stats", "freq_event_pairs", "mmr_diverse_topk",
-    "session_funnel_stats", "kll_quantile_drift", "equidepth_price_buckets",
-    "pq_ann_recall", "alphabet_stats", "ann_ivf_learned",
-    "anti_join_customers", "approx_balance_deciles", "cluster_profile",
-    "cube_order_stats", "customer_balance_deciles", "decontam_ngram_overlap",
-    "dedup_exact", "doc_chunk_windows", "doc_quality_filter",
-    "exists_late_orders", "full_outer_nation_counts", "image_avg_color",
-    "image_detection_counts", "image_dominant_hist", "image_letterbox_stats",
-    "image_predictions", "inactive_rich_customers", "market_share_by_year",
-    "moving_avg_orders", "name_length_buckets", "outer_join_order_counts",
-    "pricing_summary", "priority_multiset_diff", "quantized_ann_recall",
-    "region_revenue", "rollup_revenue", "semi_join_customers",
-    "set_ops_customers", "simhash_fingerprints", "small_quantity_revenue",
-    "top_orders", "video_frame_sample", "window_topk_orders",
+    "streaming_ivf_assign_ingest",
+    # (2) queries whose CODE changed in round 15 after their r14
+    # driver row: ann_ivf_learned's centroid derivation was factored
+    # into the shared label_centroids helper the new streaming ingest
+    # pins its codebook on — plan and values identical, re-checked by
+    # the driver itself.
+    "ann_ivf_learned",
+    # (3) staleness refresh, oldest-first (VERDICT r14 item 1): the 11
+    # rows last driver-checked at r7, in their r7 driver-file order...
+    "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
+    "rollup_revenue", "semi_join_customers", "set_ops_customers",
+    "simhash_fingerprints", "small_quantity_revenue", "top_orders",
+    "video_frame_sample", "window_topk_orders",
+    # ...then the 32 rows last driver-checked at r9, in r9 order...
+    "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
+    "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
+    "zorder_pruned_scan", "ab_test_zscore", "ann_rerank_topk",
+    "backfill_partition_overwrite", "bar_chart_data", "bloom_prefilter_stats",
+    "bm25_ndcg_eval", "bpe_merge_pairs", "cogroup_order_fill",
+    "cohort_retention", "color_chart_data", "corpus_diff_stats",
+    "doc_entropy_stats", "dq_expectations", "dsir_select",
+    "embedding_batch_scores", "epoch_shuffle_order", "filter_funnel_stats",
+    "grouped_agg_udaf", "hard_negative_mining", "heavy_hitters_topk",
+    "key_skew_profile", "mad_event_outliers", "merge_into_orders",
+    "neardup_triangle_stats", "order_value_position",
+    # ...then the head of the r10 cohort, in r10 order, filling the
+    # ~50-slot window (1 new + 1 changed + 11 + 32 + 5 = 50). The r10
+    # tail leads round 16, then r11/r12.
+    "shard_rendezvous_stability", "kcenter_coreset",
+    "streaming_simhash_ingest", "cms_frequency_audit",
+    "embedding_centroid_drift",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

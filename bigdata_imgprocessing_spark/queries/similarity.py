@@ -132,6 +132,29 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= 3)
 
 
+def label_centroids(e: DataFrame) -> DataFrame:
+    """(cell, cv) label-seeded centroid codebook: per-label per-position
+    mean over the embedding corpus, rounded to 3dp so Spark and DuckDB
+    agree bit-for-bit. THE one quantizer derivation — shared by
+    ``ann_ivf_learned`` and the streaming assignment ingest
+    (streaming/ivf_ingest.py), the ``_para_units_sql`` convention: a
+    codebook change cannot split the batch and streaming semantics
+    apart. ``e`` needs (label, embedding); extra columns are ignored."""
+    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
+    return (
+        flat.groupBy("label", "pos")
+        .agg(F.avg(F.col("x").cast("double")).alias("c"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda s: F.round(s["c"], 3),
+            ).alias("cv")
+        )
+        .select(F.col("label").alias("cell"), "cv")
+    )
+
+
 @query(
     "ann_ivf_learned",
     oracle=f"""
@@ -202,19 +225,7 @@ def ann_ivf_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding", norm(F.col("embedding")).alias("en")
     )
-    flat = e.select("label", F.posexplode("embedding").alias("pos", "x"))
-    cent = (
-        flat.groupBy("label", "pos")
-        .agg(F.avg(F.col("x").cast("double")).alias("c"))
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda s: F.round(s["c"], 3),
-            ).alias("cv")
-        )
-        .select(F.col("label").alias("cell"), "cv")
-    )
+    cent = label_centroids(e)
     withd = e.crossJoin(F.broadcast(cent)).withColumn(
         "dist", F.round(sqdist(F.col("embedding"), F.col("cv")), 6)
     )

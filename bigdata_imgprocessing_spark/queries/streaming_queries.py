@@ -1450,3 +1450,143 @@ def streaming_paragraph_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     run_paragraph_ingest(stream, state)
     return read_stats(spark, state).orderBy("wave")
+
+
+@query(
+    "streaming_ivf_assign_ingest",
+    oracle="""
+    WITH flat AS (
+        SELECT label, i AS pos, embedding[i+1]::DOUBLE AS x
+        FROM embeddings, UNNEST(range(len(embedding))) AS t(i)
+    ),
+    cent AS (
+        SELECT label AS cell, list(round(c, 3) ORDER BY pos) AS cv
+        FROM (SELECT label, pos, avg(x) AS c FROM flat GROUP BY label, pos)
+        GROUP BY cell
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label, CAST(e.vec_id % 4 AS BIGINT) AS wave,
+               c.cell,
+               round(list_sum(list_transform(range(len(e.embedding)),
+                     i -> (e.embedding[i+1]::DOUBLE - c.cv[i+1])
+                        * (e.embedding[i+1]::DOUBLE - c.cv[i+1]))), 6)
+                   AS dist
+        FROM embeddings e CROSS JOIN cent c
+    ),
+    assigned AS (
+        SELECT wave, vec_id, label, cell, dist FROM (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY dist, cell) AS arn
+            FROM dists
+        ) WHERE arn = 1
+    ),
+    occ AS (
+        SELECT wave, cell, count(*) AS n FROM assigned GROUP BY wave, cell
+    ),
+    waves AS (SELECT CAST(unnest(range(4)) AS BIGINT) AS wave),
+    grid AS (
+        SELECT w.wave, c.cell, coalesce(o.n, 0) AS nb
+        FROM waves w CROSS JOIN (SELECT cell FROM cent) c
+        LEFT JOIN occ o ON o.wave = w.wave AND o.cell = c.cell
+    ),
+    go AS (
+        SELECT wave, cell, nb,
+               coalesce(sum(nb) OVER (PARTITION BY cell ORDER BY wave
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS np
+        FROM grid
+    ),
+    tot AS (
+        SELECT wave, CAST(sum(nb) AS BIGINT) AS n_b,
+               CAST(sum(np) AS BIGINT) AS n_p
+        FROM go GROUP BY wave
+    ),
+    drift AS (
+        SELECT g.wave,
+               sum(abs(CAST(g.nb AS HUGEINT) * t.n_p
+                       - CAST(g.np AS HUGEINT) * t.n_b)) AS numer,
+               max(t.n_b) AS n_b, max(t.n_p) AS n_p
+        FROM go g JOIN tot t USING (wave)
+        GROUP BY g.wave
+    ),
+    ws AS (
+        SELECT wave,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(count(DISTINCT cell) AS BIGINT) AS n_cells,
+               CAST(sum(CASE WHEN cell != label THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_foreign,
+               sum(CAST(round(dist * 1000000) AS BIGINT)) AS sum_e6,
+               max(dist) AS max_dist
+        FROM assigned GROUP BY wave
+    ),
+    mc AS (
+        SELECT wave, CAST(max(n) AS BIGINT) AS max_cell_n
+        FROM occ GROUP BY wave
+    )
+    SELECT ws.wave, ws.n_vecs, ws.n_cells, ws.n_foreign, mc.max_cell_n,
+           CAST(ws.sum_e6 // ws.n_vecs AS BIGINT) AS avg_dist_e6,
+           ws.max_dist,
+           CASE WHEN d.n_b > 0 AND d.n_p > 0 THEN
+               CAST(d.numer * 1000000
+                    // (CAST(d.n_b AS HUGEINT) * d.n_p) AS BIGINT)
+           END AS occ_drift_e6
+    FROM ws JOIN mc USING (wave) JOIN drift d USING (wave)
+    ORDER BY wave
+    """,
+)
+def streaming_ivf_assign_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index freshness as a CONTINUOUS ingest loop
+    (streaming/ivf_ingest.py): the codebook is PINNED before the drain
+    (queries/similarity.py:label_centroids — the same label-seeded 3dp
+    quantizer ``ann_ivf_learned`` searches with), embedded vectors
+    arrive in 4 mtime-ordered waves (vec_id % 4, one file per
+    micro-batch), and each micro-batch assigns its arrivals to their
+    nearest centroid, lands the per-batch cell postings + k-row cell
+    occupancy, and emits ONE stats row: assignment counts, drift vs
+    the label layout the batch ``ann_ivf_topk`` probe assumes
+    (n_foreign), exact-integer assignment-distance summaries
+    (avg_dist_e6 floor-division over e6-grid distances, max_dist), and
+    the L1 occupancy drift vs ALL prior waves in DECIMAL(38,0)
+    arithmetic (occ_drift_e6; NULL on the first wave) — the
+    re-train-the-codebook signal every 100-TB ANN deployment watches.
+
+    The oracle replays the whole drain analytically: assignments are
+    wave-independent (pinned codebook), so it assigns every vector
+    once and reconstructs each wave's prior-occupancy totals with a
+    cumulative window over the (wave x cell) grid — gap-filled on BOTH
+    sides, so a cell present only in prior waves still carries its
+    drift mass (the contingency-grid rule).
+
+    Scale: per batch ONE k-row codebook broadcast, a map-side-
+    combinable min(struct) argmin on vec_id (no sorted window — hot
+    arrival shards split under AQE), a k-rows-per-prior-batch
+    occupancy read (never the postings store), and three 1-row
+    aggregates; replay invariants shared with streaming/lsh_ingest.py."""
+    import shutil as _sh
+
+    from ..streaming.ivf_ingest import (
+        read_stats,
+        run_ivf_assign_ingest,
+        write_codebook,
+    )
+
+    ensure_utc(spark)
+    root = _fingerprinted_tmp(sf_dir, "bdip_ivfing", src="embeddings")
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    feed = _stage_feed(
+        root,
+        [(f"wave{i}", emb.where(F.col("vec_id") % 4 == i)) for i in range(4)],
+    )
+    state = f"{root}/state"
+    _sh.rmtree(state, ignore_errors=True)
+    write_codebook(emb, state)
+    schema = spark.read.parquet(feed).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    run_ivf_assign_ingest(stream, state)
+    return read_stats(spark, state).orderBy("wave")

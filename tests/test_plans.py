@@ -832,3 +832,36 @@ def test_wasserstein_single_scan_domain_windows(spark, sf_dir):
     assert _n_nodes(plan, "Scan parquet") == 1
     assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # 1-row totals
     assert "ReadSchema: struct<source:string,n_chars:bigint>" in plan
+
+
+def test_ivf_assign_step_plan(spark):
+    """streaming_ivf_assign_ingest per-batch scale contract: the
+    assignment is ONE deliberate k-row broadcast nested loop (the
+    codebook cross) feeding a map-side-combinable hash aggregate on
+    vec_id — no window sort (a hot arrival shard must stay
+    AQE-splittable), no extra join, and nothing drops to Python."""
+    from pyspark.sql import functions as F
+
+    from bigdata_imgprocessing_spark.streaming.ivf_ingest import _assign
+
+    batch = spark.createDataFrame(
+        [(0, [0.0, 0.0], 0)], "vec_id bigint, embedding array<float>, label int"
+    )
+    cb = F.broadcast(
+        spark.createDataFrame([(0, [0.0, 0.0])], "cell int, cv array<double>")
+    )
+    plan = _formatted(spark, _assign(batch, cb))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1  # k-row codebook
+    assert (
+        _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin")
+        + _n_nodes(plan, "BroadcastHashJoin") == 0
+    )
+    # struct-min plans as SortAggregate (structs aren't hash-aggregable);
+    # what matters for scale is the MAP-SIDE partial before the exchange
+    # (every vec_id group is exactly k rows, so there is no skew to
+    # split — the sort is local on unique keys)
+    assert _n_nodes(plan, "SortAggregate") == 2
+    assert "partial_min" in plan

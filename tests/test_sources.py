@@ -1856,3 +1856,140 @@ def test_paragraph_batch_stream_totals_agree(spark, tmp_path):
     )
     # the pool is small enough that dups are guaranteed present
     assert sum(r.n_dup_chunks for r in batch) > 0
+
+
+def test_streaming_ivf_assign_ingest_planted_and_crash_replay(spark, tmp_path):
+    """Planted drain for the IVF-assignment state machine
+    (streaming/ivf_ingest.py): two well-separated label clusters plus
+    one mislabeled vector sitting in the foreign cluster, so cell
+    counts, n_foreign, and the wave-1 occupancy drift are all known in
+    closed form; then the crash-replay contract — the stream restarts
+    after a batch's postings/occ/stats landed but BEFORE its checkpoint
+    committed and must converge to identical stats (a replay including
+    its OWN landed occupancy in `prior` would corrupt occ_drift_e6)."""
+    import os as _os
+
+    import duckdb as _duck
+
+    from bigdata_imgprocessing_spark.streaming.ivf_ingest import (
+        n_store_versions,
+        read_stats,
+        run_ivf_assign_ingest,
+        write_codebook,
+    )
+
+    feed = tmp_path / "feed"
+    feed.mkdir()
+    con = _duck.connect()
+    # label 0 cluster near (0,0); label 1 cluster near (10,10);
+    # vec 3 is LABELED 0 but sits at (10,10) -> assigned cell 1
+    waves = [
+        [(0, [0.0, 0.0], 0), (1, [10.0, 10.0], 1)],
+        [(2, [0.2, 0.0], 0), (3, [10.0, 10.0], 0), (4, [9.8, 10.0], 1)],
+    ]
+    for i, rows in enumerate(waves):
+        vals = ", ".join(
+            f"({v}, {e}::FLOAT[], {lb})" for v, e, lb in rows
+        )
+        dst = str(feed / f"w{i}.parquet")
+        con.execute(
+            f"COPY (SELECT * FROM (VALUES {vals}) v(vec_id, embedding, label))"
+            f" TO '{dst}' (FORMAT PARQUET)"
+        )
+        _os.utime(dst, (1_700_000_000 + 60 * i,) * 2)
+    state = str(tmp_path / "state")
+    corpus = spark.read.parquet(str(feed))
+    write_codebook(corpus, state)
+
+    def drain():
+        s = (
+            spark.readStream.schema(
+                "vec_id bigint, embedding array<float>, label int"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(feed))
+        )
+        run_ivf_assign_ingest(s, state)
+
+    drain()
+    assert n_store_versions(state) == 2
+    got = {
+        r.wave: (r.n_vecs, r.n_cells, r.n_foreign, r.max_cell_n, r.occ_drift_e6)
+        for r in read_stats(spark, state).collect()
+    }
+    # wave 0: one vec per cell, no foreign, no prior -> drift NULL
+    # wave 1: occ {0:1, 1:2} (vec 3 foreign), prior {0:1, 1:1};
+    #         drift = (|1*2-1*3| + |2*2-1*3|) * 1e6 // (3*2) = 333333
+    assert got == {0: (2, 2, 0, 1, None), 1: (3, 2, 1, 2, 333333)}
+    # crash window: batch 1's postings+occ+stats landed, commit missing
+    _os.remove(f"{state}/ckpt/commits/1")
+    crc = f"{state}/ckpt/commits/.1.crc"
+    if _os.path.exists(crc):
+        _os.remove(crc)
+    drain()
+    replayed = {
+        r.wave: (r.n_vecs, r.n_cells, r.n_foreign, r.max_cell_n, r.occ_drift_e6)
+        for r in read_stats(spark, state).collect()
+    }
+    assert replayed == got
+    assert n_store_versions(state) == 2
+
+
+def test_ivf_ingest_matches_numpy_reference(spark, tmp_path):
+    """Randomized agreement gate for the IVF ingest against an
+    INDEPENDENT pure-numpy replay of the pinned-codebook semantics
+    (per-label positional means rounded 3dp, squared distance rounded
+    6dp, argmin ties to the lowest cell): per-wave occupancy-derived
+    stats and foreign counts must match exactly. Because the codebook
+    is pinned, assignments are wave-independent — any batch leaking
+    into its own prior, or a codebook recomputed mid-drain, breaks
+    the per-wave split this asserts."""
+    import numpy as np
+
+    from bigdata_imgprocessing_spark.queries import QUERIES
+
+    rng = np.random.default_rng(1515)
+    n, dim, k = 160, 8, 4
+    labels = rng.integers(0, k, n)
+    centers = rng.normal(0, 10, (k, dim))
+    emb = centers[labels] + rng.normal(0, 8.0, (n, dim))
+    emb = emb.astype(np.float32)
+    rows = [
+        (int(i), [float(x) for x in emb[i]], int(labels[i]))
+        for i in range(n)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{tmp_path}/embeddings.parquet"
+    )
+
+    got = {
+        r.wave: (r.n_vecs, r.n_cells, r.n_foreign, r.max_cell_n)
+        for r in QUERIES["streaming_ivf_assign_ingest"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+
+    # numpy replay: label-mean codebook at 3dp, 6dp squared distances
+    e64 = emb.astype(np.float64)
+    cents = np.stack(
+        [np.round(e64[labels == c].mean(axis=0), 3) for c in range(k)]
+    )
+    d2 = np.round(
+        ((e64[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2), 6
+    )
+    assigned = d2.argmin(axis=1)  # np.argmin ties -> first (lowest cell)
+    want = {}
+    for w in range(4):
+        m = (np.arange(n) % 4) == w
+        occ = np.bincount(assigned[m], minlength=k)
+        want[w] = (
+            int(m.sum()),
+            int((occ > 0).sum()),
+            int((assigned[m] != labels[m]).sum()),
+            int(occ.max()),
+        )
+    assert got == want
+    # the planted geometry guarantees some foreign assignments overall
+    assert sum(v[2] for v in want.values()) > 0
