@@ -850,7 +850,7 @@ def test_ivf_assign_step_plan(spark):
     cb = F.broadcast(
         spark.createDataFrame([(0, [0.0, 0.0])], "cell int, cv array<double>")
     )
-    plan = _formatted(spark, _assign(batch, cb))
+    plan = _formatted(spark, _assign(batch, cb, dim=2))
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
     assert "Window" not in plan
