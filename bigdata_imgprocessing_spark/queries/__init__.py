@@ -33,12 +33,15 @@ _PRIORITY = [
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
     "streaming_ivf_assign_ingest",
-    # (2) queries whose CODE changed in round 15 after their r14
+    # (2) queries whose CODE changed in round 15 after their last
     # driver row: ann_ivf_learned's centroid derivation was factored
     # into the shared label_centroids helper the new streaming ingest
-    # pins its codebook on — plan and values identical, re-checked by
-    # the driver itself.
-    "ann_ivf_learned",
+    # pins its codebook on; minhash_lsh_capped/hot_bucket_rep_dedup
+    # derive their semi-join id set with ONE explode scan of the
+    # cached candidate frame instead of a two-branch union that raced
+    # the cold cache (the r12-time recovery, VERDICT r14 item 3) —
+    # values identical in all three, re-checked by the driver itself.
+    "ann_ivf_learned", "minhash_lsh_capped", "hot_bucket_rep_dedup",
     # (3) staleness refresh, oldest-first (VERDICT r14 item 1): the 11
     # rows last driver-checked at r7, in their r7 driver-file order...
     "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
@@ -58,11 +61,10 @@ _PRIORITY = [
     "key_skew_profile", "mad_event_outliers", "merge_into_orders",
     "neardup_triangle_stats", "order_value_position",
     # ...then the head of the r10 cohort, in r10 order, filling the
-    # ~50-slot window (1 new + 1 changed + 11 + 32 + 5 = 50). The r10
+    # ~50-slot window (1 new + 3 changed + 11 + 32 + 3 = 50). The r10
     # tail leads round 16, then r11/r12.
     "shard_rendezvous_stability", "kcenter_coreset",
-    "streaming_simhash_ingest", "cms_frequency_audit",
-    "embedding_centroid_drift",
+    "streaming_simhash_ingest",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

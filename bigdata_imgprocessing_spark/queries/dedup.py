@@ -2790,11 +2790,15 @@ def minhash_lsh_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(scaled_width(spark))
         .cache()
     )
-    ids = (
-        cand.select(F.col("doc_a").alias("doc_id"))
-        .union(cand.select(F.col("doc_b").alias("doc_id")))
-        .distinct()
-    )
+    # ONE scan of cand, not a union of two selects: the union's two
+    # branches evaluated the COLD cand cache concurrently inside the
+    # semi-join's broadcast-build thread — the NOTES cold-cache race —
+    # computing the band self-join twice on first use (profiled r15:
+    # first-in-session 6.9 -> 2.6 s, steady min 1.62 -> 1.48 s, back
+    # at the r12 time; same id set, values unchanged)
+    ids = cand.select(
+        F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+    ).distinct()
     sets = (
         d.join(ids, "doc_id", "semi")
         .select(
@@ -2938,11 +2942,11 @@ def hot_bucket_rep_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .coalesce(scaled_width(spark))
         .cache()
     )
-    ids = (
-        mem.select("doc_id")
-        .union(mem.select(F.col("rep").alias("doc_id")))
-        .distinct()
-    )
+    # ONE scan of mem (the minhash_lsh_capped cold-cache-race fix —
+    # see the ids derivation there): same id set, values unchanged
+    ids = mem.select(
+        F.explode(F.array("doc_id", "rep")).alias("doc_id")
+    ).distinct()
     sets = (
         d.join(ids, "doc_id", "semi")
         .select(
