@@ -327,6 +327,7 @@ HEADLINE = [
     "streaming_paragraph_ingest",
     # round 15 additions
     "streaming_ivf_assign_ingest",
+    "decontam_semantic_audit",
 ]
 
 

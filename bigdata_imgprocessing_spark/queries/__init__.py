@@ -32,7 +32,7 @@ _PRIORITY = [
     # (1) NEW this round (round 15) with zero driver history —
     # front-loaded so the first CORRECTNESS row lands this round.
     # Names appended as each operator lands.
-    "streaming_ivf_assign_ingest",
+    "streaming_ivf_assign_ingest", "decontam_semantic_audit",
     # (2) queries whose CODE changed in round 15 after their last
     # driver row: ann_ivf_learned's centroid derivation was factored
     # into the shared label_centroids helper the new streaming ingest
@@ -61,10 +61,9 @@ _PRIORITY = [
     "key_skew_profile", "mad_event_outliers", "merge_into_orders",
     "neardup_triangle_stats", "order_value_position",
     # ...then the head of the r10 cohort, in r10 order, filling the
-    # ~50-slot window (1 new + 3 changed + 11 + 32 + 3 = 50). The r10
+    # ~50-slot window (2 new + 3 changed + 11 + 32 + 2 = 50). The r10
     # tail leads round 16, then r11/r12.
     "shard_rendezvous_stability", "kcenter_coreset",
-    "streaming_simhash_ingest",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})

@@ -1648,3 +1648,125 @@ def mixture_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(epochs, 6).alias("epochs"),
         (epochs > 1.0).alias("oversampled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic decontamination — the embedding-space complement of
+# `decontam_ngram_overlap`: paraphrased or lightly-reworded benchmark
+# leakage shares no 5-gram with the eval set but sits next to it in
+# embedding space (the SemDedup/DataComp-style audit).
+# ---------------------------------------------------------------------------
+
+_SEM_TAU = 0.4  # cosine flag threshold — BINDING at driver sf (the
+# simhash discipline: best-cos at sf0.01 spans 0.29-0.45 across the 18
+# eval vectors, so both flagged and clean vectors exist)
+
+_DUCK_SEM_COS = """
+    round(
+      list_sum(list_transform(range(len(te.embedding)), i -> te.embedding[i+1]::DOUBLE * tr.embedding[i+1]::DOUBLE))
+      / (greatest(sqrt(list_sum(list_transform(range(len(te.embedding)), i -> te.embedding[i+1]::DOUBLE * te.embedding[i+1]::DOUBLE))), 1e-30)
+         * greatest(sqrt(list_sum(list_transform(range(len(tr.embedding)), i -> tr.embedding[i+1]::DOUBLE * tr.embedding[i+1]::DOUBLE))), 1e-30)), 6)
+"""
+
+
+@query(
+    "decontam_semantic_audit",
+    oracle=f"""
+    WITH a AS (
+        SELECT vec_id, label, embedding,
+               CASE WHEN {_duck_bucket("CAST(vec_id AS VARCHAR) || '_split'", 100)} < 90
+                    THEN 'train'
+                    WHEN {_duck_bucket("CAST(vec_id AS VARCHAR) || '_split'", 100)} >= 95
+                    THEN 'test' END AS split
+        FROM embeddings
+    ),
+    tr AS (SELECT vec_id, embedding FROM a WHERE split = 'train'),
+    te AS (SELECT vec_id, label, embedding FROM a WHERE split = 'test'),
+    best AS (
+        SELECT te.vec_id, te.label, max({_DUCK_SEM_COS}) AS best_cos
+        FROM te CROSS JOIN tr
+        GROUP BY te.vec_id, te.label
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_eval,
+           CAST(sum(CASE WHEN best_cos >= {_SEM_TAU} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_contaminated,
+           round(sum(CASE WHEN best_cos >= {_SEM_TAU} THEN 1 ELSE 0 END)
+                 * 1.0 / count(*), 4) AS contamination_rate,
+           max(best_cos) AS max_cos
+    FROM best GROUP BY label ORDER BY label
+    """,
+)
+def decontam_semantic_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-cosine) benchmark-contamination audit: for
+    every EVAL-split vector, the best cosine against ANY train-split
+    vector; per label, how many eval vectors sit within tau of the
+    training corpus — the leakage n-gram decontamination cannot see
+    (paraphrase shares no 5-gram but keeps its neighborhood).
+
+    Uses the SAME md5 split coin as `decontam_ngram_overlap` /
+    `doc_split_stats` (vec_id aligns with doc_id, so the flagged eval
+    vectors are exactly the test DOCS the trainer would hold out — one
+    split function across the pipeline is the point).
+
+    Scale: the eval side is what real audits broadcast — a benchmark
+    suite is 1e3-1e5 vectors regardless of corpus size — so this is
+    ONE linear pass over the train corpus (knn_bruteforce's shape:
+    per-row norms precomputed, broadcast cross, per-pair dot), with
+    the max folding map-side into |eval| groups. No corpus self-join
+    exists at any scale; the IVF-pruned variant for ENORMOUS eval
+    suites is `ann_ivf_topk`'s cell-probe shape. Parity: per-pair
+    cosine rounded 6dp in both engines (the knn contract); the flag
+    compares the ROUNDED best — part of the pinned definition, same
+    literal tau both sides; contamination_rate is one int/int
+    division."""
+    from ..operators.similarity import dot, norm
+
+    e = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding", norm(F.col("embedding")).alias("en")
+    )
+    h = _md5_bucket(
+        F.concat(F.col("vec_id").cast("string"), F.lit("_split")), 100
+    )
+    split = F.when(h < 90, "train").when(h >= 95, "test")
+    a = e.withColumn("split", split).where(F.col("split").isNotNull())
+    tr = a.where(F.col("split") == "train").select("embedding", "en")
+    te = F.broadcast(
+        a.where(F.col("split") == "test").select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("qe"),
+            F.col("en").alias("qn"),
+        )
+    )
+    best = (
+        tr.crossJoin(te)
+        .select(
+            "q_id",
+            "q_label",
+            F.round(
+                dot(F.col("embedding"), F.col("qe"))
+                / (F.col("en") * F.col("qn")),
+                6,
+            ).alias("cos"),
+        )
+        .groupBy("q_id", "q_label")
+        .agg(F.max("cos").alias("best_cos"))
+    )
+    return (
+        best.groupBy(F.col("q_label").alias("label"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_eval"),
+            F.sum((F.col("best_cos") >= _SEM_TAU).cast("long"))
+            .cast("bigint")
+            .alias("n_contaminated"),
+            F.round(
+                F.sum((F.col("best_cos") >= _SEM_TAU).cast("long"))
+                * 1.0
+                / F.count("*"),
+                4,
+            ).alias("contamination_rate"),
+            F.max("best_cos").alias("max_cos"),
+        )
+        .orderBy("label")
+    )

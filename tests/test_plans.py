@@ -865,3 +865,18 @@ def test_ivf_assign_step_plan(spark):
     # split — the sort is local on unique keys)
     assert _n_nodes(plan, "SortAggregate") == 2
     assert "partial_min" in plan
+
+
+def test_decontam_semantic_plan(spark, sf_dir):
+    """decontam_semantic_audit scale contract: the only join is the
+    DELIBERATE broadcast cross of the (small, benchmark-suite-sized)
+    eval side onto the one linear train-corpus pass — no corpus
+    self-join shape, no shuffle join, nothing drops to Python."""
+    plan = _formatted(spark, QUERIES["decontam_semantic_audit"](spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert _n_nodes(plan, "BroadcastNestedLoopJoin") == 1
+    assert (
+        _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin")
+        + _n_nodes(plan, "BroadcastHashJoin") == 0
+    )
