@@ -1529,7 +1529,14 @@ def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: one global rank (a total sort — the same cost KS already
     pays), tie sizes ride a window over the sorted run, then a single
     scalar aggregate; no per-pair work (the naive U definition is
-    |n1 x n2|)."""
+    |n1 x n2|). r15: the tie term folds from the SAME pass via the
+    kruskal identity sum_rows(c^2 - 1) = sum_prices(c^3 - c), removing
+    the second fact scan (and its broadcast cross-join) the former
+    ``ties`` frame paid; same exact integers, same hash. A full
+    parallel-bucketed-prefix restructure (groupBy price + two-level
+    prefix, no single-partition window) was measured and REJECTED at
+    driver sf: 2.5 s vs 1.1 s same-session — stage-wave overhead
+    dominates frames this small (OPTIMIZATION_r15.md)."""
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
     grp = F.when(
@@ -1549,15 +1556,7 @@ def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("grp") == 1, F.col("r") + (F.col("c") - 1) / 2.0)
         ).alias("r1"),
         F.count("*").alias("n"),
-    )
-    ties = (
-        o.groupBy("o_totalprice")
-        .agg(F.count("*").alias("c"))
-        .agg(
-            F.sum(
-                F.col("c") * F.col("c") * F.col("c") - F.col("c")
-            ).alias("tie_term")
-        )
+        F.sum(F.col("c") * F.col("c") - 1).alias("tie_term"),
     )
     u1 = F.col("r1") - F.col("n1") * (F.col("n1") + 1) / 2.0
     mu = F.col("n1") * F.col("n2") / 2.0
@@ -1572,7 +1571,7 @@ def mannwhitney_price_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # price column makes tie_term = n^3 - n, so the variance — and
     # sigma — is exactly 0; Spark-ANSI division would throw where
     # DuckDB emits inf. Both engines pin z/significant to NULL.
-    return stats.crossJoin(F.broadcast(ties)).select(
+    return stats.select(
         F.col("n1").cast("bigint").alias("n1"),
         F.col("n2").cast("bigint").alias("n2"),
         F.round(u1, 2).alias("u1"),
@@ -1839,17 +1838,30 @@ def spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
 
-    qp = m.select(
-        F.lit("quantity_vs_price").alias("col_pair"),
-        F.col("n").cast("bigint").alias("n_rows"),
-        rho("sqp", "sqq", "spp").alias("rho"),
-    )
-    pr = m.select(
-        F.lit("price_vs_revenue").alias("col_pair"),
-        F.col("n").cast("bigint").alias("n_rows"),
-        rho("spr", "spp", "srr").alias("rho"),
-    )
-    return qp.unionAll(pr)
+    # Both output rows from ONE evaluation of the aggregate (r15): the
+    # former unionAll of two selects over `m` duplicated the whole
+    # subtree — DataFrame DAGs don't share subplans — so the fact-wide
+    # rank-window pipeline (scan + SinglePartition exchange + 6 sorts)
+    # executed TWICE per run (concurrent stage scheduling hid part of
+    # the duplication: interleaved same-session mins 4.29 -> 3.41 s at
+    # sf0.1, and half the CPU). Identical rows, so the hash is
+    # unchanged.
+    return m.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("quantity_vs_price").alias("col_pair"),
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    rho("sqp", "sqq", "spp").alias("rho"),
+                ),
+                F.struct(
+                    F.lit("price_vs_revenue").alias("col_pair"),
+                    F.col("n").cast("bigint").alias("n_rows"),
+                    rho("spr", "spp", "srr").alias("rho"),
+                ),
+            )
+        ).alias("p")
+    ).select("p.*")
 
 
 # ---------------------------------------------------------------------------

@@ -880,3 +880,28 @@ def test_decontam_semantic_plan(spark, sf_dir):
         _n_nodes(plan, "SortMergeJoin") + _n_nodes(plan, "ShuffledHashJoin")
         + _n_nodes(plan, "BroadcastHashJoin") == 0
     )
+
+
+def test_mannwhitney_single_fact_scan(spark, sf_dir):
+    """mannwhitney_price_shift (r15): the tie term folds from the SAME
+    rank pass via sum_rows(c^2-1) = sum_prices(c^3-c) — the kruskal
+    identity — so exactly ONE orders scan appears in the plan (the
+    former separate ties frame re-scanned the fact and broadcast-cross
+    joined it back); the rank window is the documented total-sort
+    cost."""
+    plan = _formatted(spark, QUERIES["mannwhitney_price_shift"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_spearman_single_pipeline_eval(spark, sf_dir):
+    """spearman_rank_corr (r15): both output rows come from ONE
+    evaluation of the moment aggregate (explode over a 2-struct array)
+    — the former unionAll of two selects duplicated the whole
+    rank-window pipeline, so the fact was scanned (and the global sorts
+    paid) twice per run. Exactly ONE lineitem scan, no Union."""
+    plan = _formatted(spark, QUERIES["spearman_rank_corr"](spark, sf_dir))
+    assert _n_nodes(plan, "Scan parquet") == 1
+    assert _n_nodes(plan, "Union") == 0
+    assert "BatchEvalPython" not in plan
