@@ -1224,6 +1224,10 @@ def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = table(spark, sf_dir, "part")
     canon = F.broadcast(p.select(F.col("p_name").alias("canon")).distinct())
     pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
+    # cached (r15): the distinct-reduce side and the answer join probe
+    # both consume the corrupted frame — uncached, each re-ran the
+    # corruption scan (plan audit: 3 part scans; 2 now — the canonical
+    # vocab stays its own pruned scan of the CLEAN column)
     dirty = p.select(
         "p_partkey",
         F.when(
@@ -1235,7 +1239,7 @@ def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .otherwise(F.col("p_name"))
         .alias("nm"),
-    )
+    ).cache()
     # Distinct-reduce the dirty strings BEFORE the distance computation:
     # string cardinality ≪ row count (≤ |vocab| + |vocab|·max_len
     # corruption variants vs 20k parts here; the same holds for real

@@ -767,8 +767,17 @@ def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     bags from two years — the duplicate-preserving semantics
     union/except DISTINCT can't express (exceptAll keeps
     max(cnt_a - cnt_b, 0) copies; intersectAll keeps min counts)."""
-    o = table(spark, sf_dir, "orders").select(
-        "o_orderpriority", F.year("o_orderdate").alias("yr")
+    from ..core.session import cache_parallelism
+
+    # cached (r15): exceptAll and intersectAll each consume BOTH year
+    # bags, so the uncached 2-column projection was scanned 4x (plan
+    # audit); one scan now. The projection is two narrow columns —
+    # the cheapest cacheable form of the fact.
+    o = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     a = o.where(F.col("yr") == 1996).select("o_orderpriority")
     b = o.where(F.col("yr") == 1997).select("o_orderpriority")

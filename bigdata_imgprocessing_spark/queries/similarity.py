@@ -2075,8 +2075,15 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("vec_id") % 2 == 0, "a").otherwise("b").alias("r"),
         F.posexplode("embedding").alias("pos", "x"),
     )
-    cent = rel.groupBy("label", "r", "pos").agg(
-        F.round(F.avg(F.col("x").cast("double")), 3).alias("c")
+    # cached (r15): the a/b release branches each re-ran the posexplode
+    # + centroid groupBy otherwise (plan audit: 3 embeddings scans; 2
+    # now — the per-label count pass stays a separate pruned scan).
+    # |labels| x 2 x dim rows, tiny at any corpus scale.
+    cent = (
+        rel.groupBy("label", "r", "pos")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 3).alias("c"))
+        .coalesce(1)
+        .cache()
     )
     counts = (
         e.select(
@@ -2445,8 +2452,17 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bin"),
         (F.col("label") >= 5).cast("int").alias("pos"),
     )
-    per = binned.groupBy("bin").agg(
-        F.count("*").alias("n"), F.sum("pos").alias("s")
+    # cache the B-row bin aggregate (r15): `per` feeds the prefix frame
+    # (which i/j/k each re-evaluate) AND the final join — uncached, the
+    # scoring scan (plus its min/max broadcast twin) re-ran per consumer,
+    # EIGHT embeddings scans per query (plan audit; 2 after — the
+    # min/max pass stays a separate pruned scan rather than caching the
+    # corpus-sized scored frame). Values unchanged, hash unchanged.
+    per = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("n"), F.sum("pos").alias("s"))
+        .coalesce(1)
+        .cache()
     )
     wd = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
     pre = per.select(

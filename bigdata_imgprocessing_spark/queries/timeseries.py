@@ -1124,8 +1124,14 @@ def seasonal_naive_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     second shuffle."""
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum("o_totalprice").alias("rev")
+    # cached (r15): the lag-7 self-join's two sides and the naive lag
+    # branch each re-ran the fact groupBy otherwise (3 orders scans in
+    # the plan audit; 1 now) — same fix as the _daily_cents helper
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .coalesce(1)
+        .cache()
     )
     a = daily.alias("a")
     b = daily.alias("b")
@@ -1215,8 +1221,15 @@ def ols_revenue_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle."""
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum("o_totalprice").alias("rev")
+    # cached (r15): the min-day broadcast nested in idx's lineage
+    # re-ran the fact groupBy otherwise (plan audit: 2 orders scans;
+    # 1 now — the _daily_cents fix, local form since this spine keeps
+    # raw rev)
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .coalesce(1)
+        .cache()
     )
     mind = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
@@ -1314,9 +1327,17 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     observation end is a 1-row broadcast; everything after operates on
     the |buckets|-row spine (windows over ~14 rows)."""
     ensure_utc(spark)
+    from ..core.session import cache_parallelism
+
     o = table(spark, sf_dir, "orders")
-    cust = o.groupBy("o_custkey").agg(
-        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    # cached (r15): the observation-end broadcast re-ran the
+    # per-customer fact groupBy otherwise (plan audit: 2 orders scans;
+    # 1 now — the logrank fix, KM form)
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     obs = cust.agg(F.max("l").alias("te"))
     j = cust.crossJoin(F.broadcast(obs)).select(
@@ -1364,11 +1385,23 @@ def _daily_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
     under round(*100)) — the input every spine-based trend/eval query
     derives from (Theil-Sen, ACF, pinball, runs test, Kendall). ONE
     definition so a change to the cents-grid rule cannot drift across
-    queries (each oracle carries the matching `daily` CTE)."""
+    queries (each oracle carries the matching `daily` CTE).
+
+    CACHED (r15): every spine consumer that self-joins or broadcasts
+    an aggregate of the spine re-evaluated this fact groupBy per
+    branch otherwise — the plan audit counted 2-12 orders scans per
+    spine query (acf 12, pinball/kendall 4, theilsen 2); one scan
+    each now. The frame is calendar-bounded (|days| rows), so a
+    1-partition cache is safe at any corpus scale, and the
+    CacheManager dedupes by logical plan so repeat calls share one
+    entry (NOTES rule 7)."""
     ensure_utc(spark)
     o = table(spark, sf_dir, "orders")
-    return o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc")
+    return (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.round(F.sum("o_totalprice") * 100).cast("bigint").alias("yc"))
+        .coalesce(1)
+        .cache()
     )
 
 
@@ -1540,10 +1573,20 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     the |half-year buckets| spine (~14 rows) — the folds are over a
     bounded calendar-sized array, never fact-sized."""
     ensure_utc(spark)
+    from ..core.session import cache_parallelism
+
     o = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer")
-    cust = o.groupBy("o_custkey").agg(
-        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    # cached (r15): the observation-end broadcast nested in `j`'s
+    # lineage re-ran the per-customer fact groupBy, and `j` itself
+    # feeds BOTH the bucket aggregate and the size aggregate — the
+    # plan audit counted 4 orders + 2 customer scans; 1 + 1 now.
+    # Customer-dimension-sized frames, safe to cache at any scale.
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l"))
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     obs = cust.agg(F.max("l").alias("te"))
     j = (
@@ -1554,6 +1597,8 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff("te", "l") >= 365).cast("int").alias("churn"),
             (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
         )
+        .coalesce(cache_parallelism(spark))
+        .cache()
     )
     buck = j.groupBy("t").agg(
         F.count("*").alias("n_in"),
@@ -1684,7 +1729,7 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     calendar-bounded) is broadcast into a 7-lag self-join; folds run
     over <= |days| element arrays (~20 KB) on the driver-free
     aggregation path. Nothing fact-sized crosses a second shuffle."""
-    daily = _daily_cents(spark, sf_dir)
+    daily = _daily_cents(spark, sf_dir)  # cached in the helper (r15)
     mind = daily.agg(F.min("day").alias("d0"))
     idx = daily.crossJoin(F.broadcast(mind)).select(
         F.datediff("day", "d0").cast("bigint").alias("x"), "yc"
@@ -1692,7 +1737,13 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     st = idx.agg(
         (F.sum("yc") * 1.0 / F.count("*")).alias("m")
     )
-    ctr = idx.crossJoin(F.broadcast(st))
+    # cache the |days|-row centered spine (r15): `ctr` feeds the
+    # denominator fold AND both sides of the 7-lag join, and its
+    # lineage nests the d0/mean broadcasts — uncached, the three
+    # consumers re-evaluated the whole chain and the fact groupBy ran
+    # TWELVE times per query (plan audit; 1 scan after). Values are
+    # unchanged, so the hash is too.
+    ctr = idx.crossJoin(F.broadcast(st)).coalesce(1).cache()
     den = (
         ctr.select(
             "x",
@@ -2129,20 +2180,25 @@ def poisson_dispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     a broadcast type dim; the moments are a |types|-row aggregate."""
     ensure_utc(spark)
     e = table(spark, sf_dir, "events")
-    span = e.agg(
-        F.min(F.col("ts").cast("date")).alias("d0"),
-        F.max(F.col("ts").cast("date")).alias("d1"),
+    # ONE fact scan (r15): the calendar span and the type dim derive
+    # from the cached per-(day, type) count frame itself — every event
+    # contributes a (day, type) row, so min/max observed day and the
+    # distinct types are identical to the fact-derived ones; the plan
+    # audit counted 3 events scans here before (span, types, counts).
+    cnt = (
+        e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
+        .agg(F.count("*").alias("c"))
+        .coalesce(1)
+        .cache()
     )
+    span = cnt.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     days = span.select(
         F.explode(
             F.sequence("d0", "d1", F.expr("interval 1 day"))
         ).alias("day")
     )
-    types = e.select("event_type").distinct()
+    types = cnt.select("event_type").distinct()
     grid = days.crossJoin(F.broadcast(types))
-    cnt = e.groupBy(
-        F.col("ts").cast("date").alias("day"), "event_type"
-    ).agg(F.count("*").alias("c"))
     filled = grid.join(cnt, ["day", "event_type"], "left").select(
         "event_type", F.coalesce("c", F.lit(0)).alias("c")
     )

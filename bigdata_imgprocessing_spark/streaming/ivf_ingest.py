@@ -138,13 +138,21 @@ def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
         a.select("cell", "vec_id", "dist").write.mode("overwrite").parquet(
             f"{state_root}/postings/b{bid}"
         )
-        occ = (
-            a.groupBy("cell")
-            .agg(F.count("*").cast("bigint").alias("n"))
-            .coalesce(1)
-            .cache()
-        )
-        occ.write.mode("overwrite").parquet(f"{state_root}/occ/b{bid}")
+        # deliberately UNCACHED (r15): occ has three consumers (its
+        # write, the drift join, the max-cell aggregate), but caching it
+        # forced the occ write to run synchronously as the cache barrier
+        # — a whole serialized job wave per micro-batch. Uncached, each
+        # consumer re-derives the k-row groupBy from the WARM arrivals
+        # cache (map-side-combinable, arrivals-sized), and the occ write
+        # overlaps the stats write on driver threads: per-batch wall is
+        # postings + max(occ, stats), not the sum of three jobs
+        # (adjacent-window mins 11.6 -> 7.6 s for the 4-wave drain at
+        # sf0.1 on a noisy host; the saved wave is one serialized job
+        # per micro-batch). Replay safety is write-order-independent
+        # (module invariants ii+iii).
+        occ = a.groupBy("cell").agg(
+            F.count("*").cast("bigint").alias("n")
+        ).coalesce(1)
         prior = prior_batch_dirs(state_root, "occ", bid)
         # prior occupancy: k rows PER PRIOR BATCH read back, summed to
         # k rows — the drift compare never touches the postings store
@@ -194,7 +202,7 @@ def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
             F.max("dist").alias("max_dist"),
         )
         mx = occ.agg(F.max("n").cast("bigint").alias("max_cell_n"))
-        (
+        stats = (
             st.crossJoin(mx)
             .crossJoin(dr)
             .select(
@@ -214,10 +222,21 @@ def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
                     " END"
                 ).alias("occ_drift_e6"),
             )
-            .write.mode("overwrite")
-            .parquet(f"{state_root}/stats/b{bid}")
         )
-        occ.unpersist()
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(2) as pool:
+            futs = [
+                pool.submit(
+                    lambda df=df, p=p: df.write.mode("overwrite").parquet(p)
+                )
+                for df, p in (
+                    (occ, f"{state_root}/occ/b{bid}"),
+                    (stats, f"{state_root}/stats/b{bid}"),
+                )
+            ]
+            for f in futs:
+                f.result()
         a.unpersist()
 
     (

@@ -905,3 +905,67 @@ def test_spearman_single_pipeline_eval(spark, sf_dir):
     assert _n_nodes(plan, "Scan parquet") == 1
     assert _n_nodes(plan, "Union") == 0
     assert "BatchEvalPython" not in plan
+
+
+def test_acf_single_fact_scan(spark, sf_dir):
+    """acf_daily_revenue (r15): the |days|-row daily spine and the
+    centered spine are cached, so the denominator fold and both sides
+    of the 7-lag join read the cache — the fact groupBy (and the
+    d0/mean broadcasts nested in its lineage) planned TWELVE orders
+    scans before; exactly one now."""
+    plan = _formatted(spark, QUERIES["acf_daily_revenue"](spark, sf_dir))
+    import re
+
+    scans = re.findall(r"^Location: \S+ ?\[file:[^\]]*orders[^\]]*\]", plan, re.M)
+    assert len(scans) == 1, f"expected 1 orders scan, got {len(scans)}"
+
+
+def test_isotonic_bounded_scans(spark, sf_dir):
+    """isotonic_calibration (r15): the B-row bin aggregate is cached,
+    so the i/j/k spine branches and the final join reuse it — the
+    scoring pass planned EIGHT embeddings scans before; two now (the
+    min/max boundary pass stays a separate pruned scan rather than
+    caching the corpus-sized scored frame)."""
+    plan = _formatted(spark, QUERIES["isotonic_calibration"](spark, sf_dir))
+    import re
+
+    scans = re.findall(
+        r"^Location: \S+ ?\[file:[^\]]*embeddings[^\]]*\]", plan, re.M
+    )
+    assert len(scans) <= 2, f"expected <=2 embeddings scans, got {len(scans)}"
+
+
+@pytest.mark.parametrize(
+    "name,table,max_scans",
+    [
+        # r15 duplicated-subtree fixes: a tiny shared frame (daily
+        # spine, per-customer lifetime, bin/centroid aggregate, 2-col
+        # projection) is cached, so broadcast aggregates nested in its
+        # consumers' lineage no longer re-run the fact scan
+        ("pinball_quantile_eval", "orders", 1),
+        ("kendall_tau_trend", "orders", 1),
+        ("theilsen_revenue_trend", "orders", 1),
+        ("runs_test_randomness", "orders", 1),
+        ("weekday_seasonality_strength", "orders", 1),
+        ("seasonal_naive_mase", "orders", 1),
+        ("ols_revenue_trend", "orders", 1),
+        ("kaplan_meier_churn", "orders", 1),
+        ("logrank_survival_test", "orders", 1),
+        ("priority_multiset_diff", "orders", 1),
+        ("poisson_dispersion_check", "events", 1),
+        ("embedding_centroid_drift", "embeddings", 2),
+        ("fuzzy_match_stats", "part", 2),
+    ],
+)
+def test_r15_scan_diet(spark, sf_dir, name, table, max_scans):
+    """r15 plan-audit scan diet: each fixed query reads its fact table
+    at most `max_scans` times (plan audit counted 2-12 before)."""
+    import re
+
+    plan = _formatted(spark, QUERIES[name](spark, sf_dir))
+    scans = re.findall(
+        rf"^Location: \S+ ?\[file:[^\]]*/{table}\.parquet[^\]]*\]", plan, re.M
+    )
+    assert len(scans) <= max_scans, (
+        f"{name}: expected <={max_scans} {table} scans, got {len(scans)}"
+    )
