@@ -42,28 +42,34 @@ _PRIORITY = [
     # the cold cache (the r12-time recovery, VERDICT r14 item 3) —
     # values identical in all three, re-checked by the driver itself.
     "ann_ivf_learned", "minhash_lsh_capped", "hot_bucket_rep_dedup",
+    # (2b) queries whose PLAN changed in the r15 OPTIMIZATION pass
+    # (values proven identical at sf0.001/0.01/0.1 + full driver-sim;
+    # the driver's own row is the final re-check): the rank-monitor
+    # duplicate-subtree fixes and the plan-audit scan diet —
+    # OPTIMIZATION_r15.md has the per-query evidence.
+    "spearman_rank_corr", "mannwhitney_price_shift", "acf_daily_revenue",
+    "isotonic_calibration", "pinball_quantile_eval", "kendall_tau_trend",
+    "theilsen_revenue_trend", "runs_test_randomness",
+    "weekday_seasonality_strength", "seasonal_naive_mase",
+    "ols_revenue_trend", "kaplan_meier_churn", "logrank_survival_test",
+    "poisson_dispersion_check", "embedding_centroid_drift",
+    "fuzzy_match_stats",
     # (3) staleness refresh, oldest-first (VERDICT r14 item 1): the 11
-    # rows last driver-checked at r7, in their r7 driver-file order...
+    # rows last driver-checked at r7, in their r7 driver-file order
+    # (priority_multiset_diff is also an r15 plan change)...
     "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
     "rollup_revenue", "semi_join_customers", "set_ops_customers",
     "simhash_fingerprints", "small_quantity_revenue", "top_orders",
     "video_frame_sample", "window_topk_orders",
-    # ...then the 32 rows last driver-checked at r9, in r9 order...
+    # ...then the head of the 32-row r9 cohort, in r9 order, filling
+    # the ~50-slot window (2 new + 19 changed + 11 + 18 = 50). The r9
+    # tail (from doc_entropy_stats) leads round 16, then r10/r11/r12.
     "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
     "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
     "zorder_pruned_scan", "ab_test_zscore", "ann_rerank_topk",
     "backfill_partition_overwrite", "bar_chart_data", "bloom_prefilter_stats",
     "bm25_ndcg_eval", "bpe_merge_pairs", "cogroup_order_fill",
     "cohort_retention", "color_chart_data", "corpus_diff_stats",
-    "doc_entropy_stats", "dq_expectations", "dsir_select",
-    "embedding_batch_scores", "epoch_shuffle_order", "filter_funnel_stats",
-    "grouped_agg_udaf", "hard_negative_mining", "heavy_hitters_topk",
-    "key_skew_profile", "mad_event_outliers", "merge_into_orders",
-    "neardup_triangle_stats", "order_value_position",
-    # ...then the head of the r10 cohort, in r10 order, filling the
-    # ~50-slot window (2 new + 3 changed + 11 + 32 + 2 = 50). The r10
-    # tail leads round 16, then r11/r12.
-    "shard_rendezvous_stability", "kcenter_coreset",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})
