@@ -30,11 +30,14 @@ state (numeric batch-id filter — a replayed batch must not probe its
 own bands/shingles, or the duplicated set rows would duplicate its
 verified pairs), and (iii) the per-batch derivation is deterministic,
 so a replay overwrites each subdir with identical content. Because
-(ii)+(iii) hold regardless of write order, the bands write runs first
-(it doubles as the cache-materialization barrier) and the pairs +
-shingles writes then run CONCURRENTLY (driver threads, one Spark job
-each) — per-batch wall is bands + max(pairs, shingles), not the sum
-of four jobs, which matters for a query whose cost is stage count,
+(ii)+(iii) hold regardless of write order, the first synchronous
+write per batch is whichever job's lineage materializes every
+multiply-consumed cache (capped: the acct landing, whose census
+lineage fills batch + new_bands + census; uncapped: the bands write),
+and every remaining store write then runs CONCURRENTLY (driver
+threads, one Spark job each) — per-batch wall is barrier +
+max(remaining writes), two job waves, not the sum of four jobs,
+which matters for a query whose cost is stage count,
 not data volume (161 stages/drain, VERDICT r9; the r12 rewrite also
 moved plan construction to F.expr strings and pinned explicit schemas
 on the per-batch state reads).
@@ -197,26 +200,31 @@ def run_lsh_ingest(
             )
             .where(F.col("inter") * 1.0 / F.col("uni") >= 0.5)
         )
-        # The bands write doubles as the cache materialization barrier:
-        # it populates the new_bands cache (and, through its lineage,
-        # the batch cache) in ONE job, so the two remaining writes can
-        # safely overlap without racing cold-cache materialization
-        # (Spark does not synchronize simultaneous cold-cache fills —
-        # the threads would each recompute the signature derivation).
-        # This replaces the former separate count() barrier + 3-way
-        # write pool (one whole Spark job per batch, ~0.5 s at sf0.1).
+        # Wave structure (r16, one serialized job wave cut per capped
+        # micro-batch — guide §2.6): the FIRST synchronous write must be
+        # the one whose lineage materializes every multiply-consumed
+        # cache, because Spark does not synchronize simultaneous
+        # cold-cache fills (racing threads would each recompute the
+        # signature derivation). For a capped batch that job is the
+        # ACCT landing: census's lineage scans new_bands (both the
+        # broadcast build and the union side), which in turn scans the
+        # batch cache — one job fills batch + new_bands + census. The
+        # bands / pairs / shingles writes then all run warm and
+        # CONCURRENTLY: per-batch wall = acct + max(bands, pairs,
+        # shingles), two waves instead of the former three
+        # (bands barrier; acct census barrier; pairs ∥ shingles).
+        # Uncapped there is no census, so the bands write stays the
+        # barrier and pairs ∥ shingles follow — two waves as before.
         # Replay safety does not depend on write order (module
-        # docstring invariants ii+iii).
-        new_bands.write.mode("overwrite").parquet(
-            f"{state_root}/bands/b{bid}"
-        )
+        # docstring invariants ii+iii): every store lands
+        # mode=overwrite into its own b{bid} subdir from deterministic
+        # strictly-earlier state. A crash between the two waves can
+        # leave acct/b{bid} present without its bands/pairs/shingles
+        # siblings; the replayed batch overwrites all four, and no
+        # reader pairs acct with the other stores mid-drain.
         if census is not None:
-            # Synchronous, BEFORE the pair write: this one-row landing
-            # doubles as the census cache barrier (the pairs job reads
-            # census through surv — a concurrent cold fill would
-            # recompute the semi-join per thread, same rule as the
-            # bands barrier above). Always lands exactly one row, so
-            # an un-cut batch reads as explicit zeros.
+            # Always lands exactly one row, so an un-cut batch reads
+            # as explicit zeros.
             census.where(F.col("k") > max_bucket).agg(
                 F.lit(bid).cast("bigint").alias("wave"),
                 F.count("*").cast("bigint").alias("n_buckets_cut"),
@@ -224,15 +232,34 @@ def run_lsh_ingest(
                 .cast("bigint")
                 .alias("n_band_rows_cut"),
             ).write.mode("overwrite").parquet(f"{state_root}/acct/b{bid}")
-        with ThreadPoolExecutor(2) as pool:
+            writes = [
+                (new_bands, f"{state_root}/bands/b{bid}"),
+                (pairs, f"{state_root}/pairs/b{bid}"),
+                (new_sh, f"{state_root}/shingles/b{bid}"),
+            ]
+        else:
+            new_bands.write.mode("overwrite").parquet(
+                f"{state_root}/bands/b{bid}"
+            )
+            writes = [
+                (pairs, f"{state_root}/pairs/b{bid}"),
+                (new_sh, f"{state_root}/shingles/b{bid}"),
+            ]
+        # inheritable_thread_target keeps the concurrent write jobs in
+        # the foreachBatch thread's job group under pinned-thread mode
+        # (streaming cancellation + UI attribution — ADVICE r15).
+        from pyspark.util import inheritable_thread_target
+
+        with ThreadPoolExecutor(len(writes)) as pool:
             futs = [
                 pool.submit(
-                    lambda df=df, p=p: df.write.mode("overwrite").parquet(p)
+                    inheritable_thread_target(
+                        lambda df=df, p=p: df.write.mode(
+                            "overwrite"
+                        ).parquet(p)
+                    )
                 )
-                for df, p in (
-                    (pairs, f"{state_root}/pairs/b{bid}"),
-                    (new_sh, f"{state_root}/shingles/b{bid}"),
-                )
+                for df, p in writes
             ]
             for f in futs:
                 f.result()
