@@ -1223,45 +1223,53 @@ def fuzzy_match_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     levenshtein() runs JVM-side (whole-stage codegen)."""
     p = table(spark, sf_dir, "part")
     canon = F.broadcast(p.select(F.col("p_name").alias("canon")).distinct())
-    pos = (F.col("p_partkey") % F.length("p_name")).cast("int")
-    # cached (r15): the distinct-reduce side and the answer join probe
-    # both consume the corrupted frame — uncached, each re-ran the
-    # corruption scan (plan audit: 3 part scans; 2 now — the canonical
-    # vocab stays its own pruned scan of the CLEAN column)
-    dirty = p.select(
-        "p_partkey",
-        F.when(
-            F.col("p_partkey") % 3 == 0,
-            F.concat(
-                F.expr("substring(p_name, 1, CAST(p_partkey % length(p_name) AS INT))"),
-                F.expr("substring(p_name, CAST(p_partkey % length(p_name) AS INT) + 2)"),
-            ),
-        )
-        .otherwise(F.col("p_name"))
-        .alias("nm"),
-    ).cache()
     # Distinct-reduce the dirty strings BEFORE the distance computation:
     # string cardinality ≪ row count (≤ |vocab| + |vocab|·max_len
     # corruption variants vs 20k parts here; the same holds for real
     # dirty-entity columns), so the expensive levenshtein fan-out runs
-    # per distinct string and the per-row answer comes back via an
-    # equi-join on the string.
-    best_per_nm = (
-        dirty.select("nm")
-        .distinct()
-        .crossJoin(canon)
+    # per distinct string. r16 (ADVICE r15): the output only needs the
+    # per-distance histogram, so the per-string PART COUNT rides along
+    # through the fan-out (constant within each nm group — max() picks
+    # it back up) instead of joining the answers back to the
+    # part-sized corrupted frame. That removes the r15 part-sized
+    # cache (rule D: never cache a fact-shaped frame) AND the answer
+    # join: one corruption scan, one pruned clean-column scan, no
+    # cache, vocabulary-sized frames everywhere past the first groupBy.
+    nmc = (
+        p.select(
+            F.when(
+                F.col("p_partkey") % 3 == 0,
+                F.concat(
+                    F.expr(
+                        "substring(p_name, 1,"
+                        " CAST(p_partkey % length(p_name) AS INT))"
+                    ),
+                    F.expr(
+                        "substring(p_name,"
+                        " CAST(p_partkey % length(p_name) AS INT) + 2)"
+                    ),
+                ),
+            )
+            .otherwise(F.col("p_name"))
+            .alias("nm"),
+        )
+        .groupBy("nm")
+        .agg(F.count("*").alias("cnt"))
+    )
+    best = (
+        nmc.crossJoin(canon)
         .select(
             "nm",
+            "cnt",
             F.struct(
                 F.levenshtein("nm", "canon").alias("dist"), F.col("canon")
             ).alias("dc"),
         )
         .groupBy("nm")
-        .agg(F.min("dc").alias("best"))
+        .agg(F.min("dc").alias("best"), F.max("cnt").alias("cnt"))
     )
-    best = dirty.join(best_per_nm, "nm")
     return best.groupBy(F.col("best.dist").alias("dist")).agg(
-        F.count("*").alias("n_parts"),
+        F.sum("cnt").alias("n_parts"),
         F.count_distinct("best.canon").alias("n_canon"),
     )
 

@@ -771,11 +771,15 @@ def priority_multiset_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # cached (r15): exceptAll and intersectAll each consume BOTH year
     # bags, so the uncached 2-column projection was scanned 4x (plan
-    # audit); one scan now. The projection is two narrow columns —
-    # the cheapest cacheable form of the fact.
+    # audit); one scan now. r16 (ADVICE r15): filter to the two
+    # consumed years BEFORE the cache — still one scan, identical
+    # results, and the cached frame holds only the 1996/1997 slice
+    # instead of every year of the fact (rule D: cache tiny shared
+    # frames, never corpus-sized ones).
     o = (
         table(spark, sf_dir, "orders")
         .select("o_orderpriority", F.year("o_orderdate").alias("yr"))
+        .where(F.col("yr").isin(1996, 1997))
         .coalesce(cache_parallelism(spark))
         .cache()
     )

@@ -1323,23 +1323,25 @@ def kaplan_meier_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. A total-extinction step (d = n) would zero the curve; both
     engines pin that case to literal 0.0 before ln() can see it.
 
-    Scale: one fact scan -> per-customer (min, max) partials; the
-    observation end is a 1-row broadcast; everything after operates on
-    the |buckets|-row spine (windows over ~14 rows)."""
+    Scale: one fact scan -> per-customer (min, max) partials, plus one
+    column-pruned partial-max scan for the observation end (a 1-row
+    broadcast; no shuffle, no customer-sized cache — max of per-customer
+    maxes = the plain column max); everything after operates on the
+    |buckets|-row spine (windows over ~14 rows)."""
     ensure_utc(spark)
-    from ..core.session import cache_parallelism
-
     o = table(spark, sf_dir, "orders")
-    # cached (r15): the observation-end broadcast re-ran the
-    # per-customer fact groupBy otherwise (plan audit: 2 orders scans;
-    # 1 now — the logrank fix, KM form)
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l"))
-        .coalesce(cache_parallelism(spark))
-        .cache()
+    # r16: the r15 lifetimes cache regressed 29% at 32c (VERDICT r15
+    # item 1) — a |customers|-row cache materialization barrier costs
+    # more than the scan it saves, and at 100 TB it is a terabyte-class
+    # cache entry. The observation end doesn't need the lifetimes at
+    # all: max over per-customer max(o_orderdate) IS max(o_orderdate),
+    # so `obs` reads the fact directly — a column-pruned partial-max
+    # scan with no shuffle — and the lifetimes frame has a single
+    # consumer, so nothing is cached. 2 pruned scans, 0 caches.
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
     )
-    obs = cust.agg(F.max("l").alias("te"))
+    obs = o.agg(F.max("o_orderdate").alias("te"))
     j = cust.crossJoin(F.broadcast(obs)).select(
         F.floor(F.datediff("l", "f") / 180).cast("int").alias("t"),
         (F.datediff("te", "l") >= 365).cast("int").alias("churn"),
@@ -1568,27 +1570,30 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     cannot diverge; the n=1 risk tail is filtered by an integer
     predicate and a V=0 degenerate pins chi2/significant to NULL.
 
-    Scale: one fact scan -> per-customer (min,max) partials; the
-    segment join is broadcast (customer dim); everything after runs on
-    the |half-year buckets| spine (~14 rows) — the folds are over a
-    bounded calendar-sized array, never fact-sized."""
+    Scale: one fact scan -> per-customer (min,max) partials, plus one
+    column-pruned partial-max scan for the observation end (no shuffle;
+    max of per-customer maxes = the plain column max); the segment join
+    is broadcast (customer dim); everything after runs on the
+    |half-year buckets| spine (~14 rows) — the folds are over a bounded
+    calendar-sized array, never fact-sized, and the group sizes come
+    from the same terminal aggregate (maxima of the cumulative risk
+    sums), so no customer-sized frame is ever cached."""
     ensure_utc(spark)
-    from ..core.session import cache_parallelism
-
     o = table(spark, sf_dir, "orders")
     cu = table(spark, sf_dir, "customer")
-    # cached (r15): the observation-end broadcast nested in `j`'s
-    # lineage re-ran the per-customer fact groupBy, and `j` itself
-    # feeds BOTH the bucket aggregate and the size aggregate — the
-    # plan audit counted 4 orders + 2 customer scans; 1 + 1 now.
-    # Customer-dimension-sized frames, safe to cache at any scale.
-    cust = (
-        o.groupBy("o_custkey")
-        .agg(F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l"))
-        .coalesce(cache_parallelism(spark))
-        .cache()
+    # r16 (VERDICT r15 items 1-2): the two |customers|-row caches
+    # (lifetimes + classified frame) were corpus-proportional and their
+    # materialization barriers cost more than the scans they saved.
+    # Neither is needed: the observation end is max(o_orderdate)
+    # directly (max of per-customer maxes = the column max — a pruned
+    # partial-max scan, no shuffle), and the size aggregate folds into
+    # the terminal aggregate below (totals = the max of the
+    # descending-cumulative risk sums), leaving `j` a single consumer.
+    # 2 pruned orders scans + 1 customer scan, 0 caches.
+    cust = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
     )
-    obs = cust.agg(F.max("l").alias("te"))
+    obs = o.agg(F.max("o_orderdate").alias("te"))
     j = (
         cust.join(F.broadcast(cu), cust.o_custkey == cu.c_custkey)
         .crossJoin(F.broadcast(obs))
@@ -1597,8 +1602,6 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.datediff("te", "l") >= 365).cast("int").alias("churn"),
             (F.col("c_mktsegment") == "BUILDING").cast("int").alias("g1"),
         )
-        .coalesce(cache_parallelism(spark))
-        .cache()
     )
     buck = j.groupBy("t").agg(
         F.count("*").alias("n_in"),
@@ -1616,24 +1619,34 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_in").over(w_desc).alias("n"),
         F.sum("n1_in").over(w_desc).alias("n1"),
     )
-    ev = risk.where((F.col("d") > 0) & (F.col("n") > 1)).select(
-        "t",
-        "d1",
-        (F.col("d") * F.col("n1") * 1.0 / F.col("n")).alias("e"),
-        (
-            F.col("d")
-            * (F.col("n1") * 1.0 / F.col("n"))
-            * (1 - F.col("n1") * 1.0 / F.col("n"))
-            * (F.col("n") - F.col("d"))
-            / (F.col("n") - 1)
-        ).alias("v"),
+    # ONE terminal aggregate over the |buckets|-row risk spine computes
+    # the event fold AND the group sizes (r16): the qualifying-row
+    # filter moves inside when() guards (collect_list skips NULLs, so
+    # the folded array is identical to the old filtered ev frame), and
+    # the totals are the maxima of the descending-cumulative sums —
+    # both n and n1 accumulate every bucket by the last (smallest-t)
+    # row, so max(n) = |customers| and max(n1) = |group 1| exactly.
+    qual = (F.col("d") > 0) & (F.col("n") > 1)
+    e = F.col("d") * F.col("n1") * 1.0 / F.col("n")
+    v = (
+        F.col("d")
+        * (F.col("n1") * 1.0 / F.col("n"))
+        * (1 - F.col("n1") * 1.0 / F.col("n"))
+        * (F.col("n") - F.col("d"))
+        / (F.col("n") - 1)
     )
     # No-event degenerate: Spark's empty collect_list folds to 0.0 but
     # DuckDB's empty list() is NULL — pin e1/vs to NULL here too so the
     # engines agree on the degenerate row (the review finding).
-    folded = ev.agg(
-        F.sum("d1").cast("bigint").alias("o1"),
-        F.array_sort(F.collect_list(F.struct("t", "e", "v"))).alias("a"),
+    folded = risk.agg(
+        F.sum(F.when(qual, F.col("d1"))).cast("bigint").alias("o1"),
+        F.array_sort(
+            F.collect_list(
+                F.when(qual, F.struct(F.col("t"), e.alias("e"), v.alias("v")))
+            )
+        ).alias("a"),
+        F.coalesce(F.max("n"), F.lit(0)).cast("bigint").alias("n_total"),
+        F.max("n1").cast("bigint").alias("n_grp1"),
     ).select(
         "o1",
         F.when(
@@ -1644,17 +1657,15 @@ def logrank_survival_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("a") > 0,
             ordered_fold_sum(F.transform("a", lambda x: x["v"])),
         ).alias("vs"),
-    )
-    sizes = j.agg(
-        F.sum("g1").cast("bigint").alias("n_grp1"),
-        F.count("*").cast("bigint").alias("n_total"),
+        "n_total",
+        "n_grp1",
     )
     chi2 = (
         (F.col("o1") - F.col("e1"))
         * (F.col("o1") - F.col("e1"))
         / F.col("vs")
     )
-    return folded.crossJoin(F.broadcast(sizes)).select(
+    return folded.select(
         "n_grp1",
         "n_total",
         "o1",
@@ -2175,37 +2186,43 @@ def poisson_dispersion_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     the overdispersed flag compares the UNROUNDED double in both
     engines; S = 0 / n = 1 degenerates pin D to NULL.
 
-    Scale: one fact scan -> per-(day, type) partials; the calendar
-    grid is |days| x |types| (spine-sized), built with sequence() and
-    a broadcast type dim; the moments are a |types|-row aggregate."""
+    Scale: one fact scan -> per-(day, type) partials, plus one
+    column-pruned partial-min/max scan for the span (no shuffle); the
+    zero-filled grid never materializes — zero days contribute nothing
+    to the sums and the day count is span arithmetic — so the moments
+    are a |types|-row aggregate over observed counts only."""
     ensure_utc(spark)
     e = table(spark, sf_dir, "events")
-    # ONE fact scan (r15): the calendar span and the type dim derive
-    # from the cached per-(day, type) count frame itself — every event
-    # contributes a (day, type) row, so min/max observed day and the
-    # distinct types are identical to the fact-derived ones; the plan
-    # audit counted 3 events scans here before (span, types, counts).
-    cnt = (
-        e.groupBy(F.col("ts").cast("date").alias("day"), "event_type")
-        .agg(F.count("*").alias("c"))
-        .coalesce(1)
-        .cache()
+    # r16: the gap-filled day x type grid is algebraically unnecessary —
+    # a zero-count day contributes 0 to s and 0 to ss, and n is the SAME
+    # |span days| for every type, so the moments come straight from the
+    # observed per-(day, type) counts plus one 1-row span broadcast:
+    # n = datediff(d1, d0) + 1, s/ss = sums over observed rows. This
+    # removes the r15 cache (whose fill barrier cost more than the scan
+    # it saved — VERDICT r15 item 3), the calendar explode, and the
+    # grid left join: one fact groupBy + one pruned partial-min/max
+    # scan, no cache, no join.
+    cnt = e.groupBy(
+        F.col("ts").cast("date").alias("day"), "event_type"
+    ).agg(F.count("*").alias("c"))
+    span = e.agg(
+        (
+            F.datediff(
+                F.max(F.col("ts").cast("date")),
+                F.min(F.col("ts").cast("date")),
+            )
+            + 1
+        )
+        .cast("bigint")
+        .alias("n")
     )
-    span = cnt.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
-    days = span.select(
-        F.explode(
-            F.sequence("d0", "d1", F.expr("interval 1 day"))
-        ).alias("day")
-    )
-    types = cnt.select("event_type").distinct()
-    grid = days.crossJoin(F.broadcast(types))
-    filled = grid.join(cnt, ["day", "event_type"], "left").select(
-        "event_type", F.coalesce("c", F.lit(0)).alias("c")
-    )
-    m = filled.groupBy("event_type").agg(
-        F.count("*").alias("n"),
-        F.sum("c").alias("s"),
-        F.sum(F.col("c") * F.col("c")).alias("ss"),
+    m = (
+        cnt.groupBy("event_type")
+        .agg(
+            F.sum("c").alias("s"),
+            F.sum(F.col("c") * F.col("c")).alias("ss"),
+        )
+        .crossJoin(F.broadcast(span))
     )
     disp = (
         (F.col("n") * F.col("ss") - F.col("s") * F.col("s"))
