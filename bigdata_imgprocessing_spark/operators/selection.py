@@ -18,7 +18,8 @@ statistics in O(log_B(span)) histogram passes over an integer column:
 With B = 65536, any 32-bit-span column needs 2 passes; the widest
 supported span (2^63 - 1; wider is rejected up front) needs 4. Every pass is a filter + groupBy (map-side partials), so
 the plan survives 100 TB: nothing bigger than B rows crosses a shuffle
-and the driver only ever sees the |ranks|-row bucket locations.
+and the driver only ever sees the <= B-row bucket histograms (a
+constant independent of data volume), never any rows.
 
 Targets sharing a search range (level 1: ALL of them — the full value
 range) share one histogram, so the per-row work is a single bucket
@@ -31,7 +32,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 DEFAULT_BUCKETS = 8192
@@ -60,8 +61,9 @@ def exact_rank_values(
     count without the caller paying a separate count job. Returns
     [(tag, k, value)] where value is the k-th smallest element (ties
     collapse to the same value by definition). Driver traffic is
-    bounded: one 1-row stats collect plus one <= |ranks|-row collect
-    per refinement level. Domain: the column's SPAN (max - min) must
+    bounded: one 1-row stats collect plus one histogram collect per
+    refinement level (<= n_buckets x |distinct ranges| small rows — a
+    constant independent of data volume). Domain: the column's SPAN (max - min) must
     fit in int64 — a full-int64-range column (negative to positive
     2^62-scale extremes in one column) is rejected up front rather
     than silently misbucketed; shift such a column into one sign
@@ -147,32 +149,35 @@ def exact_rank_values(
                     F.filter(F.array(*per_bucket), lambda x: x.isNotNull())
                 ).alias("rb")
             ).select(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
-        hist = keyed.groupBy("r", "b").agg(F.count("*").alias("c"))
-        wdw = Window.partitionBy("r").orderBy("b").rowsBetween(
-            Window.unboundedPreceding, 0
+        # Collect the histogram and locate the target buckets on the
+        # driver (r16 stage diet): the histogram is bounded by
+        # B x |distinct ranges| rows regardless of data volume (~100 KB
+        # at the default B), so the collect is scale-safe, and the
+        # per-level job shrinks to scan -> partial agg -> final agg —
+        # the former Spark-side locate added a single-partition window
+        # (Exchange + Sort) plus a broadcast join per level, all to
+        # avoid moving <= B tiny rows. Cumulation over <= B integers is
+        # trivially cheap in Python.
+        hist_rows = sorted(
+            (int(r["r"]), int(r["b"]), int(r["c"]))
+            for r in keyed.groupBy("r", "b")
+            .agg(F.count("*").alias("c"))
+            .collect()
         )
-        cum = hist.select(
-            "r", "b", "c", F.sum("c").over(wdw).alias("hi_c")
-        ).withColumn("lo_c", F.col("hi_c") - F.col("c"))
-        # locate each target's bucket Spark-side (lo_c < rank <= hi_c)
-        # so the driver collects exactly |targets| rows, never the
-        # B-bucket histogram itself.
-        targets = vals.sparkSession.createDataFrame(
-            [
-                (i, ranges[(t[2], t[3])], t[4])
-                for i, t in enumerate(todo)
-            ],
-            "ti INT, tr INT, wk BIGINT",
-        )
-        hits = {
-            int(row["ti"]): row
-            for row in cum.join(
-                F.broadcast(targets),
-                (F.col("r") == F.col("tr"))
-                & (F.col("lo_c") < F.col("wk"))
-                & (F.col("wk") <= F.col("hi_c")),
-            ).collect()
-        }
+        # per-range cumulative counts: bucket -> (lo_c, hi_c)
+        cums: dict[int, dict[int, tuple[int, int]]] = {}
+        run: dict[int, int] = {}
+        for rid, b, c in hist_rows:
+            lo_c = run.get(rid, 0)
+            run[rid] = lo_c + c
+            cums.setdefault(rid, {})[b] = (lo_c, lo_c + c)
+        hits = {}
+        for i, t in enumerate(todo):
+            rid, wk = ranges[(t[2], t[3])], t[4]
+            for b, (lo_c, hi_c) in cums.get(rid, {}).items():
+                if lo_c < wk <= hi_c:
+                    hits[i] = {"b": b, "lo_c": lo_c}
+                    break
         nxt = []
         for i, (tag, k, rlo, rhi, within) in enumerate(todo):
             w = widths[ranges[(rlo, rhi)]]
