@@ -443,9 +443,12 @@ def test_paragraph_unit_hash_collision_free_on_corpus(spark, sf_dir):
     )
 
 
-def test_connected_components_stats_round_count(spark):
-    """The stats hook must report >1 pointer-jumping rounds on a long
-    chain (diameter >> 1) and exactly the deduped edge count."""
+def test_connected_components_stats_round_count(spark, monkeypatch):
+    """Distributed path (forced below the r16 local-closure threshold):
+    the stats hook must report >1 pointer-jumping rounds on a long
+    chain (diameter >> 1) and exactly the deduped edge count. The
+    size-conditional local path must produce the identical labeling
+    with rounds=0."""
     from bigdata_imgprocessing_spark.operators.components import (
         connected_components,
     )
@@ -454,12 +457,20 @@ def test_connected_components_stats_round_count(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "src bigint, dst bigint"
     )
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_EDGES", "0")
     stats: dict = {}
     comp = connected_components(edges, stats=stats)
-    assert {r.comp for r in comp.collect()} == {0}
+    dist_rows = sorted((r.node, r.comp) for r in comp.collect())
+    assert {c for _n, c in dist_rows} == {0}
     assert stats["n_edges"] == 2 * (n - 1)  # symmetrized, distinct
     assert 1 < stats["rounds"] <= 8  # log2(63) ~ 6, + convergence confirm
     assert stats["width"] >= 1
+
+    monkeypatch.delenv("SPARK_GRAFT_CC_LOCAL_EDGES")
+    lstats: dict = {}
+    lcomp = connected_components(edges, stats=lstats)
+    assert sorted((r.node, r.comp) for r in lcomp.collect()) == dist_rows
+    assert lstats["rounds"] == 0 and lstats["n_edges"] == 2 * (n - 1)
 
 
 def test_observe_metrics_free_audit(spark, sf_dir):
