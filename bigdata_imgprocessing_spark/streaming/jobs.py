@@ -42,6 +42,18 @@ def event_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalize_event_ts(s)
 
 
+#: memory-sink tables registered by prior run_to_memory calls. Each new
+#: drain drops them first (r16): a memory sink holds its rows on the
+#: driver for the SESSION lifetime, so a 274-query bench accumulated
+#: dozens of append-mode sinks (some corpus-sized) as unreclaimable
+#: heap — visible as erratic multi-second GC slowdowns on whichever
+#: streaming query ran late in the suite. Every consumer materializes
+#: its result before the next drain starts (bench noop / driver hash /
+#: test collect), so dropping stale sinks is safe; a caller that needs
+#: two live sinks reads the first before creating the second.
+_SINKS: list[str] = []
+
+
 def run_to_memory(
     streaming_df: DataFrame, mode: str = "complete", state_partitions: int = 8
 ) -> DataFrame:
@@ -57,10 +69,13 @@ def run_to_memory(
     first start(). The session conf is restored afterwards so batch
     queries in the same session keep their own shuffle sizing."""
     spark = streaming_df.sparkSession
+    while _SINKS:
+        spark.catalog.dropTempView(_SINKS.pop())
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
         name = f"sink_{uuid.uuid4().hex[:12]}"
+        _SINKS.append(name)
         q = (
             streaming_df.writeStream.format("memory")
             .queryName(name)

@@ -39,8 +39,16 @@ def _update(
     # the order-dependent n_large contract holds because the file source
     # delivers each key's rows within one micro-batch per file-chunk and
     # ts ordering across batches follows file order in this corpus.
+    # Single-chunk fast path (r16): skip the concat when the group
+    # arrived whole — the common case across thousands of keys.
     chunks = [p for p in pdfs if len(p)]
-    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    batch = (
+        chunks[0]
+        if len(chunks) == 1
+        else pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame()
+    )
     if len(batch):
         batch = batch.sort_values(["ts", "event_id"])
         for v in batch["value"]:
@@ -97,13 +105,23 @@ def _quota_update(
     is staged as ts-contiguous quartile files."""
     n_seen, n_adm, val = state.get if state.exists else (0, 0, 0.0)
     chunks = [p for p in pdfs if len(p)]
-    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
-    if len(batch):
-        batch = batch.sort_values(["ts", "event_id"])
+    if chunks:
+        # single-chunk fast path (r16, guide §4 per-group work): most
+        # groups arrive as one Arrow chunk; pd.concat per group is
+        # measurable overhead across thousands of keys per batch
+        batch = chunks[0] if len(chunks) == 1 else pd.concat(
+            chunks, ignore_index=True
+        )
         n_seen += len(batch)
-        take = batch.head(max(0, QUOTA - n_adm))
-        n_adm += len(take)
-        val += float(take["value"].sum())
+        if n_adm < QUOTA:
+            # the (ts, event_id) sort only matters while the quota can
+            # still admit — once full, later batches only bump n_seen
+            # (r16: skips the sort for the majority of groups in every
+            # batch after the first; admitted values are unchanged)
+            batch = batch.sort_values(["ts", "event_id"])
+            take = batch.head(QUOTA - n_adm)
+            n_adm += len(take)
+            val += float(take["value"].sum())
     state.update((n_seen, n_adm, val))
     yield pd.DataFrame(
         {
@@ -161,7 +179,13 @@ def _ewma_update(
     )
     tail = list(tail or [])
     chunks = [p for p in pdfs if len(p)]
-    batch = pd.concat(chunks, ignore_index=True) if chunks else pd.DataFrame()
+    batch = (
+        chunks[0]
+        if len(chunks) == 1
+        else pd.concat(chunks, ignore_index=True)
+        if chunks
+        else pd.DataFrame()
+    )
     if len(batch):
         batch = batch.sort_values(["ts", "event_id"])
         for v in batch["value"]:
