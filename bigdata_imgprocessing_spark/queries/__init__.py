@@ -29,47 +29,45 @@ from . import text  # noqa: F401
 from . import timeseries  # noqa: F401  (registration side effect)
 
 _PRIORITY = [
-    # (1) NEW this round (round 15) with zero driver history —
-    # front-loaded so the first CORRECTNESS row lands this round.
-    # Names appended as each operator lands.
-    "streaming_ivf_assign_ingest", "decontam_semantic_audit",
-    # (2) queries whose CODE changed in round 15 after their last
-    # driver row: ann_ivf_learned's centroid derivation was factored
-    # into the shared label_centroids helper the new streaming ingest
-    # pins its codebook on; minhash_lsh_capped/hot_bucket_rep_dedup
-    # derive their semi-join id set with ONE explode scan of the
-    # cached candidate frame instead of a two-branch union that raced
-    # the cold cache (the r12-time recovery, VERDICT r14 item 3) —
-    # values identical in all three, re-checked by the driver itself.
-    "ann_ivf_learned", "minhash_lsh_capped", "hot_bucket_rep_dedup",
-    # (2b) queries whose PLAN changed in the r15 OPTIMIZATION pass
-    # (values proven identical at sf0.001/0.01/0.1 + full driver-sim;
-    # the driver's own row is the final re-check): the rank-monitor
-    # duplicate-subtree fixes and the plan-audit scan diet —
-    # OPTIMIZATION_r15.md has the per-query evidence.
-    "spearman_rank_corr", "mannwhitney_price_shift", "acf_daily_revenue",
-    "isotonic_calibration", "pinball_quantile_eval", "kendall_tau_trend",
-    "theilsen_revenue_trend", "runs_test_randomness",
-    "weekday_seasonality_strength", "seasonal_naive_mase",
-    "ols_revenue_trend", "kaplan_meier_churn", "logrank_survival_test",
-    "poisson_dispersion_check", "embedding_centroid_drift",
-    "fuzzy_match_stats",
-    # (3) staleness refresh, oldest-first (VERDICT r14 item 1): the 11
-    # rows last driver-checked at r7, in their r7 driver-file order
-    # (priority_multiset_diff is also an r15 plan change)...
-    "priority_multiset_diff", "quantized_ann_recall", "region_revenue",
-    "rollup_revenue", "semi_join_customers", "set_ops_customers",
-    "simhash_fingerprints", "small_quantity_revenue", "top_orders",
-    "video_frame_sample", "window_topk_orders",
-    # ...then the head of the 32-row r9 cohort, in r9 order, filling
-    # the ~50-slot window (2 new + 19 changed + 11 + 18 = 50). The r9
-    # tail (from doc_entropy_stats) leads round 16, then r10/r11/r12.
-    "streaming_windowed_counts", "table_profile_stats", "time_bucket_agg",
-    "unpivot_event_counts", "variant_props_stats", "xml_roundtrip_stats",
-    "zorder_pruned_scan", "ab_test_zscore", "ann_rerank_topk",
-    "backfill_partition_overwrite", "bar_chart_data", "bloom_prefilter_stats",
-    "bm25_ndcg_eval", "bpe_merge_pairs", "cogroup_order_fill",
-    "cohort_retention", "color_chart_data", "corpus_diff_stats",
+    # (2) queries whose CODE/PLAN changed in the round-16 OPTIMIZATION
+    # pass (no new queries this round) — every one proven
+    # hash-identical at sf0.001/0.01/0.1 + full driver-sim before
+    # landing; the driver's own row is the final re-check.
+    # OPTIMIZATION_r16.md has the per-query evidence.
+    # (2a) scan-diet redos (customer/part-sized caches dropped for
+    # pruned partial-agg scans) + the selection-operator stage diet:
+    "kaplan_meier_churn", "logrank_survival_test",
+    "poisson_dispersion_check", "priority_multiset_diff",
+    "fuzzy_match_stats", "exact_deciles_no_sort", "trimmed_mean_no_sort",
+    "conformal_coverage_eval",
+    # (2b) size-conditional rank pass (default plan = the r15 window
+    # form; the prefix twin is env-gated — operators/ranks.py):
+    "mannwhitney_price_shift", "kruskal_wallis_price",
+    "spearman_rank_corr", "roc_auc_eval",
+    # (2c) streaming: the capped-lsh wave diet, the ivf codebook
+    # fixture + pinned-thread writes, the staged-feed builders
+    # (byte-identical feeds, staging code moved), and the memory-sink
+    # lifecycle canaries (stale sinks dropped per drain — jobs.py):
+    "streaming_lsh_ingest_capped", "streaming_lsh_ingest",
+    "streaming_ivf_assign_ingest", "streaming_decontam_ingest",
+    "streaming_quota_admission", "streaming_ewma_anomaly",
+    "streaming_simhash_ingest", "streaming_paragraph_ingest",
+    "streaming_outer_join", "streaming_dedup_within_watermark",
+    "streaming_sketch_rollup", "streaming_replay_dedup",
+    "streaming_kafka_roundtrip", "streaming_stateful_totals",
+    # (3) staleness refresh, oldest-first: the r9 tail (from
+    # doc_entropy_stats), in r9 driver-file order (VERDICT r15 item 9)...
+    "doc_entropy_stats", "dq_expectations", "dsir_select",
+    "dup_ngram_coverage", "embedding_batch_scores", "epoch_shuffle_order",
+    "filter_funnel_stats", "grouped_agg_udaf", "hard_negative_mining",
+    "heavy_hitters_topk", "key_skew_profile", "mad_event_outliers",
+    "merge_into_orders", "neardup_triangle_stats", "order_value_position",
+    # ...then the head of the r10 cohort, in r10 driver-file order,
+    # filling the ~50-slot window (26 changed + 15 r9 + 9 r10 = 50).
+    # The r10 tail (from pagerank_neardup) leads round 17, then r11/r12.
+    "simhash64_neardup", "shard_rendezvous_stability", "kcenter_coreset",
+    "cms_frequency_audit", "embedding_centroid_drift", "video_scene_cuts",
+    "audio_silence_runs", "seasonal_naive_mase",
 ]
 _ordered = {n: QUERIES[n] for n in _PRIORITY if n in QUERIES}
 _ordered.update({n: q for n, q in QUERIES.items() if n not in _ordered})
