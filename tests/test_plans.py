@@ -949,10 +949,16 @@ def test_isotonic_bounded_scans(spark, sf_dir):
         ("weekday_seasonality_strength", "orders", 1),
         ("seasonal_naive_mase", "orders", 1),
         ("ols_revenue_trend", "orders", 1),
-        ("kaplan_meier_churn", "orders", 1),
-        ("logrank_survival_test", "orders", 1),
+        # r16: the customer/part-sized caches were dropped (their fill
+        # barriers cost more than the pruned scan they saved — VERDICT
+        # r15 items 1-2); the second scan in each is a column-pruned
+        # partial-aggregate scan with no shuffle (observation-end max /
+        # span min-max / clean-name vocab), which is the cheaper trade
+        # at every scale.
+        ("kaplan_meier_churn", "orders", 2),
+        ("logrank_survival_test", "orders", 2),
         ("priority_multiset_diff", "orders", 1),
-        ("poisson_dispersion_check", "events", 1),
+        ("poisson_dispersion_check", "events", 2),
         ("embedding_centroid_drift", "embeddings", 2),
         ("fuzzy_match_stats", "part", 2),
     ],
@@ -969,3 +975,36 @@ def test_r15_scan_diet(spark, sf_dir, name, table, max_scans):
     assert len(scans) <= max_scans, (
         f"{name}: expected <={max_scans} {table} scans, got {len(scans)}"
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "mannwhitney_price_shift",
+        "kruskal_wallis_price",
+        "spearman_rank_corr",
+        "roc_auc_eval",
+    ],
+)
+def test_rank_prefix_forms_match(spark, sf_dir, name, monkeypatch):
+    """r16 size-conditional rank pass (operators/ranks.py): below the
+    input-bytes crossover the monitors plan the window form (global
+    rank — fastest at test SFs); forcing the threshold to 0 switches
+    the SAME query to the bucketed-prefix form, whose plan contains NO
+    rank() window anywhere (no data-sized single partition), and whose
+    output rows are EXACTLY equal — the doubled-rank identity keeps
+    every statistic an exact integer expression in both forms."""
+    monkeypatch.delenv("SPARK_GRAFT_RANK_PREFIX_BYTES", raising=False)
+    win_df = QUERIES[name](spark, sf_dir)
+    win_plan = _formatted(spark, win_df)
+    assert "rank(" in win_plan, f"{name}: expected window form below threshold"
+    win_rows = sorted(map(tuple, win_df.collect()))
+
+    monkeypatch.setenv("SPARK_GRAFT_RANK_PREFIX_BYTES", "0")
+    pre_df = QUERIES[name](spark, sf_dir)
+    pre_plan = _formatted(spark, pre_df)
+    assert "rank(" not in pre_plan, (
+        f"{name}: prefix form must not plan a rank() window"
+    )
+    pre_rows = sorted(map(tuple, pre_df.collect()))
+    assert win_rows == pre_rows, f"{name}: forms disagree"
